@@ -1,38 +1,381 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship query (filtered kNN) at sf0.001.
+`queries()` maps operator names -> (spark, sf_dir) -> DataFrame.
+`oracle_sql()` maps the same names -> DuckDB SQL over the pre-registered
+views (region nation customer supplier part orders lineitem events
+documents embeddings).
+
+Determinism rules used throughout (see needle_spark.functions.distance):
+- distances are left-to-right float64 folds -> bit-exact in both engines;
+- query vectors come from the tables themselves (scalar subqueries in the
+  oracle) so both engines see identical float32 inputs;
+- float SUM/AVG aggregates use exact integer fixed-point (sum_fixed) so
+  results are independent of partitioning/merge order;
+- every ordered/limited query tie-breaks on a unique key.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from needle_spark.functions.distance import distance_expr, duckdb_distance_sql
+from needle_spark.operators.analytics import AnalyticsQuery, avg_fixed, sum_fixed
+from needle_spark.operators.knn import batch_knn, knn, radius_search
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    row = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == vec_id).first()
+    return [float(x) for x in row["embedding"]]
+
+
+_Q_SQL = "(SELECT embedding FROM embeddings WHERE vec_id = 0)"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: filtered top-10 cosine kNN on sf0.001 embeddings."""
+    sf_dir = "/root/testdata/sf0.001"
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    return knn(
+        emb, qv, k=10, metric="cosine",
+        filter={"label": {"$gte": 0}},
+        vector_col="embedding", id_col="vec_id",
+    ).select("vec_id", "label", "distance")
+
+
+# ---------------------------------------------------------------- kNN ---
+
+def _mk_knn(metric: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = _t(spark, sf_dir, "embeddings")
+        qv = _query_vec(spark, sf_dir, 0)
+        return knn(
+            emb, qv, k=10, metric=metric, vector_col="embedding", id_col="vec_id"
+        ).select("vec_id", "label", "distance")
+    return q
+
+
+def _knn_oracle(metric: str, k: int = 10, where: str = "", post: str = "") -> str:
+    d = duckdb_distance_sql(metric, "embedding", _Q_SQL)
+    return (
+        f"SELECT vec_id, label, {d} AS distance FROM embeddings {where} "
+        f"ORDER BY distance ASC, vec_id ASC LIMIT {k}"
+    )
+
+
+def _knn_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    return knn(
+        emb, qv, k=10, metric="cosine",
+        filter={"label": {"$in": [1, 2, 3]}},
+        vector_col="embedding", id_col="vec_id",
+    ).select("vec_id", "label", "distance")
+
+
+def _knn_postfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    return knn(
+        emb, qv, k=10, metric="cosine",
+        post_filter={"label": {"$lte": 4}}, post_filter_factor=3,
+        vector_col="embedding", id_col="vec_id",
+    ).select("vec_id", "label", "distance")
+
+
+def _radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    return radius_search(
+        emb, qv, radius=0.45, limit=100, metric="cosine",
+        vector_col="embedding", id_col="vec_id",
+    ).select("vec_id", "label", "distance")
+
+
+def _batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector")
+    )
+    return batch_knn(
+        emb, queries, k=5, metric="cosine",
+        doc_vector_col="embedding", doc_id_col="vec_id",
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
+_BATCH_KNN_SQL = f"""
+SELECT query_id, vec_id, distance, rank FROM (
+  SELECT q.vec_id AS query_id, d.vec_id AS vec_id,
+         {duckdb_distance_sql("cosine", "d.embedding", "q.embedding")} AS distance,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {duckdb_distance_sql("cosine", "d.embedding", "q.embedding")} ASC,
+                    d.vec_id ASC
+         ) AS rank
+  FROM embeddings d, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+) WHERE rank <= 5
+"""
+
+
+def _recommend_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # recommend = kNN on (mean(pos) - mean(neg)); exact SQL twin below
+    from needle_spark.operators.knn import recommend
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return recommend(
+        emb, positive_ids=[0, 1], negative_ids=[2], k=10, metric="cosine",
+        vector_col="embedding", id_col="vec_id",
+    ).select("vec_id", "label", "distance")
+
+
+# --------------------------------------------------------- analytics ---
+
+def _agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity") > 0)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            sum_fixed("l_quantity").alias("sum_qty"),
+            sum_fixed("l_extendedprice").alias("sum_price"),
+            avg_fixed("l_discount", scale=4).alias("avg_disc"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_AGG_LINEITEM_SQL = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS cnt,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price,
+       (CAST(sum(CAST(round(l_discount * 10000) AS BIGINT)) AS DOUBLE) / 10000.0)
+         / CAST(count(l_discount) AS DOUBLE) AS avg_disc,
+       min(l_quantity) AS min_qty,
+       max(l_extendedprice) AS max_price
+FROM lineitem
+WHERE l_quantity > 0
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def _having_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        AnalyticsQuery(orders)
+        .where({"o_orderstatus": {"$ne": "P"}})
+        .group_by("o_orderpriority")
+        .agg(("count", "*", "cnt"), avg_fixed("o_totalprice").alias("avg_total"))
+        .having(F.col("cnt") >= 10)
+        .order_by(("avg_total", "desc"), ("o_orderpriority", "asc"))
+        .limit(5)
+        .to_df()
+    )
+
+
+_HAVING_ORDER_SQL = """
+SELECT o_orderpriority, count(*) AS cnt,
+       (CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0)
+         / CAST(count(o_totalprice) AS DOUBLE) AS avg_total
+FROM orders
+WHERE o_orderstatus <> 'P'
+GROUP BY o_orderpriority
+HAVING count(*) >= 10
+ORDER BY avg_total DESC, o_orderpriority ASC
+LIMIT 5
+"""
+
+
+def _filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    from needle_spark.filters import compile_filter
+
+    flt = {
+        "$and": [
+            {"o_totalprice": {"$between": [50_000, 200_000]}},
+            {
+                "$or": [
+                    {"o_orderpriority": {"$in": ["1-URGENT", "2-HIGH"]}},
+                    {"o_orderstatus": "F"},
+                ]
+            },
+            {"$not": {"o_custkey": {"$lt": 10}}},
+        ]
+    }
+    return orders.filter(compile_filter(flt, df=orders)).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+
+
+_FILTER_COMPOUND_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+FROM orders
+WHERE (o_totalprice >= 50000 AND o_totalprice <= 200000)
+  AND (o_orderpriority IN ('1-URGENT', '2-HIGH') OR o_orderstatus = 'F')
+  AND NOT (o_custkey < 10)
+"""
+
+
+def _filtered_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    from needle_spark.filters import compile_filter
+
+    flt = {"o_orderstatus": "O", "o_totalprice": {"$gt": 100_000}}
+    return orders.filter(compile_filter(flt, df=orders)).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+_FILTERED_COUNT_SQL = """
+SELECT count(*) AS cnt FROM orders
+WHERE o_orderstatus = 'O' AND o_totalprice > 100000
+"""
+
+
+def _group_docs_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_GROUP_DOCS_LANG_SQL = """
+SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def _topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+_TOPK_PER_GROUP_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def _events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            sum_fixed("value", scale=4).alias("sum_value"),
+            F.count("user_id").alias("user_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_EVENTS_BY_TYPE_SQL = """
+SELECT event_type, count(*) AS cnt,
+       CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_value,
+       count(user_id) AS user_events
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+_RECOMMEND_SQL = f"""
+WITH qvec AS (
+  SELECT list_transform(
+           list_zip(
+             (SELECT embedding FROM embeddings WHERE vec_id = 0),
+             (SELECT embedding FROM embeddings WHERE vec_id = 1),
+             (SELECT embedding FROM embeddings WHERE vec_id = 2)
+           ),
+           z -> (CAST(z[1] AS DOUBLE) + CAST(z[2] AS DOUBLE)) / 2.0
+                - CAST(z[3] AS DOUBLE)
+         ) AS v
+)
+SELECT vec_id, label,
+       {duckdb_distance_sql("cosine", "embedding", "(SELECT v FROM qvec)")} AS distance
+FROM embeddings
+WHERE vec_id NOT IN (0, 1, 2)
+ORDER BY distance ASC, vec_id ASC LIMIT 10
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "knn_cosine": _mk_knn("cosine"),
+        "knn_euclidean": _mk_knn("euclidean"),
+        "knn_dot": _mk_knn("dot"),
+        "knn_manhattan": _mk_knn("manhattan"),
+        "knn_chebyshev": _mk_knn("chebyshev"),
+        "knn_prefilter": _knn_prefilter,
+        "knn_postfilter": _knn_postfilter,
+        "radius_search": _radius,
+        "batch_knn": _batch_knn,
+        "recommend": _recommend_knn,
+        "agg_lineitem": _agg_lineitem,
+        "having_order": _having_order,
+        "filter_compound": _filter_compound,
+        "filtered_count": _filtered_count,
+        "group_docs_lang": _group_docs_lang,
+        "topk_per_group": _topk_per_group,
+        "events_by_type": _events_by_type,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    post = duckdb_distance_sql("cosine", "embedding", _Q_SQL)
+    return {
+        "knn_cosine": _knn_oracle("cosine"),
+        "knn_euclidean": _knn_oracle("euclidean"),
+        "knn_dot": _knn_oracle("dot"),
+        "knn_manhattan": _knn_oracle("manhattan"),
+        "knn_chebyshev": _knn_oracle("chebyshev"),
+        "knn_prefilter": _knn_oracle("cosine", where="WHERE label IN (1, 2, 3)"),
+        "knn_postfilter": (
+            f"SELECT vec_id, label, distance FROM ("
+            f"SELECT vec_id, label, {post} AS distance FROM embeddings "
+            f"ORDER BY distance ASC, vec_id ASC LIMIT 30"
+            f") WHERE label <= 4 ORDER BY distance ASC, vec_id ASC LIMIT 10"
+        ),
+        "radius_search": (
+            f"SELECT vec_id, label, {post} AS distance FROM embeddings "
+            f"WHERE {post} <= 0.45 ORDER BY distance ASC, vec_id ASC LIMIT 100"
+        ),
+        "batch_knn": _BATCH_KNN_SQL,
+        "recommend": _RECOMMEND_SQL,
+        "agg_lineitem": _AGG_LINEITEM_SQL,
+        "having_order": _HAVING_ORDER_SQL,
+        "filter_compound": _FILTER_COMPOUND_SQL,
+        "filtered_count": _FILTERED_COUNT_SQL,
+        "group_docs_lang": _GROUP_DOCS_LANG_SQL,
+        "topk_per_group": _TOPK_PER_GROUP_SQL,
+        "events_by_type": _EVENTS_BY_TYPE_SQL,
+    }

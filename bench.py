@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Workload shapes follow BASELINE.md: single kNN, batch kNN (100 queries),
+filtered kNN (~10% selectivity), radius search, group-by analytics,
+compound-filter scan, per-group top-k, and bulk insert (parquet write).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from needle_spark import get_spark
+    from needle_spark.operators.knn_arrow import batch_knn_arrow
+
+    spark = get_spark(app_name="needle-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm up: JVM, parquet footers, file listing — not part of any query's cost
+    for t in ("embeddings", "lineitem", "orders", "documents", "events"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+
+    def run(name, thunk):
+        t0 = time.perf_counter()
+        thunk()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    bench_queries = [
+        "knn_cosine", "knn_euclidean", "knn_prefilter", "knn_postfilter",
+        "radius_search", "recommend", "agg_lineitem", "having_order",
+        "filter_compound", "filtered_count", "group_docs_lang",
+        "topk_per_group", "events_by_type",
+    ]
+    for name in bench_queries:
+        fn = qs[name]
+        run(name, lambda fn=fn: fn(spark, SF_DIR).collect())
+
+    # batch kNN at baseline shape: 100 queries x full embeddings table
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector")
+    )
+    run(
+        "batch_knn_100",
+        lambda: batch_knn_arrow(
+            emb, queries_df, k=10, metric="cosine",
+            doc_vector_col="embedding", doc_id_col="vec_id",
+        ).collect(),
+    )
+
+    # bulk insert throughput: scan + rewrite lineitem as parquet
+    out_dir = tempfile.mkdtemp(prefix="needle_bench_")
+    try:
+        run(
+            "bulk_insert_lineitem",
+            lambda: spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/lineitem"),
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+    total = round(sum(timings.values()), 4)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

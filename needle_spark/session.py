@@ -1,0 +1,63 @@
+"""SparkSession factory for the needle_spark engine.
+
+Defaults are chosen for the engine's workload shape (wide scans with
+selective predicates, top-k similarity queries, shuffle-light
+aggregations) and to scale from local[32] test runs to a large cluster:
+
+- AQE on: runtime coalescing of shuffle partitions and skew-join
+  splitting mean one static `spark.sql.shuffle.partitions` value works
+  at both sf0.001 and 100 TB.
+- Arrow on: every pandas UDF / toPandas crossing is Arrow-batched.
+- ANSI off: the reference engine (needle) has permissive, schemaless
+  JSON comparison semantics (src/metadata.rs:644-681 - numeric compare
+  when both sides numeric, else string compare, never an error); ANSI
+  cast errors would break that contract.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "needle-spark"
+
+
+def get_spark(
+    app_name: str = DEFAULT_APP_NAME,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Honors SPARK_GRAFT_CPUS for local parallelism; on a real cluster the
+    master/deploy settings come from spark-submit and the builder's
+    master() call is ignored.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        # At local scale, one shuffle partition per core avoids tiny-task
+        # overhead; on a cluster AQE coalesces/splits from this initial
+        # number, so it only needs to be "not absurd".
+        shuffle_partitions = max(cpus, 32)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.ansi.enabled", "false")
+        # events.parquet stores TIMESTAMP(NANOS); Spark has no nanos
+        # timestamp type — read as bigint nanos and convert explicitly.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("NEEDLE_SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
