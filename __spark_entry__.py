@@ -328,6 +328,86 @@ ORDER BY distance ASC, vec_id ASC LIMIT 10
 """
 
 
+# ------------------------------------------------------ text & fusion ---
+
+_BM25_QUERY = "fast merge sort join"
+
+
+def _bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from needle_spark.operators.hybrid import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_scores(docs, _BM25_QUERY, id_col="doc_id", text_col="text")
+
+
+def _hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from needle_spark.operators.hybrid import bm25_topk, rrf_fuse
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    qv = _query_vec(spark, sf_dir, 0)
+    vec = knn(
+        emb, qv, k=50, metric="cosine", vector_col="embedding", id_col="vec_id"
+    ).select(F.col("vec_id").alias("id"), "distance")
+    bm = bm25_topk(
+        docs, _BM25_QUERY, limit=50, id_col="doc_id", text_col="text"
+    ).select(F.col("doc_id").alias("id"), "score")
+    return rrf_fuse(vec, bm, limit=20)
+
+
+def _hybrid_rrf_sql() -> str:
+    from needle_spark.operators.hybrid import duckdb_bm25_sql
+
+    dist = duckdb_distance_sql("cosine", "embedding", _Q_SQL)
+    bm25 = duckdb_bm25_sql(_BM25_QUERY, table="documents", id_col="doc_id")
+    return f"""
+WITH vecraw AS (
+  SELECT vec_id AS id, {dist} AS distance FROM embeddings
+  ORDER BY distance ASC, id ASC LIMIT 50
+),
+vec AS (
+  SELECT id, 1.0 / (1.0 + distance) AS vector_score,
+         CAST(row_number() OVER (ORDER BY distance ASC, id ASC) AS BIGINT) AS vector_rank
+  FROM vecraw
+),
+bmraw AS ({bm25}),
+bmtop AS (SELECT doc_id AS id, score FROM bmraw
+          ORDER BY round(score, 9) DESC, id ASC LIMIT 50),
+bm AS (
+  SELECT id, score AS bm25_score,
+         CAST(row_number() OVER (ORDER BY round(score, 9) DESC, id ASC) AS BIGINT) AS bm25_rank
+  FROM bmtop
+)
+SELECT COALESCE(vec.id, bm.id) AS id,
+       COALESCE(0.5 / (60.0 + vector_rank), 0.0)
+         + COALESCE(0.5 / (60.0 + bm25_rank), 0.0) AS score,
+       vector_score, bm25_score, vector_rank, bm25_rank
+FROM vec FULL OUTER JOIN bm ON vec.id = bm.id
+ORDER BY score DESC, COALESCE(vec.id, bm.id) ASC LIMIT 20
+"""
+
+
+def _rerank_by_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from needle_spark.operators.hybrid import rerank_by_field
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    top = knn(
+        emb, qv, k=30, metric="cosine", vector_col="embedding", id_col="vec_id"
+    ).select("vec_id", "label", "distance")
+    return rerank_by_field(top, "label", k=10, fetch_k=30, descending=True, id_col="vec_id")
+
+
+def _rerank_by_field_sql() -> str:
+    dist = duckdb_distance_sql("cosine", "embedding", _Q_SQL)
+    return f"""
+SELECT vec_id, label, distance FROM (
+  SELECT vec_id, label, {dist} AS distance FROM embeddings
+  ORDER BY distance ASC, vec_id ASC LIMIT 30
+) ORDER BY label DESC, vec_id ASC LIMIT 10
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": _mk_knn("cosine"),
@@ -347,6 +427,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_docs_lang": _group_docs_lang,
         "topk_per_group": _topk_per_group,
         "events_by_type": _events_by_type,
+        "bm25_scores": _bm25,
+        "hybrid_rrf": _hybrid_rrf,
+        "rerank_by_field": _rerank_by_field,
     }
 
 
@@ -378,4 +461,9 @@ def oracle_sql() -> dict[str, str]:
         "group_docs_lang": _GROUP_DOCS_LANG_SQL,
         "topk_per_group": _TOPK_PER_GROUP_SQL,
         "events_by_type": _EVENTS_BY_TYPE_SQL,
+        "bm25_scores": __import__("needle_spark.operators.hybrid", fromlist=["duckdb_bm25_sql"]).duckdb_bm25_sql(
+            _BM25_QUERY, table="documents", id_col="doc_id"
+        ),
+        "hybrid_rrf": _hybrid_rrf_sql(),
+        "rerank_by_field": _rerank_by_field_sql(),
     }

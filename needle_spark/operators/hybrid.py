@@ -1,0 +1,281 @@
+"""BM25 text relevance + hybrid (vector ⋈ BM25) search with RRF fusion.
+
+Reference semantics (/root/reference/src/hybrid.rs):
+- BM25 with k1=1.5, b=0.75 (:15-34), IDF = ln((N - df + 0.5)/(df + 0.5)
+  + 1) (:368), length norm = 1 - b + b*dl/avgdl (:374-380), score summed
+  over query-term occurrences, docs with score<=0 dropped (:search).
+- RRF fusion (:540-599): each signal contributes
+  weight / (rrf_k + rank + 1) with 0-based rank (=> /(k + rn) for
+  1-based rn); defaults k=60, weights 0.5/0.5 (:100-102);
+  vector_score reported as 1/(1+distance) (:553).
+
+Spark story: the BM25 "index" (postings, doc lengths, doc freqs, avgdl)
+is a family of small aggregate DataFrames derived from one tokenize scan
+— at 100 TB these are classic map-side-combined aggregations, and the
+per-query scoring joins touch only the postings of the query's terms
+(predicate pushdown on `term`).  Rank fusion is two row_number windows
+over top-N candidate sets (tiny) and a full outer join on id.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from needle_spark.functions.text import (
+    STOP_WORDS,
+    duckdb_tokenize_sql,
+    porter_stem,
+    stem_tokens_udf,
+    tokenize_expr,
+    tokenize_py,
+)
+
+DEFAULT_K1 = 1.5
+DEFAULT_B = 0.75
+DEFAULT_RRF_K = 60.0
+
+
+def _tokens(docs: DataFrame, id_col: str, text_col: str, stem: bool,
+            stop_words) -> DataFrame:
+    toks = tokenize_expr(text_col, stop_words=stop_words)
+    out = docs.select(F.col(id_col), toks.alias("__toks"))
+    if stem:
+        out = out.withColumn("__toks", stem_tokens_udf()(F.col("__toks")))
+    return out
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_text: str,
+    id_col: str = "id",
+    text_col: str = "text",
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    stem: bool = False,
+    stop_words=STOP_WORDS,
+    score_col: str = "score",
+) -> DataFrame:
+    """BM25 scores for every matching doc: (id, score), score > 0 only.
+
+    One tokenize pass; corpus stats (N, avgdl) ride in as a broadcast
+    1-row cross join so the whole thing stays one lazy plan.
+    """
+    q_terms = tokenize_py(query_text, stop_words=stop_words)
+    if stem:
+        q_terms = [porter_stem(t) for t in q_terms]
+    spark = docs.sparkSession
+    if not q_terms:
+        return spark.createDataFrame([], f"{id_col} string, {score_col} double")
+
+    qcounts = Counter(q_terms)
+    qdf = spark.createDataFrame(
+        [(t, float(c)) for t, c in sorted(qcounts.items())], "term string, qcount double"
+    )
+
+    toks = _tokens(docs, id_col, text_col, stem, stop_words)
+    lens = toks.select(F.col(id_col), F.size("__toks").cast("double").alias("__dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        (F.sum("__dl") / F.count(F.lit(1))).alias("__avgdl"),
+    )
+
+    tf = (
+        toks.select(F.col(id_col), F.explode("__toks").alias("term"))
+        .filter(F.col("term").isin(list(qcounts)))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("__tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("__df"))
+
+    idf = F.log((F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5) + 1.0)
+    lnorm = F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("__dl") / F.col("__avgdl")
+    tf_norm = (F.col("__tf") * (k1 + 1.0)) / (F.col("__tf") + F.lit(k1) * lnorm)
+
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(qdf), "term")
+        .withColumn("__s", idf * tf_norm * F.col("qcount"))
+        .groupBy(id_col)
+        .agg(F.sum("__s").alias(score_col))
+        .filter(F.col(score_col) > 0.0)
+    )
+    return scored
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_text: str,
+    limit: int = 10,
+    rounding: int | None = 9,
+    **kwargs,
+) -> DataFrame:
+    """Top-N BM25 (hybrid.rs search()). Scores are rounded to 1e-9 before
+    ranking so rank order is reproducible across engines/partitionings
+    (float sums are order-sensitive in the last bits)."""
+    id_col = kwargs.get("id_col", "id")
+    score_col = kwargs.get("score_col", "score")
+    scored = bm25_scores(docs, query_text, **kwargs)
+    rank_key = F.round(F.col(score_col), rounding) if rounding else F.col(score_col)
+    return scored.orderBy(rank_key.desc(), F.col(id_col).asc()).limit(limit)
+
+
+def duckdb_bm25_sql(
+    query_text: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+    stop_words=STOP_WORDS,
+    score_col: str = "score",
+) -> str:
+    """DuckDB oracle twin of bm25_scores (unstemmed)."""
+    q_terms = tokenize_py(query_text, stop_words=stop_words)
+    qcounts = Counter(q_terms)
+    terms_in = ", ".join(f"'{t}'" for t in sorted(qcounts))
+    qvalues = ", ".join(f"('{t}', {float(c)!r})" for t, c in sorted(qcounts.items()))
+    tok = duckdb_tokenize_sql(text_col, stop_words=stop_words)
+    return f"""
+WITH toks AS (SELECT {id_col}, {tok} AS t FROM {table}),
+lens AS (SELECT {id_col}, CAST(len(t) AS DOUBLE) AS dl FROM toks),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(len(t)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+          FROM toks),
+tf AS (SELECT {id_col}, term, CAST(count(*) AS DOUBLE) AS tf
+       FROM (SELECT {id_col}, unnest(t) AS term FROM toks)
+       WHERE term IN ({terms_in}) GROUP BY {id_col}, term),
+dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+q(term, qcount) AS (VALUES {qvalues})
+SELECT tf.{id_col} AS {id_col},
+       sum( ln((n - df + 0.5) / (df + 0.5) + 1.0)
+            * (tf * ({k1!r} + 1.0)) / (tf + {k1!r} * (1.0 - {b!r} + {b!r} * dl / avgdl))
+            * qcount ) AS {score_col}
+FROM tf JOIN dft USING (term) JOIN lens USING ({id_col}) CROSS JOIN stats
+     JOIN q USING (term)
+GROUP BY tf.{id_col}
+HAVING sum( ln((n - df + 0.5) / (df + 0.5) + 1.0)
+            * (tf * ({k1!r} + 1.0)) / (tf + {k1!r} * (1.0 - {b!r} + {b!r} * dl / avgdl))
+            * qcount ) > 0.0
+"""
+
+
+def rrf_fuse(
+    vector_results: DataFrame,
+    bm25_results: DataFrame,
+    id_col: str = "id",
+    distance_col: str = "distance",
+    score_col: str = "score",
+    rrf_k: float = DEFAULT_RRF_K,
+    vector_weight: float = 0.5,
+    bm25_weight: float = 0.5,
+    limit: int = 10,
+    rounding: int | None = 9,
+) -> DataFrame:
+    """Reciprocal Rank Fusion of a vector result set (id, distance) and a
+    BM25 result set (id, score) — hybrid.rs:540-599.
+
+    Output: (id, score, vector_score, bm25_score, vector_rank, bm25_rank),
+    ordered by fused score desc then id.
+    """
+    v_rank_w = Window.orderBy(F.col(distance_col).asc(), F.col(id_col).asc())
+    vr = vector_results.select(
+        F.col(id_col),
+        (F.lit(1.0) / (F.lit(1.0) + F.col(distance_col))).alias("vector_score"),
+        F.row_number().over(v_rank_w).cast("long").alias("vector_rank"),
+    )
+    b_key = F.round(F.col(score_col), rounding) if rounding else F.col(score_col)
+    b_rank_w = Window.orderBy(b_key.desc(), F.col(id_col).asc())
+    br = bm25_results.select(
+        F.col(id_col),
+        F.col(score_col).alias("bm25_score"),
+        F.row_number().over(b_rank_w).cast("long").alias("bm25_rank"),
+    )
+    fused = vr.join(br, id_col, "full_outer").withColumn(
+        score_col,
+        F.coalesce(F.lit(vector_weight) / (F.lit(rrf_k) + F.col("vector_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(bm25_weight) / (F.lit(rrf_k) + F.col("bm25_rank")), F.lit(0.0)),
+    )
+    return (
+        fused.select(id_col, score_col, "vector_score", "bm25_score", "vector_rank", "bm25_rank")
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .limit(limit)
+    )
+
+
+def hybrid_search(
+    docs: DataFrame,
+    query_vector,
+    query_text: str,
+    k: int = 10,
+    fetch_n: int = 50,
+    metric: str = "cosine",
+    id_col: str = "id",
+    vector_col: str = "vector",
+    text_col: str = "text",
+    rrf_k: float = DEFAULT_RRF_K,
+    vector_weight: float = 0.5,
+    bm25_weight: float = 0.5,
+    **bm25_kwargs,
+) -> DataFrame:
+    """End-to-end hybrid search: vector top-fetch_n ⊕ BM25 top-fetch_n,
+    RRF-fused, top-k."""
+    from needle_spark.operators.knn import knn
+
+    vec = knn(
+        docs, query_vector, k=fetch_n, metric=metric,
+        vector_col=vector_col, id_col=id_col,
+    ).select(id_col, "distance")
+    bm = bm25_topk(
+        docs, query_text, limit=fetch_n, id_col=id_col, text_col=text_col, **bm25_kwargs
+    )
+    return rrf_fuse(
+        vec, bm, id_col=id_col, rrf_k=rrf_k,
+        vector_weight=vector_weight, bm25_weight=bm25_weight, limit=k,
+    )
+
+
+def rerank_by_field(
+    results: DataFrame,
+    field: str,
+    k: int,
+    fetch_k: int,
+    descending: bool = True,
+    id_col: str = "id",
+    distance_col: str = "distance",
+) -> DataFrame:
+    """RERANK BY field: take top-fetch_k by distance, reorder by a
+    metadata field, keep k (query_lang/ast.rs:205-225)."""
+    top = results.orderBy(F.col(distance_col).asc(), F.col(id_col).asc()).limit(fetch_k)
+    key = F.col(field).desc() if descending else F.col(field).asc()
+    return top.orderBy(key, F.col(id_col).asc()).limit(k)
+
+
+def normalize_scores(
+    results: DataFrame,
+    method: str = "min_max",
+    score_col: str = "score",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Score normalization over a result set (collection/search.rs:94-122,
+    cross_collection.rs:748): min_max, z_score, or softmax."""
+    out_col = out_col or score_col
+    w = Window.partitionBy()
+    s = F.col(score_col)
+    if method == "min_max":
+        lo, hi = F.min(s).over(w), F.max(s).over(w)
+        norm = F.when(hi == lo, F.lit(1.0)).otherwise((s - lo) / (hi - lo))
+    elif method == "z_score":
+        mu, sd = F.avg(s).over(w), F.stddev_pop(s).over(w)
+        norm = F.when(sd == 0.0, F.lit(0.0)).otherwise((s - mu) / sd)
+    elif method == "softmax":
+        mx = F.max(s).over(w)
+        e = F.exp(s - mx)
+        norm = e / F.sum(e).over(w)
+    else:
+        raise ValueError(f"unknown normalization method: {method!r}")
+    return results.withColumn(out_col, norm)
