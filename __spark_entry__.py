@@ -408,6 +408,139 @@ SELECT vec_id, label, distance FROM (
 """
 
 
+# ------------------------------------------- dedup & text analysis ---
+
+def _dedup_events_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from needle_spark.operators.dedup import exact_dedup
+
+    ev = _t(spark, sf_dir, "events")
+    return exact_dedup(ev, ["user_id", "event_type"], id_col="event_id").select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+_DEDUP_EVENTS_SQL = """
+SELECT event_id, user_id, event_type FROM (
+  SELECT event_id, user_id, event_type,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY event_id ASC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from needle_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, id_col="doc_id", text_col="text", n=3, threshold=0.6)
+
+
+def _minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from needle_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(
+        docs, id_col="doc_id", text_col="text", n=3, verify_threshold=0.6
+    )
+
+
+def _jaccard_oracle_sql(threshold: float = 0.6) -> str:
+    from needle_spark.operators.dedup import duckdb_shingles_sql
+
+    sh = duckdb_shingles_sql("t", 3)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> length(t) >= 1) AS t
+  FROM documents
+),
+sh AS (SELECT doc_id, {sh} AS s FROM toks),
+e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+sizes AS (SELECT doc_id, len(s) AS sz FROM sh),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS DOUBLE) AS c
+  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id1, id2, jaccard FROM (
+  SELECT id1, id2, c / (CAST(s1.sz + s2.sz AS DOUBLE) - c) AS jaccard
+  FROM inter
+  JOIN sizes s1 ON s1.doc_id = id1
+  JOIN sizes s2 ON s2.doc_id = id2
+) WHERE jaccard >= {threshold!r}
+"""
+
+
+def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # no oracle: DuckDB lacks xxhash64; verified by pytest vs exact
+    # jaccard and by the (1,4)-identical-text invariant instead.
+    from needle_spark.operators.dedup import simhash_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_candidates(docs, id_col="doc_id", text_col="text", max_hamming=8)
+
+
+def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from needle_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(
+        emb, threshold=0.6, metric="cosine", id_col="vec_id", vector_col="embedding"
+    )
+
+
+def _embedding_neardup_sql() -> str:
+    d = duckdb_distance_sql("cosine", "a.embedding", "b.embedding")
+    return f"""
+SELECT id1, id2, distance FROM (
+  SELECT a.vec_id AS id1, b.vec_id AS id2, {d} AS distance
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+) WHERE distance <= 0.6
+"""
+
+
+def _text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from needle_spark.operators.text_analysis import (
+        bpe_token_count_expr,
+        fingerprint_expr,
+        lang_id_expr,
+        quality_score_expr,
+        word_count_expr,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        lang_id_expr("text").alias("pred_lang"),
+        word_count_expr("text").alias("word_cnt"),
+        bpe_token_count_expr("text").alias("bpe_cnt"),
+        quality_score_expr("text").alias("quality"),
+        fingerprint_expr("text").alias("fingerprint"),
+    )
+
+
+def _text_profile_sql() -> str:
+    from needle_spark.operators.text_analysis import (
+        BPE_TOKEN_RE,
+        duckdb_fingerprint_sql,
+        duckdb_lang_id_sql,
+        duckdb_quality_score_sql,
+    )
+
+    return f"""
+SELECT doc_id,
+       {duckdb_lang_id_sql('text')} AS pred_lang,
+       CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                            w -> length(w) > 0)) AS BIGINT) AS word_cnt,
+       CAST(len(regexp_extract_all(lower(text), '{BPE_TOKEN_RE}')) AS BIGINT) AS bpe_cnt,
+       {duckdb_quality_score_sql('text')} AS quality,
+       {duckdb_fingerprint_sql('text')} AS fingerprint
+FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": _mk_knn("cosine"),
@@ -430,6 +563,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": _bm25,
         "hybrid_rrf": _hybrid_rrf,
         "rerank_by_field": _rerank_by_field,
+        "dedup_events_exact": _dedup_events_exact,
+        "ngram_jaccard_pairs": _ngram_jaccard,
+        "minhash_lsh_dedup": _minhash_lsh,
+        "simhash_candidates": _simhash,
+        "embedding_neardup": _embedding_neardup,
+        "text_profile": _text_profile,
     }
 
 
@@ -466,4 +605,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hybrid_rrf": _hybrid_rrf_sql(),
         "rerank_by_field": _rerank_by_field_sql(),
+        "dedup_events_exact": _DEDUP_EVENTS_SQL,
+        "ngram_jaccard_pairs": _jaccard_oracle_sql(0.6),
+        # MinHash-LSH with exact-Jaccard verification provably equals the
+        # exact pair set unless a banding miss occurs (p ~ 1e-22 at the
+        # planted pairs' j~0.99) — same oracle.
+        "minhash_lsh_dedup": _jaccard_oracle_sql(0.6),
+        # simhash_candidates: no oracle (xxhash64 has no DuckDB twin)
+        "embedding_neardup": _embedding_neardup_sql(),
+        "text_profile": _text_profile_sql(),
     }

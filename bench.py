@@ -51,6 +51,9 @@ def main() -> None:
         "radius_search", "recommend", "agg_lineitem", "having_order",
         "filter_compound", "filtered_count", "group_docs_lang",
         "topk_per_group", "events_by_type",
+        "bm25_scores", "hybrid_rrf", "rerank_by_field",
+        "dedup_events_exact", "ngram_jaccard_pairs", "minhash_lsh_dedup",
+        "simhash_candidates", "embedding_neardup", "text_profile",
     ]
     for name in bench_queries:
         fn = qs[name]

@@ -1,0 +1,487 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference has a semantic-dedup scan (/root/reference/src/collection/
+dedup.rs:163 — near-duplicate pairs above a similarity threshold, with
+keep-first/keep-last policies in collection/config.rs:137-199).  This
+module generalizes that into the standard dedup toolbox a 100 TB corpus
+pipeline needs:
+
+- exact_dedup / exact_duplicate_groups : hash-groupBy; one shuffle on the
+  hash key, map-side combined.
+- ngram_jaccard_pairs : exact word-shingle Jaccard via an inverted-index
+  self-join — the oracle-checkable truth for MinHash.
+- minhash_lsh_candidates : MinHash signatures (k seeded xxhash64 mins per
+  doc, all computed in one pass of JVM expressions) banded into LSH
+  buckets; candidates verified with exact Jaccard.  The scale path:
+  shuffle is (doc, band) -> bucket, never doc x doc.
+- simhash64 : 64-bit SimHash per doc (bit-majority of seeded token
+  hashes) + hamming-distance candidate pairing on band rotation.
+- embedding_neardup_pairs : ε-similarity self-join on vectors via an
+  Arrow kernel (block-broadcast), exact at test scale; at cluster scale,
+  pre-bucket with IVF/LSH (see needle_spark.plans).
+
+Every operator is deterministic: hash seeds are fixed, tie-breaks are on
+ids.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from needle_spark.functions.text import tokenize_expr
+
+# MinHash works over the Mersenne field p = 2^31 - 1 with base hashes
+# reduced into the field.  The modulus MUST be close to the base-hash
+# domain: with 32-bit hashes under a 2^61 modulus, a*x+b wraps at most a
+# few times, the map stays near-monotonic in x, and "min of affine
+# hashes" degenerates to "min of base hashes" (agreement no longer ≈
+# Jaccard).  With p = 2^31-1, products a*x reach 2^62 and wrap ~2^31
+# times — a well-mixed universal family — while still fitting in int64.
+MINHASH_PRIME = (1 << 31) - 1
+
+
+# ------------------------------------------------------------- exact ---
+
+def exact_duplicate_groups(
+    df: DataFrame, cols: Sequence[str], id_col: str = "id"
+) -> DataFrame:
+    """Groups of rows identical on `cols`: (group_hash, cnt, ids)."""
+    h = F.sha2(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]), 256)
+    return (
+        df.groupBy(h.alias("group_hash"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.col("cnt") > 1)
+    )
+
+
+def exact_dedup(
+    df: DataFrame, cols: Sequence[str], id_col: str = "id", keep: str = "first"
+) -> DataFrame:
+    """Keep one row per distinct `cols` value — lowest id for keep='first',
+    highest for keep='last' (dedup policies, config.rs:137-199)."""
+    from pyspark.sql import Window
+
+    order = F.col(id_col).asc() if keep == "first" else F.col(id_col).desc()
+    w = Window.partitionBy(*[F.col(c) for c in cols]).orderBy(order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ----------------------------------------------------------- shingles ---
+
+def shingles_expr(text_col: Column | str, n: int = 3, min_len: int = 1) -> Column:
+    """Distinct word n-gram shingles of a text column, as array<string>.
+    Pure Catalyst: tokenize -> sliding window via transform(sequence)."""
+    toks = tokenize_expr(text_col, stop_words=None, min_len=min_len)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.when(
+            F.size(toks) >= n, F.concat_ws(" ", F.slice(toks, i + 1, n))
+        ),
+    )
+    return F.array_distinct(F.filter(grams, lambda g: g.isNotNull()))
+
+
+def py_shingles(text: str, n: int = 3) -> list[str]:
+    """Driver/UDF-side shingle computation — exact twin of shingles_expr
+    (tokenize with no stop words, min_len=1; distinct, order of first
+    occurrence)."""
+    from needle_spark.functions.text import tokenize_py
+
+    toks = tokenize_py(text, stop_words=None, min_len=1)
+    seen: dict[str, None] = {}
+    for i in range(len(toks) - n + 1):
+        seen.setdefault(" ".join(toks[i:i + n]), None)
+    return list(seen)
+
+
+def shingles_udf(n: int = 3):
+    """Arrow-batched pandas UDF: text -> distinct word n-gram shingles.
+    ~50x faster than the interpreted HOF expression chain on wide docs;
+    produces identical values (see tests)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _sh(s: pd.Series) -> pd.Series:
+        return s.apply(lambda t: py_shingles(t, n) if t is not None else [])
+
+    return _sh
+
+
+def _shingle_frame(
+    df: DataFrame, id_col: str, text_col: str, n: int, impl: str
+) -> DataFrame:
+    if impl == "arrow":
+        out = df.select(F.col(id_col), shingles_udf(n)(F.col(text_col)).alias("__sh"))
+    else:
+        out = df.select(F.col(id_col), shingles_expr(text_col, n).alias("__sh"))
+    return out.filter(F.size("__sh") > 0)
+
+
+def duckdb_shingles_sql(tokens_expr: str = "t", n: int = 3) -> str:
+    """DuckDB twin of shingles_expr, over a token-list expression."""
+    parts = " || ' ' || ".join(f"{tokens_expr}[i + {j}]" for j in range(n))
+    return (
+        f"list_distinct(CASE WHEN len({tokens_expr}) >= {n} THEN "
+        f"list_transform(range(1, len({tokens_expr}) - {n} + 2), i -> {parts}) "
+        f"ELSE [] END)"
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+    max_shingle_df: int | None = None,
+    impl: str = "arrow",
+) -> DataFrame:
+    """Exact near-duplicate pairs by word-n-gram Jaccard >= threshold.
+
+    Physical shape: explode shingles -> (optional hot-shingle pruning) ->
+    self-equi-join on shingle -> count intersections -> join sizes.  All
+    integer counts + one division: bit-exact across engines.
+
+    `max_shingle_df` drops shingles appearing in more than that many docs
+    (stop-shingles): at corpus scale the join would otherwise explode on
+    boilerplate. NB: pruning can only *miss* pairs whose overlap is all
+    boilerplate — document the tradeoff when using it.
+    """
+    sh = _shingle_frame(df, id_col, text_col, n, impl)
+    sizes = sh.select(F.col(id_col), F.size("__sh").alias("__sz"))
+    e = sh.select(F.col(id_col), F.explode("__sh").alias("__g"))
+    if max_shingle_df is not None:
+        hot = (
+            e.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_shingle_df)
+            .select("__g")
+        )
+        e = e.join(F.broadcast(hot), "__g")
+    a = e.select(F.col(id_col).alias("id1"), F.col("__g"))
+    b = e.select(F.col(id_col).alias("id2"), F.col("__g"))
+    inter = (
+        a.join(b, "__g")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).cast("double").alias("__c"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("id1"), F.col("__sz").alias("__s1"))
+    s2 = sizes.select(F.col(id_col).alias("id2"), F.col("__sz").alias("__s2"))
+    return (
+        inter.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn(
+            "jaccard", F.col("__c") / (F.col("__s1") + F.col("__s2") - F.col("__c"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+# ------------------------------------------------------------ minhash ---
+
+def _minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod (2^31-1)
+    with a, b, x all inside the field — products stay under 2^62."""
+    import random
+
+    rnd = random.Random(42)
+    return [
+        (rnd.randrange(1, MINHASH_PRIME), rnd.randrange(0, MINHASH_PRIME))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signature_expr(shingles: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature as array<bigint>.
+
+    Each shingle is string-hashed ONCE (xxhash64 -> low 32 bits); the
+    num_hashes family is derived arithmetically ((a_i*x + b_i) mod
+    2^61-1) inside a single fold pass, so cost is O(|shingles|) string
+    hashes + O(|shingles| * k) integer ops — not k string-hash passes.
+    One JVM expression, no shuffle, no UDF.
+    """
+    params = _minhash_params(num_hashes)
+    maxv = F.lit((1 << 62)).cast("long")
+
+    def derive(h: Column) -> Column:
+        x = h.bitwiseAND(F.lit(0x7FFFFFFF))  # base hash reduced into field
+        return F.array(
+            *[((x * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).cast("long")
+              for a, b in params]
+        )
+
+    return F.aggregate(
+        F.transform(shingles, lambda s: F.xxhash64(s)),
+        F.array_repeat(maxv, num_hashes),
+        lambda acc, h: F.zip_with(acc, derive(h), lambda x, y: F.least(x, y)),
+    )
+
+
+def _banded_buckets_arrow(
+    sh: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, bucket) rows via a numpy kernel: crc32 base hashes per
+    shingle, affine-derived minima, band buckets.  All heavy loops are
+    numpy; emits bands rows per doc."""
+    import zlib
+
+    params = _minhash_params(num_hashes)
+    A = np.array([a for a, _ in params], dtype=np.uint64)
+    B = np.array([b for _, b in params], dtype=np.uint64)
+    rows_per_band = num_hashes // bands
+    id_type = sh.schema[id_col].dataType
+    schema = T.StructType([
+        T.StructField(id_col, id_type),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("bucket", T.LongType()),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_band, out_bucket = [], [], []
+            for did, shingles in zip(pdf[id_col], pdf["__sh"]):
+                if shingles is None or len(shingles) == 0:
+                    continue
+                X = np.array(
+                    [zlib.crc32(s.encode("utf-8")) & 0x7FFFFFFF for s in shingles],
+                    dtype=np.uint64,
+                )
+                # (k, s) universal family mod 2^31-1, min per hash
+                sig = ((A[:, None] * X[None, :] + B[:, None]) % np.uint64(MINHASH_PRIME)).min(axis=1)
+                for b in range(bands):
+                    chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
+                    bucket = zlib.crc32(chunk.tobytes())
+                    out_id.append(did)
+                    out_band.append(b)
+                    out_bucket.append(bucket)
+            if out_id:
+                yield pd.DataFrame({id_col: out_id, "band": out_band, "bucket": out_bucket})
+
+    return sh.select(id_col, "__sh").mapInPandas(kernel, schema)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    verify_threshold: float | None = 0.6,
+    impl: str = "arrow",
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash + LSH banding.
+
+    Defaults (128 hashes, 32 bands, 4 rows/band): candidate probability
+    for Jaccard j is 1-(1-j^4)^32 — ≈0.99 at j=0.6, 1-5e-8 at j=0.8 —
+    while unrelated pairs (j~0.1) almost never band together.  Shuffles
+    only (doc, band, bucket) rows — doc payloads and shingle arrays never
+    ride the shuffle; this is the 100 TB path.  If `verify_threshold` is
+    set, candidates are verified with exact Jaccard by re-joining the
+    shingle-set table (pairs-only join, cheap), so the output equals the
+    exact ngram_jaccard_pairs result up to banding misses.
+
+    impl='arrow' computes signatures in a numpy kernel (crc32 base
+    hashes); impl='expr' stays in pure JVM expressions (xxhash64 base
+    hashes) — same structure, different hash family, identical verified
+    output.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sh = _shingle_frame(df, id_col, text_col, n, impl)
+    if impl == "arrow":
+        banded = _banded_buckets_arrow(sh, id_col, num_hashes, bands)
+    else:
+        sig = sh.withColumn("__sig", minhash_signature_expr(F.col("__sh"), num_hashes))
+        # band on (id, bucket) ONLY — the shingle arrays must not ride
+        # through the shuffle.
+        banded = sig.select(
+            F.col(id_col),
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[F.col("__sig")[b * rows_per_band + r].cast("string")
+                                  for r in range(rows_per_band)],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ])
+            ).alias("__b"),
+        ).select(
+            F.col(id_col), F.col("__b.band").alias("band"),
+            F.col("__b.bucket").cast("long").alias("bucket"),
+        )
+    a = banded.select("band", "bucket", F.col(id_col).alias("id1"))
+    b_side = banded.select("band", "bucket", F.col(id_col).alias("id2"))
+    pairs = (
+        a.join(b_side, ["band", "bucket"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .dropDuplicates(["id1", "id2"])
+    )
+    if verify_threshold is None:
+        return pairs
+    # verify candidates with exact Jaccard: re-join the (small) pair list
+    # against the shingle-set table by id.
+    s1 = sh.select(F.col(id_col).alias("id1"), F.col("__sh").alias("__sh1"))
+    s2 = sh.select(F.col(id_col).alias("id2"), F.col("__sh").alias("__sh2"))
+    inter = F.size(F.array_intersect("__sh1", "__sh2")).cast("double")
+    union = (F.size("__sh1") + F.size("__sh2")).cast("double") - inter
+    return (
+        pairs.join(s1, "id1").join(s2, "id2")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+# ------------------------------------------------------------ simhash ---
+
+def simhash_bitcounts_expr(tokens: Column) -> Column:
+    """Fold token hashes into a 64-long signed bit-count vector: element b
+    counts (+1/-1) votes for bit b across xxhash64(token) values.  Pure
+    JVM expressions — runs inside the scan."""
+    def bits_of(t: Column) -> Column:
+        h = F.xxhash64(t)
+        return F.array(
+            *[F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("long") for b in range(64)]
+        )
+
+    return F.aggregate(
+        tokens,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, t: F.zip_with(acc, bits_of(t), lambda c, bit: c + (bit * 2 - 1)),
+    )
+
+
+def simhash_from_bitcounts_expr(counts: Column) -> Column:
+    """Assemble the 64-bit SimHash (bigint) from a bit-count vector:
+    bit b set iff counts[b] > 0.  Keep `counts` a materialized column —
+    referencing a fold expression 64 times would explode the plan."""
+    out = F.lit(0).cast("long")
+    for b in range(64):
+        v = 1 << b
+        if v >= 1 << 63:
+            v -= 1 << 64  # two's-complement top bit
+        out = out.bitwiseOR(
+            F.when(F.element_at(counts, b + 1) > 0, F.lit(v).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return out
+
+
+def simhash_candidates(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup candidates by SimHash: docs agreeing on >=1 of `bands`
+    16-bit blocks (pigeonhole: any pair within hamming distance
+    `bands-1` must share a block), verified by exact hamming distance."""
+    toks = tokenize_expr(text_col, stop_words=None)
+    s = (
+        df.select(F.col(id_col), simhash_bitcounts_expr(toks).alias("__cnt"))
+        .withColumn("__sim", simhash_from_bitcounts_expr(F.col("__cnt")))
+        .drop("__cnt")
+    )
+    block_bits = 64 // bands
+    banded = s.select(
+        F.col(id_col), F.col("__sim"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("__sim"), b * block_bits)
+                    .bitwiseAND(F.lit((1 << block_bits) - 1)).alias("block"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("__b"),
+    )
+    a = banded.select(
+        F.col("__b.band").alias("band"), F.col("__b.block").alias("block"),
+        F.col(id_col).alias("id1"), F.col("__sim").alias("__sim1"),
+    )
+    bb = banded.select(
+        F.col("__b.band").alias("band"), F.col("__b.block").alias("block"),
+        F.col(id_col).alias("id2"), F.col("__sim").alias("__sim2"),
+    )
+    hamming = F.bit_count(F.col("__sim1").bitwiseXOR(F.col("__sim2")))
+    return (
+        a.join(bb, ["band", "block"])
+        .filter(F.col("id1") < F.col("id2"))
+        .dropDuplicates(["id1", "id2"])
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )
+
+
+# ------------------------------------------------- embedding near-dup ---
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    metric: str = "cosine",
+    id_col: str = "id",
+    vector_col: str = "vector",
+) -> DataFrame:
+    """All pairs (id1 < id2) with distance <= threshold — the semantic
+    dedup scan (dedup.rs:163) as an ε-self-join.
+
+    Implementation: the table streams through an Arrow kernel once per
+    query block; the query side is collected and carried in the task
+    closure (fine up to ~1e5 vectors; beyond that, pre-partition with
+    IVF buckets and run per-bucket).  Emits only pairs under the
+    threshold — no O(n^2) materialization.
+    """
+    from needle_spark.operators.knn_arrow import _distance_matrix
+
+    rows = df.select(id_col, vector_col).collect()
+    q_ids = np.array([r[0] for r in rows])
+    Q = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+
+    id_type = df.schema[id_col].dataType
+    schema = T.StructType([
+        T.StructField("id1", id_type),
+        T.StructField("id2", id_type),
+        T.StructField("distance", T.DoubleType()),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vector_col]])
+            ids = pdf[id_col].to_numpy()
+            D = _distance_matrix(V, Q, metric)
+            ri, qi = np.where(D <= threshold)
+            if len(ri) == 0:
+                continue
+            id1, id2 = ids[ri], q_ids[qi]
+            keep = id1 < id2
+            if not keep.any():
+                continue
+            yield pd.DataFrame({
+                "id1": id1[keep], "id2": id2[keep], "distance": D[ri[keep], qi[keep]],
+            })
+
+    return df.select(id_col, vector_col).mapInPandas(kernel, schema)

@@ -1,0 +1,144 @@
+"""Dedup operator semantics: exact groups, n-gram Jaccard vs python
+oracle, MinHash-LSH recall vs exact pairs, SimHash, embedding near-dup."""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from needle_spark.functions.text import tokenize_py
+from needle_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    exact_duplicate_groups,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_candidates,
+)
+
+ROWS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 1
+    (3, "completely different content about distributed query engines"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+    (5, "spark catalyst optimizer rewrites logical plans into physical plans"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(ROWS, "id long, text string")
+
+
+def py_shingles(text, n=3):
+    toks = tokenize_py(text, stop_words=None, min_len=1)
+    return set(" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1))
+
+
+def py_jaccard_pairs(rows, n=3, threshold=0.6):
+    sh = {i: py_shingles(t, n) for i, t in rows}
+    out = {}
+    for (i1, s1), (i2, s2) in itertools.combinations(sorted(sh.items()), 2):
+        if not s1 or not s2:
+            continue
+        j = len(s1 & s2) / len(s1 | s2)
+        if j >= threshold:
+            out[(i1, i2)] = j
+    return out
+
+
+def test_exact_duplicate_groups(docs):
+    rows = exact_duplicate_groups(docs, ["text"], id_col="id").collect()
+    assert len(rows) == 1
+    assert rows[0]["cnt"] == 2 and list(rows[0]["ids"]) == [1, 4]
+
+
+def test_exact_dedup_keep_first(docs):
+    kept = sorted(r["id"] for r in exact_dedup(docs, ["text"], id_col="id").collect())
+    assert kept == [1, 2, 3, 5]
+    kept_last = sorted(r["id"] for r in exact_dedup(docs, ["text"], id_col="id", keep="last").collect())
+    assert kept_last == [2, 3, 4, 5]
+
+
+def test_ngram_jaccard_matches_python(docs):
+    got = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, id_col="id", threshold=0.5).collect()
+    }
+    want = py_jaccard_pairs(ROWS, threshold=0.5)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
+
+
+def test_minhash_lsh_finds_planted_pairs(spark, documents):
+    """The sf0.001 corpus has generator-planted near-dup pairs; verified
+    LSH candidates must equal the exact-Jaccard pairs at the threshold
+    (miss probability ~(1-j^4)^16 ~ 1e-22 at j~0.99)."""
+    exact = {
+        (r["id1"], r["id2"])
+        for r in ngram_jaccard_pairs(
+            documents, id_col="doc_id", text_col="text", threshold=0.6
+        ).collect()
+    }
+    assert exact, "expected planted near-duplicate pairs in testdata"
+    lsh = {
+        (r["id1"], r["id2"])
+        for r in minhash_lsh_candidates(
+            documents, id_col="doc_id", text_col="text", verify_threshold=0.6
+        ).collect()
+    }
+    assert lsh == exact
+
+
+def test_simhash_candidates(spark, docs):
+    pairs = {(r["id1"], r["id2"]): r["hamming"] for r in
+             simhash_candidates(docs, id_col="id", max_hamming=10).collect()}
+    assert pairs[(1, 4)] == 0  # identical text -> identical simhash
+    assert (3, 5) not in pairs
+
+    # SimHash needs enough tokens for one edit to barely move the
+    # majority votes — use paragraph-sized docs with a one-word diff.
+    base = ("spark reads parquet files and prunes row groups while the "
+            "optimizer pushes predicates into the scan so that only the "
+            "needed columns and rows flow through the pipeline which keeps "
+            "the shuffle small and the aggregation fast for most analytic "
+            "workloads seen in production clusters every day") * 2
+    near = base.replace("aggregation", "aggregations", 1)
+    other = ("completely different topic entirely about cooking recipes "
+             "with tomatoes basil olive oil garlic and fresh bread baked "
+             "in a stone oven during the warm summer evenings of the "
+             "mediterranean coast line villages full of markets") * 2
+    big = spark.createDataFrame(
+        [(10, base), (11, near), (12, other)], "id long, text string"
+    )
+    got = {(r["id1"], r["id2"]): r["hamming"] for r in
+           simhash_candidates(big, id_col="id", max_hamming=10).collect()}
+    assert (10, 11) in got and got[(10, 11)] <= 10
+    assert (10, 12) not in got
+
+
+def test_embedding_neardup_vs_bruteforce(spark, embeddings):
+    import math
+
+    local = [(r["vec_id"], list(r["embedding"])) for r in embeddings.collect()]
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na, nb = math.sqrt(sum(x * x for x in a)), math.sqrt(sum(y * y for y in b))
+        return 1.0 if na == 0 or nb == 0 else 1.0 - dot / (na * nb)
+
+    t = 0.6
+    want = {
+        (i1, i2)
+        for (i1, v1), (i2, v2) in itertools.combinations(local, 2)
+        if cos(v1, v2) <= t
+    }
+    got = {
+        (r["id1"], r["id2"])
+        for r in embedding_neardup_pairs(
+            embeddings.repartition(5), threshold=t,
+            id_col="vec_id", vector_col="embedding",
+        ).collect()
+    }
+    assert got == want and len(got) > 0

@@ -1,0 +1,91 @@
+"""Language ID, quality score, token counts, fingerprint — semantics +
+DuckDB-twin agreement."""
+
+import duckdb
+from pyspark.sql import functions as F
+
+from needle_spark.operators.text_analysis import (
+    bpe_token_count_expr,
+    duckdb_fingerprint_sql,
+    duckdb_lang_id_sql,
+    duckdb_quality_score_sql,
+    fingerprint_expr,
+    lang_id_expr,
+    quality_score_expr,
+    word_count_expr,
+)
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and looked for the dog in the garden"),
+            (2, "der Hund ist nicht auf das Sofa und die Katze ist mit dem Ball"),
+            (3, "le chat est dans la maison et les enfants sont pour une promenade"),
+            (4, "el perro es para los gatos en las casas con una pelota"),
+            (5, "xyzzy plugh quux frobnicate"),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["lang"] for r in df.select("id", lang_id_expr("text").alias("lang")).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
+
+
+def test_word_counts(spark):
+    df = spark.createDataFrame([(1, "Hello,  world! This is   spark."), (2, "")], "id long, t string")
+    rows = {r["id"]: (r["wc"], r["bpe"]) for r in df.select(
+        "id", word_count_expr("t").alias("wc"), bpe_token_count_expr("t").alias("bpe")
+    ).collect()}
+    assert rows[1][0] == 5
+    # bpe-ish: hello , world ! this is spark . -> 8
+    assert rows[1][1] == 8
+    assert rows[2] == (0, 0)
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "hello world"), (3, "HELLO-WORLD"), (4, "different")],
+        "id long, t string",
+    )
+    fps = {r["id"]: r["fp"] for r in df.select("id", fingerprint_expr("t").alias("fp")).collect()}
+    assert fps[1] == fps[2] == fps[3]
+    assert fps[4] != fps[1]
+
+
+def test_quality_score_ranges(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "The quick brown fox jumps over the lazy dog and runs for the hills "
+                "with great joy in the morning light of a new day."),
+            (2, "!!! ??? ### $$$ %%%"),
+            (3, ""),
+        ],
+        "id long, t string",
+    )
+    got = {r["id"]: r["q"] for r in df.select("id", quality_score_expr("t").alias("q")).collect()}
+    assert 0.8 <= got[1] <= 1.0
+    assert got[2] < 0.5
+    assert got[3] <= 0.31  # only the wl_ok fallback + zero everything else
+
+
+def test_duckdb_twins_agree(spark, documents):
+    spark_rows = {
+        r["doc_id"]: (r["lang"], r["q"], r["fp"])
+        for r in documents.select(
+            "doc_id",
+            lang_id_expr("text").alias("lang"),
+            quality_score_expr("text").alias("q"),
+            fingerprint_expr("text").alias("fp"),
+        ).collect()
+    }
+    duck = duckdb.connect().execute(
+        f"SELECT doc_id, {duckdb_lang_id_sql('text')}, {duckdb_quality_score_sql('text')}, "
+        f"{duckdb_fingerprint_sql('text')} "
+        "FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchall()
+    assert len(duck) == len(spark_rows)
+    for doc_id, lang, q, fp in duck:
+        s = spark_rows[doc_id]
+        assert s[0] == lang, (doc_id, s[0], lang)
+        assert s[1] == q, (doc_id, s[1], q)
+        assert s[2] == fp, (doc_id, s[2], fp)
