@@ -541,6 +541,173 @@ FROM documents
 """
 
 
+# --------------------------------------- temporal / multivec / sparse ---
+
+_DECAY_HALF_LIFE = 2000
+
+
+def _emb_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with a deterministic inserted_at (vec_id * 10 s)."""
+    return _t(spark, sf_dir, "embeddings").withColumn(
+        "inserted_at", (F.col("vec_id") * 10).cast("long")
+    )
+
+
+def _time_decay_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from needle_spark.functions.timedecay import apply_time_decay
+
+    emb = _emb_temporal(spark, sf_dir)
+    now = emb.agg(F.max("inserted_at")).first()[0] + 100
+    qv = _query_vec(spark, sf_dir, 0)
+    top = knn(
+        emb, qv, k=30, metric="cosine", vector_col="embedding", id_col="vec_id"
+    ).select("vec_id", "inserted_at", "distance")
+    return apply_time_decay(
+        top, "exponential", now=now, k=10, id_col="vec_id",
+        half_life_seconds=_DECAY_HALF_LIFE,
+    )
+
+
+def _time_decay_knn_sql() -> str:
+    from needle_spark.functions.timedecay import duckdb_decay_sql
+
+    dist = duckdb_distance_sql("cosine", "embedding", _Q_SQL)
+    decay = duckdb_decay_sql(
+        "exponential",
+        "greatest(0, (SELECT max(vec_id * 10) + 100 FROM embeddings) - inserted_at)",
+        half_life_seconds=_DECAY_HALF_LIFE,
+    )
+    return f"""
+WITH top AS (
+  SELECT vec_id, CAST(vec_id * 10 AS BIGINT) AS inserted_at, {dist} AS distance
+  FROM embeddings ORDER BY distance ASC, vec_id ASC LIMIT 30
+)
+SELECT vec_id, inserted_at,
+       CASE WHEN {decay} > 0.0 THEN distance / ({decay})
+            ELSE 1.7976931348623157e308 END AS distance
+FROM top
+ORDER BY distance ASC, vec_id ASC LIMIT 10
+"""
+
+
+def _asof_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb_temporal(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir, 0)
+    return knn(
+        emb, qv, k=10, metric="cosine", vector_col="embedding", id_col="vec_id",
+        as_of=2000,
+    ).select("vec_id", "label", "distance")
+
+
+def _maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from needle_spark.operators.multivec import maxsim_scores
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # multivec fixture: each 64-dim embedding = 4 token vectors of 16 dims
+    doc_tokens = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(*[F.slice("embedding", t * 16 + 1, 16).alias("v") for t in range(4)])
+        ).alias("vector"),
+    )
+    q = _query_vec(spark, sf_dir, 0)
+    q_tokens = [q[t * 16:(t + 1) * 16] for t in range(4)]
+    return maxsim_scores(doc_tokens, q_tokens, doc_id_col="vec_id")
+
+
+def _maxsim_sql() -> str:
+    from needle_spark.functions.distance import duckdb_distance_sql as _d
+
+    dot = "-(" + _d("dot", "dt.v", "qt.v") + ")"  # dot distance is negated dot
+    return f"""
+WITH toks(t) AS (VALUES (0), (1), (2), (3)),
+dt AS (
+  SELECT vec_id, t, embedding[(t * 16 + 1):(t * 16 + 16)] AS v
+  FROM embeddings, toks
+),
+qt AS (
+  SELECT t, embedding[(t * 16 + 1):(t * 16 + 16)] AS v
+  FROM embeddings, toks WHERE vec_id = 0
+),
+per_tok AS (
+  SELECT dt.vec_id, qt.t AS qtok, max({dot}) AS m
+  FROM dt, qt GROUP BY dt.vec_id, qt.t
+)
+SELECT vec_id, sum(m) AS score FROM per_tok GROUP BY vec_id
+"""
+
+
+_SPARSE_THRESHOLD = 0.15
+
+
+def _sparse_query_postings(spark: SparkSession, sf_dir: str):
+    q = _query_vec(spark, sf_dir, 0)
+    idx = [i for i, v in enumerate(q) if v > _SPARSE_THRESHOLD]
+    return idx, [q[i] for i in idx]
+
+
+def _sparse_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    indices = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: F.when(F.element_at("embedding", i + 1) > _SPARSE_THRESHOLD, i),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return emb.select(
+        F.col("vec_id").alias("id"),
+        indices.alias("indices"),
+        F.transform(indices, lambda i: F.element_at("embedding", i + 1)).alias("values"),
+    ).filter(F.size("indices") > 0)
+
+
+def _sparse_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from needle_spark.operators.sparse import sparse_dot_scores
+
+    idx, vals = _sparse_query_postings(spark, sf_dir)
+    return sparse_dot_scores(_sparse_docs(spark, sf_dir), idx, vals, id_col="id")
+
+
+def _sparse_dot_sql() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, unnest(range(0, 64)) AS pos, unnest(embedding) AS val
+  FROM embeddings
+),
+d AS (SELECT vec_id, pos, CAST(val AS DOUBLE) AS val FROM e WHERE val > {_SPARSE_THRESHOLD!r}),
+q AS (SELECT pos, CAST(val AS DOUBLE) AS qval FROM e
+      WHERE vec_id = 0 AND val > {_SPARSE_THRESHOLD!r})
+SELECT d.vec_id AS id, sum(d.val * q.qval) AS score
+FROM d JOIN q USING (pos) GROUP BY d.vec_id
+"""
+
+
+def _field_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.countDistinct("o_orderpriority").alias("prio_card"),
+        F.countDistinct("o_orderstatus").alias("status_card"),
+        F.count("o_totalprice").alias("price_count"),
+        F.min("o_totalprice").alias("price_min"),
+        F.max("o_totalprice").alias("price_max"),
+        F.min("o_orderkey").alias("key_min"),
+        F.max("o_orderkey").alias("key_max"),
+    )
+
+
+_FIELD_STATS_SQL = """
+SELECT count(DISTINCT o_orderpriority) AS prio_card,
+       count(DISTINCT o_orderstatus) AS status_card,
+       count(o_totalprice) AS price_count,
+       min(o_totalprice) AS price_min,
+       max(o_totalprice) AS price_max,
+       min(o_orderkey) AS key_min,
+       max(o_orderkey) AS key_max
+FROM orders
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": _mk_knn("cosine"),
@@ -569,6 +736,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_candidates": _simhash,
         "embedding_neardup": _embedding_neardup,
         "text_profile": _text_profile,
+        "time_decay_knn": _time_decay_knn,
+        "asof_knn": _asof_knn,
+        "maxsim": _maxsim,
+        "sparse_dot": _sparse_dot,
+        "field_stats_orders": _field_stats_orders,
     }
 
 
@@ -614,4 +786,9 @@ def oracle_sql() -> dict[str, str]:
         # simhash_candidates: no oracle (xxhash64 has no DuckDB twin)
         "embedding_neardup": _embedding_neardup_sql(),
         "text_profile": _text_profile_sql(),
+        "time_decay_knn": _time_decay_knn_sql(),
+        "asof_knn": _knn_oracle("cosine", where="WHERE vec_id * 10 <= 2000"),
+        "maxsim": _maxsim_sql(),
+        "sparse_dot": _sparse_dot_sql(),
+        "field_stats_orders": _FIELD_STATS_SQL,
     }
