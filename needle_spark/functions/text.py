@@ -14,6 +14,7 @@ unstemmed pipeline, stemming is exercised by unit tests.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -202,7 +203,6 @@ def stem_tokens_udf():
     """pandas UDF: array<string> -> array<string> with Porter stemming.
     Arrow-batched; only needed when stem=True parity with the reference's
     stemmed BM25 index is required."""
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<string>")

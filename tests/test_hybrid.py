@@ -71,6 +71,15 @@ def test_bm25_duplicate_query_terms_count_twice(corpus_df):
         assert abs(twice[i] - 2 * once[i]) < 1e-12
 
 
+def test_bm25_stemmed_mode(corpus_df):
+    # "leaps" stems to "leap": querying "leaping" matches doc 2 only
+    # through the stemmed index
+    got = {r["id"] for r in bm25_scores(corpus_df, "leaping", id_col="id", stem=True).collect()}
+    assert 2 in got
+    unstemmed = {r["id"] for r in bm25_scores(corpus_df, "leaping", id_col="id").collect()}
+    assert 2 not in unstemmed  # literal token "leaping" appears nowhere
+
+
 def test_bm25_empty_query(corpus_df):
     assert bm25_scores(corpus_df, "the and of", id_col="id").count() == 0  # all stop words
 
