@@ -1,0 +1,121 @@
+"""Collection catalog: insert validation (edge_cases.rs:173-215),
+mutations, CDC log, snapshots/diff/restore, transactions, DDL."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from needle_spark.catalog import Collection, CollectionError, Database
+
+
+@pytest.fixture()
+def db(spark, tmp_path):
+    return Database(spark, str(tmp_path / "db"))
+
+
+def mk_rows(spark, items):
+    return spark.createDataFrame(
+        [(i, v, c) for i, v, c in items],
+        "id string, vector array<float>, category string",
+    )
+
+
+@pytest.fixture()
+def coll(spark, db):
+    c = db.create_collection(
+        "docs", dims=2, schema="id string, vector array<float>, category string"
+    )
+    c.insert(mk_rows(spark, [
+        ("a", [1.0, 0.0], "x"), ("b", [0.0, 1.0], "y"), ("c", [1.0, 1.0], "x"),
+    ]), now_ms=1000)
+    return c
+
+
+def test_insert_and_read(spark, coll):
+    assert coll.count() == 3
+    assert coll.get("a")["category"] == "x"
+    assert coll.contains("b") and not coll.contains("zz")
+    assert coll.count({"category": "x"}) == 2
+
+
+def test_insert_validation(spark, coll):
+    with pytest.raises(CollectionError, match="dimension"):
+        coll.insert(mk_rows(spark, [("d", [1.0, 2.0, 3.0], "x")]))
+    with pytest.raises(CollectionError, match="NaN"):
+        coll.insert(mk_rows(spark, [("d", [float("nan"), 1.0], "x")]))
+    with pytest.raises(CollectionError, match="already exist"):
+        coll.insert(mk_rows(spark, [("a", [0.5, 0.5], "x")]))
+    with pytest.raises(CollectionError, match="within batch"):
+        coll.insert(mk_rows(spark, [("d", [0.5, 0.5], "x"), ("d", [0.1, 0.1], "y")]))
+    assert coll.count() == 3  # nothing was committed
+
+
+def test_upsert_delete_update(spark, coll):
+    coll.upsert(mk_rows(spark, [("a", [9.0, 9.0], "z"), ("d", [0.5, 0.5], "z")]), now_ms=2000)
+    assert coll.count() == 4
+    assert [float(x) for x in coll.get("a")["vector"]] == [9.0, 9.0]
+
+    n = coll.delete(flt={"category": "z"}, now_ms=3000)
+    assert n == 2 and coll.count() == 2
+
+    n = coll.update_metadata({"id": "b"}, {"category": "updated"}, now_ms=4000)
+    assert n == 1 and coll.get("b")["category"] == "updated"
+
+    assert coll.delete(ids=["nope"]) == 0
+
+
+def test_cdc_log_and_resume(spark, coll):
+    coll.delete(ids=["c"], now_ms=5000)
+    ev = coll.cdc_events().orderBy("sequence").collect()
+    assert [e["event_type"] for e in ev] == ["insert", "insert", "insert", "delete"]
+    assert ev[0]["timestamp_ms"] == 1000
+    # resume from seq 3 -> only the delete
+    tail = coll.cdc_events_since(3).collect()
+    assert len(tail) == 1 and tail[0]["event_type"] == "delete"
+    assert tail[0]["vector_id"] == "c"
+
+
+def test_versions_diff_restore(spark, coll):
+    v1 = coll.version
+    coll.insert(mk_rows(spark, [("d", [0.2, 0.2], "w")]), now_ms=6000)
+    coll.delete(ids=["a"], now_ms=7000)
+    d = {(r["id"], r["change"]) for r in coll.diff(v1, coll.version).collect()}
+    assert d == {("d", "added"), ("a", "removed")}
+
+    coll.restore(v1, now_ms=8000)
+    assert sorted(r["id"] for r in coll.df().select("id").collect()) == ["a", "b", "c"]
+    # history preserved: old versions still readable
+    assert coll.df(v1).count() == 3
+
+
+def test_transaction_commit_and_rollback(spark, coll):
+    tx = coll.begin()
+    tx.insert(mk_rows(spark, [("t1", [0.1, 0.1], "tx")]))
+    tx.delete({"id": "a"})
+    v_before = coll.version
+    tx.commit(now_ms=9000)
+    assert coll.version == v_before + 1  # ONE version for the whole batch
+    ids = sorted(r["id"] for r in coll.df().select("id").collect())
+    assert ids == ["b", "c", "t1"]
+
+    tx2 = coll.begin()
+    tx2.delete({"id": "b"})
+    tx2.rollback()
+    assert coll.contains("b")
+    with pytest.raises(CollectionError):
+        tx2.commit()
+
+
+def test_database_ddl(spark, db):
+    db.create_collection("one", dims=2)
+    db.create_collection("two", dims=4)
+    assert db.list_collections() == ["one", "two"]
+    with pytest.raises(CollectionError):
+        db.collection("nope")
+    db.rename_collection("two", "three")
+    assert db.list_collections() == ["one", "three"]
+    db.create_alias("tri", "three")
+    assert db.collection("tri").dims == 4
+    db.drop_collection("three")
+    assert db.list_collections() == ["one"]
+    with pytest.raises(CollectionError):
+        db.create_collection("one", dims=2)  # already exists
