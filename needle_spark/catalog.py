@@ -173,13 +173,30 @@ class Collection:
                 raise CollectionError(f"{dups} ids already exist")
 
     # -------------------------------------------------------- mutate --
+    def _payload_events(self, rows: DataFrame, event_type: str) -> list[dict]:
+        """CDC events carrying the non-vector row payload as JSON (the
+        reference's ChangeEvent metadata snapshot, streaming/core.rs:
+        96-160) so streams are replayable.  Collected on the driver —
+        fine for mutation batches; bulk loads should go through
+        streaming ingestion which writes events distributed."""
+        ic, vc = self.id_col, self.vector_col
+        meta_cols = [c for c in rows.columns if c != vc]
+        collected = rows.select(*meta_cols).collect()
+        return [
+            {
+                "event_type": event_type,
+                "vector_id": r[ic],
+                "metadata": {c: r[c] for c in meta_cols if c != ic},
+            }
+            for r in collected
+        ]
+
     def insert(self, rows: DataFrame, now_ms: int | None = None) -> int:
         """Append rows; rejects duplicate ids (insert.rs semantics)."""
         self._validate_new(rows)
         n = rows.count()
         new_df = self.df().unionByName(rows, allowMissingColumns=True)
-        ids = [r[0] for r in rows.select(self.id_col).collect()]
-        self._commit(new_df, [{"event_type": "insert", "vector_id": i} for i in ids], now_ms)
+        self._commit(new_df, self._payload_events(rows, "insert"), now_ms)
         return n
 
     def upsert(self, rows: DataFrame, now_ms: int | None = None) -> int:
@@ -190,9 +207,9 @@ class Collection:
         cur = self.df()
         replaced = cur.join(rows.select(ic), ic, "left_anti")
         new_df = replaced.unionByName(rows, allowMissingColumns=True)
-        ids = [r[0] for r in rows.select(ic).collect()]
-        self._commit(new_df, [{"event_type": "upsert", "vector_id": i} for i in ids], now_ms)
-        return len(ids)
+        events = self._payload_events(rows, "upsert")
+        self._commit(new_df, events, now_ms)
+        return len(events)
 
     def delete(self, flt: dict | None = None, ids: list | None = None,
                now_ms: int | None = None) -> int:

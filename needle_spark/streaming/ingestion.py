@@ -1,0 +1,156 @@
+"""Structured Streaming ingestion + change streams.
+
+Reference semantics (/root/reference/src/streaming/ingestion.rs):
+micro-batches flushed by size (1000) or time (100 ms), dedup by vector
+id (:62-63), exactly-once via offset checkpointing (:57-66, 271-335),
+backpressure via buffer caps (:55-56), retry with backoff (:58-61).
+
+The Spark mapping inverts the bookkeeping: Structured Streaming already
+owns offsets, checkpoints, and redelivery, so exactly-once collapses to
+"checkpointLocation + an idempotent foreachBatch sink".  Batch size /
+flush interval map to trigger(processingTime) and source rate options;
+backpressure to maxFilesPerTrigger / maxOffsetsPerTrigger; retry to
+Spark task retry.  Change streams (stream_manager.rs:20, resume tokens
+core.rs:290) are a readStream over the collection's append-only _cdc
+directory — the file source tails new files, and "resume token" IS the
+streaming checkpoint.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CDC_SCHEMA = (
+    "sequence long, timestamp_ms long, event_type string, "
+    "vector_id string, metadata string"
+)
+
+
+@dataclass
+class IngestionConfig:
+    """Mirrors IngestionConfig (ingestion.rs:49-86) in Spark terms."""
+
+    batch_size: int = 1000            # -> maxFilesPerTrigger / rowsPerSecond caps
+    flush_interval_ms: int = 100      # -> trigger(processingTime)
+    dedup_by_id: bool = True          # -> dropDuplicates within batch
+    checkpoint_dir: str | None = None  # -> exactly-once resume
+
+
+def micro_batch_upsert(collection, id_col: str | None = None):
+    """foreachBatch sink: dedup within the batch (last write wins, like
+    the reference's buffer dedup), then idempotently upsert into the
+    collection.  Replaying the same batch after a crash converges to the
+    same state -> exactly-once end-to-end."""
+    ic = id_col or collection.id_col
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if ic in batch_df.columns:
+            # keep the LAST occurrence per id within the batch: tag with a
+            # monotonic order, window-max per id
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(ic).orderBy(F.col("__ord").desc())
+            deduped = (
+                batch_df.withColumn("__ord", F.monotonically_increasing_id())
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__ord", "__rn")
+            )
+        else:
+            deduped = batch_df
+        collection.upsert(deduped)
+
+    return _sink
+
+
+def ingest_stream(
+    stream_df: DataFrame,
+    collection,
+    config: IngestionConfig | None = None,
+    available_now: bool = False,
+):
+    """Wire a streaming DataFrame into a collection.
+
+    Returns the StreamingQuery.  `available_now=True` drains everything
+    currently available then stops (used by tests and backfills)."""
+    config = config or IngestionConfig()
+    writer = stream_df.writeStream.foreachBatch(micro_batch_upsert(collection))
+    if config.checkpoint_dir:
+        writer = writer.option("checkpointLocation", config.checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{config.flush_interval_ms} milliseconds")
+    return writer.start()
+
+
+def file_source(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    fmt: str = "json",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-drop ingestion source (the Spark analog of the reference's
+    channel/SSE sources): new files in `path` become micro-batches."""
+    reader = spark.readStream.schema(schema).format(fmt)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def rate_source(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Synthetic source for throughput tests (rate source)."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+
+
+def change_stream(spark: SparkSession, collection, from_seq: int | None = None) -> DataFrame:
+    """Streaming read of a collection's CDC log (change streams with
+    resume — stream_manager.rs:20).  Offsets/checkpoints supersede the
+    reference's resume tokens; `from_seq` additionally filters replayed
+    history the way `cdc_events_since` does."""
+    import os
+
+    cdc_path = os.path.join(collection.path, "_cdc")
+    os.makedirs(cdc_path, exist_ok=True)
+    out = spark.readStream.schema(CDC_SCHEMA).parquet(cdc_path)
+    if from_seq is not None:
+        out = out.filter(F.col("sequence") >= from_seq)
+    return out
+
+
+def replay_state(collection, upto_seq: int | None = None) -> DataFrame:
+    """Reconstruct the id -> latest-payload state purely from the CDC
+    log (event_log.rs replay): last event per id wins; deletes drop the
+    id; a `clear` resets everything before it.
+
+    Correctness contract (tested): replay_state(coll) ids ==
+    coll.df() ids."""
+    from pyspark.sql import Window
+
+    ev = collection.cdc_events()
+    if upto_seq is not None:
+        ev = ev.filter(F.col("sequence") <= upto_seq)
+    # apply the latest clear barrier
+    clear_seq = ev.filter(F.col("event_type") == "clear").agg(F.max("sequence")).first()[0]
+    if clear_seq is not None:
+        ev = ev.filter(F.col("sequence") > clear_seq)
+    w = Window.partitionBy("vector_id").orderBy(F.col("sequence").desc())
+    last = (
+        ev.filter(F.col("event_type").isin("insert", "upsert", "update", "delete"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    return (
+        last.filter(F.col("event_type") != "delete")
+        .select(F.col("vector_id"), F.col("metadata"), F.col("sequence"))
+    )
