@@ -212,11 +212,13 @@ class Collection:
         return len(events)
 
     def delete(self, flt: dict | None = None, ids: list | None = None,
-               now_ms: int | None = None) -> int:
-        """Delete by filter or id list (mutations.rs:27-115); returns the
-        number of deleted rows."""
+               now_ms: int | None = None, pred=None) -> int:
+        """Delete by filter, id list, or raw predicate Column
+        (mutations.rs:27-115); returns the number of deleted rows."""
         cur = self.df()
-        if ids is not None:
+        if pred is not None:
+            pass
+        elif ids is not None:
             pred = F.col(self.id_col).isin(ids)
         elif flt is not None:
             pred = compile_filter(flt, df=cur)

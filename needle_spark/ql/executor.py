@@ -1,0 +1,355 @@
+"""NeedleQL executor: compile parsed statements onto the engine's
+DataFrame builders.
+
+Reference pipeline (/root/reference/src/search/query_lang/executor.rs:
+103-309; statement dispatch needleql_executor.rs:412-609):
+
+    text -> tokens -> ast -> (strategy) -> DataFrame plan -> result
+
+The executor runs against a table registry (name -> DataFrame) and/or a
+`needle_spark.catalog.Database` for DDL/DML.  `SIMILAR TO $p` binds the
+query vector from `params`; `MATCH 'text'` routes through BM25; both
+together fuse with RRF (docs/needleql.md 'Hybrid Search').  EXPLAIN
+returns our strategy summary plus Catalyst's physical plan
+(needleql_executor.rs:296-319 plan-step vocabulary).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from needle_spark.ql import ast
+from needle_spark.ql.parser import parse
+
+DEFAULT_LIMIT = 10  # needleql_executor.rs:375-386
+
+_DURATION_RE = re.compile(r"^\s*(\d+)\s*(s|m|h|d|w)\s*$", re.I)
+_DURATION_SECS = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}
+
+
+def parse_duration(text: str) -> int:
+    """'7d' / '2h' / '30m' style durations -> seconds
+    (docs/needleql.md:110-118, half_life=7d in query_lang/mod.rs:25-26)."""
+    m = _DURATION_RE.match(text)
+    if not m:
+        raise ValueError(f"bad duration: {text!r}")
+    return int(m.group(1)) * _DURATION_SECS[m.group(2).lower()]
+
+
+class ExecError(ValueError):
+    pass
+
+
+class QueryExecutor:
+    def __init__(
+        self,
+        spark: SparkSession,
+        tables: dict[str, DataFrame] | None = None,
+        database=None,
+        vector_col: str = "vector",
+        id_col: str = "id",
+        text_col: str = "text",
+        metric: str = "cosine",
+        inserted_at_col: str = "inserted_at",
+    ):
+        self.spark = spark
+        self.tables = dict(tables or {})
+        self.database = database
+        self.vector_col = vector_col
+        self.id_col = id_col
+        self.text_col = text_col
+        self.metric = metric
+        self.inserted_at_col = inserted_at_col
+        self.views: dict[str, ast.SelectStmt] = {}
+        self.materialized: dict[str, DataFrame] = {}
+
+    # ------------------------------------------------------- dispatch --
+    def execute(self, sql: str, params: dict[str, Any] | None = None):
+        stmt = parse(sql)
+        params = params or {}
+        if isinstance(stmt, ast.SelectStmt):
+            if stmt.explain:
+                return self.explain(stmt, params)
+            return self._select(stmt, params)
+        if isinstance(stmt, ast.InsertStmt):
+            return self._insert(stmt, params)
+        if isinstance(stmt, ast.DeleteStmt):
+            return self._delete(stmt, params)
+        if isinstance(stmt, ast.CreateCollectionStmt):
+            if self.database is None:
+                raise ExecError("no database attached")
+            self.database.create_collection(
+                stmt.name,
+                dims=int(stmt.options.get("dims", 0) or 0) or 2,
+                metric=str(stmt.options.get("metric", self.metric)),
+            )
+            return {"created": stmt.name}
+        if isinstance(stmt, ast.DropCollectionStmt):
+            if self.database is None:
+                raise ExecError("no database attached")
+            self.database.drop_collection(stmt.name)
+            return {"dropped": stmt.name}
+        if isinstance(stmt, ast.ShowCollectionsStmt):
+            names = sorted(self.tables) + (
+                self.database.list_collections() if self.database else []
+            )
+            return {"collections": sorted(set(names))}
+        if isinstance(stmt, ast.CreateViewStmt):
+            self.views[stmt.name] = stmt.query
+            if stmt.materialized:
+                self.materialized[stmt.name] = self._select(stmt.query, {}).cache()
+            return {"created_view": stmt.name, "materialized": stmt.materialized}
+        if isinstance(stmt, ast.DropViewStmt):
+            self.views.pop(stmt.name, None)
+            mv = self.materialized.pop(stmt.name, None)
+            if mv is not None:
+                mv.unpersist()
+            return {"dropped_view": stmt.name}
+        raise ExecError(f"unsupported statement: {type(stmt).__name__}")
+
+    # -------------------------------------------------------- resolve --
+    def _resolve(self, name: str) -> DataFrame:
+        if name in self.materialized:
+            return self.materialized[name]
+        if name in self.views:
+            return self._select(self.views[name], {})
+        if name in self.tables:
+            return self.tables[name]
+        if self.database is not None:
+            return self.database.collection(name).df()
+        raise ExecError(f"unknown collection: {name}")
+
+    # --------------------------------------------------------- SELECT --
+    def _split_where(self, expr):
+        """Pull SIMILAR TO / MATCH terms out of a top-level AND chain;
+        the residue becomes the metadata filter (executor.rs builds the
+        same split)."""
+        similar, match, residue = [], [], []
+
+        def walk(e):
+            if isinstance(e, ast.And):
+                walk(e.left)
+                walk(e.right)
+            elif isinstance(e, ast.SimilarTo):
+                similar.append(e)
+            elif isinstance(e, ast.TextMatch):
+                match.append(e)
+            else:
+                residue.append(e)
+
+        if expr is not None:
+            walk(expr)
+        if len(similar) > 1:
+            raise ExecError("multiple SIMILAR TO clauses")
+        if len(match) > 1:
+            raise ExecError("multiple MATCH clauses")
+        resid_expr = None
+        for r in residue:
+            resid_expr = r if resid_expr is None else ast.And(resid_expr, r)
+        return (similar[0] if similar else None,
+                match[0] if match else None,
+                resid_expr)
+
+    def _compile_pred(self, e, df: DataFrame) -> Column:
+        if isinstance(e, ast.And):
+            return self._compile_pred(e.left, df) & self._compile_pred(e.right, df)
+        if isinstance(e, ast.Or):
+            return self._compile_pred(e.left, df) | self._compile_pred(e.right, df)
+        if isinstance(e, ast.Not):
+            return ~self._compile_pred(e.inner, df)
+        if isinstance(e, ast.Comparison):
+            c, v = F.col(e.column), F.lit(e.value)
+            return {"=": c == v, "!=": c != v, "<": c < v,
+                    "<=": c <= v, ">": c > v, ">=": c >= v}[e.op]
+        if isinstance(e, ast.InList):
+            c = F.col(e.column).isin(e.values)
+            return ~c if e.negated else c
+        if isinstance(e, ast.Between):
+            return F.col(e.column).between(F.lit(e.low), F.lit(e.high))
+        if isinstance(e, ast.Like):
+            c = F.col(e.column).like(e.pattern)
+            return ~c if e.negated else c
+        if isinstance(e, ast.IsNull):
+            c = F.col(e.column)
+            return c.isNotNull() if e.negated else c.isNull()
+        raise ExecError(f"cannot compile predicate: {e!r}")
+
+    def _bind_vector(self, name: str, params: dict) -> list[float]:
+        if name not in params:
+            raise ExecError(f"unbound parameter: ${name}")
+        return [float(x) for x in params[name]]
+
+    def _select(self, stmt: ast.SelectStmt, params: dict) -> DataFrame:
+        from needle_spark.functions.timedecay import apply_time_decay
+        from needle_spark.operators.hybrid import bm25_topk, rrf_fuse
+        from needle_spark.operators.knn import knn
+
+        df = self._resolve(stmt.collection)
+        similar, match, residue = self._split_where(stmt.where)
+        pred = self._compile_pred(residue, df) if residue is not None else None
+        limit = stmt.limit if stmt.limit is not None else DEFAULT_LIMIT
+
+        if stmt.as_of is not None:
+            ts = stmt.as_of
+            if isinstance(ts, str):
+                ts = parse_duration(ts) if _DURATION_RE.match(ts) else int(ts)
+            df = df.filter(F.col(self.inserted_at_col) <= F.lit(int(ts)))
+
+        # hybrid-score ORDER BY picks the fusion weights
+        alpha = 0.5
+        for key in stmt.order_by:
+            if isinstance(key.expr, ast.FuncCall) and key.expr.name == "hybrid_score":
+                if len(key.expr.args) >= 3:
+                    alpha = float(key.expr.args[2])
+
+        if similar is not None and match is not None:
+            qv = self._bind_vector(similar.param, params)
+            base = df.filter(pred) if pred is not None else df
+            fetch = max(limit * 5, 50)
+            vec = knn(base, qv, k=fetch, metric=self.metric,
+                      vector_col=self.vector_col, id_col=self.id_col
+                      ).select(self.id_col, "distance")
+            bm = bm25_topk(base, match.query, limit=fetch,
+                           id_col=self.id_col, text_col=match.column or self.text_col)
+            out = rrf_fuse(vec, bm, id_col=self.id_col, limit=limit,
+                           vector_weight=alpha, bm25_weight=1.0 - alpha)
+            return self._project(out, stmt, offset=stmt.offset)
+
+        if similar is not None:
+            qv = self._bind_vector(similar.param, params)
+            decay = stmt.with_time_decay
+            fetch = limit * 3 if decay else limit
+            fetch += stmt.offset or 0
+            out = knn(df, qv, k=fetch, metric=self.metric, filter=pred,
+                      vector_col=self.vector_col, id_col=self.id_col)
+            if decay:
+                p = {k: (parse_duration(v) if isinstance(v, str) else v)
+                     for k, v in decay.params.items()}
+                now = int(params.get("now", p.pop("now", 0)))
+                out = apply_time_decay(
+                    out, decay.function, now=now, k=limit + (stmt.offset or 0),
+                    inserted_at_col=self.inserted_at_col, id_col=self.id_col, **p)
+            if stmt.rerank is not None:
+                from needle_spark.operators.hybrid import rerank_by_field
+                out = rerank_by_field(out, stmt.rerank.field, k=limit,
+                                      fetch_k=fetch, descending=stmt.rerank.descending,
+                                      id_col=self.id_col)
+            return self._project(out, stmt, offset=stmt.offset, limit=limit)
+
+        if match is not None:
+            base = df.filter(pred) if pred is not None else df
+            out = bm25_topk(base, match.query, limit=limit + (stmt.offset or 0),
+                            id_col=self.id_col, text_col=match.column or self.text_col)
+            return self._project(out, stmt, offset=stmt.offset, limit=limit)
+
+        # pure relational scan
+        out = df.filter(pred) if pred is not None else df
+        if stmt.order_by:
+            keys = []
+            for k in stmt.order_by:
+                if isinstance(k.expr, str):
+                    keys.append(F.col(k.expr).desc() if k.desc else F.col(k.expr).asc())
+                else:
+                    raise ExecError("function ORDER BY requires a search clause")
+            out = out.orderBy(*keys)
+        if stmt.limit is not None or stmt.offset:
+            out = out.orderBy(*[F.col(c) for c in [self.id_col] if c in out.columns]) \
+                if not stmt.order_by else out
+            if stmt.offset:
+                out = out.offset(stmt.offset)
+            out = out.limit(limit)
+        return self._project(out, stmt)
+
+    def _project(self, out: DataFrame, stmt: ast.SelectStmt,
+                 offset: int | None = None, limit: int | None = None) -> DataFrame:
+        if offset:
+            out = out.offset(offset)
+            if limit is not None:
+                out = out.limit(limit)
+        if stmt.columns:
+            cols = [c for c in stmt.columns if c in out.columns]
+            if cols:
+                out = out.select(*cols)
+        return out
+
+    # -------------------------------------------------------- EXPLAIN --
+    def explain(self, stmt: ast.SelectStmt, params: dict) -> str:
+        from needle_spark.plans.planner import (
+            CollectionStats, choose_strategy, explain_text,
+        )
+
+        df = self._resolve(stmt.collection)
+        similar, match, residue = self._split_where(stmt.where)
+        flt_doc = None  # selectivity heuristics need the residue shape
+        strategy = choose_strategy(
+            CollectionStats(num_vectors=df.count(), dims=0),
+            flt=flt_doc, has_text_query=match is not None,
+        )
+        steps = []
+        if similar is not None:
+            steps.append(f"VectorSearch(k={stmt.limit or DEFAULT_LIMIT}, metric={self.metric})")
+        if match is not None:
+            steps.append(f"TextSearch(query={match.query!r})")
+        if similar is not None and match is not None:
+            steps.append("HybridFusion(rrf)")
+        if residue is not None:
+            steps.append("MetadataFilter")
+        if stmt.as_of is not None:
+            steps.append("TimeTravelScan")
+        if stmt.with_time_decay is not None:
+            steps.append(f"TimeDecay({stmt.with_time_decay.function})")
+        if stmt.rerank is not None:
+            steps.append(f"Rerank(by={stmt.rerank.field})")
+        steps.append(f"Sort+Limit({stmt.limit or DEFAULT_LIMIT})")
+        lines = [f"strategy: {strategy}", "plan:"]
+        lines += [f"  {i+1}. {s}" for i, s in enumerate(steps)]
+        if stmt.analyze:
+            plan_df = self._select(
+                ast.SelectStmt(
+                    columns=stmt.columns, collection=stmt.collection,
+                    where=stmt.where, order_by=stmt.order_by,
+                    limit=stmt.limit, offset=stmt.offset,
+                    as_of=stmt.as_of, with_time_decay=stmt.with_time_decay,
+                    rerank=stmt.rerank,
+                ),
+                params,
+            )
+            lines += ["", "physical plan:", explain_text(plan_df)]
+        return "\n".join(lines)
+
+    # ----------------------------------------------------- INSERT/DEL --
+    def _insert(self, stmt: ast.InsertStmt, params: dict):
+        if self.database is None:
+            raise ExecError("no database attached")
+        coll = self.database.collection(stmt.collection)
+        row: dict[str, Any] = {}
+        for c, v in zip(stmt.columns, stmt.values):
+            if isinstance(v, ast.FuncCall) and v.name == "$param":
+                v = params[v.args[0]]
+            if c == "metadata" and isinstance(v, str):
+                import json
+
+                for mk, mv in json.loads(v).items():
+                    row[mk] = mv
+            else:
+                row[c] = v
+        schema_cols = coll.df().columns
+        data = {c: row.get(c) for c in schema_cols}
+        if coll.vector_col in data and data[coll.vector_col] is not None:
+            data[coll.vector_col] = [float(x) for x in data[coll.vector_col]]
+        rows = self.spark.createDataFrame([tuple(data[c] for c in schema_cols)],
+                                          coll.df().schema)
+        coll.insert(rows)
+        return {"inserted": 1}
+
+    def _delete(self, stmt: ast.DeleteStmt, params: dict):
+        if self.database is None:
+            raise ExecError("no database attached")
+        coll = self.database.collection(stmt.collection)
+        pred = self._compile_pred(stmt.where, coll.df())
+        n = coll.delete(pred=pred)
+        return {"deleted": n}

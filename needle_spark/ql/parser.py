@@ -1,0 +1,355 @@
+"""NeedleQL recursive-descent parser (reference: /root/reference/src/
+search/query_lang/parser.rs; statement dispatch needleql_executor.rs:
+412-609; grammar docs/needleql.md 'Grammar (Simplified BNF)').
+
+Precedence: OR < AND < NOT < primary — metadata.rs:719-730 semantics.
+"""
+
+from __future__ import annotations
+
+from needle_spark.ql import ast
+from needle_spark.ql.lexer import Token, tokenize
+
+
+class ParseError(ValueError):
+    pass
+
+
+class Parser:
+    def __init__(self, text: str):
+        self.toks = tokenize(text)
+        self.i = 0
+
+    # ------------------------------------------------------- helpers --
+    def peek(self) -> Token:
+        return self.toks[self.i]
+
+    def next(self) -> Token:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect_kw(self, *kws: str) -> Token:
+        t = self.next()
+        if not t.is_kw(*kws):
+            raise ParseError(f"expected {'/'.join(kws)}, got {t.value!r} at {t.pos}")
+        return t
+
+    def accept_kw(self, *kws: str) -> bool:
+        if self.peek().is_kw(*kws):
+            self.i += 1
+            return True
+        return False
+
+    def expect(self, kind: str, value: str | None = None) -> Token:
+        t = self.next()
+        if t.kind != kind or (value is not None and t.value != value):
+            raise ParseError(f"expected {value or kind}, got {t.value!r} at {t.pos}")
+        return t
+
+    def ident(self) -> str:
+        t = self.next()
+        if t.kind == "IDENT":
+            return t.value
+        # soft keywords usable as identifiers (e.g. a column named "view")
+        if t.kind == "KEYWORD" and t.value in ("COLLECTION", "VIEW", "SEARCH", "MATCH"):
+            return t.value.lower()
+        raise ParseError(f"expected identifier, got {t.value!r} at {t.pos}")
+
+    # ----------------------------------------------------- statements --
+    def parse_statement(self):
+        t = self.peek()
+        if t.is_kw("EXPLAIN"):
+            self.next()
+            analyze = self.accept_kw("ANALYZE")
+            stmt = self.parse_select()
+            stmt.explain, stmt.analyze = True, analyze
+            return stmt
+        if t.is_kw("SELECT"):
+            return self.parse_select()
+        if t.is_kw("INSERT"):
+            return self.parse_insert()
+        if t.is_kw("DELETE"):
+            return self.parse_delete()
+        if t.is_kw("CREATE"):
+            return self.parse_create()
+        if t.is_kw("DROP"):
+            return self.parse_drop()
+        if t.is_kw("SHOW"):
+            self.next()
+            self.expect_kw("COLLECTIONS")
+            self._end()
+            return ast.ShowCollectionsStmt()
+        raise ParseError(f"unexpected statement start: {t.value!r}")
+
+    def _end(self):
+        if self.peek().kind == "PUNCT" and self.peek().value == ";":
+            self.next()
+        t = self.peek()
+        if t.kind != "EOF":
+            raise ParseError(f"trailing input at {t.pos}: {t.value!r}")
+
+    # --------------------------------------------------------- SELECT --
+    def parse_select(self) -> ast.SelectStmt:
+        self.expect_kw("SELECT")
+        cols: list[str] | None
+        if self.peek().kind == "PUNCT" and self.peek().value == "*":
+            self.next()
+            cols = None
+        else:
+            cols = [self.ident()]
+            while self.peek().kind == "PUNCT" and self.peek().value == ",":
+                self.next()
+                cols.append(self.ident())
+        self.expect_kw("FROM")
+        collection = self.ident()
+
+        stmt = ast.SelectStmt(columns=cols, collection=collection)
+
+        if self.accept_kw("AS"):
+            self.expect_kw("OF")
+            stmt.as_of = self._literal()
+
+        if self.accept_kw("WITH"):
+            stmt.with_time_decay = self._time_decay_spec()
+
+        if self.accept_kw("WHERE"):
+            stmt.where = self._or_expr()
+
+        if self.accept_kw("RERANK"):
+            self.expect_kw("BY")
+            field = self.ident()
+            desc = True
+            if self.accept_kw("ASC"):
+                desc = False
+            elif self.accept_kw("DESC"):
+                desc = True
+            stmt.rerank = ast.RerankBy(field=field, descending=desc)
+
+        if self.accept_kw("ORDER"):
+            self.expect_kw("BY")
+            stmt.order_by = [self._order_key()]
+            while self.peek().kind == "PUNCT" and self.peek().value == ",":
+                self.next()
+                stmt.order_by.append(self._order_key())
+
+        if self.accept_kw("LIMIT"):
+            stmt.limit = int(self.expect("NUMBER").value)
+        if self.accept_kw("OFFSET"):
+            stmt.offset = int(self.expect("NUMBER").value)
+        self._end()
+        return stmt
+
+    def _time_decay_spec(self) -> ast.TimeDecaySpec:
+        self.expect_kw("TIME_DECAY")
+        self.expect("PUNCT", "(")
+        params: dict = {}
+        fn = "exponential"
+        while not (self.peek().kind == "PUNCT" and self.peek().value == ")"):
+            key = self.ident()
+            self.expect("OP", "=")
+            val = self._literal()
+            if key == "function":
+                fn = str(val)
+            else:
+                params[key] = val
+            if self.peek().kind == "PUNCT" and self.peek().value == ",":
+                self.next()
+        self.expect("PUNCT", ")")
+        return ast.TimeDecaySpec(function=fn, params=params)
+
+    def _order_key(self) -> ast.OrderKey:
+        expr = self._order_expr()
+        desc = False
+        if self.accept_kw("DESC"):
+            desc = True
+        elif self.accept_kw("ASC"):
+            desc = False
+        return ast.OrderKey(expr=expr, desc=desc)
+
+    def _order_expr(self):
+        t = self.peek()
+        name = None
+        if t.kind == "IDENT":
+            name = t.value
+        elif t.is_kw("TIME_DECAY"):
+            name = "time_decay"
+        if name is not None:
+            self.next()
+            if self.peek().kind == "PUNCT" and self.peek().value == "(":
+                self.next()
+                args = []
+                while not (self.peek().kind == "PUNCT" and self.peek().value == ")"):
+                    args.append(self._func_arg())
+                    if self.peek().kind == "PUNCT" and self.peek().value == ",":
+                        self.next()
+                self.expect("PUNCT", ")")
+                return ast.FuncCall(name=name.lower(), args=args)
+            return name
+        raise ParseError(f"expected order expression at {t.pos}")
+
+    def _func_arg(self):
+        t = self.peek()
+        if t.kind == "IDENT":
+            self.next()
+            return t.value
+        return self._literal()
+
+    # ---------------------------------------------------- expressions --
+    def _or_expr(self):
+        left = self._and_expr()
+        while self.accept_kw("OR"):
+            left = ast.Or(left, self._and_expr())
+        return left
+
+    def _and_expr(self):
+        left = self._not_expr()
+        while self.accept_kw("AND"):
+            left = ast.And(left, self._not_expr())
+        return left
+
+    def _not_expr(self):
+        if self.accept_kw("NOT"):
+            return ast.Not(self._not_expr())
+        return self._primary()
+
+    def _primary(self):
+        t = self.peek()
+        if t.kind == "PUNCT" and t.value == "(":
+            self.next()
+            e = self._or_expr()
+            self.expect("PUNCT", ")")
+            return e
+        col = self.ident()
+        t = self.peek()
+        if t.is_kw("SIMILAR"):
+            self.next()
+            self.expect_kw("TO")
+            return ast.SimilarTo(column=col, param=self.expect("PARAM").value)
+        if t.is_kw("MATCH"):
+            self.next()
+            return ast.TextMatch(column=col, query=self.expect("STRING").value)
+        if t.is_kw("NOT"):
+            self.next()
+            if self.accept_kw("IN"):
+                return ast.InList(column=col, values=self._value_list(), negated=True)
+            if self.accept_kw("LIKE"):
+                return ast.Like(column=col, pattern=self.expect("STRING").value, negated=True)
+            raise ParseError(f"expected IN or LIKE after NOT at {t.pos}")
+        if t.is_kw("IN"):
+            self.next()
+            return ast.InList(column=col, values=self._value_list())
+        if t.is_kw("BETWEEN"):
+            self.next()
+            low = self._literal()
+            self.expect_kw("AND")
+            return ast.Between(column=col, low=low, high=self._literal())
+        if t.is_kw("LIKE"):
+            self.next()
+            return ast.Like(column=col, pattern=self.expect("STRING").value)
+        if t.is_kw("IS"):
+            self.next()
+            neg = self.accept_kw("NOT")
+            self.expect_kw("NULL")
+            return ast.IsNull(column=col, negated=neg)
+        if t.kind == "OP":
+            self.next()
+            return ast.Comparison(column=col, op=t.value, value=self._literal())
+        raise ParseError(f"expected operator after {col!r} at {t.pos}")
+
+    def _value_list(self) -> list:
+        self.expect("PUNCT", "(")
+        vals = [self._literal()]
+        while self.peek().kind == "PUNCT" and self.peek().value == ",":
+            self.next()
+            vals.append(self._literal())
+        self.expect("PUNCT", ")")
+        return vals
+
+    def _literal(self):
+        t = self.next()
+        if t.kind == "NUMBER":
+            return float(t.value) if any(ch in t.value for ch in ".eE") else int(t.value)
+        if t.kind == "STRING":
+            return t.value
+        if t.kind == "PARAM":
+            return ast.FuncCall(name="$param", args=[t.value])
+        if t.is_kw("NULL"):
+            return None
+        if t.is_kw("TRUE"):
+            return True
+        if t.is_kw("FALSE"):
+            return False
+        raise ParseError(f"expected literal, got {t.value!r} at {t.pos}")
+
+    # --------------------------------------------------- INSERT/DELETE --
+    def parse_insert(self) -> ast.InsertStmt:
+        self.expect_kw("INSERT")
+        self.expect_kw("INTO")
+        name = self.ident()
+        self.expect("PUNCT", "(")
+        cols = [self.ident()]
+        while self.peek().kind == "PUNCT" and self.peek().value == ",":
+            self.next()
+            cols.append(self.ident())
+        self.expect("PUNCT", ")")
+        self.expect_kw("VALUES")
+        self.expect("PUNCT", "(")
+        vals = [self._literal()]
+        while self.peek().kind == "PUNCT" and self.peek().value == ",":
+            self.next()
+            vals.append(self._literal())
+        self.expect("PUNCT", ")")
+        self._end()
+        if len(cols) != len(vals):
+            raise ParseError("INSERT column/value count mismatch")
+        return ast.InsertStmt(collection=name, columns=cols, values=vals)
+
+    def parse_delete(self) -> ast.DeleteStmt:
+        self.expect_kw("DELETE")
+        self.expect_kw("FROM")
+        name = self.ident()
+        self.expect_kw("WHERE")
+        where = self._or_expr()
+        self._end()
+        return ast.DeleteStmt(collection=name, where=where)
+
+    # ------------------------------------------------------------ DDL --
+    def parse_create(self):
+        self.expect_kw("CREATE")
+        if self.accept_kw("COLLECTION"):
+            name = self.ident()
+            opts: dict = {}
+            if self.peek().kind == "PUNCT" and self.peek().value == "(":
+                self.next()
+                while not (self.peek().kind == "PUNCT" and self.peek().value == ")"):
+                    k = self.ident()
+                    self.expect("OP", "=")
+                    opts[k] = self._literal()
+                    if self.peek().kind == "PUNCT" and self.peek().value == ",":
+                        self.next()
+                self.expect("PUNCT", ")")
+            self._end()
+            return ast.CreateCollectionStmt(name=name, options=opts)
+        materialized = self.accept_kw("MATERIALIZED")
+        self.expect_kw("VIEW")
+        name = self.ident()
+        self.expect_kw("AS")
+        query = self.parse_select()
+        return ast.CreateViewStmt(name=name, query=query, materialized=materialized)
+
+    def parse_drop(self):
+        self.expect_kw("DROP")
+        if self.accept_kw("COLLECTION"):
+            name = self.ident()
+            self._end()
+            return ast.DropCollectionStmt(name=name)
+        self.expect_kw("VIEW")
+        name = self.ident()
+        self._end()
+        return ast.DropViewStmt(name=name)
+
+
+def parse(text: str):
+    """Parse one NeedleQL statement."""
+    return Parser(text).parse_statement()

@@ -1,0 +1,203 @@
+"""NeedleQL end-to-end: parse + execute against the engine, matching the
+operator-level results (reference grammar: docs/needleql.md; parser
+tests modeled on query_lang/parser.rs:950+, lexer.rs:404+)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from needle_spark.catalog import Database
+from needle_spark.ql import QueryExecutor, parse
+from needle_spark.ql import ast
+from needle_spark.ql.executor import ExecError, parse_duration
+from needle_spark.ql.lexer import LexError, tokenize
+from needle_spark.ql.parser import ParseError
+
+
+# ----------------------------------------------------------- parsing ---
+
+def test_lexer_shapes():
+    toks = tokenize("SELECT * FROM docs WHERE a != 'it''s' AND b >= 1.5e2 LIMIT 3")
+    kinds = [(t.kind, t.value) for t in toks[:4]]
+    assert kinds == [("KEYWORD", "SELECT"), ("PUNCT", "*"), ("KEYWORD", "FROM"), ("IDENT", "docs")]
+    s = next(t for t in toks if t.kind == "STRING")
+    assert s.value == "it's"
+    with pytest.raises(LexError):
+        tokenize("SELECT 'unterminated")
+
+
+def test_parse_select_full():
+    q = parse(
+        "SELECT id, distance FROM docs WHERE vector SIMILAR TO $q "
+        "AND category = 'x' AND price BETWEEN 1 AND 10 "
+        "OR tag IN ('a','b') ORDER BY distance ASC LIMIT 5 OFFSET 2;"
+    )
+    assert isinstance(q, ast.SelectStmt)
+    assert q.columns == ["id", "distance"]
+    assert q.limit == 5 and q.offset == 2
+    assert isinstance(q.where, ast.Or)
+
+
+def test_parse_errors():
+    with pytest.raises(ParseError):
+        parse("SELECT FROM docs")
+    with pytest.raises(ParseError):
+        parse("SELECT * docs")
+    with pytest.raises(ParseError):
+        parse("SELECT * FROM docs WHERE vector SIMILAR $q")
+    with pytest.raises(ParseError):
+        parse("FROBNICATE everything")
+
+
+def test_parse_duration():
+    assert parse_duration("7d") == 604800
+    assert parse_duration("2h") == 7200
+    assert parse_duration("30 m") == 1800
+    with pytest.raises(ValueError):
+        parse_duration("yesterday")
+
+
+# --------------------------------------------------------- execution ---
+
+@pytest.fixture(scope="module")
+def ex(spark, embeddings, documents):
+    emb = embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector"),
+        "label",
+    ).withColumn("inserted_at", (F.col("id") * 10).cast("long"))
+    docs = documents.select(F.col("doc_id").alias("id"), "text", "lang")
+    joined = emb.join(docs, "id")
+    return QueryExecutor(
+        spark, tables={"embeddings": emb, "documents": docs, "corpus": joined}
+    )
+
+
+@pytest.fixture(scope="module")
+def qv(embeddings):
+    return [float(x) for x in embeddings.orderBy("vec_id").first()["embedding"]]
+
+
+def test_ql_knn_matches_operator(spark, ex, embeddings, qv):
+    from needle_spark.operators.knn import knn
+
+    got = ex.execute(
+        "SELECT id, distance FROM embeddings WHERE vector SIMILAR TO $q LIMIT 10",
+        {"q": qv},
+    ).collect()
+    want = knn(
+        embeddings, qv, k=10, vector_col="embedding", id_col="vec_id"
+    ).select("vec_id", "distance").collect()
+    assert [(r["id"], r["distance"]) for r in got] == [
+        (r["vec_id"], r["distance"]) for r in want
+    ]
+
+
+def test_ql_filtered_knn(ex, qv):
+    rows = ex.execute(
+        "SELECT id, label, distance FROM embeddings "
+        "WHERE vector SIMILAR TO $q AND label IN (1, 2, 3) LIMIT 5",
+        {"q": qv},
+    ).collect()
+    assert len(rows) == 5 and all(r["label"] in (1, 2, 3) for r in rows)
+
+
+def test_ql_relational_scan(ex):
+    rows = ex.execute(
+        "SELECT id, lang FROM documents WHERE lang = 'en' AND id < 50"
+    ).collect()
+    assert all(r["lang"] == "en" and r["id"] < 50 for r in rows)
+
+
+def test_ql_text_match(ex):
+    rows = ex.execute(
+        "SELECT id, score FROM documents WHERE text MATCH 'fast merge sort' LIMIT 5"
+    ).collect()
+    assert 0 < len(rows) <= 5
+    assert rows[0]["score"] >= rows[-1]["score"]
+
+
+def test_ql_hybrid(ex, qv):
+    rows = ex.execute(
+        "SELECT id, score FROM corpus WHERE vector SIMILAR TO $q "
+        "AND text MATCH 'fast merge sort' "
+        "ORDER BY hybrid_score(vector_score, text_score, 0.7) LIMIT 5",
+        {"q": qv},
+    ).collect()
+    assert 0 < len(rows) <= 5
+    assert rows[0]["score"] >= rows[-1]["score"]
+
+
+def test_ql_as_of_and_decay(ex, qv):
+    rows = ex.execute(
+        "SELECT id, distance FROM embeddings AS OF 990 "
+        "WHERE vector SIMILAR TO $q LIMIT 10",
+        {"q": qv},
+    ).collect()
+    assert all(r["id"] * 10 <= 990 for r in rows)
+
+    decayed = ex.execute(
+        "SELECT id, distance FROM embeddings "
+        "WITH TIME_DECAY(function = 'exponential', half_life_seconds = 1000) "
+        "WHERE vector SIMILAR TO $q LIMIT 5",
+        {"q": qv, "now": 5000},
+    ).collect()
+    assert len(decayed) == 5
+
+
+def test_ql_offset(ex, qv):
+    full = ex.execute(
+        "SELECT id FROM embeddings WHERE vector SIMILAR TO $q LIMIT 10", {"q": qv}
+    ).collect()
+    shifted = ex.execute(
+        "SELECT id FROM embeddings WHERE vector SIMILAR TO $q LIMIT 5 OFFSET 3",
+        {"q": qv},
+    ).collect()
+    assert [r["id"] for r in shifted] == [r["id"] for r in full[3:8]]
+
+
+def test_ql_unbound_param(ex):
+    with pytest.raises(ExecError, match="unbound"):
+        ex.execute("SELECT * FROM embeddings WHERE vector SIMILAR TO $nope LIMIT 1")
+
+
+def test_ql_explain(ex, qv):
+    txt = ex.execute(
+        "EXPLAIN SELECT id FROM embeddings WHERE vector SIMILAR TO $q "
+        "AND label = 1 LIMIT 5",
+        {"q": qv},
+    )
+    assert "strategy:" in txt and "VectorSearch" in txt and "MetadataFilter" in txt
+    analyzed = ex.execute(
+        "EXPLAIN ANALYZE SELECT id FROM embeddings WHERE vector SIMILAR TO $q LIMIT 5",
+        {"q": qv},
+    )
+    assert "physical plan" in analyzed
+
+
+def test_ql_views(ex, qv):
+    ex.execute("CREATE VIEW en_docs AS SELECT id, text FROM documents WHERE lang = 'en'")
+    n = len(ex.execute("SELECT id FROM en_docs WHERE id < 100").collect())
+    assert n > 0
+    ex.execute("DROP VIEW en_docs")
+    with pytest.raises(ExecError):
+        ex.execute("SELECT id FROM en_docs")
+
+
+def test_ql_ddl_and_dml(spark, tmp_path, qv):
+    db = Database(spark, str(tmp_path / "qldb"))
+    ex = QueryExecutor(spark, database=db)
+    ex.execute("CREATE COLLECTION things (dims = 2)")
+    assert "things" in ex.execute("SHOW COLLECTIONS")["collections"]
+    r = ex.execute(
+        "INSERT INTO things (id, vector) VALUES ('a', $v)", {"v": [1.0, 0.0]}
+    )
+    assert r == {"inserted": 1}
+    ex.execute("INSERT INTO things (id, vector) VALUES ('b', $v)", {"v": [0.0, 1.0]})
+    got = ex.execute(
+        "SELECT id, distance FROM things WHERE vector SIMILAR TO $q LIMIT 2",
+        {"q": [1.0, 0.0]},
+    ).collect()
+    assert [r["id"] for r in got] == ["a", "b"]
+    assert ex.execute("DELETE FROM things WHERE id = 'a'") == {"deleted": 1}
+    assert db.collection("things").count() == 1
+    ex.execute("DROP COLLECTION things")
+    assert ex.execute("SHOW COLLECTIONS")["collections"] == []
