@@ -708,6 +708,131 @@ FROM orders
 """
 
 
+# ------------------------------- cross-collection / graph / rerank ---
+
+def _knn_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset pagination: page 2 of size 5 == rows 6..10 of the global
+    ordering (cursor from page 1's last row)."""
+    from needle_spark.operators.knn import knn_after
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    page1 = knn(emb, qv, k=5, vector_col="embedding", id_col="vec_id").collect()
+    cursor = (page1[-1]["distance"], page1[-1]["vec_id"])
+    return knn_after(
+        emb, qv, cursor, k=5, vector_col="embedding", id_col="vec_id"
+    ).select("vec_id", "label", "distance")
+
+
+def _knn_page2_sql() -> str:
+    d = duckdb_distance_sql("cosine", "embedding", _Q_SQL)
+    return (
+        f"SELECT vec_id, label, distance FROM ("
+        f"SELECT vec_id, label, {d} AS distance FROM embeddings "
+        f"ORDER BY distance ASC, vec_id ASC LIMIT 10) "
+        f"ORDER BY distance ASC, vec_id ASC OFFSET 5"
+    )
+
+
+def _cross_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from needle_spark.operators.cross_collection import cross_collection_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    colls = {
+        "even": emb.filter(F.col("vec_id") % 2 == 0).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vector")),
+        "odd": emb.filter(F.col("vec_id") % 2 == 1).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vector")),
+    }
+    return cross_collection_knn(colls, qv, k=10, per_collection_k=8)
+
+
+def _cross_collection_sql() -> str:
+    d = duckdb_distance_sql("cosine", "embedding", _Q_SQL)
+    return f"""
+WITH e AS (SELECT 'even' AS collection, CAST(vec_id AS VARCHAR) AS id, {d} AS distance
+           FROM embeddings WHERE vec_id % 2 = 0
+           ORDER BY distance ASC, vec_id ASC LIMIT 8),
+o AS (SELECT 'odd' AS collection, CAST(vec_id AS VARCHAR) AS id, {d} AS distance
+      FROM embeddings WHERE vec_id % 2 = 1
+      ORDER BY distance ASC, vec_id ASC LIMIT 8),
+u AS (SELECT *, 1.0 / (1.0 + distance) AS s FROM (SELECT * FROM e UNION ALL SELECT * FROM o)),
+n AS (
+  SELECT collection, id, distance,
+         CASE WHEN max(s) OVER w = min(s) OVER w THEN 1.0
+              ELSE (s - min(s) OVER w) / (max(s) OVER w - min(s) OVER w) END AS score
+  FROM u WINDOW w AS (PARTITION BY collection)
+)
+SELECT collection, id, distance, score FROM n
+ORDER BY score DESC, collection ASC, id ASC LIMIT 10
+"""
+
+
+def _graph_traverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders -> customer -> nation as a 2-hop typed edge graph."""
+    from needle_spark.operators.graph import traverse
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    e1 = orders.filter(F.col("o_orderkey") <= 40).select(
+        F.concat(F.lit("order_"), "o_orderkey").alias("src"),
+        F.concat(F.lit("cust_"), "o_custkey").alias("dst"),
+        F.lit("placed_by").alias("edge_type"),
+    )
+    e2 = customer.select(
+        F.concat(F.lit("cust_"), "c_custkey").alias("src"),
+        F.concat(F.lit("nation_"), "c_nationkey").alias("dst"),
+        F.lit("in_nation").alias("edge_type"),
+    )
+    edges = e1.unionByName(e2)
+    seeds = [f"order_{i}" for i in (1, 2, 3)]
+    return traverse(edges, seeds, direction="out", max_hops=2)
+
+
+_GRAPH_TRAVERSE_SQL = """
+WITH seeds(id) AS (VALUES ('order_1'), ('order_2'), ('order_3')),
+hop1 AS (
+  SELECT DISTINCT 'cust_' || o_custkey AS id FROM orders
+  WHERE 'order_' || o_orderkey IN (SELECT id FROM seeds) AND o_orderkey <= 40
+),
+hop2 AS (
+  SELECT DISTINCT 'nation_' || c_nationkey AS id FROM customer
+  WHERE 'cust_' || c_custkey IN (SELECT id FROM hop1)
+)
+SELECT id, 0 AS hop FROM seeds
+UNION ALL SELECT id, 1 FROM hop1 WHERE id NOT IN (SELECT id FROM seeds)
+UNION ALL SELECT id, 2 FROM hop2
+  WHERE id NOT IN (SELECT id FROM seeds) AND id NOT IN (SELECT id FROM hop1)
+"""
+
+
+_TERM_OVERLAP_QUERY = "fast merge sort join"
+
+
+def _term_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from needle_spark.operators.rerank import term_overlap_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return term_overlap_scores(docs, _TERM_OVERLAP_QUERY, text_col="text").select(
+        "doc_id", "rerank_score"
+    )
+
+
+def _term_overlap_sql() -> str:
+    from needle_spark.functions.text import duckdb_tokenize_sql, tokenize_py
+
+    terms = sorted(set(tokenize_py(_TERM_OVERLAP_QUERY)))
+    qlist = "[" + ", ".join(f"'{t}'" for t in terms) + "]"
+    toks = duckdb_tokenize_sql("text")
+    return f"""
+SELECT doc_id,
+       CAST(len(list_filter({qlist}, t -> list_contains({toks}, t))) AS DOUBLE)
+         / {float(len(terms))!r} AS rerank_score
+FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": _mk_knn("cosine"),
@@ -741,6 +866,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim": _maxsim,
         "sparse_dot": _sparse_dot,
         "field_stats_orders": _field_stats_orders,
+        "knn_page2": _knn_page2,
+        "cross_collection": _cross_collection,
+        "graph_traverse": _graph_traverse,
+        "term_overlap_rerank": _term_overlap,
     }
 
 
@@ -791,4 +920,8 @@ def oracle_sql() -> dict[str, str]:
         "maxsim": _maxsim_sql(),
         "sparse_dot": _sparse_dot_sql(),
         "field_stats_orders": _FIELD_STATS_SQL,
+        "knn_page2": _knn_page2_sql(),
+        "cross_collection": _cross_collection_sql(),
+        "graph_traverse": _GRAPH_TRAVERSE_SQL,
+        "term_overlap_rerank": _term_overlap_sql(),
     }

@@ -1,0 +1,94 @@
+"""Knowledge-graph traversal (GraphRAG surface).
+
+Reference: /root/reference/src/search/graphrag.rs:19-39 (typed entities
+with optional embeddings) and /root/reference/src/services/ai/
+graph_query.rs:37-44 (TraversalOp: `->` out, `<-` in, `*..N` variable
+hops, optional edge-type filter).
+
+Spark shape (the GraphFrames pattern without the dependency): nodes and
+edges are plain DataFrames; one hop is one equi-join frontier ⋈ edges;
+`*..N` is N iterated joins with a visited-set union (BFS).  Frontiers
+stay small relative to the edge table, so each hop is a broadcast join
+of frontier ids against the (potentially huge, partitioned-by-src) edge
+table.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def traverse(
+    edges: DataFrame,
+    seed_ids: Sequence,
+    direction: str = "out",
+    max_hops: int = 1,
+    edge_type: str | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    type_col: str = "edge_type",
+) -> DataFrame:
+    """BFS from seed ids: returns (id, hop) for every node reached within
+    max_hops (seeds are hop 0).  direction: 'out' (->), 'in' (<-),
+    'both'."""
+    spark = edges.sparkSession
+    if edge_type is not None:
+        edges = edges.filter(F.col(type_col) == edge_type)
+
+    if direction == "out":
+        hop_edges = edges.select(F.col(src_col).alias("__from"), F.col(dst_col).alias("__to"))
+    elif direction == "in":
+        hop_edges = edges.select(F.col(dst_col).alias("__from"), F.col(src_col).alias("__to"))
+    elif direction == "both":
+        hop_edges = edges.select(
+            F.col(src_col).alias("__from"), F.col(dst_col).alias("__to")
+        ).unionByName(
+            edges.select(F.col(dst_col).alias("__from"), F.col(src_col).alias("__to"))
+        )
+    else:
+        raise ValueError(f"unknown direction: {direction!r}")
+
+    visited = spark.createDataFrame(
+        [(s, 0) for s in seed_ids], "id string, hop int"
+    ).withColumn("id", F.col("id").cast("string"))
+    frontier = visited.select("id")
+
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            hop_edges.join(
+                F.broadcast(frontier.withColumnRenamed("id", "__from")), "__from"
+            )
+            .select(F.col("__to").cast("string").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .withColumn("hop", F.lit(hop))
+        )
+        # checkpoint-by-materialize: iterative joins grow lineage; at
+        # real scale persist() each frontier
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("id")
+    return visited
+
+
+def seed_by_similarity(
+    nodes: DataFrame,
+    query_vector,
+    k: int = 5,
+    metric: str = "cosine",
+    id_col: str = "id",
+    vector_col: str = "vector",
+) -> list:
+    """GraphRAG entry: seed the traversal with the k nodes nearest to the
+    query embedding (graphrag.rs search-then-walk)."""
+    from needle_spark.operators.knn import knn
+
+    return [
+        r[id_col]
+        for r in knn(nodes, query_vector, k=k, metric=metric,
+                     vector_col=vector_col, id_col=id_col).collect()
+    ]

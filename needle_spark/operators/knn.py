@@ -177,6 +177,39 @@ def batch_knn(
     )
 
 
+def knn_after(
+    df: DataFrame,
+    query_vector: Sequence[float],
+    cursor: tuple[float, Any],
+    k: int = DEFAULT_LIMIT,
+    metric: str = "cosine",
+    filter: dict[str, Any] | Column | None = None,
+    vector_col: str = "vector",
+    id_col: str = "id",
+    meta_col: str | None = None,
+    distance_col: str = "distance",
+) -> DataFrame:
+    """Keyset pagination (`search_after`, server/types.rs:216-219): the
+    next page after cursor=(distance, id), using the (distance, id)
+    total order — stable and O(k) regardless of page depth, unlike
+    OFFSET which rescans."""
+    cd, cid = cursor
+    qv = validate_query_vector(query_vector)
+    out = df
+    pre = _pred(df, filter, meta_col)
+    if pre is not None:
+        out = out.filter(pre)
+    out = out.withColumn(distance_col, distance_expr(metric, F.col(vector_col), qv))
+    after = (F.col(distance_col) > F.lit(float(cd))) | (
+        (F.col(distance_col) == F.lit(float(cd))) & (F.col(id_col) > F.lit(cid))
+    )
+    return (
+        out.filter(after)
+        .orderBy(F.col(distance_col).asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def recommend(
     df: DataFrame,
     positive_ids: Sequence[Any],

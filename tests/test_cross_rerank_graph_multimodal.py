@@ -1,0 +1,137 @@
+"""Cross-collection search, MMR, term-overlap rerank, graph traversal,
+pagination cursor, multimodal plumbing."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from needle_spark.operators.cross_collection import cross_collection_knn
+from needle_spark.operators.graph import seed_by_similarity, traverse
+from needle_spark.operators.knn import knn, knn_after
+from needle_spark.operators.multimodal import (
+    frame_sample_plan,
+    image_features,
+    make_media_df,
+    media_stats,
+)
+from needle_spark.operators.rerank import mmr_diversify, term_overlap_scores
+
+
+def test_cross_collection(spark, embeddings):
+    qv = [float(x) for x in embeddings.orderBy("vec_id").first()["embedding"]]
+    a = embeddings.filter("vec_id < 250").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    b = embeddings.filter("vec_id >= 250").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    rows = cross_collection_knn({"a": a, "b": b}, qv, k=10, per_collection_k=5).collect()
+    assert len(rows) == 10
+    assert {r["collection"] for r in rows} == {"a", "b"}
+    # min_max: each collection's best hit normalizes to 1.0
+    best = {c: max(r["score"] for r in rows if r["collection"] == c) for c in ("a", "b")}
+    assert best == {"a": 1.0, "b": 1.0}
+    ws = [r["score"] for r in rows]
+    assert ws == sorted(ws, reverse=True)
+
+    weighted = cross_collection_knn(
+        {"a": a, "b": b}, qv, k=4, per_collection_k=5, weights={"b": 0.01}
+    ).collect()
+    assert all(r["collection"] == "a" for r in weighted)
+
+
+def test_pagination_cursor(spark, embeddings):
+    qv = [float(x) for x in embeddings.orderBy("vec_id").first()["embedding"]]
+    page1 = knn(embeddings, qv, k=5, vector_col="embedding", id_col="vec_id").collect()
+    cursor = (page1[-1]["distance"], page1[-1]["vec_id"])
+    page2 = knn_after(
+        embeddings, qv, cursor, k=5, vector_col="embedding", id_col="vec_id"
+    ).collect()
+    full = knn(embeddings, qv, k=10, vector_col="embedding", id_col="vec_id").collect()
+    assert [r["vec_id"] for r in page1 + page2] == [r["vec_id"] for r in full]
+
+
+def test_mmr_diversify(spark):
+    # "diverse" is somewhat relevant (cos 0.6) but far from the near-dup
+    # cluster; with a diversity-leaning lambda it must beat near2, which
+    # is ~identical to the already-picked near1.
+    rows = [
+        ("near1", [1.0, 0.0]), ("near2", [0.999, 0.01]), ("near3", [0.998, 0.02]),
+        ("diverse", [0.6, 0.8]),
+    ]
+    df = spark.createDataFrame(rows, "id string, vector array<float>")
+    qv = [1.0, 0.0]
+    cands = knn(df, qv, k=4)
+    picked = mmr_diversify(cands, qv, k=2, lambda_mult=0.3)
+    ids = [r["id"] for r in picked]
+    assert ids[0] == "near1"       # most relevant first
+    assert ids[1] == "diverse"     # diversity beats near-duplicates
+    # lambda=1 -> pure relevance, no diversification
+    pure = [r["id"] for r in mmr_diversify(cands, qv, k=2, lambda_mult=1.0)]
+    assert pure == ["near1", "near2"]
+
+
+def test_term_overlap(spark):
+    df = spark.createDataFrame(
+        [("a", "spark shuffles data across executors"), ("b", "unrelated words only")],
+        "id string, text string",
+    )
+    got = {r["id"]: r["rerank_score"] for r in
+           term_overlap_scores(df, "spark executors").collect()}
+    assert got["a"] == 1.0 and got["b"] == 0.0
+
+
+def test_graph_traversal(spark):
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", "knows"), ("b", "c", "knows"), ("c", "d", "knows"),
+            ("a", "x", "owns"), ("d", "a", "knows"),
+        ],
+        "src string, dst string, edge_type string",
+    )
+    out1 = {(r["id"], r["hop"]) for r in traverse(edges, ["a"], "out", 1).collect()}
+    assert out1 == {("a", 0), ("b", 1), ("x", 1)}
+    out2 = {(r["id"], r["hop"]) for r in
+            traverse(edges, ["a"], "out", 3, edge_type="knows").collect()}
+    assert out2 == {("a", 0), ("b", 1), ("c", 2), ("d", 3)}
+    inc = {r["id"] for r in traverse(edges, ["a"], "in", 1).collect()}
+    assert inc == {"a", "d"}
+    # cycle termination: d->a closes a loop; BFS must not loop forever
+    both = traverse(edges, ["a"], "both", 10, edge_type="knows").collect()
+    assert {r["id"] for r in both} == {"a", "b", "c", "d"}
+
+
+def test_graph_seed_by_similarity(spark, embeddings):
+    qv = [float(x) for x in embeddings.orderBy("vec_id").first()["embedding"]]
+    nodes = embeddings.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    seeds = seed_by_similarity(nodes, qv, k=3)
+    assert seeds[0] == 0 and len(seeds) == 3
+
+
+def test_multimodal_plumbing(spark):
+    rows = [
+        ("img1", "image", "image/png", b"\x89PNGfakedata1", (64, 48, None, None)),
+        ("img2", "image", "image/png", b"\x89PNGother", (32, 32, None, None)),
+        ("vid1", "video", "video/mp4", b"\x00mp4data", (None, None, 3500, None)),
+        ("aud1", "audio", "audio/wav", b"RIFFdata", (None, None, 2000, 16000)),
+    ]
+    media = make_media_df(spark, rows)
+    feats = {r["media_id"]: r for r in
+             image_features(media.filter("kind = 'image'")).collect()}
+    assert set(feats) == {"img1", "img2"}
+    assert feats["img1"]["decoded_h"] == 4  # deterministic fake decoder
+    assert 0.0 <= feats["img1"]["mean_intensity"] <= 255.0
+
+    frames = frame_sample_plan(media, every_ms=1000).collect()
+    assert [(r["media_id"], r["frame_ts_ms"]) for r in frames] == [
+        ("vid1", 0), ("vid1", 1000), ("vid1", 2000), ("vid1", 3000)
+    ]
+
+    stats = {r["kind"]: r["cnt"] for r in media_stats(media).collect()}
+    assert stats == {"audio": 1, "image": 2, "video": 1}
+
+
+def test_audio_stub_raises(spark):
+    from needle_spark.operators.multimodal import _audio_samples_impl
+
+    with pytest.raises(NotImplementedError):
+        _audio_samples_impl(b"RIFF", "audio/wav")
