@@ -95,7 +95,7 @@ def _radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir, 0)
     return radius_search(
-        emb, qv, radius=0.45, limit=100, metric="cosine",
+        emb, qv, radius=0.7, limit=200, metric="cosine",
         vector_col="embedding", id_col="vec_id",
     ).select("vec_id", "label", "distance")
 
@@ -683,6 +683,32 @@ FROM d JOIN q USING (pos) GROUP BY d.vec_id
 """
 
 
+def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows over the events stream table.
+    ts is TIMESTAMP(NANOS) read as bigint nanos; the window id uses
+    integer division (doubles lose precision above 2^53)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("window_id", F.expr("ts div 3600000000000"))
+        .groupBy("window_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            sum_fixed("value", scale=4).alias("sum_value"),
+        )
+        .orderBy("window_id", "event_type")
+    )
+
+
+_EVENTS_HOURLY_SQL = """
+SELECT epoch_ns(ts) // 3600000000000 AS window_id, event_type,
+       count(*) AS cnt,
+       CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def _field_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return orders.agg(
@@ -866,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim": _maxsim,
         "sparse_dot": _sparse_dot,
         "field_stats_orders": _field_stats_orders,
+        "events_hourly_window": _events_hourly,
         "knn_page2": _knn_page2,
         "cross_collection": _cross_collection,
         "graph_traverse": _graph_traverse,
@@ -890,7 +917,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "radius_search": (
             f"SELECT vec_id, label, {post} AS distance FROM embeddings "
-            f"WHERE {post} <= 0.45 ORDER BY distance ASC, vec_id ASC LIMIT 100"
+            f"WHERE {post} <= 0.7 ORDER BY distance ASC, vec_id ASC LIMIT 200"
         ),
         "batch_knn": _BATCH_KNN_SQL,
         "recommend": _RECOMMEND_SQL,
@@ -920,6 +947,7 @@ def oracle_sql() -> dict[str, str]:
         "maxsim": _maxsim_sql(),
         "sparse_dot": _sparse_dot_sql(),
         "field_stats_orders": _FIELD_STATS_SQL,
+        "events_hourly_window": _EVENTS_HOURLY_SQL,
         "knn_page2": _knn_page2_sql(),
         "cross_collection": _cross_collection_sql(),
         "graph_traverse": _GRAPH_TRAVERSE_SQL,

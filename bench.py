@@ -54,6 +54,9 @@ def main() -> None:
         "bm25_scores", "hybrid_rrf", "rerank_by_field",
         "dedup_events_exact", "ngram_jaccard_pairs", "minhash_lsh_dedup",
         "simhash_candidates", "embedding_neardup", "text_profile",
+        "time_decay_knn", "asof_knn", "maxsim", "sparse_dot",
+        "field_stats_orders", "events_hourly_window", "knn_page2",
+        "cross_collection", "graph_traverse", "term_overlap_rerank",
     ]
     for name in bench_queries:
         fn = qs[name]

@@ -386,22 +386,79 @@ def simhash_from_bitcounts_expr(counts: Column) -> Column:
     return out
 
 
+def _simhash_arrow(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, __sim) via a numpy kernel: 64-bit token hashes from two
+    salted crc32s, tf-weighted bit-majority.  Same algorithm as the
+    expression path, different (still deterministic) hash family."""
+    import zlib
+
+    from needle_spark.functions.text import tokenize_py
+
+    id_type = df.schema[id_col].dataType
+    schema = T.StructType([
+        T.StructField(id_col, id_type),
+        T.StructField("__sim", T.LongType()),
+    ])
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sims = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = tokenize_py(text or "", stop_words=None)
+                if not toks:
+                    continue
+                from collections import Counter
+
+                counts = Counter(toks)
+                H = np.array(
+                    [
+                        (zlib.crc32(t.encode()) | (zlib.crc32(b"\x01" + t.encode()) << 32))
+                        for t in counts
+                    ],
+                    dtype=np.uint64,
+                )
+                W = np.array(list(counts.values()), dtype=np.int64)
+                bits = ((H[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+                votes = ((bits * 2 - 1) * W[:, None]).sum(axis=0)
+                sim = np.uint64(0)
+                for b in range(64):
+                    if votes[b] > 0:
+                        sim |= np.uint64(1) << np.uint64(b)
+                v = int(sim)
+                if v >= 1 << 63:
+                    v -= 1 << 64  # reinterpret as signed two's-complement
+                ids.append(did)
+                sims.append(v)
+            if ids:
+                yield pd.DataFrame({id_col: ids, "__sim": np.array(sims, dtype=np.int64)})
+
+    return df.select(id_col, text_col).mapInPandas(kernel, schema)
+
+
 def simhash_candidates(
     df: DataFrame,
     id_col: str = "id",
     text_col: str = "text",
     max_hamming: int = 3,
     bands: int = 4,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Near-dup candidates by SimHash: docs agreeing on >=1 of `bands`
     16-bit blocks (pigeonhole: any pair within hamming distance
-    `bands-1` must share a block), verified by exact hamming distance."""
-    toks = tokenize_expr(text_col, stop_words=None)
-    s = (
-        df.select(F.col(id_col), simhash_bitcounts_expr(toks).alias("__cnt"))
-        .withColumn("__sim", simhash_from_bitcounts_expr(F.col("__cnt")))
-        .drop("__cnt")
-    )
+    `bands-1` must share a block), verified by exact hamming distance.
+
+    impl='arrow' hashes tokens in a numpy kernel; impl='expr' stays in
+    pure JVM expressions (xxhash64 family)."""
+    if impl == "arrow":
+        s = _simhash_arrow(df, id_col, text_col)
+    else:
+        toks = tokenize_expr(text_col, stop_words=None)
+        s = (
+            df.select(F.col(id_col), simhash_bitcounts_expr(toks).alias("__cnt"))
+            .withColumn("__sim", simhash_from_bitcounts_expr(F.col("__cnt")))
+            .drop("__cnt")
+        )
     block_bits = 64 // bands
     banded = s.select(
         F.col(id_col), F.col("__sim"),
