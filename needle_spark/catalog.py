@@ -288,6 +288,59 @@ class Collection:
         self._commit(self.df(version),
                      [{"event_type": "restore", "vector_id": str(version)}], now_ms)
 
+    # ----------------------------------------------- export / import --
+    def export_json(self, out_path: str) -> None:
+        """Whole-collection JSON export (database/mod.rs:965)."""
+        self.df().write.mode("overwrite").json(out_path)
+
+    def import_json(self, in_path: str, now_ms: int | None = None) -> int:
+        """JSON import (database/mod.rs:995) — validated like insert."""
+        rows = self.spark.read.schema(self.df().schema).json(in_path)
+        return self.insert(rows, now_ms=now_ms)
+
+    def export_bundle(self, out_dir: str) -> None:
+        """Portable bundle = data + manifest (collection/bundle.rs): a
+        self-contained directory restorable with import_bundle."""
+        import shutil as _sh
+
+        os.makedirs(out_dir, exist_ok=True)
+        m = dict(self._manifest)
+        m["bundle_format"] = 1
+        with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+            json.dump(m, f)
+        _sh.copytree(
+            os.path.join(self.path, f"v={m['version']}"),
+            os.path.join(out_dir, "data"),
+            dirs_exist_ok=True,
+        )
+
+    @classmethod
+    def import_bundle(cls, spark: SparkSession, bundle_dir: str, path: str) -> "Collection":
+        with open(os.path.join(bundle_dir, "manifest.json")) as f:
+            m = json.load(f)
+        if m.get("bundle_format") != 1:
+            raise CollectionError("unsupported bundle format")
+        coll = cls.create(
+            spark, path, dims=m["dims"], metric=m["metric"],
+            id_col=m["id_col"], vector_col=m["vector_col"], schema=m.get("schema"),
+        )
+        data = spark.read.parquet(os.path.join(bundle_dir, "data"))
+        coll._commit(data, [{"event_type": "import", "vector_id": "*"}], None)
+        return coll
+
+    def compact(self, keep_versions: int = 1, target_partitions: int | None = None) -> None:
+        """Tombstone GC (accessors.rs:166,241 / OPTIMIZE): rewrite the
+        current version with a bounded partition count and drop history
+        older than keep_versions."""
+        cur = self.df()
+        if target_partitions:
+            cur = cur.coalesce(target_partitions)
+        self._commit(cur, [], None)
+        keep = set(self.versions()[-(keep_versions + 1):])
+        for v in self.versions():
+            if v not in keep:
+                shutil.rmtree(os.path.join(self.path, f"v={v}"), ignore_errors=True)
+
     # -------------------------------------------------- transactions --
     def begin(self) -> "Transaction":
         return Transaction(self)
