@@ -734,6 +734,114 @@ FROM orders
 """
 
 
+# ------------------------------------------- join & OLAP analytics ---
+
+def _revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table star join: nation <- customer <- orders <- lineitem.
+    nation/customer broadcast; lineitem (the fact table) never shuffles
+    for the joins — only the final small aggregation exchanges."""
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev_cents = F.round(
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))) * 100
+    ).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            (F.sum(rev_cents).cast("double") / 100.0).alias("revenue"),
+            F.count(F.lit(1)).alias("line_cnt"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_REVENUE_PER_NATION_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(round((l_extendedprice * (1.0 - l_discount)) * 100) AS BIGINT))
+            AS DOUBLE) / 100.0 AS revenue,
+       count(*) AS line_cnt
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def _distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregates (free in Spark; SURVEY §2.4 notes absent in
+    the reference)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("supp_card"),
+            F.countDistinct("l_partkey").alias("part_card"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_DISTINCT_AGG_SQL = """
+SELECT l_returnflag, count(DISTINCT l_suppkey) AS supp_card,
+       count(DISTINCT l_partkey) AS part_card, count(*) AS cnt
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def _rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) — grouping-set extension."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"), sum_fixed("l_quantity").alias("sum_qty"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+_ROLLUP_AGG_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+def _ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall harness (recall_benchmark.rs): recall@10 of IVF(nprobe=8/16)
+    vs the exact oracle for 5 queries.  Rows-only check (KMeans has no
+    SQL twin); correctness asserted in tests via bounds."""
+    from needle_spark.plans.ivf import IvfIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ivf = IvfIndex.fit(emb, nlist=16, vector_col="embedding", id_col="vec_id")
+    indexed = ivf.assign(emb).cache()
+    out = []
+    queries = emb.orderBy("vec_id").limit(5).collect()
+    for r in queries:
+        qv = [float(x) for x in r["embedding"]]
+        exact = {
+            x["vec_id"]
+            for x in knn(emb, qv, k=10, vector_col="embedding", id_col="vec_id").collect()
+        }
+        approx = {
+            x["vec_id"] for x in ivf.search(indexed, qv, k=10, nprobe=8).collect()
+        }
+        out.append((r["vec_id"], len(exact & approx) / 10.0))
+    indexed.unpersist()
+    return spark.createDataFrame(out, "query_id bigint, recall double")
+
+
 # ------------------------------- cross-collection / graph / rerank ---
 
 def _knn_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -893,6 +1001,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparse_dot": _sparse_dot,
         "field_stats_orders": _field_stats_orders,
         "events_hourly_window": _events_hourly,
+        "revenue_per_nation": _revenue_per_nation,
+        "distinct_agg": _distinct_agg,
+        "rollup_agg": _rollup_agg,
+        "ivf_recall": _ivf_recall,
         "knn_page2": _knn_page2,
         "cross_collection": _cross_collection,
         "graph_traverse": _graph_traverse,
@@ -948,6 +1060,10 @@ def oracle_sql() -> dict[str, str]:
         "sparse_dot": _sparse_dot_sql(),
         "field_stats_orders": _FIELD_STATS_SQL,
         "events_hourly_window": _EVENTS_HOURLY_SQL,
+        "revenue_per_nation": _REVENUE_PER_NATION_SQL,
+        "distinct_agg": _DISTINCT_AGG_SQL,
+        "rollup_agg": _ROLLUP_AGG_SQL,
+        # ivf_recall: no oracle (KMeans centroids aren't SQL-expressible)
         "knn_page2": _knn_page2_sql(),
         "cross_collection": _cross_collection_sql(),
         "graph_traverse": _GRAPH_TRAVERSE_SQL,

@@ -75,6 +75,57 @@ def traverse(
     return visited
 
 
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Community detection via iterative min-label propagation
+    (GraphRAG community building, graphrag.rs) — each node adopts the
+    smallest component id among itself and its neighbors until fixpoint.
+
+    Returns (id, component).  Each iteration is one join + aggregation;
+    converges in O(diameter) rounds.  At real scale, persist labels
+    each round and use large-star/small-star optimizations.
+    """
+    sym = edges.select(
+        F.col(src_col).cast("string").alias("a"), F.col(dst_col).cast("string").alias("b")
+    )
+    sym = sym.unionByName(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels.withColumnRenamed("id", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_min"))
+            .withColumnRenamed("a", "id")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # cut iterative lineage
+        if changed == 0:
+            break
+    return labels
+
+
 def seed_by_similarity(
     nodes: DataFrame,
     query_vector,

@@ -239,6 +239,52 @@ def hybrid_search(
     )
 
 
+class AdaptiveRrfWeights:
+    """Feedback-driven RRF weight learning (hybrid.rs:813-1000).
+
+    Clicks/accepts on results that came from the vector side shift
+    weight toward vectors, and vice versa; weights stay normalized and
+    are learned per query type (e.g. 'short'/'long' queries)."""
+
+    def __init__(self, learning_rate: float = 0.05,
+                 initial: tuple[float, float] = (0.5, 0.5)):
+        self.lr = learning_rate
+        self._weights: dict[str, tuple[float, float]] = {"default": initial}
+        self.feedback_count = 0
+
+    @staticmethod
+    def query_type(query_text: str) -> str:
+        return "short" if len(tokenize_py(query_text)) <= 2 else "long"
+
+    def get_weights(self, query_text: str) -> tuple[float, float]:
+        return self._weights.get(self.query_type(query_text),
+                                 self._weights["default"])
+
+    def record_feedback(self, query_text: str, vector_rank: int | None,
+                        bm25_rank: int | None, accepted: bool = True) -> None:
+        """A clicked result that only (or better) ranked on one signal is
+        evidence for that signal."""
+        if not accepted:
+            return
+        qt = self.query_type(query_text)
+        vw, bw = self._weights.get(qt, self._weights["default"])
+        v_evidence = vector_rank is not None and (bm25_rank is None or vector_rank < bm25_rank)
+        b_evidence = bm25_rank is not None and (vector_rank is None or bm25_rank < vector_rank)
+        if v_evidence:
+            vw += self.lr
+        elif b_evidence:
+            bw += self.lr
+        total = vw + bw
+        self._weights[qt] = (vw / total, bw / total)
+        self.feedback_count += 1
+
+    def fuse(self, vector_results: DataFrame, bm25_results: DataFrame,
+             query_text: str, **kwargs) -> DataFrame:
+        vw, bw = self.get_weights(query_text)
+        return rrf_fuse(vector_results, bm25_results,
+                        vector_weight=vw, bm25_weight=bw, **kwargs)
+
+
 def rerank_by_field(
     results: DataFrame,
     field: str,
