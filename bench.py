@@ -57,6 +57,7 @@ def main() -> None:
         "time_decay_knn", "asof_knn", "maxsim", "sparse_dot",
         "field_stats_orders", "events_hourly_window", "knn_page2",
         "cross_collection", "graph_traverse", "term_overlap_rerank",
+        "revenue_per_nation", "distinct_agg", "rollup_agg",
     ]
     for name in bench_queries:
         fn = qs[name]
@@ -74,6 +75,25 @@ def main() -> None:
             doc_vector_col="embedding", doc_id_col="vec_id",
         ).collect(),
     )
+
+    # repeated-query BM25 throughput on a built index (10 queries)
+    from needle_spark.operators.hybrid import Bm25Index
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    idx = Bm25Index(docs, id_col="doc_id", text_col="text")
+    idx.search("warmup", limit=1).collect()
+    run(
+        "bm25_indexed_10q",
+        lambda: [
+            idx.search(q, limit=10).collect()
+            for q in (
+                "fast merge sort", "window batch", "query row data", "hash join",
+                "scan filter", "group order", "stream value", "customer line",
+                "small table", "spark data merge",
+            )
+        ],
+    )
+    idx.unpersist()
 
     # bulk insert throughput: scan + rewrite lineitem as parquet
     out_dir = tempfile.mkdtemp(prefix="needle_bench_")

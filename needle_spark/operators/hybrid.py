@@ -107,6 +107,75 @@ def bm25_scores(
     return scored
 
 
+class Bm25Index:
+    """Build-once BM25 index as cached DataFrames (the reference's
+    index_document/search lifecycle, hybrid.rs:270-430).
+
+    The postings (id, term, tf), doc lengths, and (N, avgdl) stats are
+    computed in ONE tokenize scan and cached; each query then touches
+    only its terms' postings (filter on `term` pushes into the cached
+    scan).  Use this for repeated queries; `bm25_scores` for one-shots.
+    """
+
+    def __init__(self, docs: DataFrame, id_col: str = "id", text_col: str = "text",
+                 k1: float = DEFAULT_K1, b: float = DEFAULT_B,
+                 stem: bool = False, stop_words=STOP_WORDS):
+        self.id_col, self.k1, self.b = id_col, k1, b
+        self.stem, self.stop_words = stem, stop_words
+        toks = _tokens(docs, id_col, text_col, stem, stop_words)
+        self.postings = (
+            toks.select(F.col(id_col), F.size("__toks").cast("double").alias("__dl"),
+                        F.explode("__toks").alias("term"))
+            .groupBy(id_col, "__dl", "term")
+            .agg(F.count(F.lit(1)).cast("double").alias("__tf"))
+            .cache()
+        )
+        self.lens = toks.select(
+            F.col(id_col), F.size("__toks").cast("double").alias("__dl")
+        ).cache()
+        row = self.lens.agg(
+            F.count(F.lit(1)).cast("double").alias("n"), F.sum("__dl").alias("s")
+        ).first()
+        self.n_docs = row["n"]
+        self.avgdl = row["s"] / row["n"] if row["n"] else 0.0
+        self.doc_freqs = self.postings.groupBy("term").agg(
+            F.count(F.lit(1)).cast("double").alias("__df")
+        ).cache()
+
+    def search(self, query_text: str, limit: int | None = 10,
+               score_col: str = "score", rounding: int | None = 9) -> DataFrame:
+        q_terms = tokenize_py(query_text, stop_words=self.stop_words)
+        if self.stem:
+            q_terms = [porter_stem(t) for t in q_terms]
+        spark = self.postings.sparkSession
+        if not q_terms:
+            return spark.createDataFrame([], f"{self.id_col} string, {score_col} double")
+        qcounts = Counter(q_terms)
+        qdf = spark.createDataFrame(
+            [(t, float(c)) for t, c in sorted(qcounts.items())],
+            "term string, qcount double",
+        )
+        idf = F.log((F.lit(self.n_docs) - F.col("__df") + 0.5) / (F.col("__df") + 0.5) + 1.0)
+        lnorm = F.lit(1.0 - self.b) + F.lit(self.b) * F.col("__dl") / F.lit(self.avgdl)
+        tf_norm = (F.col("__tf") * (self.k1 + 1.0)) / (F.col("__tf") + F.lit(self.k1) * lnorm)
+        scored = (
+            self.postings.join(F.broadcast(qdf), "term")
+            .join(F.broadcast(self.doc_freqs), "term")
+            .withColumn("__s", idf * tf_norm * F.col("qcount"))
+            .groupBy(self.id_col)
+            .agg(F.sum("__s").alias(score_col))
+            .filter(F.col(score_col) > 0.0)
+        )
+        if limit is None:
+            return scored
+        key = F.round(F.col(score_col), rounding) if rounding else F.col(score_col)
+        return scored.orderBy(key.desc(), F.col(self.id_col).asc()).limit(limit)
+
+    def unpersist(self) -> None:
+        for df in (self.postings, self.lens, self.doc_freqs):
+            df.unpersist()
+
+
 def bm25_topk(
     docs: DataFrame,
     query_text: str,
