@@ -28,6 +28,9 @@ from needle_spark.operators.knn import batch_knn, knn, radius_search
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the driver may hand us a session without our factory's confs;
+    # events.parquet stores TIMESTAMP(NANOS), unreadable without this.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
