@@ -151,8 +151,52 @@ class Collection:
     def contains(self, vector_id: Any) -> bool:
         return self.get(vector_id) is not None
 
+    # ---------------------------------------------------- typed schema --
+    def set_metadata_schema(self, fields: dict[str, dict]) -> None:
+        """Declare a typed metadata schema (typed_schema.rs:43-97 /
+        metadata.rs:69-110): {field: {"type": "string|int|float|bool|
+        string_array|int_array", "required": bool}}.  Enforced on every
+        subsequent insert/upsert."""
+        allowed = {"string", "int", "float", "bool", "string_array", "int_array"}
+        for f, spec in fields.items():
+            if spec.get("type") not in allowed:
+                raise CollectionError(f"unknown field type for {f!r}: {spec.get('type')}")
+        self._manifest["metadata_schema"] = fields
+        self._write_manifest_static(self.path, self._manifest)
+
+    def _validate_schema(self, rows: DataFrame) -> None:
+        spec: dict = self._manifest.get("metadata_schema") or {}
+        if not spec:
+            return
+        dtypes = dict(rows.dtypes)
+        for fname, fspec in spec.items():
+            required = bool(fspec.get("required"))
+            if fname not in dtypes:
+                if required:
+                    raise CollectionError(f"missing required field {fname!r}")
+                continue
+            want = fspec["type"]
+            got = dtypes[fname]
+            ok = {
+                "string": got == "string",
+                "int": got in ("bigint", "int", "smallint", "tinyint"),
+                "float": got in ("double", "float"),
+                "bool": got == "boolean",
+                "string_array": got == "array<string>",
+                "int_array": got in ("array<bigint>", "array<int>"),
+            }[want]
+            if not ok:
+                raise CollectionError(
+                    f"field {fname!r}: declared {want}, batch has {got}"
+                )
+            if required:
+                nulls = rows.filter(F.col(fname).isNull()).count()
+                if nulls:
+                    raise CollectionError(f"{nulls} null values in required field {fname!r}")
+
     # -------------------------------------------------------- validate --
     def _validate_new(self, rows: DataFrame, check_dup_existing: bool = True) -> None:
+        self._validate_schema(rows)
         vc, ic, dims = self.vector_col, self.id_col, self.dims
         bad = rows.select(
             F.sum((F.size(vc) != dims).cast("int")).alias("dim"),

@@ -87,6 +87,72 @@ class SQ8:
                    vector_col=self.vector_col, id_col=id_col)
 
 
-def compression_ratio() -> float:
-    """float32 -> int8."""
-    return 4.0
+class BinaryQuantizer:
+    """1-bit quantization (quantization.rs Binary variant, 32x):
+    vectors become sign bitmaps packed into array<bigint> words; coarse
+    search uses Hamming distance on the packed words (bit_count of XOR),
+    exact rescoring recovers precision — the classic binary-sketch
+    two-stage."""
+
+    def __init__(self, vector_col: str = "vector", codes_col: str = "bits"):
+        self.vector_col, self.codes_col = vector_col, codes_col
+
+    def encode(self, df: DataFrame) -> DataFrame:
+        """Pack sign bits (x > 0) into 64-bit words, JVM-side."""
+        dim = len(df.select(self.vector_col).first()[0])
+        n_words = (dim + 63) // 64
+        words = []
+        for w in range(n_words):
+            word = F.lit(0).cast("long")
+            for b in range(min(64, dim - w * 64)):
+                idx = w * 64 + b + 1
+                v = 1 << b
+                if v >= 1 << 63:
+                    v -= 1 << 64
+                word = word.bitwiseOR(
+                    F.when(F.element_at(F.col(self.vector_col), idx) > 0.0,
+                           F.lit(v).cast("long")).otherwise(F.lit(0).cast("long"))
+                )
+            words.append(word)
+        return df.withColumn(self.codes_col, F.array(*words))
+
+    def hamming_expr(self, query_vector) -> "F.Column":
+        """Hamming distance between stored bitmaps and the query's sign
+        bitmap: sum of bit_count(word XOR q_word)."""
+        dim = len(query_vector)
+        n_words = (dim + 63) // 64
+        q_words = []
+        for w in range(n_words):
+            acc = 0
+            for b in range(min(64, dim - w * 64)):
+                if float(query_vector[w * 64 + b]) > 0.0:
+                    acc |= 1 << b
+            if acc >= 1 << 63:
+                acc -= 1 << 64
+            q_words.append(acc)
+        total = F.lit(0).cast("long")
+        for w, qw in enumerate(q_words):
+            total = total + F.bit_count(
+                F.element_at(F.col(self.codes_col), w + 1).bitwiseXOR(F.lit(qw).cast("long"))
+            )
+        return total
+
+    def search(self, encoded_df: DataFrame, query_vector, k: int = 10,
+               rescore_factor: int = 8, metric: str = "cosine",
+               id_col: str = "id") -> DataFrame:
+        from needle_spark.operators.knn import knn, validate_query_vector
+
+        qv = validate_query_vector(query_vector)
+        candidates = (
+            encoded_df.withColumn("__h", self.hamming_expr(qv))
+            .orderBy(F.col("__h").asc(), F.col(id_col).asc())
+            .limit(k * rescore_factor)
+            .drop("__h")
+        )
+        return knn(candidates, qv, k=k, metric=metric,
+                   vector_col=self.vector_col, id_col=id_col)
+
+
+def compression_ratio(kind: str = "sq8") -> float:
+    """float32 -> int8 (4x) or sign bits (32x)."""
+    return {"sq8": 4.0, "binary": 32.0}[kind]

@@ -1,0 +1,124 @@
+"""Pipeline DSL, typed metadata schema enforcement, binary quantization."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from needle_spark.catalog import CollectionError, Database
+from needle_spark.operators.pipeline_dsl import PipelineError, run_pipeline
+from needle_spark.plans.quantization import BinaryQuantizer
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, embeddings, documents):
+    emb = embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector"), "label"
+    )
+    docs = documents.select(F.col("doc_id").alias("id"), "text")
+    return emb.join(docs, "id").cache()
+
+
+def test_pipeline_search_filter_rerank_limit(spark, corpus, embeddings):
+    qv = [float(x) for x in embeddings.orderBy("vec_id").first()["embedding"]]
+    out = run_pipeline(
+        corpus,
+        {"stages": [
+            {"type": "search", "k": 40},
+            {"type": "filter", "filter": {"label": {"$gte": 2}}},
+            {"type": "rerank_field", "field": "label", "k": 10, "fetch_k": 40},
+            {"type": "limit", "k": 5},
+        ]},
+        params={"vector": qv},
+    ).collect()
+    assert len(out) == 5
+    assert all(r["label"] >= 2 for r in out)
+    labels = [r["label"] for r in out]
+    assert labels == sorted(labels, reverse=True)
+
+
+def test_pipeline_diversify_terminal(spark, corpus, embeddings):
+    qv = [float(x) for x in embeddings.orderBy("vec_id").first()["embedding"]]
+    picked = run_pipeline(
+        corpus,
+        {"stages": [
+            {"type": "search", "k": 20},
+            {"type": "diversify", "k": 5, "lambda": 0.5},
+        ]},
+        params={"vector": qv},
+    )
+    assert isinstance(picked, list) and len(picked) == 5
+    with pytest.raises(PipelineError, match="terminal"):
+        run_pipeline(
+            corpus,
+            {"stages": [
+                {"type": "search", "k": 20},
+                {"type": "diversify", "k": 5},
+                {"type": "limit", "k": 2},
+            ]},
+            params={"vector": qv},
+        )
+
+
+def test_pipeline_hybrid_stage(spark, corpus, embeddings):
+    qv = [float(x) for x in embeddings.orderBy("vec_id").first()["embedding"]]
+    out = run_pipeline(
+        corpus,
+        {"stages": [{"type": "hybrid", "k": 5, "query": "fast merge sort"}]},
+        params={"vector": qv},
+    ).collect()
+    assert 0 < len(out) <= 5
+
+
+def test_pipeline_errors(spark, corpus):
+    with pytest.raises(PipelineError, match="no stages"):
+        run_pipeline(corpus, {"stages": []})
+    with pytest.raises(PipelineError, match="unknown stage"):
+        run_pipeline(corpus, {"stages": [{"type": "frobnicate"}]})
+    with pytest.raises(PipelineError, match="requires"):
+        run_pipeline(corpus, {"stages": [{"type": "search"}]})
+
+
+def test_typed_metadata_schema(spark, tmp_path):
+    db = Database(spark, str(tmp_path / "db"))
+    c = db.create_collection(
+        "typed", dims=2,
+        schema="id string, vector array<float>, category string, rating double",
+    )
+    c.set_metadata_schema({
+        "category": {"type": "string", "required": True},
+        "rating": {"type": "float", "required": False},
+    })
+    ok = spark.createDataFrame(
+        [("a", [1.0, 0.0], "books", 4.5)],
+        "id string, vector array<float>, category string, rating double",
+    )
+    assert c.insert(ok, now_ms=1) == 1
+    # null in a required field rejected
+    bad = spark.createDataFrame(
+        [("b", [1.0, 0.0], None, 1.0)],
+        "id string, vector array<float>, category string, rating double",
+    )
+    with pytest.raises(CollectionError, match="required"):
+        c.insert(bad)
+    # wrong declared type rejected
+    with pytest.raises(CollectionError, match="unknown field type"):
+        c.set_metadata_schema({"category": {"type": "varchar"}})
+
+
+def test_binary_quantization(spark, embeddings):
+    bq = BinaryQuantizer(vector_col="embedding", codes_col="bits")
+    enc = bq.encode(embeddings).cache()
+    row = enc.select("embedding", "bits").first()
+    # spot-check the packing: bit b of word w == (x[w*64+b] > 0)
+    word0 = row["bits"][0] & ((1 << 64) - 1)
+    for b in range(10):
+        assert ((word0 >> b) & 1) == (1 if row["embedding"][b] > 0 else 0)
+
+    qv = [float(x) for x in embeddings.orderBy("vec_id").first()["embedding"]]
+    from needle_spark.operators.knn import knn
+
+    exact = [r["vec_id"] for r in knn(
+        embeddings, qv, k=10, vector_col="embedding", id_col="vec_id").collect()]
+    approx = [r["vec_id"] for r in bq.search(
+        enc, qv, k=10, rescore_factor=8, id_col="vec_id").collect()]
+    assert approx[0] == exact[0] == 0
+    assert len(set(exact) & set(approx)) >= 5  # 1-bit sketch, rescored
