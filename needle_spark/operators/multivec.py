@@ -56,6 +56,59 @@ def maxsim_scores(
     return per_qtok.groupBy(doc_id_col).agg(F.sum("__m").alias(score_col))
 
 
+def maxsim_two_stage(
+    doc_tokens: DataFrame,
+    query_vectors: Sequence[Sequence[float]],
+    k: int = 10,
+    prefilter_factor: int = 4,
+    nlist: int = 16,
+    nprobe: int = 4,
+    doc_id_col: str = "doc_id",
+    vector_col: str = "vector",
+    score_col: str = "score",
+    seed: int = 42,
+) -> DataFrame:
+    """Two-stage MaxSim with centroid prefilter (multivec.rs:275-332):
+
+    1. coarse: pool each doc's tokens (mean) and each query's tokens;
+       keep the top (k * prefilter_factor) docs by pooled similarity
+       through an IVF probe over the pooled vectors;
+    2. exact MaxSim on the surviving docs' full token sets.
+
+    At scale stage 1 reads one pooled vector per doc (a tiny side table)
+    instead of every token row; stage 2's explode-join touches only
+    candidates.
+    """
+    from needle_spark.plans.ivf import IvfIndex
+
+    # mean-pool via posexplode + avg (works for any dim, stays JVM-side)
+    pooled = (
+        doc_tokens.select(doc_id_col, F.posexplode(vector_col).alias("__p", "__x"))
+        .groupBy(doc_id_col, "__p")
+        .agg(F.avg("__x").alias("__m"))
+        .groupBy(doc_id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("__p", "__m"))).alias("__pm"))
+        .select(
+            doc_id_col,
+            F.transform(F.col("__pm"), lambda s: s["__m"].cast("float")).alias("__pooled"),
+        )
+    )
+    q_pooled = [
+        sum(qv[i] for qv in query_vectors) / len(query_vectors)
+        for i in range(len(query_vectors[0]))
+    ]
+    ivf = IvfIndex.fit(pooled, nlist=nlist, vector_col="__pooled", id_col=doc_id_col, seed=seed)
+    indexed = ivf.assign(pooled)
+    candidates = ivf.search(
+        indexed, q_pooled, k=k * prefilter_factor, nprobe=nprobe, metric="cosine"
+    ).select(doc_id_col)
+    survivors = doc_tokens.join(F.broadcast(candidates), doc_id_col)
+    return maxsim_topk(
+        survivors, query_vectors, k=k,
+        doc_id_col=doc_id_col, vector_col=vector_col, score_col=score_col,
+    )
+
+
 def maxsim_topk(
     doc_tokens: DataFrame,
     query_vectors: Sequence[Sequence[float]],
