@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -95,7 +96,6 @@ def rerank_udf(score_fn):
     """Extension point for model-based rerankers (Cohere / CrossEncoder,
     reranker.rs): wrap any (query, text) -> score python function as an
     Arrow-batched pandas UDF applied to the candidate set."""
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")

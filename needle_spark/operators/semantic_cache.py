@@ -18,6 +18,43 @@ from typing import Any, Sequence
 import numpy as np
 
 
+class ExactQueryCache:
+    """Exact query-result cache (reference: src/collection/cache.rs —
+    sharded exact cache keyed by query signature).  Keys are
+    (rounded query vector, k, metric, filter-json); values are collected
+    result rows.  Invalidate on collection version change."""
+
+    def __init__(self, max_entries: int = 1000, round_decimals: int = 9):
+        self.max_entries = max_entries
+        self.round_decimals = round_decimals
+        self._store: dict = {}
+        self.hits = 0
+        self.misses = 0
+
+    def _key(self, query_vector, k, metric, filter_doc, version):
+        import json as _json
+
+        qv = tuple(round(float(x), self.round_decimals) for x in query_vector)
+        f = _json.dumps(filter_doc, sort_keys=True) if filter_doc else ""
+        return (qv, int(k), metric, f, version)
+
+    def get(self, query_vector, k, metric="cosine", filter_doc=None, version=0):
+        key = self._key(query_vector, k, metric, filter_doc, version)
+        if key in self._store:
+            self.hits += 1
+            return self._store[key]
+        self.misses += 1
+        return None
+
+    def put(self, result, query_vector, k, metric="cosine", filter_doc=None, version=0):
+        if len(self._store) >= self.max_entries:
+            self._store.pop(next(iter(self._store)))  # FIFO
+        self._store[self._key(query_vector, k, metric, filter_doc, version)] = result
+
+    def stats(self):
+        return {"entries": len(self._store), "hits": self.hits, "misses": self.misses}
+
+
 class SemanticCache:
     def __init__(self, similarity_threshold: float = 0.98, max_entries: int = 1000):
         self.threshold = similarity_threshold

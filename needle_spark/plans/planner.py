@@ -109,6 +109,47 @@ def choose_strategy(
     return "brute_force"
 
 
+def numeric_histogram(df, col: str, buckets: int = 10):
+    """Equi-width numeric histogram (cost_estimator.rs:125-271) for
+    selectivity estimation: returns (lo, hi, [bucket counts])."""
+    from pyspark.sql import functions as F
+
+    row = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
+    lo, hi = float(row["lo"]), float(row["hi"])
+    if hi <= lo:
+        return lo, hi, [df.count()] + [0] * (buckets - 1)
+    counts_rows = (
+        df.select(
+            F.least(
+                F.floor((F.col(col) - lo) / ((hi - lo) / buckets)).cast("int"),
+                F.lit(buckets - 1),
+            ).alias("__b")
+        )
+        .groupBy("__b").count().collect()
+    )
+    counts = [0] * buckets
+    for r in counts_rows:
+        counts[r["__b"]] = r["count"]
+    return lo, hi, counts
+
+
+def histogram_selectivity(hist, lo_q: float, hi_q: float) -> float:
+    """Estimated fraction of rows in [lo_q, hi_q] from a histogram with
+    linear interpolation inside partially-covered buckets."""
+    lo, hi, counts = hist
+    total = sum(counts)
+    if total == 0 or hi <= lo:
+        return 0.0
+    width = (hi - lo) / len(counts)
+    acc = 0.0
+    for i, c in enumerate(counts):
+        b_lo, b_hi = lo + i * width, lo + (i + 1) * width
+        ov_lo, ov_hi = max(b_lo, lo_q), min(b_hi, hi_q)
+        if ov_hi > ov_lo:
+            acc += c * (ov_hi - ov_lo) / width
+    return min(acc / total, 1.0)
+
+
 def explain_text(df, mode: str = "formatted") -> str:
     """Capture df.explain() as a string (EXPLAIN surface,
     needleql_executor.rs:296-319 renders plan steps similarly)."""

@@ -80,6 +80,20 @@ def test_term_overlap(spark):
     assert got["a"] == 1.0 and got["b"] == 0.0
 
 
+def test_rerank_udf_extension_point(spark):
+    from needle_spark.operators.rerank import rerank_udf
+
+    df = spark.createDataFrame(
+        [("a", "short"), ("b", "a much longer candidate text")],
+        "id string, text string",
+    )
+    scorer = rerank_udf(lambda q, t: len(t) / (len(q) + 1.0))
+    got = {r["id"]: r["s"] for r in
+           df.withColumn("s", scorer(F.lit("query"), F.col("text"))).collect()}
+    assert got["b"] > got["a"]
+    assert got["a"] == pytest.approx(5 / 6)
+
+
 def test_graph_traversal(spark):
     edges = spark.createDataFrame(
         [
