@@ -737,6 +737,83 @@ FROM orders
 """
 
 
+def _filter_ops_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercises the string/array filter operators ($contains,
+    $startsWith, $endsWith, $regex, $size) end-to-end."""
+    from needle_spark.filters import compile_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    flt = {
+        "$and": [
+            {"text": {"$contains": "merge"}},
+            {"source": {"$startsWith": "src"}},
+            {"lang": {"$size": 2}},
+            {"$or": [
+                {"text": {"$regex": "fast[a-z ]*merge"}},
+                {"source": {"$endsWith": "1"}},
+            ]},
+        ]
+    }
+    return docs.filter(compile_filter(flt, df=docs)).select("doc_id", "lang", "source")
+
+
+_FILTER_OPS_TEXT_SQL = """
+SELECT doc_id, lang, source FROM documents
+WHERE text LIKE '%merge%'
+  AND starts_with(source, 'src')
+  AND length(lang) = 2
+  AND (regexp_matches(text, 'fast[a-z ]*merge') OR source LIKE '%1')
+"""
+
+
+def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user is
+    idle > 30 min.  All integer nanos arithmetic + rank windows."""
+    gap_ns = 30 * 60 * 1_000_000_000
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    sess = (
+        ev.withColumn("__prev", F.lag("ts").over(w))
+        .withColumn(
+            "__new",
+            (F.col("__prev").isNull() | ((F.col("ts") - F.col("__prev")) > gap_ns)).cast("int"),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+        )
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_EVENTS_SESSIONIZE_SQL = """
+WITH s AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER w AS prev_ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 1800000000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+t AS (
+  SELECT user_id,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM s
+)
+SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+FROM t GROUP BY user_id ORDER BY user_id
+"""
+
+
 # ------------------------------------------- join & OLAP analytics ---
 
 def _revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1004,6 +1081,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparse_dot": _sparse_dot,
         "field_stats_orders": _field_stats_orders,
         "events_hourly_window": _events_hourly,
+        "filter_ops_text": _filter_ops_text,
+        "events_sessionize": _events_sessionize,
         "revenue_per_nation": _revenue_per_nation,
         "distinct_agg": _distinct_agg,
         "rollup_agg": _rollup_agg,
@@ -1063,6 +1142,8 @@ def oracle_sql() -> dict[str, str]:
         "sparse_dot": _sparse_dot_sql(),
         "field_stats_orders": _FIELD_STATS_SQL,
         "events_hourly_window": _EVENTS_HOURLY_SQL,
+        "filter_ops_text": _FILTER_OPS_TEXT_SQL,
+        "events_sessionize": _EVENTS_SESSIONIZE_SQL,
         "revenue_per_nation": _REVENUE_PER_NATION_SQL,
         "distinct_agg": _DISTINCT_AGG_SQL,
         "rollup_agg": _ROLLUP_AGG_SQL,
