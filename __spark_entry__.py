@@ -814,6 +814,61 @@ FROM t GROUP BY user_id ORDER BY user_id
 """
 
 
+def _filter_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$all / $elemMatch / $contains on an array column (tokens derived
+    from text — the testdata has no native array columns)."""
+    from needle_spark.filters import compile_filter
+    from needle_spark.functions.text import tokenize_expr
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "tokens", tokenize_expr("text", stop_words=None, min_len=1)
+    )
+    flt = {
+        "$and": [
+            {"tokens": {"$all": ["merge", "sort"]}},
+            {"tokens": {"$elemMatch": {"$startsWith": "wind"}}},
+            {"tokens": {"$contains": "fast"}},
+        ]
+    }
+    return docs.filter(compile_filter(flt, df=docs)).select("doc_id", "lang")
+
+
+_FILTER_ARRAY_OPS_SQL = """
+WITH d AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> length(t) >= 1) AS tokens
+  FROM documents
+)
+SELECT doc_id, lang FROM d
+WHERE list_contains(tokens, 'merge') AND list_contains(tokens, 'sort')
+  AND len(list_filter(tokens, t -> starts_with(t, 'wind'))) > 0
+  AND list_contains(tokens, 'fast')
+"""
+
+
+def _filter_json_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schemaless-metadata path: events.props is a JSON string; parse to
+    map<string,string> and filter through the compiler's dynamic map
+    fallback (numeric literal vs string value -> numeric compare)."""
+    from needle_spark.filters import compile_filter
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "meta", F.from_json("props", "map<string,string>")
+    )
+    flt = {"k": {"$gt": 50, "$lte": 90}}
+    return ev.filter(compile_filter(flt, df=ev, meta_col="meta")).select(
+        "event_id", "event_type"
+    )
+
+
+_FILTER_JSON_META_SQL = """
+SELECT event_id, event_type FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) > 50
+  AND CAST(json_extract_string(props, '$.k') AS DOUBLE) <= 90
+"""
+
+
 # ------------------------------------------- join & OLAP analytics ---
 
 def _revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1082,6 +1137,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_stats_orders": _field_stats_orders,
         "events_hourly_window": _events_hourly,
         "filter_ops_text": _filter_ops_text,
+        "filter_array_ops": _filter_array_ops,
+        "filter_json_meta": _filter_json_meta,
         "events_sessionize": _events_sessionize,
         "revenue_per_nation": _revenue_per_nation,
         "distinct_agg": _distinct_agg,
@@ -1143,6 +1200,8 @@ def oracle_sql() -> dict[str, str]:
         "field_stats_orders": _FIELD_STATS_SQL,
         "events_hourly_window": _EVENTS_HOURLY_SQL,
         "filter_ops_text": _FILTER_OPS_TEXT_SQL,
+        "filter_array_ops": _FILTER_ARRAY_OPS_SQL,
+        "filter_json_meta": _FILTER_JSON_META_SQL,
         "events_sessionize": _EVENTS_SESSIONIZE_SQL,
         "revenue_per_nation": _REVENUE_PER_NATION_SQL,
         "distinct_agg": _DISTINCT_AGG_SQL,
