@@ -128,6 +128,48 @@ def change_stream(spark: SparkSession, collection, from_seq: int | None = None) 
     return out
 
 
+def windowed_event_counts(
+    stream_df: DataFrame,
+    time_col: str = "event_time",
+    key_col: str | None = "event_type",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation over an event-time stream
+    (extension beyond the reference — it has no event-time windows,
+    SURVEY §2.9; flagged as such).  Late data beyond `watermark` is
+    dropped and state is bounded."""
+    keys = [F.window(F.col(time_col), window_duration)]
+    if key_col:
+        keys.append(F.col(key_col))
+    return (
+        stream_df.withWatermark(time_col, watermark)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            *( [F.col(key_col)] if key_col else [] ),
+            F.col("cnt"),
+        )
+    )
+
+
+def streaming_dedup(
+    stream_df: DataFrame,
+    id_col: str = "id",
+    time_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming dedup-by-id (ingestion.rs:62-63) — with a time column
+    the dedup state is watermark-bounded (dropDuplicatesWithinWatermark)
+    instead of growing forever."""
+    if time_col:
+        return stream_df.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+            [id_col]
+        )
+    return stream_df.dropDuplicates([id_col])
+
+
 def replay_state(collection, upto_seq: int | None = None) -> DataFrame:
     """Reconstruct the id -> latest-payload state purely from the CDC
     log (event_log.rs replay): last event per id wins; deletes drop the
