@@ -6,20 +6,66 @@ Architecture is Spark-first: every operator is declared with the
 DataFrame/SQL API so Catalyst/Tungsten choose the physical strategy
 (predicate pushdown, column pruning, broadcast joins, TakeOrderedAndProject
 top-k, whole-stage codegen).  Python UDFs appear only where the semantics
-genuinely cannot be expressed with built-in functions (Porter stemming,
-MMR's sequential greedy loop) and are Arrow-batched pandas UDFs.
+genuinely cannot be expressed with built-in functions and are
+Arrow-batched pandas UDFs / mapInPandas kernels.
+
+Quick start:
+
+    from needle_spark import get_spark, knn, compile_filter
+    spark = get_spark()
+    docs = spark.read.parquet(".../embeddings.parquet")
+    top = knn(docs, query_vec, k=10, filter={"label": {"$in": [1, 2]}},
+              vector_col="embedding", id_col="vec_id")
 
 Layout:
     session      - SparkSession factory tuned for the engine
     filters      - MongoDB-style filter-JSON -> Column compiler
+    catalog      - Database/Collection (versioned parquet, CDC, txns)
     functions/   - distance metrics, text tokenization, time decay
     operators/   - kNN, analytics, hybrid/BM25, dedup, text analysis, ...
-    plans/       - access-path planner (exact scan vs IVF) + EXPLAIN
-    streaming/   - Structured Streaming ingestion + CDC conventions
+    plans/       - access-path planner, IVF, quantization, EXPLAIN
+    streaming/   - Structured Streaming ingestion + CDC change streams
+    ql/          - NeedleQL lexer/parser/executor
 """
 
 from needle_spark.session import get_spark
 
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "__version__"]
+
+def __getattr__(name):
+    # lazy re-exports: keep `import needle_spark` light (no SparkSession
+    # or operator imports until actually used)
+    _lazy = {
+        "compile_filter": ("needle_spark.filters", "compile_filter"),
+        "distance_expr": ("needle_spark.functions.distance", "distance_expr"),
+        "knn": ("needle_spark.operators.knn", "knn"),
+        "batch_knn": ("needle_spark.operators.knn", "batch_knn"),
+        "batch_knn_arrow": ("needle_spark.operators.knn_arrow", "batch_knn_arrow"),
+        "radius_search": ("needle_spark.operators.knn", "radius_search"),
+        "recommend": ("needle_spark.operators.knn", "recommend"),
+        "hybrid_search": ("needle_spark.operators.hybrid", "hybrid_search"),
+        "bm25_scores": ("needle_spark.operators.hybrid", "bm25_scores"),
+        "Bm25Index": ("needle_spark.operators.hybrid", "Bm25Index"),
+        "rrf_fuse": ("needle_spark.operators.hybrid", "rrf_fuse"),
+        "AnalyticsQuery": ("needle_spark.operators.analytics", "AnalyticsQuery"),
+        "Database": ("needle_spark.catalog", "Database"),
+        "Collection": ("needle_spark.catalog", "Collection"),
+        "QueryExecutor": ("needle_spark.ql", "QueryExecutor"),
+        "IvfIndex": ("needle_spark.plans.ivf", "IvfIndex"),
+        "run_pipeline": ("needle_spark.operators.pipeline_dsl", "run_pipeline"),
+    }
+    if name in _lazy:
+        import importlib
+
+        mod, attr = _lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'needle_spark' has no attribute {name!r}")
+
+
+__all__ = [
+    "get_spark", "compile_filter", "distance_expr", "knn", "batch_knn",
+    "batch_knn_arrow", "radius_search", "recommend", "hybrid_search",
+    "bm25_scores", "Bm25Index", "rrf_fuse", "AnalyticsQuery", "Database",
+    "Collection", "QueryExecutor", "IvfIndex", "run_pipeline", "__version__",
+]
