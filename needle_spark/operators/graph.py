@@ -66,10 +66,13 @@ def traverse(
             .join(visited.select("id"), "id", "left_anti")
             .withColumn("hop", F.lit(hop))
         )
-        # checkpoint-by-materialize: iterative joins grow lineage; at
-        # real scale persist() each frontier
-        if nxt.isEmpty():
-            break
+        if hop < max_hops:
+            # materialize the frontier once: cuts iterative-join lineage
+            # AND gives the early-exit row count in the same job (vs a
+            # separate isEmpty() action per hop)
+            nxt = nxt.localCheckpoint(eager=True)
+            if nxt.isEmpty():
+                break
         visited = visited.unionByName(nxt)
         frontier = nxt.select("id")
     return visited
