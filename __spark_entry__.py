@@ -34,9 +34,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_QV_CACHE: dict[tuple[str, int], list[float]] = {}
+
+
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
-    row = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == vec_id).first()
-    return [float(x) for x in row["embedding"]]
+    key = (sf_dir, vec_id)
+    if key not in _QV_CACHE:
+        row = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == vec_id).first()
+        _QV_CACHE[key] = [float(x) for x in row["embedding"]]
+    return _QV_CACHE[key]
 
 
 _Q_SQL = "(SELECT embedding FROM embeddings WHERE vec_id = 0)"
