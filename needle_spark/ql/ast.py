@@ -102,6 +102,15 @@ class TimeDecaySpec:
 # -------------------------------------------------------- statements ---
 
 @dataclass
+class RagOptions:
+    """USING RAG(...) options (ast.rs:76-92)."""
+    top_k: int | None = None
+    rerank: bool | None = None
+    hybrid_alpha: float | None = None
+    deduplicate: bool | None = None
+
+
+@dataclass
 class SelectStmt:
     columns: list[str] | None  # None = *
     collection: str
@@ -114,6 +123,7 @@ class SelectStmt:
     as_of: Any = None
     with_time_decay: TimeDecaySpec | None = None
     rerank: RerankBy | None = None
+    using_rag: RagOptions | None = None
 
 
 @dataclass

@@ -199,8 +199,16 @@ class QueryExecutor:
                 ts = parse_duration(ts) if _DURATION_RE.match(ts) else int(ts)
             df = df.filter(F.col(self.inserted_at_col) <= F.lit(int(ts)))
 
+        # USING RAG options (ast.rs:76-92): top_k default, fusion alpha,
+        # result dedup
+        rag = stmt.using_rag
+        if rag is not None and rag.top_k is not None and stmt.limit is None:
+            limit = rag.top_k
+
         # hybrid-score ORDER BY picks the fusion weights
         alpha = 0.5
+        if rag is not None and rag.hybrid_alpha is not None:
+            alpha = rag.hybrid_alpha
         for key in stmt.order_by:
             if isinstance(key.expr, ast.FuncCall) and key.expr.name == "hybrid_score":
                 if len(key.expr.args) >= 3:
@@ -226,6 +234,19 @@ class QueryExecutor:
             fetch += stmt.offset or 0
             out = knn(df, qv, k=fetch, metric=self.metric, filter=pred,
                       vector_col=self.vector_col, id_col=self.id_col)
+            if rag is not None and rag.deduplicate:
+                # RAG chunk dedup: collapse results at identical (rounded)
+                # distances — near-identical chunks score identically
+                from pyspark.sql import Window
+
+                w = Window.partitionBy(F.round(F.col("distance"), 9)).orderBy(
+                    F.col(self.id_col).asc()
+                )
+                out = (
+                    out.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1).drop("__rn")
+                    .orderBy(F.col("distance").asc(), F.col(self.id_col).asc())
+                )
             if decay:
                 p = {k: (parse_duration(v) if isinstance(v, str) else v)
                      for k, v in decay.params.items()}

@@ -113,6 +113,10 @@ class Parser:
         if self.accept_kw("WITH"):
             stmt.with_time_decay = self._time_decay_spec()
 
+        if self.accept_kw("USING"):
+            self.expect_kw("RAG")
+            stmt.using_rag = self._rag_options()
+
         if self.accept_kw("WHERE"):
             stmt.where = self._or_expr()
 
@@ -157,6 +161,30 @@ class Parser:
                 self.next()
         self.expect("PUNCT", ")")
         return ast.TimeDecaySpec(function=fn, params=params)
+
+    def _rag_options(self) -> ast.RagOptions:
+        opts = ast.RagOptions()
+        if not (self.peek().kind == "PUNCT" and self.peek().value == "("):
+            return opts
+        self.next()
+        while not (self.peek().kind == "PUNCT" and self.peek().value == ")"):
+            key = self.ident()
+            self.expect("OP", "=")
+            val = self._literal()
+            if key == "top_k":
+                opts.top_k = int(val)
+            elif key == "rerank":
+                opts.rerank = bool(val)
+            elif key == "hybrid_alpha":
+                opts.hybrid_alpha = float(val)
+            elif key == "deduplicate":
+                opts.deduplicate = bool(val)
+            else:
+                raise ParseError(f"unknown RAG option: {key!r}")
+            if self.peek().kind == "PUNCT" and self.peek().value == ",":
+                self.next()
+        self.expect("PUNCT", ")")
+        return opts
 
     def _order_key(self) -> ast.OrderKey:
         expr = self._order_expr()

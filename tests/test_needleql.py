@@ -154,6 +154,43 @@ def test_ql_offset(ex, qv):
     assert [r["id"] for r in shifted] == [r["id"] for r in full[3:8]]
 
 
+def test_ql_using_rag(spark, ex, qv):
+    # top_k acts as the default limit
+    rows = ex.execute(
+        "SELECT id, distance FROM embeddings USING RAG(top_k = 3) "
+        "WHERE vector SIMILAR TO $q",
+        {"q": qv},
+    ).collect()
+    assert len(rows) == 3
+    # explicit LIMIT wins over top_k
+    rows = ex.execute(
+        "SELECT id FROM embeddings USING RAG(top_k = 3) "
+        "WHERE vector SIMILAR TO $q LIMIT 7",
+        {"q": qv},
+    ).collect()
+    assert len(rows) == 7
+    # deduplicate collapses identically-scored duplicates
+    dup = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("a2", [1.0, 0.0]), ("b", [0.0, 1.0])],
+        "id string, vector array<float>",
+    )
+    from needle_spark.ql import QueryExecutor
+
+    ex2 = QueryExecutor(spark, tables={"dup": dup})
+    got = [r["id"] for r in ex2.execute(
+        "SELECT id FROM dup USING RAG(top_k = 5, deduplicate = true) "
+        "WHERE vector SIMILAR TO $q",
+        {"q": [1.0, 0.0]},
+    ).collect()]
+    assert got == ["a", "b"]  # a2 (identical chunk) collapsed
+    # unknown option rejected at parse time
+    from needle_spark.ql.parser import ParseError
+
+    with pytest.raises(ParseError, match="RAG option"):
+        ex.execute("SELECT id FROM embeddings USING RAG(frob = 1) "
+                   "WHERE vector SIMILAR TO $q LIMIT 1", {"q": qv})
+
+
 def test_ql_unbound_param(ex):
     with pytest.raises(ExecError, match="unbound"):
         ex.execute("SELECT * FROM embeddings WHERE vector SIMILAR TO $nope LIMIT 1")
