@@ -17,6 +17,8 @@ measured with plans.ivf.recall_at_k-style comparison in tests.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -153,6 +155,124 @@ class BinaryQuantizer:
                    vector_col=self.vector_col, id_col=id_col)
 
 
-def compression_ratio(kind: str = "sq8") -> float:
-    """float32 -> int8 (4x) or sign bits (32x)."""
+class ProductQuantizer:
+    """Product quantization (quantization.rs PQ variant): split the
+    vector into M subspaces, k-means each subspace into 256 codewords,
+    store one byte per subspace (dim*4 / M compression).
+
+    Search uses ADC (asymmetric distance computation): per query build an
+    (M x 256) table of squared subdistances to every codeword; the coarse
+    score of a stored code is a table-lookup sum — numpy gather inside an
+    Arrow kernel, no decode.  Exact rescoring on the float column
+    restores precision for the top candidates.
+
+    Codebooks are trained driver-side with seeded Lloyd's iterations on a
+    sample (codebooks are tiny: M x 256 x dim/M floats); at 100 TB you
+    sample ~100k rows for training, encoding/search stay distributed.
+    """
+
+    def __init__(self, codebooks: "np.ndarray", vector_col: str = "vector",
+                 codes_col: str = "pq_codes"):
+        self.codebooks = codebooks  # (M, 256, sub_dim)
+        self.vector_col, self.codes_col = vector_col, codes_col
+
+    @property
+    def m(self) -> int:
+        return self.codebooks.shape[0]
+
+    @property
+    def sub_dim(self) -> int:
+        return self.codebooks.shape[2]
+
+    @classmethod
+    def fit(cls, df: DataFrame, m: int = 8, n_codewords: int = 256,
+            vector_col: str = "vector", sample_limit: int = 10_000,
+            iters: int = 15, seed: int = 42, **kw) -> "ProductQuantizer":
+
+
+        rows = df.select(vector_col).limit(sample_limit).collect()
+        X = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+        dim = X.shape[1]
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        sub = dim // m
+        rng = np.random.RandomState(seed)
+        books = []
+        for j in range(m):
+            S = X[:, j * sub:(j + 1) * sub]
+            k = min(n_codewords, len(S))
+            C = S[rng.choice(len(S), size=k, replace=False)].copy()
+            for _ in range(iters):  # Lloyd's
+                d = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                assign = d.argmin(axis=1)
+                for c in range(k):
+                    pts = S[assign == c]
+                    if len(pts):
+                        C[c] = pts.mean(axis=0)
+            if k < n_codewords:  # pad (tiny collections)
+                C = np.vstack([C, np.repeat(C[:1], n_codewords - k, axis=0)])
+            books.append(C)
+        return cls(np.asarray(books), vector_col=vector_col, **kw)
+
+    def encode(self, df: DataFrame) -> DataFrame:
+
+
+        from pyspark.sql.functions import pandas_udf
+
+        B, m, sub = self.codebooks, self.m, self.sub_dim
+
+        @pandas_udf("array<int>")
+        def _enc(s: pd.Series) -> pd.Series:
+            V = np.asarray([np.asarray(v, dtype=np.float64) for v in s])
+            out = []
+            if len(V) == 0:
+                return pd.Series(out)
+            codes = np.empty((len(V), m), dtype=np.int32)
+            for j in range(m):
+                S = V[:, j * sub:(j + 1) * sub]
+                d = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d.argmin(axis=1)
+            return pd.Series([list(map(int, row)) for row in codes])
+
+        return df.withColumn(self.codes_col, _enc(F.col(self.vector_col)))
+
+    def search(self, encoded_df: DataFrame, query_vector, k: int = 10,
+               rescore_factor: int = 8, metric: str = "euclidean",
+               id_col: str = "id") -> DataFrame:
+
+
+        from pyspark.sql.functions import pandas_udf
+
+        from needle_spark.operators.knn import knn, validate_query_vector
+
+        qv = np.asarray(validate_query_vector(query_vector), dtype=np.float64)
+        B, m, sub = self.codebooks, self.m, self.sub_dim
+        # ADC table: (M, 256) squared subdistances of the query
+        table = np.stack([
+            ((B[j] - qv[j * sub:(j + 1) * sub][None, :]) ** 2).sum(axis=1)
+            for j in range(m)
+        ])
+
+        @pandas_udf("double")
+        def _adc(codes: pd.Series) -> pd.Series:
+            C = np.asarray([np.asarray(c, dtype=np.int64) for c in codes])
+            if len(C) == 0:
+                return pd.Series([], dtype="float64")
+            rows = np.arange(m)
+            return pd.Series(table[rows[None, :], C].sum(axis=1))
+
+        candidates = (
+            encoded_df.withColumn("__adc", _adc(F.col(self.codes_col)))
+            .orderBy(F.col("__adc").asc(), F.col(id_col).asc())
+            .limit(k * rescore_factor)
+            .drop("__adc")
+        )
+        return knn(candidates, list(qv), k=k, metric=metric,
+                   vector_col=self.vector_col, id_col=id_col)
+
+
+def compression_ratio(kind: str = "sq8", dim: int = 64, m: int = 8) -> float:
+    """float32 -> int8 (4x), sign bits (32x), or PQ (dim*4/m bytes)."""
+    if kind == "pq":
+        return dim * 4.0 / m
     return {"sq8": 4.0, "binary": 32.0}[kind]

@@ -104,6 +104,27 @@ def test_typed_metadata_schema(spark, tmp_path):
         c.set_metadata_schema({"category": {"type": "varchar"}})
 
 
+def test_product_quantization(spark, embeddings):
+    from needle_spark.operators.knn import knn
+    from needle_spark.plans.quantization import ProductQuantizer, compression_ratio
+
+    pq = ProductQuantizer.fit(embeddings, m=8, vector_col="embedding")
+    assert pq.codebooks.shape == (8, 256, 8)
+    enc = pq.encode(embeddings).cache()
+    codes = enc.select("pq_codes").first()["pq_codes"]
+    assert len(codes) == 8 and all(0 <= c < 256 for c in codes)
+
+    qv = [float(x) for x in embeddings.orderBy("vec_id").first()["embedding"]]
+    exact = [r["vec_id"] for r in knn(
+        embeddings, qv, k=10, metric="euclidean",
+        vector_col="embedding", id_col="vec_id").collect()]
+    approx = [r["vec_id"] for r in pq.search(
+        enc, qv, k=10, rescore_factor=8, id_col="vec_id").collect()]
+    assert approx[0] == exact[0] == 0
+    assert len(set(exact) & set(approx)) >= 8
+    assert compression_ratio("pq", dim=64, m=8) == 32.0
+
+
 def test_binary_quantization(spark, embeddings):
     bq = BinaryQuantizer(vector_col="embedding", codes_col="bits")
     enc = bq.encode(embeddings).cache()
