@@ -88,9 +88,11 @@ class FuncCall:
 
 @dataclass
 class RerankBy:
-    field: str
+    field: str                    # metadata field, or "mmr"
     fetch_k: int | None = None
     descending: bool = True
+    mode: str = "field"           # "field" | "mmr"
+    mmr_lambda: float = 0.5
 
 
 @dataclass

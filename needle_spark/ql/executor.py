@@ -255,10 +255,22 @@ class QueryExecutor:
                     out, decay.function, now=now, k=limit + (stmt.offset or 0),
                     inserted_at_col=self.inserted_at_col, id_col=self.id_col, **p)
             if stmt.rerank is not None:
-                from needle_spark.operators.hybrid import rerank_by_field
-                out = rerank_by_field(out, stmt.rerank.field, k=limit,
-                                      fetch_k=fetch, descending=stmt.rerank.descending,
-                                      id_col=self.id_col)
+                if stmt.rerank.mode == "mmr":
+                    # sequential greedy over the candidate set; rebuild a
+                    # DataFrame from the picked rows (small by definition)
+                    from needle_spark.operators.rerank import mmr_diversify
+
+                    picked = mmr_diversify(
+                        out, qv, k=limit, lambda_mult=stmt.rerank.mmr_lambda,
+                        vector_col=self.vector_col, id_col=self.id_col,
+                    )
+                    schema = out.select(self.id_col, self.vector_col, "distance").schema
+                    out = self.spark.createDataFrame(picked, schema)
+                else:
+                    from needle_spark.operators.hybrid import rerank_by_field
+                    out = rerank_by_field(out, stmt.rerank.field, k=limit,
+                                          fetch_k=fetch, descending=stmt.rerank.descending,
+                                          id_col=self.id_col)
             return self._project(out, stmt, offset=stmt.offset, limit=limit)
 
         if match is not None:

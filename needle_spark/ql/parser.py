@@ -80,7 +80,48 @@ class Parser:
             self.expect_kw("COLLECTIONS")
             self._end()
             return ast.ShowCollectionsStmt()
+        if t.is_kw("SEARCH"):
+            return self.parse_search_near()
         raise ParseError(f"unexpected statement start: {t.value!r}")
+
+    def parse_search_near(self) -> ast.SelectStmt:
+        """SEARCH NEAR $query FROM coll [WHERE ...] [RERANK BY ...]
+        [LIMIT n] — sugar for SELECT * ... WHERE vector SIMILAR TO $query
+        (parser.rs:158-162)."""
+        self.expect_kw("SEARCH")
+        self.expect_kw("NEAR")
+        param = self.expect("PARAM").value
+        self.expect_kw("FROM")
+        collection = self.ident()
+        stmt = ast.SelectStmt(columns=None, collection=collection)
+        similar = ast.SimilarTo(column="vector", param=param)
+        if self.accept_kw("WHERE"):
+            stmt.where = ast.And(similar, self._or_expr())
+        else:
+            stmt.where = similar
+        if self.accept_kw("RERANK"):
+            self.expect_kw("BY")
+            stmt.rerank = self._rerank_target()
+        if self.accept_kw("LIMIT"):
+            stmt.limit = int(self.expect("NUMBER").value)
+        self._end()
+        return stmt
+
+    def _rerank_target(self) -> ast.RerankBy:
+        name = self.ident()
+        if name.lower() == "mmr":
+            lam = 0.5
+            if self.peek().kind == "PUNCT" and self.peek().value == "(":
+                self.next()
+                lam = float(self.expect("NUMBER").value)
+                self.expect("PUNCT", ")")
+            return ast.RerankBy(field="mmr", mode="mmr", mmr_lambda=lam)
+        desc = True
+        if self.accept_kw("ASC"):
+            desc = False
+        elif self.accept_kw("DESC"):
+            desc = True
+        return ast.RerankBy(field=name, descending=desc)
 
     def _end(self):
         if self.peek().kind == "PUNCT" and self.peek().value == ";":
@@ -122,13 +163,7 @@ class Parser:
 
         if self.accept_kw("RERANK"):
             self.expect_kw("BY")
-            field = self.ident()
-            desc = True
-            if self.accept_kw("ASC"):
-                desc = False
-            elif self.accept_kw("DESC"):
-                desc = True
-            stmt.rerank = ast.RerankBy(field=field, descending=desc)
+            stmt.rerank = self._rerank_target()
 
         if self.accept_kw("ORDER"):
             self.expect_kw("BY")

@@ -191,6 +191,25 @@ def test_ql_using_rag(spark, ex, qv):
                    "WHERE vector SIMILAR TO $q LIMIT 1", {"q": qv})
 
 
+def test_ql_search_near(spark, ex, qv, embeddings):
+    from needle_spark.operators.knn import knn
+
+    got = ex.execute("SEARCH NEAR $q FROM embeddings LIMIT 5", {"q": qv}).collect()
+    want = knn(embeddings, qv, k=5, vector_col="embedding", id_col="vec_id").collect()
+    assert [r["id"] for r in got] == [r["vec_id"] for r in want]
+
+    filtered = ex.execute(
+        "SEARCH NEAR $q FROM embeddings WHERE label IN (1, 2) LIMIT 4", {"q": qv}
+    ).collect()
+    assert len(filtered) == 4 and all(r["label"] in (1, 2) for r in filtered)
+
+    # RERANK BY MMR(lambda): diversified pick, query vec itself first
+    mmr = ex.execute(
+        "SEARCH NEAR $q FROM embeddings RERANK BY MMR(0.5) LIMIT 5", {"q": qv}
+    ).collect()
+    assert len(mmr) == 5 and mmr[0]["id"] == 0
+
+
 def test_ql_unbound_param(ex):
     with pytest.raises(ExecError, match="unbound"):
         ex.execute("SELECT * FROM embeddings WHERE vector SIMILAR TO $nope LIMIT 1")
