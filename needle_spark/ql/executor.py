@@ -230,7 +230,11 @@ class QueryExecutor:
         if similar is not None:
             qv = self._bind_vector(similar.param, params)
             decay = stmt.with_time_decay
-            fetch = limit * 3 if decay else limit
+            fetch = limit
+            if decay:
+                fetch = limit * 3       # decay re-sorts: oversample (pipeline.rs:467-481)
+            if stmt.rerank is not None:
+                fetch = max(fetch, limit * 3)  # rerank pools fetch_k candidates
             fetch += stmt.offset or 0
             out = knn(df, qv, k=fetch, metric=self.metric, filter=pred,
                       vector_col=self.vector_col, id_col=self.id_col)
