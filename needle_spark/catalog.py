@@ -268,6 +268,10 @@ class Collection:
             pred = compile_filter(flt, df=cur)
         else:
             raise CollectionError("delete requires a filter or ids")
+        # Three-valued logic trap: rows where pred evaluates NULL must be
+        # KEPT (not deleted), so survivors filter on NOT coalesce(pred, F)
+        # — plain ~pred would silently drop NULL rows from both sides.
+        pred = F.coalesce(pred, F.lit(False))
         victims = [r[0] for r in cur.filter(pred).select(self.id_col).collect()]
         if not victims:
             return 0
@@ -419,7 +423,8 @@ class Transaction:
 
     def delete(self, flt: dict) -> "Transaction":
         self._check()
-        pred = compile_filter(flt, df=self._df)
+        # NULL-pred rows are kept, mirroring Collection.delete
+        pred = F.coalesce(compile_filter(flt, df=self._df), F.lit(False))
         self._events += [
             {"event_type": "delete", "vector_id": r[0]}
             for r in self._df.filter(pred).select(self.coll.id_col).collect()

@@ -19,7 +19,7 @@ from __future__ import annotations
 import re
 from typing import Any
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from needle_spark.ql import ast
@@ -183,6 +183,42 @@ class QueryExecutor:
             raise ExecError(f"unbound parameter: ${name}")
         return [float(x) for x in params[name]]
 
+    def _dedup_candidates(self, out: DataFrame, order_col: str,
+                          ascending: bool, jaccard_threshold: float = 0.7) -> DataFrame:
+        """RAG chunk dedup (pipeline.rs:855 deduplicate_chunks): drop
+        candidates whose TEXT is near-identical to an already-kept,
+        better-ranked candidate (character-trigram Jaccard — the exact
+        form of the MinHash similarity the reference approximates; the
+        candidate set is <= fetch_k rows so we compute it exactly,
+        driver-side like MMR).  Collections without a text column fall
+        back to collapsing identically-scored rows."""
+        key = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+        if self.text_col not in out.columns:
+            w = Window.partitionBy(F.round(F.col(order_col), 9)).orderBy(
+                F.col(self.id_col).asc())
+            return (
+                out.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1).drop("__rn")
+                .orderBy(key, F.col(self.id_col).asc())
+            )
+        rows = out.orderBy(key, F.col(self.id_col).asc()).collect()
+
+        def shingles(t: str) -> set:
+            t = (t or "").lower()
+            return {t[i:i + 3] for i in range(len(t) - 2)} if len(t) >= 3 else {t}
+
+        kept, kept_sh = [], []
+        for r in rows:
+            sh = shingles(r[self.text_col])
+            dup = any(
+                (len(sh & s) / len(sh | s) if (sh | s) else 1.0) >= jaccard_threshold
+                for s in kept_sh
+            )
+            if not dup:
+                kept.append(r)
+                kept_sh.append(sh)
+        return self.spark.createDataFrame(kept, out.schema)
+
     def _select(self, stmt: ast.SelectStmt, params: dict) -> DataFrame:
         from needle_spark.functions.timedecay import apply_time_decay
         from needle_spark.operators.hybrid import bm25_topk, rrf_fuse
@@ -218,39 +254,80 @@ class QueryExecutor:
             qv = self._bind_vector(similar.param, params)
             base = df.filter(pred) if pred is not None else df
             fetch = max(limit * 5, 50)
+            k_out = limit + (stmt.offset or 0)
+            decay = stmt.with_time_decay
+            post = (stmt.rerank is not None or decay is not None
+                    or (rag is not None and rag.deduplicate))
+            # post-fusion stages re-sort, so pool extra fused candidates
+            pool = max(k_out * 3, k_out) if post else k_out
             vec = knn(base, qv, k=fetch, metric=self.metric,
                       vector_col=self.vector_col, id_col=self.id_col
                       ).select(self.id_col, "distance")
             bm = bm25_topk(base, match.query, limit=fetch,
                            id_col=self.id_col, text_col=match.column or self.text_col)
-            out = rrf_fuse(vec, bm, id_col=self.id_col, limit=limit,
+            out = rrf_fuse(vec, bm, id_col=self.id_col, limit=pool,
                            vector_weight=alpha, bm25_weight=1.0 - alpha)
-            return self._project(out, stmt, offset=stmt.offset)
+            if post:
+                # downstream stages need payload columns (text / vector /
+                # inserted_at) that fusion projected away — join them back
+                extra = [c for c in df.columns if c not in out.columns]
+                if extra:
+                    out = out.join(df.select(self.id_col, *extra), self.id_col, "left")
+                if rag is not None and rag.deduplicate:
+                    out = self._dedup_candidates(out, "score", ascending=False)
+                if decay is not None:
+                    # scale the fused score by the decay factor (the
+                    # hybrid analog of dividing distance: fresher wins)
+                    from needle_spark.functions.timedecay import (
+                        age_expr, decay_factor_expr,
+                    )
+                    p = {k: (parse_duration(v) if isinstance(v, str) else v)
+                         for k, v in decay.params.items()}
+                    now = int(params.get("now", p.pop("now", 0)))
+                    factor = decay_factor_expr(
+                        decay.function, age_expr(now, self.inserted_at_col), **p)
+                    out = out.withColumn("score", F.col("score") * factor)
+                if stmt.rerank is not None:
+                    out = out.withColumn("__negscore", -F.col("score"))
+                    if stmt.rerank.mode == "mmr":
+                        from needle_spark.operators.rerank import mmr_diversify
+                        picked = mmr_diversify(
+                            out, qv, k=k_out, lambda_mult=stmt.rerank.mmr_lambda,
+                            vector_col=self.vector_col, id_col=self.id_col,
+                            distance_col="__negscore",
+                        )
+                        schema = out.select(
+                            self.id_col, self.vector_col, "__negscore").schema
+                        out = self.spark.createDataFrame(picked, schema)
+                        out = out.withColumn("score", -F.col("__negscore"))
+                    else:
+                        from needle_spark.operators.hybrid import rerank_by_field
+                        out = rerank_by_field(
+                            out, stmt.rerank.field, k=k_out, fetch_k=pool,
+                            descending=stmt.rerank.descending,
+                            id_col=self.id_col, distance_col="__negscore")
+                    out = out.drop("__negscore")
+                else:
+                    out = out.orderBy(
+                        F.col("score").desc(), F.col(self.id_col).asc()
+                    ).limit(k_out)
+            return self._project(out, stmt, offset=stmt.offset, limit=limit)
 
         if similar is not None:
             qv = self._bind_vector(similar.param, params)
             decay = stmt.with_time_decay
-            fetch = limit
+            k_page = limit + (stmt.offset or 0)
+            fetch = k_page
             if decay:
-                fetch = limit * 3       # decay re-sorts: oversample (pipeline.rs:467-481)
+                fetch = k_page * 3      # decay re-sorts: oversample (pipeline.rs:467-481)
             if stmt.rerank is not None:
-                fetch = max(fetch, limit * 3)  # rerank pools fetch_k candidates
-            fetch += stmt.offset or 0
+                # rerank pools fetch_k candidates; sizing off limit+offset
+                # (not limit) keeps pages of the same result set consistent
+                fetch = max(fetch, k_page * 3)
             out = knn(df, qv, k=fetch, metric=self.metric, filter=pred,
                       vector_col=self.vector_col, id_col=self.id_col)
             if rag is not None and rag.deduplicate:
-                # RAG chunk dedup: collapse results at identical (rounded)
-                # distances — near-identical chunks score identically
-                from pyspark.sql import Window
-
-                w = Window.partitionBy(F.round(F.col("distance"), 9)).orderBy(
-                    F.col(self.id_col).asc()
-                )
-                out = (
-                    out.withColumn("__rn", F.row_number().over(w))
-                    .filter(F.col("__rn") == 1).drop("__rn")
-                    .orderBy(F.col("distance").asc(), F.col(self.id_col).asc())
-                )
+                out = self._dedup_candidates(out, "distance", ascending=True)
             if decay:
                 p = {k: (parse_duration(v) if isinstance(v, str) else v)
                      for k, v in decay.params.items()}
@@ -265,14 +342,14 @@ class QueryExecutor:
                     from needle_spark.operators.rerank import mmr_diversify
 
                     picked = mmr_diversify(
-                        out, qv, k=limit, lambda_mult=stmt.rerank.mmr_lambda,
+                        out, qv, k=k_page, lambda_mult=stmt.rerank.mmr_lambda,
                         vector_col=self.vector_col, id_col=self.id_col,
                     )
                     schema = out.select(self.id_col, self.vector_col, "distance").schema
                     out = self.spark.createDataFrame(picked, schema)
                 else:
                     from needle_spark.operators.hybrid import rerank_by_field
-                    out = rerank_by_field(out, stmt.rerank.field, k=limit,
+                    out = rerank_by_field(out, stmt.rerank.field, k=k_page,
                                           fetch_k=fetch, descending=stmt.rerank.descending,
                                           id_col=self.id_col)
             return self._project(out, stmt, offset=stmt.offset, limit=limit)

@@ -39,25 +39,40 @@ class IngestionConfig:
     checkpoint_dir: str | None = None  # -> exactly-once resume
 
 
-def micro_batch_upsert(collection, id_col: str | None = None):
+# source-order columns probed (in order) when no explicit order_col is given
+_ORDER_COL_CANDIDATES = ("sequence", "event_time", "timestamp_ms", "timestamp", "ts")
+
+
+def micro_batch_upsert(collection, id_col: str | None = None,
+                       order_col: str | None = None):
     """foreachBatch sink: dedup within the batch (last write wins, like
-    the reference's buffer dedup), then idempotently upsert into the
-    collection.  Replaying the same batch after a crash converges to the
-    same state -> exactly-once end-to-end."""
+    the reference's buffer dedup ingestion.rs:62-63), then idempotently
+    upsert into the collection.  Replaying the same batch after a crash
+    converges to the same state -> exactly-once end-to-end.
+
+    "Last" is defined by `order_col` (an event-time / sequence column;
+    auto-detected from common names when unset).  Without one we fall
+    back to monotonically_increasing_id(), which orders by PARTITION
+    INDEX, not source arrival order — fine for single-partition batches
+    (file sources), approximate for multi-partition ones."""
     ic = id_col or collection.id_col
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         if ic in batch_df.columns:
-            # keep the LAST occurrence per id within the batch: tag with a
-            # monotonic order, window-max per id
             from pyspark.sql import Window
 
-            w = Window.partitionBy(ic).orderBy(F.col("__ord").desc())
+            oc = order_col
+            if oc is None:
+                oc = next((c for c in _ORDER_COL_CANDIDATES
+                           if c in batch_df.columns), None)
+            tagged = batch_df.withColumn("__ord", F.monotonically_increasing_id())
+            keys = [F.col(oc).desc(), F.col("__ord").desc()] if oc else [
+                F.col("__ord").desc()]
+            w = Window.partitionBy(ic).orderBy(*keys)
             deduped = (
-                batch_df.withColumn("__ord", F.monotonically_increasing_id())
-                .withColumn("__rn", F.row_number().over(w))
+                tagged.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)
                 .drop("__ord", "__rn")
             )

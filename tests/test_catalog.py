@@ -63,6 +63,25 @@ def test_upsert_delete_update(spark, coll):
     assert coll.delete(ids=["nope"]) == 0
 
 
+def test_delete_null_predicate_keeps_null_rows(spark, coll):
+    """Rows where the delete predicate evaluates NULL (e.g. NULL in the
+    filtered column) must SURVIVE, not silently vanish (three-valued
+    logic: both filter(pred) and filter(~pred) drop NULL rows)."""
+    coll.upsert(spark.createDataFrame(
+        [("n1", [0.3, 0.3], None)],
+        "id string, vector array<float>, category string"), now_ms=1500)
+    n = coll.delete(flt={"category": "x"}, now_ms=2000)
+    assert n == 2  # a and c only; n1 (NULL category) not deleted
+    survivors = sorted(r["id"] for r in coll.df().select("id").collect())
+    assert survivors == ["b", "n1"]
+
+    # same guarantee inside a transaction
+    tx = coll.begin()
+    tx.delete({"category": "y"})
+    tx.commit(now_ms=2500)
+    assert sorted(r["id"] for r in coll.df().select("id").collect()) == ["n1"]
+
+
 def test_cdc_log_and_resume(spark, coll):
     coll.delete(ids=["c"], now_ms=5000)
     ev = coll.cdc_events().orderBy("sequence").collect()

@@ -126,6 +126,65 @@ def test_ql_hybrid(ex, qv):
     assert rows[0]["score"] >= rows[-1]["score"]
 
 
+def test_ql_hybrid_post_stages(spark, ex, qv):
+    """Hybrid (SIMILAR + MATCH) must APPLY trailing stages instead of
+    silently dropping them (ADVICE r1): RERANK BY field reorders the
+    fused pool; TIME_DECAY rescales the fused score."""
+    reranked = ex.execute(
+        "SELECT id, label, score FROM corpus WHERE vector SIMILAR TO $q "
+        "AND text MATCH 'fast merge sort' RERANK BY label LIMIT 5",
+        {"q": qv},
+    ).collect()
+    assert 0 < len(reranked) <= 5
+    labels = [r["label"] for r in reranked]
+    assert labels == sorted(labels, reverse=True)  # actually reordered
+
+    decayed = ex.execute(
+        "SELECT id, score FROM corpus "
+        "WITH TIME_DECAY(function = 'exponential', half_life_seconds = 100) "
+        "WHERE vector SIMILAR TO $q AND text MATCH 'fast merge sort' "
+        "LIMIT 5",
+        {"q": qv, "now": 100000},
+    ).collect()
+    assert 0 < len(decayed) <= 5
+    assert decayed[0]["score"] >= decayed[-1]["score"]
+
+
+def test_ql_rag_dedup_by_text(spark, qv):
+    """RAG deduplicate drops near-identical TEXT chunks even when their
+    distances differ (reference deduplicate_chunks, pipeline.rs:855)."""
+    dup = spark.createDataFrame(
+        [("a", [1.0, 0.0], "the quick brown fox jumps over the lazy dog"),
+         ("a2", [0.9, 0.1], "the quick brown fox jumps over the lazy dog!"),
+         ("b", [0.0, 1.0], "an entirely different document about spark sql")],
+        "id string, vector array<float>, text string",
+    )
+    ex2 = QueryExecutor(spark, tables={"dup": dup})
+    got = [r["id"] for r in ex2.execute(
+        "SELECT id FROM dup USING RAG(top_k = 5, deduplicate = true) "
+        "WHERE vector SIMILAR TO $q",
+        {"q": [1.0, 0.0]},
+    ).collect()]
+    assert got == ["a", "b"]  # a2: same text, different distance — collapsed
+
+
+def test_ql_offset_with_rerank(ex, qv):
+    """OFFSET + RERANK must return a FULL page starting at offset, not
+    limit-offset rows (ADVICE r1)."""
+    full = ex.execute(
+        "SELECT id FROM embeddings WHERE vector SIMILAR TO $q "
+        "RERANK BY label LIMIT 8",
+        {"q": qv},
+    ).collect()
+    page = ex.execute(
+        "SELECT id FROM embeddings WHERE vector SIMILAR TO $q "
+        "RERANK BY label LIMIT 5 OFFSET 3",
+        {"q": qv},
+    ).collect()
+    assert len(page) == 5
+    assert [r["id"] for r in page] == [r["id"] for r in full[3:8]]
+
+
 def test_ql_as_of_and_decay(ex, qv):
     rows = ex.execute(
         "SELECT id, distance FROM embeddings AS OF 990 "

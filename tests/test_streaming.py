@@ -80,6 +80,25 @@ def test_file_ingestion_with_dedup_and_restart(spark, tmp_path, coll):
     assert coll.get("a")["category"] == "third"
 
 
+def test_upsert_last_write_wins_by_sequence(spark, coll):
+    """Multi-partition batches honor an explicit sequence column for
+    last-write-wins (ADVICE r1: monotonically_increasing_id orders by
+    partition index, not arrival order)."""
+    from needle_spark.streaming.ingestion import micro_batch_upsert
+
+    # arrange partitions so partition order CONTRADICTS sequence order:
+    # the seq=1 row sits in a later partition than the seq=2 row
+    batch = spark.createDataFrame(
+        [("a", [9.0, 9.0], "newest", 2)], SCHEMA + ", sequence long"
+    ).repartition(1).unionAll(
+        spark.createDataFrame(
+            [("a", [1.0, 1.0], "stale", 1)], SCHEMA + ", sequence long"
+        ).repartition(1)
+    )
+    micro_batch_upsert(coll)(batch, 0)  # auto-detects the sequence column
+    assert coll.get("a")["category"] == "newest"
+
+
 def test_change_stream_tails_cdc(spark, tmp_path, coll):
     rows = spark.createDataFrame(
         [("a", [1.0, 0.0], "x"), ("b", [0.0, 1.0], "y")], SCHEMA
