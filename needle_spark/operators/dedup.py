@@ -494,51 +494,195 @@ def simhash_candidates(
 
 # ------------------------------------------------- embedding near-dup ---
 
+# metrics where cell assignment can run in a euclidean proxy space with a
+# guaranteed-exact epsilon (see embedding_neardup_pairs docstring)
+_CELL_METRICS = {"cosine", "cosine_normalized", "euclidean", "l2", "manhattan",
+                 "l1", "chebyshev", "linf"}
+
+
+def _pairs_schema(df: DataFrame, id_col: str) -> T.StructType:
+    id_type = df.schema[id_col].dataType
+    return T.StructType([
+        T.StructField("id1", id_type),
+        T.StructField("id2", id_type),
+        T.StructField("distance", T.DoubleType()),
+    ])
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float,
     metric: str = "cosine",
     id_col: str = "id",
     vector_col: str = "vector",
+    num_cells: int = 32,
 ) -> DataFrame:
     """All pairs (id1 < id2) with distance <= threshold — the semantic
-    dedup scan (dedup.rs:163) as an ε-self-join.
+    dedup scan (dedup.rs:163) as an ε-self-join, EXACT and fully
+    distributed (no driver-side collect of the vector table).
 
-    Implementation: the table streams through an Arrow kernel once per
-    query block; the query side is collected and carried in the task
-    closure (fine up to ~1e5 vectors; beyond that, pre-partition with
-    IVF buckets and run per-bucket).  Emits only pairs under the
-    threshold — no O(n^2) materialization.
+    Shape: centroid cells with ε-replication.
+    1. Sample `num_cells` centroid vectors (deterministic hash order —
+       the only driver materialization, O(num_cells)).
+    2. Assign each vector to its nearest centroid AND replicate it into
+       every centroid within `d_nearest + ε` (one map-only Arrow pass).
+       Triangle inequality guarantees any pair within ε co-occurs in the
+       primary cell of whichever member sits closer to its centroid:
+       for d(x,y)<=ε and d(x,cx)<=d(y,cy), d(y,cx) <= ε + d(x,cx)
+       <= ε + d(y,cy), so y replicates into cx.
+    3. Per-cell pairwise verification in an Arrow kernel emits only
+       pairs under the threshold; cross-cell duplicates collapse with
+       one dropDuplicates.
+
+    Cell assignment runs in euclidean space; non-euclidean metrics map
+    to a guaranteed-superset ε: cosine works on normalized vectors with
+    ε = sqrt(2t) (||x̂-ŷ||² = 2·cosdist); manhattan uses ε = t (‖·‖₂ ≤
+    ‖·‖₁); chebyshev ε = t·√d (‖·‖₂ ≤ √d‖·‖∞).  Verification always
+    uses the requested metric on the raw vectors.  Dot product is not a
+    metric — it falls back to the distributed block-pair join below.
+
+    Scale notes: shuffle volume = n·(1 + replicas) rows; replicas stay
+    small when ε ≪ typical centroid spacing (true for near-dup
+    thresholds); size num_cells ≈ n / rows-per-task so each cell's
+    pairwise block fits an executor.
     """
     from needle_spark.operators.knn_arrow import _distance_matrix
 
-    rows = df.select(id_col, vector_col).collect()
-    q_ids = np.array([r[0] for r in rows])
-    Q = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    m = metric.lower()
+    if m not in _CELL_METRICS or num_cells <= 1:
+        return blockpair_neardup_pairs(
+            df, threshold, metric=metric, id_col=id_col, vector_col=vector_col)
 
-    id_type = df.schema[id_col].dataType
-    schema = T.StructType([
-        T.StructField("id1", id_type),
-        T.StructField("id2", id_type),
-        T.StructField("distance", T.DoubleType()),
+    spark = df.sparkSession
+    schema = _pairs_schema(df, id_col)
+    cent_rows = (
+        df.select(vector_col)
+        .orderBy(F.xxhash64(F.col(vector_col).cast("array<float>").cast("string")))
+        .limit(num_cells)
+        .collect()
+    )
+    if not cent_rows:
+        return spark.createDataFrame([], schema)
+    C = np.asarray([list(r[0]) for r in cent_rows], dtype=np.float64)
+    dims = C.shape[1]
+
+    normalize = m in ("cosine", "cosine_normalized")
+    if normalize:
+        eps = float(np.sqrt(2.0 * max(0.0, min(threshold, 2.0))))
+        norms = np.linalg.norm(C, axis=1, keepdims=True)
+        C = C / np.where(norms == 0.0, 1.0, norms)
+    elif m in ("euclidean", "l2", "manhattan", "l1"):
+        eps = float(threshold)
+    else:  # chebyshev
+        eps = float(threshold) * float(np.sqrt(dims))
+
+    assign_schema = T.StructType([
+        T.StructField("__cell", T.IntegerType()),
+        T.StructField("__primary", T.BooleanType()),
+        T.StructField(id_col, df.schema[id_col].dataType),
+        T.StructField(vector_col, df.schema[vector_col].dataType),
     ])
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vector_col]])
-            ids = pdf[id_col].to_numpy()
-            D = _distance_matrix(V, Q, metric)
-            ri, qi = np.where(D <= threshold)
-            if len(ri) == 0:
-                continue
-            id1, id2 = ids[ri], q_ids[qi]
-            keep = id1 < id2
-            if not keep.any():
-                continue
+            X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vector_col]])
+            if normalize:
+                n = np.linalg.norm(X, axis=1, keepdims=True)
+                Xa = X / np.where(n == 0.0, 1.0, n)
+            else:
+                Xa = X
+            # euclidean distances to all centroids: (rows, cells)
+            D = _distance_matrix(Xa, C, "euclidean")
+            dmin = D.min(axis=1, keepdims=True)
+            # small fp slack: the exactness proof is a non-strict bound,
+            # so boundary pairs must not be lost to rounding noise
+            ri, ci = np.where(D <= dmin + eps + 1e-9)
             yield pd.DataFrame({
-                "id1": id1[keep], "id2": id2[keep], "distance": D[ri[keep], qi[keep]],
+                "__cell": ci.astype(np.int32),
+                "__primary": D[ri, ci] <= (dmin[ri, 0] + 1e-12),
+                id_col: pdf[id_col].to_numpy()[ri],
+                vector_col: pdf[vector_col].to_numpy()[ri],
             })
 
-    return df.select(id_col, vector_col).mapInPandas(kernel, schema)
+    assigned = df.select(id_col, vector_col).mapInPandas(assign, assign_schema)
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Every pair within ε co-occurs in the PRIMARY cell of (at least)
+        # one member, so checking primary×all per cell sees each pair
+        # while cutting the per-cell cost from |all|² to |primary|·|all|
+        # (duplication stops multiplying with the replica factor).
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vector_col]])
+        ids = pdf[id_col].to_numpy()
+        pi = np.where(pdf["__primary"].to_numpy())[0]
+        if len(pi) == 0:
+            return pd.DataFrame({"id1": [], "id2": [], "distance": []})
+        D = _distance_matrix(V[pi], V, m)
+        ri, qi = np.where(D <= threshold)
+        ida, idb = ids[pi][ri], ids[qi]
+        keep = ida != idb
+        lo = np.where(ida[keep] < idb[keep], ida[keep], idb[keep])
+        hi = np.where(ida[keep] < idb[keep], idb[keep], ida[keep])
+        return pd.DataFrame({
+            "id1": lo, "id2": hi, "distance": D[ri[keep], qi[keep]],
+        })
+
+    return (
+        assigned.groupBy("__cell")
+        .applyInPandas(verify, schema)
+        .dropDuplicates(["id1", "id2"])
+    )
+
+
+def blockpair_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    metric: str = "cosine",
+    id_col: str = "id",
+    vector_col: str = "vector",
+    num_blocks: int = 8,
+) -> DataFrame:
+    """Exact distributed all-pairs ε-join via unordered block pairs: row
+    with block b replicates into the B groups {(min(b,q), max(b,q))};
+    each group verifies only its cross-block (or within-block) pairs, so
+    every pair is computed exactly once.  O(n²) compute but spread over
+    B(B+1)/2 bounded tasks with O(n·B) shuffle — the honest fallback for
+    non-metric spaces (dot product) where cell pruning can't be exact."""
+    from needle_spark.operators.knn_arrow import _distance_matrix
+
+    schema = _pairs_schema(df, id_col)
+    blk = F.pmod(
+        F.xxhash64(F.col(vector_col).cast("array<float>").cast("string")),
+        F.lit(num_blocks),
+    ).cast("int")
+    rows = df.select(F.col(id_col), F.col(vector_col), blk.alias("__b"))
+    groups = F.array_distinct(F.array(*[
+        F.struct(
+            F.least(F.col("__b"), F.lit(q)).alias("gi"),
+            F.greatest(F.col("__b"), F.lit(q)).alias("gj"),
+        )
+        for q in range(num_blocks)
+    ]))
+    replicated = rows.select(
+        id_col, vector_col, "__b", F.explode(groups).alias("__g")
+    ).select(id_col, vector_col, "__b", "__g.gi", "__g.gj")
+
+    def verify(key, pdf):
+        gi, gj = key
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vector_col]])
+        ids = pdf[id_col].to_numpy()
+        b = pdf["__b"].to_numpy()
+        li = np.where(b == gi)[0]
+        rj = np.where(b == gj)[0]
+        if len(li) == 0 or len(rj) == 0:
+            return pd.DataFrame({"id1": [], "id2": [], "distance": []})
+        D = _distance_matrix(V[li], V[rj], metric)
+        ri, qi = np.where(D <= threshold)
+        id1, id2 = ids[li][ri], ids[rj][qi]
+        keep = id1 < id2
+        return pd.DataFrame({
+            "id1": id1[keep], "id2": id2[keep], "distance": D[ri[keep], qi[keep]],
+        })
+
+    return replicated.groupBy("gi", "gj").applyInPandas(verify, schema)
