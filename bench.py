@@ -87,17 +87,15 @@ def main() -> None:
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     idx = Bm25Index(docs, id_col="doc_id", text_col="text")
     idx.search("warmup", limit=1).collect()
-    run(
-        "bm25_indexed_10q",
-        lambda: [
-            idx.search(q, limit=10).collect()
-            for q in (
-                "fast merge sort", "window batch", "query row data", "hash join",
-                "scan filter", "group order", "stream value", "customer line",
-                "small table", "spark data merge",
-            )
-        ],
-    )
+    # the 10-query workload runs as ONE explode+join job (search_many);
+    # a single ad-hoc query is timed separately
+    ten_queries = [
+        "fast merge sort", "window batch", "query row data", "hash join",
+        "scan filter", "group order", "stream value", "customer line",
+        "small table", "spark data merge",
+    ]
+    run("bm25_indexed_10q", lambda: idx.search_many(ten_queries, limit=10).collect())
+    run("bm25_indexed_single", lambda: idx.search("hash join", limit=10).collect())
     idx.unpersist()
 
     # bulk insert throughput: scan + rewrite lineitem as parquet

@@ -22,6 +22,24 @@ def test_index_matches_oneshot(spark, documents):
         idx.unpersist()
 
 
+def test_search_many_matches_per_query(spark, documents):
+    """Batched multi-query search (one explode+join job) returns exactly
+    the per-query top-k."""
+    queries = {"q0": "fast merge sort", "q1": "window batch", "q2": "query row data"}
+    idx = Bm25Index(documents, id_col="doc_id", text_col="text")
+    try:
+        many = idx.search_many(queries, limit=10).collect()
+        got = {}
+        for r in many:
+            got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+        for qid, text in queries.items():
+            want = [(r["doc_id"], r["score"])
+                    for r in idx.search(text, limit=10).collect()]
+            assert sorted(got[qid]) == sorted(want), qid
+    finally:
+        idx.unpersist()
+
+
 def test_index_amortizes(spark, documents):
     idx = Bm25Index(documents, id_col="doc_id", text_col="text")
     try:
