@@ -51,10 +51,21 @@ def traverse(
     else:
         raise ValueError(f"unknown direction: {direction!r}")
 
-    visited = spark.createDataFrame(
-        [(s, 0) for s in seed_ids], "id string, hop int"
-    ).withColumn("id", F.col("id").cast("string"))
+    # literal seed frame via range+explode: no driver-side conversion,
+    # no schema inference — measurably cheaper plan construction than
+    # createDataFrame on the repeated-traversal path
+    visited = spark.range(1).select(
+        F.explode(F.array(*[F.lit(str(s)) for s in seed_ids])).alias("id"),
+        F.lit(0).alias("hop"),
+    )
     frontier = visited.select("id")
+
+    # Bounded short traversals (*..N, small N) chain the hop joins
+    # LAZILY into one job — per-hop materialization costs an eager
+    # checkpoint + isEmpty action each round, which dominates when N is
+    # small.  Unbounded/deep walks keep the eager early-exit: it cuts
+    # the exponentially-replaying lineage and stops on empty frontiers.
+    eager = max_hops > 3
 
     for hop in range(1, max_hops + 1):
         nxt = (
@@ -63,16 +74,26 @@ def traverse(
             )
             .select(F.col("__to").cast("string").alias("id"))
             .distinct()
-            .join(visited.select("id"), "id", "left_anti")
+            # visited is seeds + reached frontiers — small by the same
+            # assumption that lets the frontier broadcast above; without
+            # the hint this anti-join becomes a full sort-merge shuffle
+            .join(F.broadcast(visited.select("id")), "id", "left_anti")
             .withColumn("hop", F.lit(hop))
         )
-        if hop < max_hops:
+        if eager and hop < max_hops:
             # materialize the frontier once: cuts iterative-join lineage
             # AND gives the early-exit row count in the same job (vs a
             # separate isEmpty() action per hop)
             nxt = nxt.localCheckpoint(eager=True)
             if nxt.isEmpty():
                 break
+        elif hop < max_hops:
+            # lazy path: each hop is referenced by every later hop's
+            # frontier AND anti-join; marking it cached makes the single
+            # final job compute it once instead of replaying the whole
+            # upstream chain per reference (cache registration is a
+            # no-op call, unlike localCheckpoint's plan compilation)
+            nxt = nxt.cache()
         visited = visited.unionByName(nxt)
         frontier = nxt.select("id")
     return visited
