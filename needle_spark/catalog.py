@@ -86,11 +86,14 @@ class Collection:
         id_col: str = "id",
         vector_col: str = "vector",
         schema: str | None = None,
+        default_ttl_seconds: int | None = None,
     ) -> "Collection":
         if os.path.exists(os.path.join(path, "manifest.json")):
             raise CollectionError(f"collection already exists at {path}")
         os.makedirs(path, exist_ok=True)
         sch = schema or f"{id_col} string, {vector_col} array<float>"
+        if default_ttl_seconds is not None and "expires_at" not in sch:
+            sch = sch + ", expires_at long"
         spark.createDataFrame([], sch).write.mode("overwrite").parquet(
             os.path.join(path, "seg-0")
         )
@@ -104,6 +107,7 @@ class Collection:
             "vector_col": vector_col,
             "schema": sch,
             "created_ms": _utcnow_ms(),
+            "default_ttl_seconds": default_ttl_seconds,
             "versions": {"0": {"segments": ["seg-0"], "tombstones": []}},
         }
         cls._write_manifest_static(path, manifest)
@@ -226,10 +230,19 @@ class Collection:
         except KeyError:
             raise CollectionError(f"unknown version {version}")
 
-    def df(self, version: int | None = None) -> DataFrame:
+    def df(self, version: int | None = None, now: int | None = None,
+           include_expired: bool = False) -> DataFrame:
         """Merge-on-read view of a version: each segment minus the
         tombstones stamped after it, unioned (by name — segments may
-        carry heterogeneous extra columns)."""
+        carry heterogeneous extra columns).
+
+        TTL (ttl.rs lazy strategy): collections with a default TTL hide
+        expired rows from EVERY read — `now` defaults to the wall clock
+        for them (reference parity); pass an explicit `now` for
+        deterministic reads or `include_expired=True` for the raw view
+        (used by the sweep)."""
+        from needle_spark.filters import ttl_filter
+
         v = self._manifest["version"] if version is None else version
         entry = self._entry(v)
         segs, tombs = entry["segments"], entry["tombstones"]
@@ -248,9 +261,14 @@ class Collection:
             parts.append(d)
         if not parts:
             return self.spark.createDataFrame([], self._manifest["schema"])
-        return reduce(
+        out = reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
         )
+        if not include_expired:
+            if now is None and self._manifest.get("default_ttl_seconds") is not None:
+                now = int(time.time())
+            out = ttl_filter(out, now)
+        return out
 
     @property
     def version(self) -> int:
@@ -347,9 +365,24 @@ class Collection:
                 raise CollectionError(f"{dups} ids already exist")
 
     # -------------------------------------------------------- mutate --
+    def _stamp_ttl(self, rows: DataFrame, now_ms: int | None) -> DataFrame:
+        """Default-TTL expiry stamp (CollectionConfig::
+        with_default_ttl_seconds, ttl.rs): inserted rows without an
+        explicit expires_at get now + ttl."""
+        ttl = self._manifest.get("default_ttl_seconds")
+        if ttl is None:
+            return rows
+        now_s = (now_ms if now_ms is not None else _utcnow_ms()) // 1000
+        exp = F.lit(int(now_s + ttl)).cast("long")
+        if "expires_at" in rows.columns:
+            return rows.withColumn(
+                "expires_at", F.coalesce(F.col("expires_at").cast("long"), exp))
+        return rows.withColumn("expires_at", exp)
+
     def insert(self, rows: DataFrame, now_ms: int | None = None) -> int:
         """Append rows as one new segment; rejects duplicate ids
         (insert.rs semantics)."""
+        rows = self._stamp_ttl(rows, now_ms)
         self._validate_new(rows)
         n = rows.count()
         self._commit([("add", rows)], [self._event_df(rows, "insert")], n, now_ms)
@@ -359,6 +392,7 @@ class Collection:
         """MERGE semantics (mutations.rs upsert): tombstone matching ids
         in earlier segments, append the batch as a new segment — no
         rewrite of existing data."""
+        rows = self._stamp_ttl(rows, now_ms)
         self._validate_new(rows, check_dup_existing=False)
         n = rows.count()
         self._commit(
@@ -415,6 +449,28 @@ class Collection:
             [self._event_df(patched.select(self.id_col), "update")],
             n,
             now_ms,
+        )
+        return n
+
+    def sweep_expired(self, now: int | None = None,
+                      now_ms: int | None = None) -> int:
+        """Eager TTL sweep (ttl.rs expire_vectors :52): tombstone every
+        expired row with a CDC-logged delete, so they disappear from
+        raw reads too; physical bytes are reclaimed by the next
+        compact().  Returns the number of expired rows."""
+        raw = self.df(include_expired=True)
+        if "expires_at" not in raw.columns:
+            return 0
+        now = now if now is not None else int(time.time())
+        victims = raw.filter(
+            F.col("expires_at").isNotNull() & (F.col("expires_at") <= F.lit(int(now)))
+        ).select(self.id_col)
+        n = victims.count()
+        if n == 0:
+            return 0
+        self._commit(
+            [("del", victims)], [self._event_df(victims, "delete")], n,
+            now_ms if now_ms is not None else now * 1000,
         )
         return n
 

@@ -256,3 +256,17 @@ def _elem_conditions(elem: Column, cond: dict, r: FieldResolver, depth: int) -> 
     if not conds:
         raise FilterError("$elemMatch requires at least one condition")
     return _combine(conds, "and")
+
+
+def ttl_filter(df: DataFrame, now: int | None,
+               expires_at_col: str = "expires_at") -> DataFrame:
+    """TTL lazy filter (ttl.rs is_expired / pipeline.rs:501-514): rows
+    whose `expires_at` (unix seconds) has passed are invisible to every
+    read path — kNN, analytics, QL scans.  No-op when `now` is None or
+    the column doesn't exist; a pure Catalyst predicate, so it pushes
+    into the Parquet scan."""
+    if now is None or expires_at_col not in df.columns:
+        return df
+    return df.filter(
+        F.col(expires_at_col).isNull() | (F.col(expires_at_col) > F.lit(int(now)))
+    )

@@ -90,8 +90,8 @@ def knn(
     out = df
 
     # TTL lazy filter (pipeline.rs:501-514): expired rows are invisible.
-    if now is not None and expires_at_col in df.columns:
-        out = out.filter(F.col(expires_at_col).isNull() | (F.col(expires_at_col) > F.lit(now)))
+    from needle_spark.filters import ttl_filter
+    out = ttl_filter(out, now, expires_at_col)
     # as-of / time travel (pipeline.rs:516-532): inserted_at <= ts.
     if as_of is not None:
         out = out.filter(F.col(inserted_at_col) <= F.lit(as_of))

@@ -225,6 +225,12 @@ class QueryExecutor:
         from needle_spark.operators.knn import knn
 
         df = self._resolve(stmt.collection)
+        # TTL applies to EVERY read path, not only kNN (ttl.rs lazy
+        # strategy); catalog collections already self-filter, registry
+        # tables honor the injected now
+        if "now" in params:
+            from needle_spark.filters import ttl_filter
+            df = ttl_filter(df, int(params["now"]))
         similar, match, residue = self._split_where(stmt.where)
         pred = self._compile_pred(residue, df) if residue is not None else None
         limit = stmt.limit if stmt.limit is not None else DEFAULT_LIMIT
