@@ -54,6 +54,11 @@ def __getattr__(name):
         "QueryExecutor": ("needle_spark.ql", "QueryExecutor"),
         "IvfIndex": ("needle_spark.plans.ivf", "IvfIndex"),
         "run_pipeline": ("needle_spark.operators.pipeline_dsl", "run_pipeline"),
+        "ttl_filter": ("needle_spark.filters", "ttl_filter"),
+        "KafkaSourceConfig": ("needle_spark.streaming.cdc", "KafkaSourceConfig"),
+        "cdc_pipeline": ("needle_spark.streaming.cdc", "cdc_pipeline"),
+        "parse_debezium": ("needle_spark.streaming.cdc", "parse_debezium"),
+        "parse_mongo_change": ("needle_spark.streaming.cdc", "parse_mongo_change"),
     }
     if name in _lazy:
         import importlib
@@ -67,5 +72,7 @@ __all__ = [
     "get_spark", "compile_filter", "distance_expr", "knn", "batch_knn",
     "batch_knn_arrow", "radius_search", "recommend", "hybrid_search",
     "bm25_scores", "Bm25Index", "rrf_fuse", "AnalyticsQuery", "Database",
-    "Collection", "QueryExecutor", "IvfIndex", "run_pipeline", "__version__",
+    "Collection", "QueryExecutor", "IvfIndex", "run_pipeline", "ttl_filter",
+    "KafkaSourceConfig", "cdc_pipeline", "parse_debezium",
+    "parse_mongo_change", "__version__",
 ]

@@ -412,6 +412,19 @@ class Collection:
         cur = self.df()
         if pred is not None:
             pass
+        elif isinstance(ids, DataFrame):
+            # distributed victim set (CDC bridges): semi-join, no driver list
+            victims = cur.join(
+                ids.select(F.col(ids.columns[0]).alias(self.id_col)),
+                self.id_col, "left_semi",
+            ).select(self.id_col)
+            n = victims.count()
+            if n == 0:
+                return 0
+            self._commit(
+                [("del", victims)], [self._event_df(victims, "delete")], n, now_ms
+            )
+            return n
         elif ids is not None:
             pred = F.col(self.id_col).isin(ids)
         elif flt is not None:
