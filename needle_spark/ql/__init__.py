@@ -1,4 +1,4 @@
-from needle_spark.ql.executor import QueryExecutor
+from needle_spark.ql.executor import ExecutionStats, QueryExecutor, QueryResponse
 from needle_spark.ql.parser import parse
 
-__all__ = ["QueryExecutor", "parse"]
+__all__ = ["QueryExecutor", "QueryResponse", "ExecutionStats", "parse"]

@@ -17,6 +17,8 @@ returns our strategy summary plus Catalyst's physical plan
 from __future__ import annotations
 
 import re
+import time
+from dataclasses import dataclass
 from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -42,6 +44,31 @@ def parse_duration(text: str) -> int:
 
 class ExecError(ValueError):
     pass
+
+
+@dataclass
+class ExecutionStats:
+    """Per-query execution statistics (executor.rs:77-90 vocabulary).
+
+    Spark's Catalyst fuses the metadata filter INTO the vector-scan
+    stage (predicate pushdown), so there is no separable filter phase:
+    `filter_time_ms` stays 0.0 and `search_time_ms` covers the fused
+    scan+filter+rank job; `total_time_ms` adds plan build + parse."""
+
+    total_time_ms: float = 0.0
+    search_time_ms: float = 0.0
+    filter_time_ms: float = 0.0
+    vectors_scanned: int = 0
+    vectors_matched: int = 0
+
+
+@dataclass
+class QueryResponse:
+    """QueryResponse{results, plan, stats} (executor.rs:45-52)."""
+
+    results: list
+    plan: str | None
+    stats: ExecutionStats
 
 
 class QueryExecutor:
@@ -110,6 +137,46 @@ class QueryExecutor:
                 mv.unpersist()
             return {"dropped_view": stmt.name}
         raise ExecError(f"unsupported statement: {type(stmt).__name__}")
+
+    def execute_with_stats(self, sql: str, params: dict[str, Any] | None = None,
+                           with_plan: bool = False) -> QueryResponse:
+        """Execute a SELECT and return QueryResponse{results, plan,
+        stats} (executor.rs:45-90).  `vectors_scanned` is measured with
+        an Observation on the source scan during the SAME job (no
+        second pass); note the metrics barrier pins the count to
+        pre-filter rows, matching the reference's meaning."""
+        from pyspark.sql import Observation
+
+        t0 = time.perf_counter()
+        stmt = parse(sql)
+        params = params or {}
+        if not isinstance(stmt, ast.SelectStmt) or stmt.explain:
+            raise ExecError("execute_with_stats expects a plain SELECT")
+        obs = Observation()
+        src = self._resolve(stmt.collection)
+        wrapped = src.observe(obs, F.count(F.lit(1)).alias("scanned"))
+        shadowed = stmt.collection in self.tables
+        prev = self.tables.get(stmt.collection)
+        self.tables[stmt.collection] = wrapped
+        try:
+            df = self._select(stmt, params)
+            t_built = time.perf_counter()
+            rows = df.collect()
+            t_done = time.perf_counter()
+        finally:
+            if shadowed:
+                self.tables[stmt.collection] = prev
+            else:
+                self.tables.pop(stmt.collection, None)
+        stats = ExecutionStats(
+            total_time_ms=(t_done - t0) * 1000.0,
+            search_time_ms=(t_done - t_built) * 1000.0,
+            filter_time_ms=0.0,  # fused into the scan (see class doc)
+            vectors_scanned=int(obs.get.get("scanned") or 0),
+            vectors_matched=len(rows),
+        )
+        plan = self.explain(stmt, params) if with_plan else None
+        return QueryResponse(results=rows, plan=plan, stats=stats)
 
     # -------------------------------------------------------- resolve --
     def _resolve(self, name: str) -> DataFrame:

@@ -269,6 +269,26 @@ def test_ql_search_near(spark, ex, qv, embeddings):
     assert len(mmr) == 5 and mmr[0]["id"] == 0
 
 
+def test_ql_execution_stats(ex, qv):
+    """QueryResponse{results, plan, stats} with executor.rs:77-90
+    vocabulary: stats present and plausible."""
+    resp = ex.execute_with_stats(
+        "SELECT id, distance FROM embeddings WHERE vector SIMILAR TO $q "
+        "AND label IN (1, 2, 3) LIMIT 5",
+        {"q": qv}, with_plan=True,
+    )
+    assert len(resp.results) == 5
+    s = resp.stats
+    assert s.vectors_matched == 5
+    assert s.vectors_scanned >= 5  # full source scan feeds the search
+    assert s.total_time_ms >= s.search_time_ms > 0.0
+    assert s.filter_time_ms == 0.0  # fused into the scan by Catalyst
+    assert "VectorSearch" in resp.plan and "MetadataFilter" in resp.plan
+
+    with pytest.raises(ExecError, match="plain SELECT"):
+        ex.execute_with_stats("EXPLAIN SELECT id FROM embeddings LIMIT 1")
+
+
 def test_ql_unbound_param(ex):
     with pytest.raises(ExecError, match="unbound"):
         ex.execute("SELECT * FROM embeddings WHERE vector SIMILAR TO $nope LIMIT 1")
