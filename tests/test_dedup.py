@@ -2,6 +2,7 @@
 oracle, MinHash-LSH recall vs exact pairs, SimHash, embedding near-dup."""
 
 import itertools
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -116,6 +117,48 @@ def test_simhash_candidates(spark, docs):
            simhash_candidates(big, id_col="id", max_hamming=10).collect()}
     assert (10, 11) in got and got[(10, 11)] <= 10
     assert (10, 12) not in got
+
+
+# Frozen signatures for sf0.01 documents 0..9 (arrow kernel: dual-salted
+# crc32 64-bit token hashes, tf-weighted bit majority).  SimHash has no
+# DuckDB oracle (no crc32/xxhash twin), so this GOLDEN fixture pins the
+# whole tokenizer+hash+majority pipeline: any drift breaks equality.
+SIMHASH_GOLDEN_SF001 = {
+    0: -3782642749880796218,
+    1: 658036095961904076,
+    2: -3191415660967625787,
+    3: 4734773351453678173,
+    4: 5995931394946233055,
+    5: 5311383708134142686,
+    6: 6608207955896693646,
+    7: 6608278222501180381,
+    8: -3333417888343010339,
+    9: -4488449152562105633,
+}
+# Candidate pairs among sf0.01 docs 0..59 at max_hamming=8, bands=4
+SIMHASH_GOLDEN_PAIRS = [(5, 32, 7), (28, 56, 7), (32, 37, 8), (40, 51, 8), (54, 57, 6)]
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/testdata/sf0.01/documents.parquet"),
+    reason="sf0.01 testdata not present",
+)
+def test_simhash_golden_values(spark):
+    from needle_spark.operators.dedup import _simhash_arrow
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    sigs = {
+        r["doc_id"]: r["__sim"]
+        for r in _simhash_arrow(
+            docs.filter("doc_id < 10").select("doc_id", "text"), "doc_id", "text"
+        ).collect()
+    }
+    assert sigs == SIMHASH_GOLDEN_SF001
+
+    pairs = simhash_candidates(
+        docs.filter("doc_id < 60"), id_col="doc_id", max_hamming=8)
+    got = sorted((r["id1"], r["id2"], r["hamming"]) for r in pairs.collect())
+    assert got == SIMHASH_GOLDEN_PAIRS
 
 
 def _brute_pairs(local, dist, t):
