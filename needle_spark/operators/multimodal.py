@@ -51,12 +51,18 @@ def make_media_df(spark, rows) -> DataFrame:
     )
 
 
-def media_repartition(df: DataFrame, target_rows_per_partition: int = 256) -> DataFrame:
-    """Bound decode-batch memory: with M-byte blobs, a partition holds
-    ~target_rows * M bytes.  Uses count()/target to pick the partition
-    count — at production scale derive it from byte size instead."""
-    n = df.count()
-    parts = max(1, (n + target_rows_per_partition - 1) // target_rows_per_partition)
+def media_repartition(df: DataFrame, target_bytes_per_partition: int = 128 << 20,
+                      data_col: str = "data") -> DataFrame:
+    """Bound decode-batch memory by BLOB BYTES (row count is the wrong
+    proxy when blob sizes vary 1000x): one pass sums `length(data)`,
+    then repartitions so each partition carries ~target bytes.  The
+    sizing job reads only the blob-length column statistics-style scan,
+    not the decoded content."""
+    total = df.select(
+        F.sum(F.coalesce(F.length(F.col(data_col)), F.lit(0))).alias("b")
+    ).first()["b"] or 0
+    parts = max(1, int((total + target_bytes_per_partition - 1)
+                       // target_bytes_per_partition))
     return df.repartition(parts)
 
 

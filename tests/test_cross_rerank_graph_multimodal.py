@@ -143,6 +143,16 @@ def test_multimodal_plumbing(spark):
     stats = {r["kind"]: r["cnt"] for r in media_stats(media).collect()}
     assert stats == {"audio": 1, "image": 2, "video": 1}
 
+    # decode-batch sizing is by BLOB BYTES, not row count: ~50 bytes of
+    # blobs at a 16-byte target -> ceil(total/16) partitions
+    from needle_spark.operators.multimodal import media_repartition
+
+    total = sum(len(r[3]) for r in rows)
+    want = (total + 15) // 16
+    assert media_repartition(media, target_bytes_per_partition=16) \
+        .rdd.getNumPartitions() == want
+    assert media_repartition(media).rdd.getNumPartitions() == 1  # 128 MiB default
+
 
 def test_audio_stub_raises(spark):
     from needle_spark.operators.multimodal import _audio_samples_impl
