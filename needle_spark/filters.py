@@ -181,6 +181,15 @@ def _op_condition(
     r: FieldResolver,
     depth: int,
 ) -> Column:
+    if op == "$not":
+        # field-level negation (Mongo semantics: matches rows that do
+        # NOT satisfy the operator object, including NULL/missing)
+        if not isinstance(v, dict) or not v:
+            raise FilterError("$not requires an operator object")
+        inner = _combine(
+            [_op_condition(field, col, dt, o, ov, r, depth + 1)
+             for o, ov in v.items()], "and")
+        return ~F.coalesce(inner, F.lit(False))
     if op == "$eq":
         c, lv = _lit_for(col, dt, v)
         return c == lv

@@ -56,6 +56,93 @@ def test_nl_no_filter():
     assert q.search_text != ""
 
 
+def test_nl_boolean_and_list_extractors():
+    """ValueExtractor::Boolean (negation-aware) and ::List
+    (nl_filter.rs:369-395)."""
+    p = NLFilterParser()
+    q = p.parse("published articles about rust", now=NOW)
+    assert q.filter == {"is_published": True}
+    q = p.parse("not published drafts about rust", now=NOW)
+    assert q.filter == {"is_published": False}
+    q = p.parse("unverified reports", now=NOW)
+    assert q.filter == {"is_verified": False}
+    q = p.parse("photos tagged as sunset, beach and ocean", now=NOW)
+    assert q.filter == {"tags": {"$all": ["sunset", "beach", "ocean"]}}
+
+
+def test_nl_exclusions(spark):
+    from needle_spark.filters import compile_filter
+
+    p = NLFilterParser()
+    q = p.parse("photos not tagged as private", now=NOW)
+    assert q.filter == {"tags": {"$not": {"$contains": "private"}}}
+    assert "exclude" in q.intents
+    df = spark.createDataFrame(
+        [("a", ["public"]), ("b", ["private", "x"])],
+        "id string, tags array<string>")
+    kept = [r["id"] for r in df.filter(compile_filter(q.filter, df=df)).collect()]
+    assert kept == ["a"]
+    q = p.parse("products excluding category toys", now=NOW)
+    assert q.filter == {"category": {"$ne": "toys"}}
+
+
+def test_nl_temporal_aliases():
+    p = NLFilterParser()
+    assert p.parse("alerts from the past hour", now=NOW).temporal["start"] == NOW - 3600
+    assert p.parse("logs in the last 24 hours", now=NOW).temporal["start"] == NOW - 86400
+    y = p.parse("orders from yesterday", now=NOW).temporal
+    assert (y["start"], y["end"]) == (NOW - 2 * 86400, NOW - 86400)
+
+
+def test_nl_intent_classification():
+    from needle_spark.operators.nl_filter import classify_intent
+
+    c = classify_intent("how many documents are in category science")
+    assert c.primary_intent == "aggregate"
+    assert "filter" in c.secondary_intents
+    assert c.confidence_scores["aggregate"] == 1.0  # normalized max
+    c = classify_intent("compare cats versus dogs")
+    assert c.primary_intent == "compare"
+    assert classify_intent("zebra").primary_intent == "search"  # default
+
+
+def test_nl_conversational_context():
+    """Pronoun resolution, continuation, sticky filters
+    (nl_filter.rs:769-965)."""
+    from needle_spark.operators.nl_filter import ConversationalQueryParser
+
+    p = ConversationalQueryParser()
+    first = p.parse_with_context("find articles about quantum computing", now=NOW)
+    assert "quantum computing" in first.search_text
+    # "more about it" resolves the pronoun to the last search text
+    second = p.parse_with_context("show me more about it", now=NOW)
+    assert "quantum computing" in second.search_text
+    # sticky context filter ANDs into subsequent queries
+    p.context.add_filter({"lang": "en"})
+    third = p.parse_with_context("find papers about entanglement", now=NOW)
+    assert third.filter == {"lang": "en"}
+    p.context.store_entity("user", "alice")
+    assert p.context.get_entity("user") == "alice"
+    assert p.context.has_context()
+    # intent classification orders primary first
+    agg = p.parse_with_context("count papers by topic", now=NOW)
+    assert agg.intents[0] == "aggregate"
+
+
+def test_nl_query_builder():
+    from needle_spark.operators.nl_filter import QueryBuilder
+
+    q = (QueryBuilder("machine learning")
+         .with_category("science").with_author("alice")
+         .with_score_above(0.8).from_last_days(7, now=NOW).build())
+    conds = q.filter["$and"]
+    assert {"category": "science"} in conds
+    assert {"author": "alice"} in conds
+    assert {"score": {"$gt": 0.8}} in conds
+    assert {"inserted_at": {"$gte": NOW - 7 * 86400}} in conds
+    assert q.temporal["start"] == NOW - 7 * 86400
+
+
 def test_sq8_roundtrip_and_search(spark, embeddings):
     sq = SQ8.fit(embeddings, vector_col="embedding")
     enc = sq.encode(embeddings).cache()
