@@ -39,6 +39,93 @@ def test_cross_collection(spark, embeddings):
     assert all(r["collection"] == "a" for r in weighted)
 
 
+def test_collection_filters_and_routing(spark, embeddings):
+    """CollectionFilter modes (cross_collection.rs:105-120) + routing
+    rules with weight overrides (:996-1027)."""
+    from needle_spark.operators.cross_collection import (
+        CollectionRoutingRule,
+        evaluate_routing_rules,
+        routed_cross_collection_knn,
+        select_collections,
+    )
+
+    emb = embeddings.select(F.col("vec_id").alias("id"),
+                            F.col("embedding").alias("vector"))
+    colls = {"docs_en": emb, "docs_fr": emb, "img_small": emb}
+    assert set(select_collections(colls, "prefix", prefix="docs_")) == \
+        {"docs_en", "docs_fr"}
+    assert set(select_collections(colls, "suffix", suffix="_small")) == {"img_small"}
+    assert set(select_collections(colls, "include", names=["docs_fr"])) == {"docs_fr"}
+    assert set(select_collections(colls, "exclude", names=["docs_fr"])) == \
+        {"docs_en", "img_small"}
+    dims = emb.select(F.size("vector")).first()[0]
+    assert set(select_collections(
+        colls, "matching_dimensions", query_dims=dims)) == set(colls)
+    assert select_collections(
+        colls, "matching_dimensions", query_dims=dims + 1,
+        dims={n: dims for n in colls}) == {}
+
+    rules = [
+        CollectionRoutingRule("docs_en", "always", weight_override=2.0),
+        CollectionRoutingRule("docs_fr", "dimension_match", dimension=dims),
+        CollectionRoutingRule("img_small", "dimension_match", dimension=dims + 1),
+    ]
+    routed = evaluate_routing_rules(rules, dims)
+    assert [r.collection for r in routed] == ["docs_en", "docs_fr"]
+    qv = [float(x) for x in embeddings.orderBy("vec_id").first()["embedding"]]
+    rows = routed_cross_collection_knn(colls, rules, qv, k=6).collect()
+    assert {r["collection"] for r in rows} <= {"docs_en", "docs_fr"}
+    # weight override doubles docs_en scores -> it dominates the top
+    assert rows[0]["collection"] == "docs_en"
+
+    with pytest.raises(ValueError, match="routing condition"):
+        CollectionRoutingRule("x", "sometimes")
+
+
+def test_score_aggregation_and_builder(spark, embeddings):
+    """ScoreAggregation strategies (cross_collection.rs:56-68) and the
+    fluent query builder with stats (:587-699, :1032)."""
+    from needle_spark.operators.cross_collection import (
+        CrossCollectionQueryBuilder,
+        aggregate_cross_scores,
+    )
+
+    qv = [float(x) for x in embeddings.orderBy("vec_id").first()["embedding"]]
+    emb = embeddings.select(F.col("vec_id").alias("id"),
+                            F.col("embedding").alias("vector"))
+    # same ids in both collections -> aggregation collapses duplicates
+    colls = {"a": emb, "b": emb}
+    union = cross_collection_knn(colls, qv, k=10, per_collection_k=5)
+
+    best = aggregate_cross_scores(union, "min_score").collect()
+    assert all(r["matches"] == 2 and list(r["collections"]) == ["a", "b"]
+               for r in best)
+    dists = [r["distance"] for r in best]
+    assert dists == sorted(dists)
+
+    rrf = aggregate_cross_scores(union, "rrf").collect()
+    # rank-1 in both collections -> top fused score 2/(60+1)
+    assert abs(rrf[0]["score"] - 2.0 / 61.0) < 1e-12
+
+    avg = aggregate_cross_scores(union, "average").first()
+    assert 0.0 <= avg["score"] <= 1.0
+
+    wavg = aggregate_cross_scores(
+        union, "weighted_average", sizes={"a": 100, "b": 300}).first()
+    assert wavg is not None
+
+    out, stats = (
+        CrossCollectionQueryBuilder(colls, qv)
+        .k(6).prefix("a").min_score(0.5)
+        .options(id_col="id", vector_col="vector")
+        .execute()
+    )
+    rows = out.collect()
+    assert rows and all(r["collection"] == "a" and r["score"] >= 0.5 for r in rows)
+    assert stats["collections_searched"] == 1
+    assert "a" in stats["latencies_us"] and stats["total_time_us"] > 0
+
+
 def test_pagination_cursor(spark, embeddings):
     qv = [float(x) for x in embeddings.orderBy("vec_id").first()["embedding"]]
     page1 = knn(embeddings, qv, k=5, vector_col="embedding", id_col="vec_id").collect()
