@@ -521,6 +521,38 @@ class Collection:
         removed = old.join(new, ic, "left_anti").withColumn("change", F.lit("removed"))
         return added.unionByName(removed)
 
+    # ------------------------------------------------ named snapshots --
+    def create_snapshot(self, name: str) -> int:
+        """Named snapshot (database/snapshots.rs:10-29): records the
+        CURRENT version under `name` — manifest-only, zero data copied
+        (versions are immutable manifests here, so a snapshot is just a
+        name -> version binding)."""
+        snaps = self._manifest.setdefault("snapshots", {})
+        if name in snaps:
+            raise CollectionError(f"snapshot already exists: {name}")
+        snaps[name] = self._manifest["version"]
+        self._write_manifest_static(self.path, self._manifest)
+        return snaps[name]
+
+    def list_snapshots(self) -> dict[str, int]:
+        """snapshots.rs:56 — name -> version."""
+        return dict(self._manifest.get("snapshots", {}))
+
+    def restore_snapshot(self, name: str, now_ms: int | None = None) -> None:
+        """snapshots.rs:34-53: roll back to the named snapshot (as a
+        new version, like numeric restore)."""
+        snaps = self._manifest.get("snapshots", {})
+        if name not in snaps:
+            raise CollectionError(f"no such snapshot: {name}")
+        self.restore(snaps[name], now_ms=now_ms)
+
+    def drop_snapshot(self, name: str) -> None:
+        snaps = self._manifest.get("snapshots", {})
+        if name not in snaps:
+            raise CollectionError(f"no such snapshot: {name}")
+        del snaps[name]
+        self._write_manifest_static(self.path, self._manifest)
+
     def restore(self, version: int, now_ms: int | None = None) -> None:
         """Roll the collection back to an earlier snapshot as a NEW
         version — a manifest-only copy of the old entry (history is
@@ -580,8 +612,10 @@ class Collection:
         self._commit([], [], 0, None,
                      new_entry={"segments": [name], "tombstones": []})
         m = self._manifest
-        keep = sorted(int(v) for v in m["versions"])[-(keep_versions + 1):]
-        m["versions"] = {str(v): m["versions"][str(v)] for v in keep}
+        keep = set(sorted(int(v) for v in m["versions"])[-(keep_versions + 1):])
+        keep.update(m.get("snapshots", {}).values())  # named snapshots survive GC
+        m["versions"] = {str(v): m["versions"][str(v)]
+                         for v in sorted(keep) if str(v) in m["versions"]}
         live: set[str] = set()
         for entry in m["versions"].values():
             live.update(entry["segments"])

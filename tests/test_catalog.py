@@ -106,6 +106,27 @@ def test_versions_diff_restore(spark, coll):
     assert coll.df(v1).count() == 3
 
 
+def test_named_snapshots(spark, coll):
+    """database/snapshots.rs: name -> version bindings, restore by
+    name, snapshots survive compaction GC."""
+    v = coll.create_snapshot("before_changes")
+    assert coll.list_snapshots() == {"before_changes": v}
+    with pytest.raises(CollectionError, match="already exists"):
+        coll.create_snapshot("before_changes")
+    coll.delete(ids=["a"], now_ms=2000)
+    coll.insert(mk_rows(spark, [("x", [0.5, 0.5], "n")]), now_ms=3000)
+    assert not coll.contains("a")
+    coll.restore_snapshot("before_changes", now_ms=4000)
+    assert coll.contains("a") and not coll.contains("x")
+    # snapshot-referenced versions survive compaction
+    coll.compact(keep_versions=0)
+    assert v in coll.versions()
+    assert coll.df(v).count() == 3
+    coll.drop_snapshot("before_changes")
+    with pytest.raises(CollectionError, match="no such snapshot"):
+        coll.restore_snapshot("before_changes")
+
+
 def test_transaction_commit_and_rollback(spark, coll):
     tx = coll.begin()
     tx.insert(mk_rows(spark, [("t1", [0.1, 0.1], "tx")]))
