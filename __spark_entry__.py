@@ -1108,6 +1108,142 @@ FROM documents
 """
 
 
+def _idf_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-weighted term-overlap reranker (reranker.rs
+    score_by_term_overlap :415-468) over the documents table."""
+    from needle_spark.operators.rerank import term_overlap_idf_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return term_overlap_idf_scores(docs, _TERM_OVERLAP_QUERY, text_col="text").select(
+        "doc_id", "rerank_score"
+    )
+
+
+def _idf_overlap_sql() -> str:
+    q_terms = [t for t in _TERM_OVERLAP_QUERY.lower().split() if t]
+    uniq = list(dict.fromkeys(q_terms))
+    df_cols = ",\n       ".join(
+        f"CAST(sum(CASE WHEN list_contains(terms, '{t}') THEN 1 ELSE 0 END) OVER () "
+        f"AS DOUBLE) AS df_{i}" for i, t in enumerate(uniq)
+    )
+    score_terms = " + ".join(
+        f"CASE WHEN list_contains(terms, '{t}') "
+        f"THEN ln((n + 1.0) / (df_{i} + 1.0)) + 1.0 ELSE 0.0 END"
+        for i, t in enumerate(uniq)
+    )
+    return f"""
+WITH dt AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                                   t -> len(t) > 0)) AS terms
+  FROM documents
+), st AS (
+  SELECT doc_id, terms,
+         CAST(count(*) OVER () AS DOUBLE) AS n,
+         {df_cols}
+  FROM dt
+)
+SELECT doc_id,
+       (0.0 + {score_terms})
+         / (sqrt(CAST(GREATEST(len(terms), 1) AS DOUBLE)) * {float(len(q_terms))!r})
+         AS rerank_score
+FROM st
+"""
+
+
+_MULTIQ = {"q0": "fast merge sort", "q1": "window batch", "q2": "query row data"}
+
+
+def _bm25_search_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-query BM25 as ONE explode+join job
+    (hybrid.rs:270-430 index lifecycle + the batch search path)."""
+    from needle_spark.operators.hybrid import Bm25Index
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = Bm25Index(docs, id_col="doc_id", text_col="text")
+    return idx.search_many(_MULTIQ, limit=10)
+
+
+def _bm25_search_many_sql() -> str:
+    from needle_spark.operators.hybrid import duckdb_bm25_sql
+
+    parts = []
+    for qid, text in sorted(_MULTIQ.items()):
+        inner = duckdb_bm25_sql(text, table="documents", id_col="doc_id")
+        parts.append(
+            f"(SELECT '{qid}' AS query_id, doc_id, score FROM ({inner}) "
+            f"ORDER BY round(score, 9) DESC, doc_id ASC LIMIT 10)"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+def _chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapped text chunking (text_collection.rs
+    ChunkingStrategy::FixedSize) exploded to (doc, index, chunk)."""
+    from needle_spark.operators.text_collection import chunk_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.posexplode(chunk_expr(F.col("text"), "fixed", chars=120, overlap=40))
+        .alias("chunk_index", "chunk"),
+    ).select("doc_id", F.col("chunk_index").cast("long").alias("chunk_index"), "chunk")
+
+
+_CHUNK_FIXED_SQL = """
+WITH starts AS (
+  SELECT doc_id, text,
+         unnest(range(0, GREATEST(length(text) - 1, 0) + 1, 80)) AS i
+  FROM documents
+), c AS (
+  SELECT doc_id, i, trim(substring(text, CAST(i AS INT) + 1, 120)) AS chunk
+  FROM starts
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS BIGINT)
+         AS chunk_index,
+       chunk
+FROM c WHERE length(chunk) > 0
+"""
+
+
+def _cross_agg_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-collection ScoreAggregation::MinScore
+    (cross_collection.rs:56-68): overlapping collections, best match
+    per id with the contributing-match count."""
+    from needle_spark.operators.cross_collection import (
+        aggregate_cross_scores,
+        cross_collection_knn,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    a = emb.filter(F.col("vec_id") < 150).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    b = emb.filter(F.col("vec_id") >= 100).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    union = cross_collection_knn({"a": a, "b": b}, qv, k=10, per_collection_k=5)
+    return aggregate_cross_scores(union, "min_score").select(
+        "id", "distance", "matches")
+
+
+def _cross_agg_best_sql() -> str:
+    d = duckdb_distance_sql("cosine", "embedding", _Q_SQL)
+    return f"""
+WITH a AS (
+  SELECT CAST(vec_id AS VARCHAR) AS id, {d} AS dist
+  FROM embeddings WHERE vec_id < 150
+  ORDER BY dist ASC, vec_id ASC LIMIT 5
+), b AS (
+  SELECT CAST(vec_id AS VARCHAR) AS id, {d} AS dist
+  FROM embeddings WHERE vec_id >= 100
+  ORDER BY dist ASC, vec_id ASC LIMIT 5
+), u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+SELECT id, min(dist) AS distance, CAST(count(*) AS BIGINT) AS matches
+FROM u GROUP BY id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": _mk_knn("cosine"),
@@ -1154,6 +1290,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_collection": _cross_collection,
         "graph_traverse": _graph_traverse,
         "term_overlap_rerank": _term_overlap,
+        "idf_overlap_rerank": _idf_overlap,
+        "bm25_search_many": _bm25_search_many,
+        "chunk_fixed": _chunk_fixed,
+        "cross_agg_best": _cross_agg_best,
     }
 
 
@@ -1217,4 +1357,8 @@ def oracle_sql() -> dict[str, str]:
         "cross_collection": _cross_collection_sql(),
         "graph_traverse": _GRAPH_TRAVERSE_SQL,
         "term_overlap_rerank": _term_overlap_sql(),
+        "idf_overlap_rerank": _idf_overlap_sql(),
+        "bm25_search_many": _bm25_search_many_sql(),
+        "chunk_fixed": _CHUNK_FIXED_SQL,
+        "cross_agg_best": _cross_agg_best_sql(),
     }
