@@ -72,6 +72,74 @@ def main() -> None:
         {"BroadcastHashJoin count": str(bh), "SortMergeJoin count": str(sm)},
     ))
 
+    from needle_spark.operators.hybrid import Bm25Index
+
+    idx = Bm25Index(docs, id_col="doc_id", text_col="text")
+    p = explain_text(idx.search("hash join", limit=10))
+    checks.append((
+        "indexed BM25 single query (one job)",
+        "a query against the cached index is filter + literal-map lookup + "
+        "agg + TakeOrdered — zero joins, zero per-query DataFrames",
+        {
+            "InMemoryTableScan": grab(p, "InMemoryTableScan")["InMemoryTableScan"],
+            "TakeOrderedAndProject": grab(p, "TakeOrderedAndProject")["TakeOrderedAndProject"],
+            # joins above the cache boundary (the cached relation's own
+            # build plan legitimately contains the one-off df join)
+            "Join count above cache": str(p.split("InMemoryRelation")[0].count("Join")),
+        },
+    ))
+    idx.unpersist()
+
+    from needle_spark.operators.dedup import embedding_neardup_pairs
+
+    p = explain_text(embedding_neardup_pairs(
+        emb, threshold=0.6, metric="cosine", id_col="vec_id",
+        vector_col="embedding"))
+    checks.append((
+        "embedding near-dup epsilon-join (distributed)",
+        "centroid-cell replication + per-cell Arrow verification: the plan "
+        "keeps the source scan (nothing collected to the driver) and "
+        "shuffles only cell-tagged rows",
+        {
+            "Scan parquet": grab(p, "Scan parquet")["Scan parquet"],
+            "FlatMapGroupsInPandas": grab(p, "FlatMapGroupsInPandas")["FlatMapGroupsInPandas"],
+            "MapInPandas": grab(p, "MapInPandas")["MapInPandas"],
+        },
+    ))
+
+    from needle_spark.operators.graph import traverse
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    edges = orders.limit(1000).select(
+        F.col("o_orderkey").cast("string").alias("src"),
+        F.col("o_custkey").cast("string").alias("dst"),
+        F.lit("placed_by").alias("edge_type"))
+    p = explain_text(traverse(edges, ["1", "2"], max_hops=2))
+    checks.append((
+        "bounded graph traversal (lazy chain)",
+        "short *..N walks compile to ONE job of broadcast hop joins "
+        "(no per-hop eager checkpoints); frontier/visited sides broadcast",
+        {
+            "BroadcastHashJoin count": str(p.count("BroadcastHashJoin")),
+            "SortMergeJoin count": str(p.count("SortMergeJoin")),
+        },
+    ))
+
+    from needle_spark.filters import ttl_filter
+
+    with_ttl = emb.withColumn("expires_at", (F.col("vec_id") + 1000).cast("long"))
+    p = explain_text(ttl_filter(with_ttl, now=123).select("vec_id"))
+    checks.append((
+        "TTL lazy filter",
+        "expiry is a pure Catalyst predicate — it reaches the scan as a "
+        "pushed/codegen filter, never a UDF",
+        {
+            "codegen": grab(p, r"codegen id")["codegen id"],
+            "Filter": grab(p, "Filter")["Filter"],
+            "PythonUDF": "ABSENT" if "pythonUDF" not in p else "PRESENT",
+        },
+    ))
+
     lines = [
         "# PLANS — physical-plan evidence (generated by scripts/plan_report.py)",
         "",
