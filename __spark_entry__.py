@@ -1244,6 +1244,70 @@ FROM u GROUP BY id
 """
 
 
+def _graphrag_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized capitalized sentences per customer (the corpus text
+    is all-lowercase, so entity extraction needs these to be
+    non-trivial)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    return cust.select(
+        F.col("c_custkey").alias("doc_id"),
+        F.concat(
+            F.lit("Report for "), F.col("c_name"),
+            F.lit(". Segment "), F.col("c_mktsegment"),
+            F.lit(" ranked by Clerk today."),
+        ).alias("text"),
+    )
+
+
+_GRAPHRAG_DOCS_SQL = """
+SELECT c_custkey AS doc_id,
+       'Report for ' || c_name || '. Segment ' || c_mktsegment ||
+       ' ranked by Clerk today.' AS text
+FROM customer WHERE c_custkey <= 200
+"""
+
+
+def _graphrag_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity extraction (graphrag.rs:188-218) as pure expressions."""
+    from needle_spark.operators.graphrag import extract_entities
+
+    return extract_entities(_graphrag_docs(spark, sf_dir))
+
+
+def _graphrag_entities_sql() -> str:
+    return f"""
+WITH d AS ({_GRAPHRAG_DOCS_SQL}),
+s AS (SELECT doc_id, unnest(string_split(text, '. ')) AS sent FROM d),
+w AS (SELECT doc_id, unnest((string_split_regex(sent, '\\s+'))[2:]) AS word FROM s),
+c AS (SELECT doc_id,
+             regexp_replace(word, '^[^A-Za-z0-9]+|[^A-Za-z0-9]+$', '', 'g') AS name
+      FROM w WHERE length(word) >= 2)
+SELECT DISTINCT doc_id, 'entity_' || lower(name) AS entity_id, name
+FROM c WHERE length(name) > 0 AND regexp_matches(name, '^[A-Z]')
+"""
+
+
+def _graphrag_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence relationship extraction (graphrag.rs:222-244)."""
+    from needle_spark.operators.graphrag import (
+        entity_cooccurrences,
+        extract_entities,
+    )
+
+    ents = extract_entities(_graphrag_docs(spark, sf_dir))
+    return entity_cooccurrences(ents)
+
+
+def _graphrag_cooccur_sql() -> str:
+    return f"""
+WITH e AS ({_graphrag_entities_sql()})
+SELECT a.entity_id AS src, b.entity_id AS dst,
+       CAST(count(*) AS BIGINT) AS weight
+FROM e a JOIN e b ON a.doc_id = b.doc_id AND a.entity_id < b.entity_id
+GROUP BY a.entity_id, b.entity_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": _mk_knn("cosine"),
@@ -1294,6 +1358,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search_many": _bm25_search_many,
         "chunk_fixed": _chunk_fixed,
         "cross_agg_best": _cross_agg_best,
+        "graphrag_entities": _graphrag_entities,
+        "graphrag_cooccur": _graphrag_cooccur,
     }
 
 
@@ -1361,4 +1427,6 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search_many": _bm25_search_many_sql(),
         "chunk_fixed": _CHUNK_FIXED_SQL,
         "cross_agg_best": _cross_agg_best_sql(),
+        "graphrag_entities": _graphrag_entities_sql(),
+        "graphrag_cooccur": _graphrag_cooccur_sql(),
     }
