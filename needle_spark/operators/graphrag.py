@@ -278,3 +278,93 @@ def community_summaries(
         .agg(F.sort_array(F.collect_set("rel")).alias("internal_relationships"))
     )
     return members.join(internal, "community", "left").orderBy("community")
+
+
+def graphrag_search(
+    entities: DataFrame,
+    edges: DataFrame,
+    query_vector,
+    k: int = 10,
+    max_hops: int = 2,
+    vector_weight: float = 0.7,
+    graph_weight: float = 0.3,
+    metric: str = "cosine",
+    id_col: str = "id",
+    vector_col: str = "vector",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Combined vector + graph search (graphrag.rs search :329-430):
+
+    1. ANN over entity embeddings; vector_score = 1 - dist/max(dist)
+       within the seed set (max clamped to 1e-6).
+    2. Undirected BFS expansion from every seed (adjacency is
+       symmetric, :175-176): a node reached at `hop` from a seed scores
+       graph_score = 1/(1+hop), vector_score = that seed's score,
+       combined = vw*vector_score + gw*graph_score; the best combined
+       wins per node.  Seeds themselves enter at hop 0, graph_score 1.
+    3. Top-k by combined score.
+
+    Returns (id, vector_score, graph_score, combined_score, hop_count,
+    path).  Frontiers are k-seed-bounded and broadcast per hop, like
+    operators/graph.py."""
+    from needle_spark.operators.knn import knn
+
+    ann = knn(entities, query_vector, k=k, metric=metric,
+              vector_col=vector_col, id_col=id_col
+              ).select(F.col(id_col).cast("string").alias("id"), "distance")
+    wmax = Window.partitionBy()
+    seeds = ann.select(
+        "id",
+        (F.lit(1.0) - F.col("distance")
+         / F.greatest(F.max("distance").over(wmax), F.lit(1e-6)))
+        .alias("seed_vs"),
+    ).withColumn("seed_id", F.col("id"))
+    seeds = seeds.cache()
+
+    sym = edges.select(
+        F.col(src_col).cast("string").alias("a"),
+        F.col(dst_col).cast("string").alias("b"))
+    sym = sym.unionByName(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+
+    results = seeds.select(
+        "id", F.col("seed_vs").alias("vector_score"),
+        F.lit(1.0).alias("graph_score"),
+        (F.lit(vector_weight) * F.col("seed_vs") + F.lit(graph_weight)).alias("combined_score"),
+        F.lit(0).alias("hop_count"), F.array(F.col("id")).alias("path"),
+    )
+    frontier = seeds.select("seed_id", "seed_vs", F.col("id"),
+                            F.array(F.col("id")).alias("path"))
+    visited = frontier.select("seed_id", "id")
+    for hop in range(1, max_hops + 1):
+        gs = 1.0 / (1.0 + hop)
+        nxt = (
+            sym.join(F.broadcast(frontier.withColumnRenamed("id", "a")), "a")
+            .select("seed_id", "seed_vs", F.col("b").alias("id"),
+                    F.concat("path", F.array(F.col("b"))).alias("path"))
+        )
+        w_first = Window.partitionBy("seed_id", "id").orderBy(F.col("path").asc())
+        nxt = (
+            nxt.withColumn("__rn", F.row_number().over(w_first))
+            .filter(F.col("__rn") == 1).drop("__rn")
+            .join(F.broadcast(visited), ["seed_id", "id"], "left_anti")
+            .cache()
+        )
+        results = results.unionByName(nxt.select(
+            "id", F.col("seed_vs").alias("vector_score"),
+            F.lit(gs).alias("graph_score"),
+            (F.lit(vector_weight) * F.col("seed_vs")
+             + F.lit(graph_weight * gs)).alias("combined_score"),
+            F.lit(hop).alias("hop_count"), "path",
+        ))
+        visited = visited.unionByName(nxt.select("seed_id", "id"))
+        frontier = nxt
+    w_best = Window.partitionBy("id").orderBy(
+        F.col("combined_score").desc(), F.col("hop_count").asc(),
+        F.col("path").asc())
+    return (
+        results.withColumn("__rn", F.row_number().over(w_best))
+        .filter(F.col("__rn") == 1).drop("__rn")
+        .orderBy(F.col("combined_score").desc(), F.col("id").asc())
+        .limit(k)
+    )

@@ -134,6 +134,36 @@ def test_label_propagation_two_cliques(spark):
     assert labels["x"] == labels["y"] == labels["z"]
 
 
+def test_graphrag_combined_search(spark):
+    """graphrag.rs search (:329-430): ANN seeds scored 1 - d/max_d,
+    BFS expansion scores vw*seed_vs + gw/(1+hop), best combined wins."""
+    from needle_spark.operators.graphrag import graphrag_search
+
+    ents = spark.createDataFrame(
+        [("e1", [1.0, 0.0]), ("e2", [0.8, 0.2]), ("e3", [0.0, 1.0])],
+        "id string, vector array<float>")
+    edges = spark.createDataFrame(
+        [("e1", "x1"), ("x1", "x2"), ("e3", "y1")], "src string, dst string")
+    got = {r["id"]: r for r in graphrag_search(
+        ents, edges, [1.0, 0.0], k=10, max_hops=2,
+        vector_weight=0.7, graph_weight=0.3).collect()}
+
+    # seed scores: distances d(e1)=0, d(e2)~0.029, d(e3)=1 -> max_d = 1
+    assert abs(got["e1"]["combined_score"] - (0.7 * 1.0 + 0.3)) < 1e-9
+    assert got["e1"]["hop_count"] == 0 and got["e1"]["graph_score"] == 1.0
+    assert abs(got["e3"]["vector_score"] - 0.0) < 1e-9  # worst seed -> 0
+    # x1: 1 hop from the best seed -> 0.7*1 + 0.3*(1/2)
+    assert abs(got["x1"]["combined_score"] - (0.7 + 0.15)) < 1e-9
+    assert got["x1"]["path"] == ["e1", "x1"]
+    # x2: 2 hops -> 0.7*1 + 0.3*(1/3)
+    assert abs(got["x2"]["combined_score"] - (0.7 + 0.1)) < 1e-9
+    # y1 reached only from the zero-score seed e3
+    assert abs(got["y1"]["combined_score"] - (0.0 + 0.15)) < 1e-9
+    # ranking is by combined score
+    ordered = sorted(got.values(), key=lambda r: -r["combined_score"])
+    assert [r["id"] for r in ordered][:2] == ["e1", "e2"]
+
+
 def test_community_summaries(spark, docs):
     ents = extract_entities(docs)
     rels = entity_cooccurrences(ents)
