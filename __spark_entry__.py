@@ -495,8 +495,12 @@ def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from needle_spark.operators.dedup import embedding_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
+    # 0.6 is a DENSE threshold (epsilon ~ centroid spacing), so replicas
+    # cover most cells; fewer cells = less duplicated shuffle for this
+    # workload.  Sparse near-dup thresholds want more cells (see docstring).
     return embedding_neardup_pairs(
-        emb, threshold=0.6, metric="cosine", id_col="vec_id", vector_col="embedding"
+        emb, threshold=0.6, metric="cosine", id_col="vec_id",
+        vector_col="embedding", num_cells=8,
     )
 
 
