@@ -219,6 +219,7 @@ class Collection:
             m["cdc_seq"] = seq0 + n_events
 
         new_v = m["version"] + 1
+        entry["committed_ms"] = now_ms if now_ms is not None else _utcnow_ms()
         m["versions"][str(new_v)] = entry
         m["version"] = new_v
         self._write_manifest_static(self.path, m)
@@ -520,6 +521,63 @@ class Collection:
         added = new.join(old, ic, "left_anti").withColumn("change", F.lit("added"))
         removed = old.join(new, ic, "left_anti").withColumn("change", F.lit("removed"))
         return added.unionByName(removed)
+
+    # ------------------------------------------------- time travel --
+    def version_at_timestamp(self, ts_ms: int) -> int:
+        """Largest version committed at or before `ts_ms`
+        (time_travel_query.rs:459-501 timestamp resolution; versions
+        carry their commit time in the manifest)."""
+        best = 0
+        for v, entry in self._manifest["versions"].items():
+            c = entry.get("committed_ms")
+            if c is not None and c <= ts_ms:
+                best = max(best, int(v))
+        return best
+
+    def get_at(self, vector_id: Any, version: int | None = None,
+               ts_ms: int | None = None):
+        """Point lookup as of a version or timestamp
+        (time_travel_query.rs get_at :251 / get_at_timestamp :482)."""
+        if ts_ms is not None:
+            version = self.version_at_timestamp(ts_ms)
+        rows = self.df(version).filter(
+            F.col(self.id_col) == vector_id).collect()
+        return rows[0] if rows else None
+
+    def search_at(self, query_vector, k: int = 10,
+                  version: int | None = None, ts_ms: int | None = None,
+                  **kwargs) -> DataFrame:
+        """kNN against a historical version (search_at :270 /
+        search_at_timestamp :459)."""
+        from needle_spark.operators.knn import knn
+
+        if ts_ms is not None:
+            version = self.version_at_timestamp(ts_ms)
+        return knn(
+            self.df(version), query_vector, k=k,
+            metric=self._manifest.get("metric", "cosine"),
+            vector_col=self.vector_col, id_col=self.id_col, **kwargs,
+        )
+
+    def history(self, vector_id: Any) -> DataFrame:
+        """Per-id mutation history from the CDC log
+        (time_travel_query.rs history :411) — the log IS the audit
+        trail (:419), so this is a pushed-down filter over it."""
+        return (
+            self.cdc_events()
+            .filter(F.col("vector_id") == str(vector_id))
+            .orderBy("sequence")
+        )
+
+    def changelog(self, from_ms: int | None = None,
+                  to_ms: int | None = None) -> DataFrame:
+        """Events in a timestamp range (changelog :503)."""
+        ev = self.cdc_events()
+        if from_ms is not None:
+            ev = ev.filter(F.col("timestamp_ms") >= from_ms)
+        if to_ms is not None:
+            ev = ev.filter(F.col("timestamp_ms") <= to_ms)
+        return ev.orderBy("sequence")
 
     # ------------------------------------------------ named snapshots --
     def create_snapshot(self, name: str) -> int:

@@ -106,6 +106,33 @@ def test_versions_diff_restore(spark, coll):
     assert coll.df(v1).count() == 3
 
 
+def test_time_travel_api(spark, coll):
+    """time_travel_query.rs: timestamp->version resolution, point/search
+    as-of, per-id history, changelog windows."""
+    v1 = coll.version  # fixture committed at now_ms=1000
+    coll.upsert(mk_rows(spark, [("a", [9.0, 9.0], "updated")]), now_ms=2000)
+    coll.delete(ids=["b"], now_ms=3000)
+
+    assert coll.version_at_timestamp(1500) == v1
+    assert coll.version_at_timestamp(2500) == v1 + 1
+    assert coll.version_at_timestamp(9999) == coll.version
+    assert coll.get_at("a", ts_ms=1500)["category"] == "x"
+    assert coll.get_at("a", ts_ms=2500)["category"] == "updated"
+    assert coll.get_at("b", ts_ms=3000) is None
+    assert coll.get_at("b", version=v1) is not None
+
+    # search against history: 'a' had vector [1,0] at v1, [9,9] now
+    then = coll.search_at([1.0, 0.0], k=1, version=v1).first()
+    assert then["id"] == "a" and abs(then["distance"]) < 1e-9
+    now = coll.search_at([1.0, 0.0], k=1).first()
+    assert now["id"] != "a" or now["distance"] > 0.0
+
+    hist = coll.history("a").collect()
+    assert [h["event_type"] for h in hist] == ["insert", "upsert"]
+    win = coll.changelog(from_ms=1500, to_ms=2500).collect()
+    assert {w["event_type"] for w in win} == {"upsert"}
+
+
 def test_named_snapshots(spark, coll):
     """database/snapshots.rs: name -> version bindings, restore by
     name, snapshots survive compaction GC."""
