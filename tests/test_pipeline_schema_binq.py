@@ -77,6 +77,80 @@ def test_pipeline_errors(spark, corpus):
         run_pipeline(corpus, {"stages": [{"type": "search"}]})
 
 
+def test_pipeline_threshold_and_cache_stages(spark, corpus, embeddings):
+    """ThresholdStageConfig (:87) and CacheStageConfig (:94)."""
+    from needle_spark.operators.semantic_cache import SemanticCache
+
+    qv = [float(x) for x in embeddings.orderBy("vec_id").first()["embedding"]]
+    out = run_pipeline(
+        corpus,
+        {"stages": [
+            {"type": "search", "k": 50},
+            {"type": "threshold", "max_distance": 0.5},
+        ]},
+        params={"vector": qv},
+    ).collect()
+    assert out and all(r["distance"] <= 0.5 for r in out)
+
+    cache = SemanticCache(similarity_threshold=0.999)
+    cfg = {"stages": [
+        {"type": "cache", "ttl_secs": 600},
+        {"type": "search", "k": 30},
+        {"type": "limit", "k": 5},
+    ]}
+    first = run_pipeline(corpus, cfg, params={"vector": qv, "now": 1}, cache=cache)
+    assert len(first) == 5 and cache.misses == 1
+    again = run_pipeline(corpus, cfg, params={"vector": qv, "now": 2}, cache=cache)
+    assert cache.hits == 1
+    assert [r["id"] for r in again] == [r["id"] for r in first]
+
+
+def test_pipeline_validate_optimize_templates(spark, corpus, embeddings):
+    from needle_spark.operators.pipeline_dsl import (
+        optimize_pipeline,
+        pipeline_from_json,
+        pipeline_summary,
+        pipeline_to_json,
+        template,
+        validate_pipeline,
+    )
+
+    assert validate_pipeline({"stages": []}) == ["Pipeline has no stages"]
+    assert validate_pipeline({"stages": [{"type": "limit", "k": 1}]}) == \
+        ["First stage should be 'search'"]
+    assert "Multiple search stages" in validate_pipeline(
+        {"stages": [{"type": "search"}, {"type": "search"}]})[0]
+
+    messy = {"stages": [{"type": "search", "k": 30},
+                        {"type": "limit", "k": 10},
+                        {"type": "filter", "filter": {"label": {"$gte": 2}}}]}
+    opt = optimize_pipeline(messy)
+    assert [s["type"] for s in opt["stages"]] == ["search", "filter", "limit"]
+
+    qv = [float(x) for x in embeddings.orderBy("vec_id").first()["embedding"]]
+    for name, kw in [
+        ("simple_rag", {}),
+        ("filtered_rag", {"filter": {"label": {"$gte": 1}}}),
+        ("diverse_rag", {}),
+        ("reranked_rag", {"field": "label"}),
+        ("high_recall", {"max_distance": 1.5}),
+        ("full_rag", {"filter": {"label": {"$gte": 0}}, "field": "label"}),
+        ("semantic_dedup", {"max_distance": 1.5}),
+    ]:
+        cfg = template(name, k=4, **kw)
+        assert validate_pipeline(cfg) == [], name
+        res = run_pipeline(corpus, cfg, params={"vector": qv})
+        rows = res if isinstance(res, list) else res.collect()
+        assert 0 < len(rows) <= 4, name
+
+    cfg = template("cached_search", k=3)
+    assert pipeline_summary(cfg) == "cached-search (1): cache → search → limit"
+    back = pipeline_from_json(pipeline_to_json(cfg))
+    assert back["stages"] == cfg["stages"]
+    with pytest.raises(PipelineError, match="unknown template"):
+        template("frobnicate")
+
+
 def test_typed_metadata_schema(spark, tmp_path):
     db = Database(spark, str(tmp_path / "db"))
     c = db.create_collection(
