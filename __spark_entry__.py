@@ -523,15 +523,13 @@ def _text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_count_expr,
     )
 
+    from needle_spark.operators.text_analysis import text_profile_arrow
+
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        lang_id_expr("text").alias("pred_lang"),
-        word_count_expr("text").alias("word_cnt"),
-        bpe_token_count_expr("text").alias("bpe_cnt"),
-        quality_score_expr("text").alias("quality"),
-        fingerprint_expr("text").alias("fingerprint"),
-    )
+    # one-pass Arrow kernel (tokenize once per doc); value-identical to
+    # the expression pipeline above, ~4x faster — the expression twins
+    # (lang_id_expr etc.) remain the composable public API
+    return text_profile_arrow(docs, id_col="doc_id", text_col="text")
 
 
 def _text_profile_sql() -> str:

@@ -89,3 +89,30 @@ def test_duckdb_twins_agree(spark, documents):
         assert s[0] == lang, (doc_id, s[0], lang)
         assert s[1] == q, (doc_id, s[1], q)
         assert s[2] == fp, (doc_id, s[2], fp)
+
+
+def test_arrow_profile_matches_expressions(spark, documents):
+    """The one-pass Arrow kernel is VALUE-IDENTICAL to the expression
+    pipeline on every column (tokenize-once optimization must not drift
+    semantics: HALF_UP rounding, tie-breaks, Horner fingerprint)."""
+    from needle_spark.operators.text_analysis import (
+        bpe_token_count_expr,
+        fingerprint_expr,
+        lang_id_expr,
+        quality_score_expr,
+        text_profile_arrow,
+        word_count_expr,
+    )
+
+    expr = documents.select(
+        "doc_id",
+        lang_id_expr("text").alias("pred_lang"),
+        word_count_expr("text").alias("word_cnt"),
+        bpe_token_count_expr("text").alias("bpe_cnt"),
+        quality_score_expr("text").alias("quality"),
+        fingerprint_expr("text").alias("fingerprint"),
+    )
+    want = {r["doc_id"]: tuple(r)[1:] for r in expr.collect()}
+    got = {r["doc_id"]: tuple(r)[1:] for r in
+           text_profile_arrow(documents).collect()}
+    assert got == want
