@@ -1,0 +1,93 @@
+"""Point-in-time recovery (pitr_service.rs): checksummed backups,
+recovery targets, retention pruning, stats, auto-snapshot cadence."""
+
+import os
+
+import pytest
+
+from needle_spark.catalog import Database
+from needle_spark.pitr import PitrConfig, PitrError, PitrService
+
+SCHEMA = "id string, vector array<float>, category string"
+
+
+@pytest.fixture()
+def db(spark, tmp_path):
+    db = Database(spark, str(tmp_path / "db"))
+    c = db.create_collection("docs", dims=2, schema=SCHEMA)
+    c.insert(spark.createDataFrame(
+        [("a", [1.0, 0.0], "x"), ("b", [0.0, 1.0], "y")], SCHEMA), now_ms=1000)
+    return db
+
+
+def test_snapshot_recover_roundtrip(spark, tmp_path, db):
+    svc = PitrService(db, PitrConfig(backup_dir=str(tmp_path / "backups")))
+    p1 = svc.create_snapshot("before-disaster", now_ms=10_000)
+    assert p1.total_vectors == 2 and p1.collections == ["docs"]
+    assert p1.checksum is not None and p1.size_bytes > 0
+
+    # disaster: delete everything, insert junk
+    c = db.collection("docs")
+    c.delete(ids=["a", "b"], now_ms=11_000)
+    c.insert(spark.createDataFrame([("junk", [9.0, 9.0], "z")], SCHEMA),
+             now_ms=12_000)
+    assert {r["id"] for r in c.df().collect()} == {"junk"}
+
+    res = svc.recover_to("before-disaster", now_ms=13_000)
+    assert res.verified and res.vectors_restored == 2
+    assert {r["id"] for r in db.collection("docs").df().collect()} == {"a", "b"}
+    # recovery committed NEW versions — the junk state is still readable
+    assert "junk" in {r["id"] for r in db.collection("docs").df(
+        db.collection("docs").version - 2).collect()}
+
+
+def test_recovery_targets_and_tamper_detection(spark, tmp_path, db):
+    svc = PitrService(db, PitrConfig(backup_dir=str(tmp_path / "b2")))
+    svc.create_snapshot("first", now_ms=10_000)
+    db.collection("docs").insert(spark.createDataFrame(
+        [("c", [1.0, 1.0], "z")], SCHEMA), now_ms=11_000)
+    svc.create_snapshot("second", now_ms=20_000)
+
+    # timestamp target resolves to newest point at-or-before
+    res = svc.recover_to(15_000, now_ms=30_000)
+    assert res.restore_point_id.endswith("first")
+    assert db.collection("docs").count() == 2
+    res = svc.recover_to("latest", now_ms=31_000)
+    assert res.restore_point_id.endswith("second")
+    assert db.collection("docs").count() == 3
+    with pytest.raises(PitrError, match="at or before"):
+        svc.recover_to(5)
+
+    # tampering breaks the checksum and blocks recovery
+    pdir = svc._point_dir(svc.list_restore_points()[0].id)
+    victim = next(
+        os.path.join(dp, f) for dp, _, fs in os.walk(pdir) for f in fs
+        if f.endswith(".parquet"))
+    with open(victim, "ab") as f:
+        f.write(b"corruption")
+    assert not svc.verify_snapshot(svc.list_restore_points()[0].id)
+    with pytest.raises(PitrError, match="checksum"):
+        svc.recover_to("first")
+
+
+def test_retention_stats_and_auto_cadence(spark, tmp_path, db):
+    svc = PitrService(db, PitrConfig(
+        backup_dir=str(tmp_path / "b3"), retention_days=1, max_snapshots=2,
+        auto_snapshot_interval_secs=60))
+    day = 86_400_000
+    svc.create_snapshot("old", now_ms=0)
+    svc.create_snapshot("mid", now_ms=day)
+    svc.create_snapshot("new", now_ms=2 * day)
+    st = svc.stats(now_ms=2 * day)
+    assert st["total_snapshots"] == 3 and st["expired_count"] == 1
+    assert st["oldest_snapshot_ms"] == 0 and st["newest_snapshot_ms"] == 2 * day
+
+    removed = svc.prune(now_ms=2 * day)  # 'old' beyond retention
+    assert removed == 1
+    labels = [p.label for p in svc.list_restore_points()]
+    assert labels == ["mid", "new"]
+    assert not os.path.exists(svc._point_dir("rp_0_old"))
+
+    # auto-snapshot cadence
+    assert svc.should_auto_snapshot(now_ms=2 * day + 61_000)
+    assert not svc.should_auto_snapshot(now_ms=2 * day + 30_000)
