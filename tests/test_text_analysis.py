@@ -116,3 +116,19 @@ def test_arrow_profile_matches_expressions(spark, documents):
     got = {r["doc_id"]: tuple(r)[1:] for r in
            text_profile_arrow(documents).collect()}
     assert got == want
+
+
+def test_fingerprint_udf_matches_expression(spark, documents):
+    from pyspark.sql import functions as F
+
+    from needle_spark.operators.text_analysis import (
+        fingerprint_expr,
+        fingerprint_udf,
+    )
+
+    both = documents.select(
+        "doc_id",
+        fingerprint_expr("text").alias("a"),
+        fingerprint_udf()(F.col("text")).alias("b"),
+    ).collect()
+    assert both and all(r["a"] == r["b"] for r in both)
