@@ -59,6 +59,16 @@ def __getattr__(name):
         "cdc_pipeline": ("needle_spark.streaming.cdc", "cdc_pipeline"),
         "parse_debezium": ("needle_spark.streaming.cdc", "parse_debezium"),
         "parse_mongo_change": ("needle_spark.streaming.cdc", "parse_mongo_change"),
+        "TextCollection": ("needle_spark.operators.text_collection", "TextCollection"),
+        "PitrService": ("needle_spark.pitr", "PitrService"),
+        "PitrConfig": ("needle_spark.pitr", "PitrConfig"),
+        "NamespaceSchema": ("needle_spark.operators.namespaces", "NamespaceSchema"),
+        "fusion_search": ("needle_spark.operators.namespaces", "fusion_search"),
+        "QueryRecorder": ("needle_spark.operators.query_replay", "QueryRecorder"),
+        "QueryReplayer": ("needle_spark.operators.query_replay", "QueryReplayer"),
+        "AdaptiveOptimizer": ("needle_spark.plans.adaptive", "AdaptiveOptimizer"),
+        "AdaptiveSelector": ("needle_spark.plans.index_selector", "AdaptiveSelector"),
+        "graphrag_search": ("needle_spark.operators.graphrag", "graphrag_search"),
     }
     if name in _lazy:
         import importlib
@@ -74,5 +84,8 @@ __all__ = [
     "bm25_scores", "Bm25Index", "rrf_fuse", "AnalyticsQuery", "Database",
     "Collection", "QueryExecutor", "IvfIndex", "run_pipeline", "ttl_filter",
     "KafkaSourceConfig", "cdc_pipeline", "parse_debezium",
-    "parse_mongo_change", "__version__",
+    "parse_mongo_change", "TextCollection", "PitrService", "PitrConfig",
+    "NamespaceSchema", "fusion_search", "QueryRecorder", "QueryReplayer",
+    "AdaptiveOptimizer", "AdaptiveSelector", "graphrag_search",
+    "__version__",
 ]
