@@ -93,6 +93,12 @@ class QueryExecutor:
         self.inserted_at_col = inserted_at_col
         self.views: dict[str, ast.SelectStmt] = {}
         self.materialized: dict[str, DataFrame] = {}
+        # Temporary name -> DataFrame shadows consulted FIRST by _resolve.
+        # execute_with_stats uses this so its Observation-wrapped source is
+        # the one actually executed even when the target is a view or
+        # materialized view (otherwise obs.get would block forever on a
+        # dataset that never ran).
+        self._overrides: dict[str, DataFrame] = {}
 
     # ------------------------------------------------------- dispatch --
     def execute(self, sql: str, params: dict[str, Any] | None = None):
@@ -144,7 +150,14 @@ class QueryExecutor:
         stats} (executor.rs:45-90).  `vectors_scanned` is measured with
         an Observation on the source scan during the SAME job (no
         second pass); note the metrics barrier pins the count to
-        pre-filter rows, matching the reference's meaning."""
+        pre-filter rows, matching the reference's meaning.
+
+        Counting semantics: `vectors_scanned` counts rows flowing
+        through each *reference* to the observed source.  Hybrid
+        queries with post-stages reference the source twice in one job
+        (kNN/BM25 base + payload-restore join), so the figure there is
+        ~2x the distinct source rows — it measures scan work performed,
+        not table cardinality."""
         from pyspark.sql import Observation
 
         t0 = time.perf_counter()
@@ -155,19 +168,14 @@ class QueryExecutor:
         obs = Observation()
         src = self._resolve(stmt.collection)
         wrapped = src.observe(obs, F.count(F.lit(1)).alias("scanned"))
-        shadowed = stmt.collection in self.tables
-        prev = self.tables.get(stmt.collection)
-        self.tables[stmt.collection] = wrapped
+        self._overrides[stmt.collection] = wrapped
         try:
             df = self._select(stmt, params)
             t_built = time.perf_counter()
             rows = df.collect()
             t_done = time.perf_counter()
         finally:
-            if shadowed:
-                self.tables[stmt.collection] = prev
-            else:
-                self.tables.pop(stmt.collection, None)
+            self._overrides.pop(stmt.collection, None)
         stats = ExecutionStats(
             total_time_ms=(t_done - t0) * 1000.0,
             search_time_ms=(t_done - t_built) * 1000.0,
@@ -180,6 +188,8 @@ class QueryExecutor:
 
     # -------------------------------------------------------- resolve --
     def _resolve(self, name: str) -> DataFrame:
+        if name in self._overrides:
+            return self._overrides[name]
         if name in self.materialized:
             return self.materialized[name]
         if name in self.views:

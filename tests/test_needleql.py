@@ -317,6 +317,29 @@ def test_ql_views(ex, qv):
         ex.execute("SELECT id FROM en_docs")
 
 
+def test_ql_stats_over_view_and_materialized(ex):
+    """Regression: execute_with_stats over a view / materialized view used
+    to deadlock — the Observation-wrapped source went into self.tables but
+    _resolve preferred views/materialized, so the observed dataset never
+    ran and obs.get blocked forever.  The override registry fixes it."""
+    ex.execute("CREATE VIEW sv_docs AS SELECT id, text FROM documents WHERE lang = 'en'")
+    resp = ex.execute_with_stats("SELECT id FROM sv_docs WHERE id < 100 LIMIT 5")
+    assert len(resp.results) == 5
+    assert resp.stats.vectors_scanned > 0
+    ex.execute("DROP VIEW sv_docs")
+
+    ex.execute(
+        "CREATE MATERIALIZED VIEW mv_docs AS "
+        "SELECT id, text FROM documents WHERE lang = 'en'"
+    )
+    resp = ex.execute_with_stats("SELECT id FROM mv_docs WHERE id < 100 LIMIT 5")
+    assert len(resp.results) == 5
+    assert resp.stats.vectors_scanned > 0
+    ex.execute("DROP VIEW mv_docs")
+    # override cleaned up even on the happy path
+    assert ex._overrides == {}
+
+
 def test_ql_ddl_and_dml(spark, tmp_path, qv):
     db = Database(spark, str(tmp_path / "qldb"))
     ex = QueryExecutor(spark, database=db)
