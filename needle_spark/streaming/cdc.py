@@ -144,6 +144,95 @@ def kafka_source(spark: SparkSession, config: KafkaSourceConfig,
     return kafka_value_json(reader.load())
 
 
+@dataclass
+class PostgresCdcConfig:
+    """PostgresCdcConfig (postgres.rs:9-32): logical-replication slot
+    parameters.  Spark has no native pgoutput streaming source; the
+    production route is Debezium->Kafka (parse_debezium), but this
+    config also builds the slot-polling SQL (postgres.rs:218-223) for a
+    JDBC micro-batch poller, and `parse_pgoutput` understands the native
+    envelope wherever the bytes arrive from."""
+
+    connection_string: str = "postgres://localhost/needle"
+    slot_name: str = "needle_slot"
+    publication_name: str = "needle_publication"
+    tables: list[str] = field(default_factory=list)
+    cdc: CdcConfig = field(default_factory=CdcConfig)
+
+    def create_slot_sql(self) -> str:
+        """Idempotent slot creation (postgres.rs:193-198)."""
+        return (
+            f"SELECT pg_create_logical_replication_slot('{self.slot_name}', 'pgoutput') "
+            f"WHERE NOT EXISTS (SELECT 1 FROM pg_replication_slots "
+            f"WHERE slot_name = '{self.slot_name}')"
+        )
+
+    def slot_changes_sql(self) -> str:
+        """Batch poll of pending changes (postgres.rs:218-223); the
+        `data` column feeds parse_pgoutput."""
+        return (
+            f"SELECT lsn, xid, data FROM pg_logical_slot_get_changes("
+            f"'{self.slot_name}', NULL, {self.cdc.batch_size}, "
+            f"'proto_version', '1', 'publication_names', '{self.publication_name}')"
+        )
+
+
+@dataclass
+class PulsarSourceConfig:
+    """PulsarConnectorConfig (pulsar.rs:10-103) -> options for the
+    public pulsar-spark connector (`readStream.format("pulsar")`).
+    Payloads carry Debezium envelopes (pulsar.rs couples the connector
+    to DebeziumParser), so the parsed stream feeds parse_debezium."""
+
+    service_url: str = "pulsar://localhost:6650"
+    topic: str = "persistent://public/default/needle-cdc"
+    subscription: str = "needle-cdc-subscription"
+    consumer_name: str = "needle-cdc-consumer"
+    batch_size: int = 100
+    receive_timeout_ms: int = 5000
+    cdc: CdcConfig = field(default_factory=CdcConfig)
+    initial_position: str = "latest"          # latest | earliest
+    enable_dead_letter: bool = False
+    dead_letter_topic: str | None = None
+    max_redelivery_count: int = 3
+
+    def options(self) -> dict[str, str]:
+        if not self.topic:
+            raise CdcError("pulsar source requires a topic")
+        if self.initial_position not in ("latest", "earliest"):
+            raise CdcError(f"bad initial_position: {self.initial_position!r}")
+        opts = {
+            "service.url": self.service_url,
+            "topics": self.topic,
+            "predefinedSubscription": self.subscription,
+            "pulsar.reader.receiverQueueSize": str(self.batch_size),
+            "startingOffsets": self.initial_position,
+        }
+        if self.enable_dead_letter:
+            if not self.dead_letter_topic:
+                raise CdcError("dead-letter enabled but no dead_letter_topic")
+            opts["pulsar.consumer.deadLetterPolicy.deadLetterTopic"] = self.dead_letter_topic
+            opts["pulsar.consumer.deadLetterPolicy.maxRedeliverCount"] = str(
+                self.max_redelivery_count)
+        return opts
+
+
+def pulsar_source(spark: SparkSession, config: PulsarSourceConfig,
+                  load: bool = True):
+    """Config-driven Pulsar reader (pulsar.rs PulsarConnector).  With
+    load=False returns the configured DataStreamReader (inspectable /
+    testable without a broker or the pulsar connector jar)."""
+    reader = spark.readStream.format("pulsar")
+    for k, v in config.options().items():
+        reader = reader.option(k, v)
+    if not load:
+        return reader
+    raw = reader.load()
+    return raw.select(F.col("value").cast("string").alias("value"),
+                      *[c for c in ("__topic", "__messageId", "__publishTime")
+                        if c in raw.columns])
+
+
 def kafka_value_json(raw: DataFrame) -> DataFrame:
     """Kafka record -> (value json string, key, topic, partition,
     offset, timestamp) — the shape envelope parsers consume."""
@@ -251,6 +340,48 @@ def parse_mongo_change(
     })
 
 
+_PG_OPS = {"I": "insert", "U": "update", "D": "delete"}
+
+
+def parse_pgoutput(
+    events: DataFrame,
+    value_col: str = "value",
+    collection_mapping: dict[str, str] | None = None,
+) -> DataFrame:
+    """Postgres logical-replication envelope -> normalized change events
+    — expression twin of PostgresCdcConnector.parse_message
+    (postgres.rs:71-159).
+
+    The wire format is `<op-char><json>`: op 'I'/'U'/'D' followed by the
+    row as JSON carrying `table` and `id` fields.  Unknown message types
+    (pgoutput Begin/Commit/Relation frames and anything else) yield
+    operation NULL, matching the reference's skip — filter them to a
+    DLQ rather than killing the stream.  Deletes carry no after-image
+    (ChangeEvent::delete has full_document None); ts_ms is NULL because
+    the reference stamps arrival time, which the bridge supplies."""
+    v = F.col(value_col)
+    op_char = F.substring(v, 1, 1)
+    payload = v.substr(F.lit(2), F.length(v))
+    op_map = F.create_map(*[F.lit(x) for kv in sorted(_PG_OPS.items()) for x in kv])
+    operation = F.element_at(op_map, op_char)
+    table = F.coalesce(F.get_json_object(payload, "$.table"), F.lit("unknown"))
+    if collection_mapping:
+        cmap = F.create_map(*[
+            F.lit(x) for kv in sorted(collection_mapping.items()) for x in kv
+        ])
+        collection = F.coalesce(F.element_at(cmap, table), table)
+    else:
+        collection = table
+    return events.withColumns({
+        "operation": operation,
+        "collection": collection,
+        "document_key": F.get_json_object(payload, "$.id"),
+        "ts_ms": F.lit(None).cast("long"),
+        "after": F.when(operation.isin("insert", "update"), payload),
+        "before": F.lit(None).cast("string"),
+    })
+
+
 # ------------------------------------------------------------ bridge ---
 
 def apply_change_events(collection, doc_schema: str,
@@ -333,10 +464,12 @@ def cdc_pipeline(
     """End-to-end CDC ingestion (CdcIngestionPipeline, cdc/mod.rs:204):
     source stream of JSON envelopes -> parse -> apply to collection.
     Returns the StreamingQuery."""
-    if parser == "debezium":
+    if parser in ("debezium", "pulsar"):  # pulsar payloads ARE debezium
         parsed = parse_debezium(source_df, collection_mapping=collection_mapping)
     elif parser == "mongodb":
         parsed = parse_mongo_change(source_df, collection_mapping=collection_mapping)
+    elif parser in ("postgres", "pgoutput"):
+        parsed = parse_pgoutput(source_df, collection_mapping=collection_mapping)
     else:
         raise CdcError(f"unknown CDC parser: {parser!r}")
     writer = parsed.writeStream.foreachBatch(apply_change_events(collection, doc_schema))

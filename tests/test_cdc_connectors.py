@@ -19,10 +19,14 @@ from needle_spark.streaming.cdc import (
     CdcError,
     CdcPosition,
     KafkaSourceConfig,
+    PostgresCdcConfig,
+    PulsarSourceConfig,
     cdc_pipeline,
     kafka_source,
     parse_debezium,
     parse_mongo_change,
+    parse_pgoutput,
+    pulsar_source,
 )
 from needle_spark.streaming.ingestion import file_source
 
@@ -149,6 +153,110 @@ def test_kafka_source_config(spark):
     assert reader is not None
     with pytest.raises(CdcError, match="topic"):
         KafkaSourceConfig(topic="").options()
+
+
+def pg(op, row):
+    """Postgres logical-replication wire frame: `<op-char><json>`
+    (postgres.rs:77-156)."""
+    return op + json.dumps(row)
+
+
+def test_parse_pgoutput_envelope(spark):
+    rows = [
+        pg("I", {"table": "docs", "id": "p1", "category": "x"}),
+        pg("U", {"table": "docs", "id": "p1", "category": "y"}),
+        pg("D", {"table": "docs", "id": "p1"}),
+        "B{}",   # begin frame -> skipped (operation NULL)
+        pg("I", {"table": "other", "id": "q"}),
+    ]
+    df = spark.createDataFrame([(r,) for r in rows], "value string")
+    got = parse_pgoutput(df, collection_mapping={"docs": "documents"}).collect()
+    assert [r["operation"] for r in got] == [
+        "insert", "update", "delete", None, "insert"]
+    assert got[0]["collection"] == "documents"
+    assert got[4]["collection"] == "other"      # unmapped table passes through
+    assert got[0]["document_key"] == "p1"
+    assert got[2]["document_key"] == "p1"       # delete key from the row json
+    assert json.loads(got[1]["after"]) == {"table": "docs", "id": "p1", "category": "y"}
+    assert got[2]["after"] is None              # deletes carry no after-image
+
+
+def test_pgoutput_file_replay_converges(spark, tmp_path, coll):
+    """5/5 protocols: native Postgres envelopes through the production
+    pipeline (parse_pgoutput -> apply_change_events) converge to the
+    oracle state."""
+    src = str(tmp_path / "pg_envelopes")
+    os.makedirs(src, exist_ok=True)
+    # pg frames are raw `<op><json>` strings, not json objects
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        for frame in [
+            pg("I", {"table": "docs", "id": "a", "vector": [1.0, 0.0], "category": "first"}),
+            pg("I", {"table": "docs", "id": "b", "vector": [0.0, 1.0], "category": "keep"}),
+            pg("U", {"table": "docs", "id": "a", "vector": [1.0, 0.0], "category": "second"}),
+            pg("I", {"table": "docs", "id": "c", "vector": [1.0, 1.0], "category": "doomed"}),
+            pg("D", {"table": "docs", "id": "c"}),
+            "B{}",  # transaction-control frame skipped by the parser
+        ]:
+            f.write(json.dumps({"value": frame}) + "\n")
+    q = cdc_pipeline(
+        file_source(spark, src, "value string"),
+        coll, DOC_SCHEMA, parser="postgres",
+        checkpoint_dir=str(tmp_path / "pg_ckpt"), available_now=True,
+    )
+    q.awaitTermination(120)
+    state = {r["id"]: r["category"] for r in coll.df().collect()}
+    assert state == {"a": "second", "b": "keep"}
+
+
+def test_postgres_cdc_config():
+    cfg = PostgresCdcConfig(slot_name="s1", publication_name="pub1")
+    assert "pg_create_logical_replication_slot('s1', 'pgoutput')" in cfg.create_slot_sql()
+    sql = cfg.slot_changes_sql()
+    assert "pg_logical_slot_get_changes('s1'" in sql
+    assert "'publication_names', 'pub1'" in sql
+    assert ", 100," in sql  # CdcConfig.batch_size rides into the poll
+
+
+def test_pulsar_source_config(spark):
+    cfg = PulsarSourceConfig(
+        service_url="pulsar://p1:6650", topic="persistent://t/ns/cdc",
+        subscription="sub1", batch_size=250, initial_position="earliest",
+        enable_dead_letter=True, dead_letter_topic="dlq", max_redelivery_count=5,
+    )
+    opts = cfg.options()
+    assert opts["service.url"] == "pulsar://p1:6650"
+    assert opts["topics"] == "persistent://t/ns/cdc"
+    assert opts["predefinedSubscription"] == "sub1"
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["pulsar.reader.receiverQueueSize"] == "250"
+    assert opts["pulsar.consumer.deadLetterPolicy.deadLetterTopic"] == "dlq"
+    assert opts["pulsar.consumer.deadLetterPolicy.maxRedeliverCount"] == "5"
+    reader = pulsar_source(spark, cfg, load=False)
+    assert reader is not None
+    with pytest.raises(CdcError, match="topic"):
+        PulsarSourceConfig(topic="").options()
+    with pytest.raises(CdcError, match="initial_position"):
+        PulsarSourceConfig(initial_position="middle").options()
+    with pytest.raises(CdcError, match="dead_letter_topic"):
+        PulsarSourceConfig(enable_dead_letter=True).options()
+
+
+def test_pulsar_payload_replay_converges(spark, tmp_path, coll):
+    """Pulsar payloads are Debezium envelopes (pulsar.rs couples the
+    connector to DebeziumParser); parser='pulsar' routes accordingly."""
+    src = str(tmp_path / "pulsar_envelopes")
+    drop_lines(src, "b1.json", [
+        dbz("c", after={"id": "x", "vector": [0.1, 0.2], "category": "viaPulsar"}, ts=1),
+        dbz("u", after={"id": "x", "vector": [0.1, 0.2], "category": "updated"}, ts=2),
+    ])
+    q = cdc_pipeline(
+        file_source(spark, src, "value string"),
+        coll, DOC_SCHEMA, parser="pulsar",
+        checkpoint_dir=str(tmp_path / "pulsar_ckpt"), available_now=True,
+    )
+    q.awaitTermination(120)
+    state = {r["id"]: r["category"] for r in coll.df().collect()}
+    assert state == {"x": "updated"}
 
 
 def test_cdc_position_roundtrip():
