@@ -119,6 +119,183 @@ def file_source(
     return reader.load(path)
 
 
+# ------------------------------------------------ push-handle sources ---
+# Reference: ingestion.rs builds WebSocket (:433), Redis Streams (:652),
+# Kafka (:691) and SSE (:730) on one generic PushHandleSource (:536-600):
+# a bounded in-memory buffer an external consumer pushes IngestionRecords
+# into, drained in batches, with acknowledged offsets handed back for
+# external commit.  The Spark twin keeps the push/ack surface but drains
+# through Structured Streaming: `flush()` spools the buffer as a JSONL
+# file that `stream()` (a file source) picks up as the next micro-batch.
+# Offsets/checkpoints then give exactly-once downstream for free.
+
+
+class SourceClosed(RuntimeError):
+    pass
+
+
+@dataclass
+class WebSocketSourceConfig:
+    """WebSocketSourceConfig (ingestion.rs:435-449).  `host`/`port`
+    additionally wire the Spark `socket` source stand-in (a WS endpoint
+    sends text frames; the socket source consumes newline-framed text in
+    tests and dev)."""
+
+    buffer_capacity: int = 4096
+    max_message_bytes: int = 16 * 1024 * 1024
+    host: str = "localhost"
+    port: int = 9999
+
+    def source_name(self) -> str:
+        return "websocket"
+
+
+@dataclass
+class RedisStreamSourceConfig:
+    """RedisStreamSourceConfig (ingestion.rs:652-671)."""
+
+    stream_key: str = "needle:vectors"
+    consumer_group: str = "needle-ingest"
+    consumer_name: str = "worker-0"
+    buffer_capacity: int = 4096
+
+    def source_name(self) -> str:
+        return f"redis:{self.stream_key}"
+
+    def options(self) -> dict[str, str]:
+        """Options for the public spark-redis connector
+        (`readStream.format("redis")`)."""
+        return {
+            "stream.keys": self.stream_key,
+            "stream.group.name": self.consumer_group,
+            "stream.consumer.prefix": self.consumer_name,
+            "stream.read.batch.size": str(self.buffer_capacity),
+        }
+
+
+@dataclass
+class SseSourceConfig:
+    """SseSourceConfig (ingestion.rs:730-744): server-sent events with
+    an optional event-type filter applied at the push boundary."""
+
+    buffer_capacity: int = 4096
+    event_type_filter: str | None = None
+
+    def source_name(self) -> str:
+        return "sse"
+
+
+class PushSource:
+    """Spark twin of PushHandleSource/PushHandle (ingestion.rs:536-623).
+
+    The consumer thread (a WebSocket client, Redis XREADGROUP loop, or
+    SSE subscriber) calls `push(record)`; `flush()` turns the buffered
+    records into one spool file = one micro-batch for `stream()`.
+    `push` enforces the reference's backpressure contract: buffer at
+    capacity -> error (ingestion.rs:55-56), push after close ->
+    "<label> source closed" (:607-609).  `acknowledge`/
+    `drain_acknowledged` mirror the external-commit handshake (:617-622)
+    — the caller acknowledges spooled batches once the downstream query
+    has committed their checkpoint."""
+
+    def __init__(self, config, spool_dir: str):
+        import os
+
+        self.config = config
+        self.spool_dir = spool_dir
+        os.makedirs(spool_dir, exist_ok=True)
+        self._buffer: list[dict] = []
+        self._closed = False
+        self._next_offset = 0
+        self._spooled: list[int] = []
+        self._acknowledged: list[int] = []
+        self._label = type(config).__name__.replace("SourceConfig", "")
+
+    def push(self, record: dict, event_type: str | None = None) -> int:
+        import json
+
+        if self._closed:
+            raise SourceClosed(f"{self._label} source closed")
+        if len(self._buffer) >= self.config.buffer_capacity:
+            raise RuntimeError(
+                f"{self._label} buffer at capacity "
+                f"({self.config.buffer_capacity}) — backpressure")
+        filt = getattr(self.config, "event_type_filter", None)
+        if filt is not None and event_type != filt:
+            return -1  # filtered out at the push boundary (SSE semantics)
+        payload = json.dumps(record)
+        max_bytes = getattr(self.config, "max_message_bytes", None)
+        if max_bytes is not None and len(payload) > max_bytes:
+            raise ValueError(
+                f"message of {len(payload)} bytes exceeds "
+                f"max_message_bytes={max_bytes}")
+        self._buffer.append(record)
+        off = self._next_offset
+        self._next_offset += 1
+        return off
+
+    def flush(self) -> list[int]:
+        """Spool the buffer as one micro-batch file; returns the offsets
+        it covered (for acknowledge once the batch commits)."""
+        import json
+        import os
+        import uuid
+
+        if not self._buffer:
+            return []
+        n = len(self._buffer)
+        offsets = list(range(self._next_offset - n, self._next_offset))
+        path = os.path.join(self.spool_dir, f"batch-{uuid.uuid4().hex}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            for r in self._buffer:
+                f.write(json.dumps(r) + "\n")
+        os.rename(tmp, path)  # atomic: the file source never sees partials
+        self._buffer.clear()
+        self._spooled.extend(offsets)
+        return offsets
+
+    def stream(self, spark: SparkSession, schema: str,
+               max_files_per_trigger: int | None = None) -> DataFrame:
+        return file_source(spark, self.spool_dir, schema,
+                           max_files_per_trigger=max_files_per_trigger)
+
+    def acknowledge(self, offsets: list[int]) -> None:
+        self._acknowledged.extend(offsets)
+
+    def drain_acknowledged(self) -> list[int]:
+        out, self._acknowledged = self._acknowledged, []
+        return out
+
+    def close(self) -> None:
+        self._closed = True
+
+
+def websocket_source(spark: SparkSession, config: WebSocketSourceConfig,
+                     load: bool = True):
+    """Socket-source stand-in for a WebSocket endpoint (the reference's
+    full WS implementation is likewise feature-gated behind its server,
+    ingestion.rs:430-452).  load=False returns the configured reader."""
+    reader = (spark.readStream.format("socket")
+              .option("host", config.host).option("port", str(config.port)))
+    if not load:
+        return reader
+    return reader.load()
+
+
+def redis_stream_source(spark: SparkSession, config: RedisStreamSourceConfig,
+                        load: bool = True):
+    """Config-driven reader for the public spark-redis connector.
+    load=False returns the configured reader (testable without the
+    connector jar or a Redis server)."""
+    reader = spark.readStream.format("redis")
+    for k, v in config.options().items():
+        reader = reader.option(k, v)
+    if not load:
+        return reader
+    return reader.load()
+
+
 def rate_source(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
     """Synthetic source for throughput tests (rate source)."""
     return (

@@ -151,3 +151,122 @@ def test_replay_respects_clear(spark, coll):
     coll.insert(mk([("z", [0.0, 1.0], "y")]), now_ms=3)
     state = {r["vector_id"] for r in replay_state(coll).collect()}
     assert state == {"z"}
+
+
+# ------------------------------------------------ push-handle sources ---
+
+def test_push_sources_end_to_end(spark, tmp_path, coll):
+    """WebSocket/Redis/SSE push-handle sources (ingestion.rs:433,652,730)
+    wired through ingest_stream: push -> flush (spool micro-batch) ->
+    stream -> collection state converges; ack handshake round-trips."""
+    from needle_spark.streaming.ingestion import (
+        PushSource,
+        RedisStreamSourceConfig,
+        SourceClosed,
+        SseSourceConfig,
+        WebSocketSourceConfig,
+    )
+
+    src = PushSource(WebSocketSourceConfig(buffer_capacity=8),
+                     str(tmp_path / "ws_spool"))
+    src.push({"id": "w1", "vector": [1.0, 0.0], "category": "ws"})
+    src.push({"id": "w2", "vector": [0.0, 1.0], "category": "ws"})
+    src.push({"id": "w1", "vector": [1.0, 0.0], "category": "ws2"})  # dedup: last wins
+    offsets = src.flush()
+    assert offsets == [0, 1, 2]
+    q = ingest_stream(
+        src.stream(spark, SCHEMA), coll,
+        IngestionConfig(checkpoint_dir=str(tmp_path / "ws_ckpt")),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    state = {r["id"]: r["category"] for r in coll.df().collect()}
+    assert state == {"w1": "ws2", "w2": "ws"}
+    src.acknowledge(offsets)
+    assert src.drain_acknowledged() == [0, 1, 2]
+    assert src.drain_acknowledged() == []  # drained
+
+    src.close()
+    with pytest.raises(SourceClosed, match="WebSocket source closed"):
+        src.push({"id": "late"})
+
+
+def test_push_source_backpressure_and_limits(tmp_path):
+    from needle_spark.streaming.ingestion import (
+        PushSource,
+        SseSourceConfig,
+        WebSocketSourceConfig,
+    )
+
+    ws = PushSource(WebSocketSourceConfig(buffer_capacity=2, max_message_bytes=64),
+                    str(tmp_path / "bp_spool"))
+    ws.push({"id": "a"})
+    with pytest.raises(ValueError, match="max_message_bytes"):
+        ws.push({"id": "b", "blob": "x" * 200})
+    ws.push({"id": "b"})
+    with pytest.raises(RuntimeError, match="backpressure"):
+        ws.push({"id": "c"})
+    assert ws.flush() and ws.push({"id": "c"}) >= 0  # capacity freed by flush
+
+    sse = PushSource(SseSourceConfig(event_type_filter="vector.insert"),
+                     str(tmp_path / "sse_spool"))
+    assert sse.push({"id": "s1"}, event_type="vector.insert") == 0
+    assert sse.push({"id": "s2"}, event_type="heartbeat") == -1  # filtered
+    assert sse.flush() == [0]
+
+
+def test_source_config_readers(spark):
+    """Config -> reader builders are constructible without servers or
+    connector jars (load=False), and option mappings are faithful."""
+    from needle_spark.streaming.ingestion import (
+        RedisStreamSourceConfig,
+        WebSocketSourceConfig,
+        redis_stream_source,
+        websocket_source,
+    )
+
+    assert websocket_source(
+        spark, WebSocketSourceConfig(host="h1", port=7777), load=False) is not None
+    cfg = RedisStreamSourceConfig(stream_key="k:1", consumer_group="g",
+                                  consumer_name="c0", buffer_capacity=512)
+    opts = cfg.options()
+    assert opts == {
+        "stream.keys": "k:1",
+        "stream.group.name": "g",
+        "stream.consumer.prefix": "c0",
+        "stream.read.batch.size": "512",
+    }
+    assert cfg.source_name() == "redis:k:1"
+    assert redis_stream_source(spark, cfg, load=False) is not None
+
+
+def test_sse_redis_push_through_pipeline(spark, tmp_path, coll):
+    """Redis/SSE configs drive the same PushSource spool path through
+    ingest_stream (5 source families total with file/rate/kafka)."""
+    from needle_spark.streaming.ingestion import (
+        PushSource,
+        RedisStreamSourceConfig,
+        SseSourceConfig,
+    )
+
+    redis = PushSource(RedisStreamSourceConfig(), str(tmp_path / "r_spool"))
+    redis.push({"id": "r1", "vector": [0.3, 0.7], "category": "redis"})
+    redis.flush()
+    q = ingest_stream(redis.stream(spark, SCHEMA), coll,
+                      IngestionConfig(checkpoint_dir=str(tmp_path / "r_ckpt")),
+                      available_now=True)
+    q.awaitTermination(120)
+
+    sse = PushSource(SseSourceConfig(event_type_filter="doc"),
+                     str(tmp_path / "s_spool"))
+    sse.push({"id": "s1", "vector": [0.9, 0.1], "category": "sse"}, event_type="doc")
+    sse.push({"id": "sX", "vector": [0.0, 0.0], "category": "nope"}, event_type="other")
+    sse.flush()
+    q = ingest_stream(sse.stream(spark, SCHEMA), coll,
+                      IngestionConfig(checkpoint_dir=str(tmp_path / "s_ckpt")),
+                      available_now=True)
+    q.awaitTermination(120)
+
+    state = {r["id"]: r["category"] for r in coll.df().collect()}
+    assert state["r1"] == "redis" and state["s1"] == "sse"
+    assert "sX" not in state
