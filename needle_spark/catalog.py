@@ -150,6 +150,53 @@ class Collection:
             F.lit(event_type).alias("event_type"),
         )
 
+    # batches under this size sequence with one tiny window; above it
+    # the parallel partition-offset scheme kicks in (no global sort)
+    _SEQ_PARALLEL_THRESHOLD = 65536
+
+    def _sequence_events(self, ev: DataFrame, cnt: int, base: int, ts: int):
+        """Assign sequences [base, base+cnt) to one op's event batch.
+
+        Returns (sequenced_df, cached_df_or_None); the caller unpersists
+        the cache AFTER the write job runs.  Small batches: one window
+        (a single-partition sort of <=64k rows is cheaper than extra
+        jobs).  Large batches: persist to pin the partitioning, count
+        rows per partition (one cheap job over the cache), then rank =
+        partition cumulative offset + partition-local row_number — every
+        partition ranks independently, nothing funnels through one task."""
+        stamp = [
+            F.lit(ts).cast("long").alias("timestamp_ms"),
+            F.col("event_type"),
+            F.col("vector_id"),
+            F.col("metadata"),
+        ]
+        if cnt <= self._SEQ_PARALLEL_THRESHOLD:
+            w = Window.orderBy(F.col("vector_id").asc())
+            seq = (F.lit(base) - 1 + F.row_number().over(w)).cast("long")
+            return ev.select(seq.alias("sequence"), *stamp), None
+        # freeze the source partition id as data BEFORE caching —
+        # spark_partition_id() re-evaluates after any exchange, so the
+        # window below would otherwise rank over the WRONG partitions
+        cached = ev.withColumn("__pid", F.spark_partition_id()).persist()
+        per_part = {
+            r["__pid"]: r["count"]
+            for r in cached.groupBy("__pid").count().collect()
+        }
+        offsets, acc = {}, 0
+        for p in sorted(per_part):
+            offsets[p] = acc
+            acc += per_part[p]
+        off_map = F.create_map(*[
+            F.lit(x) for p in sorted(offsets) for x in (p, offsets[p])
+        ])
+        w = Window.partitionBy(F.col("__pid")).orderBy(F.col("vector_id").asc())
+        seq = (
+            F.lit(base)
+            + F.element_at(off_map, F.col("__pid"))
+            + F.row_number().over(w) - 1
+        ).cast("long")
+        return cached.select(seq.alias("sequence"), *stamp), cached
+
     def _literal_event(self, event_type: str, vector_id: str) -> DataFrame:
         return self.spark.createDataFrame(
             [(vector_id, None, event_type)],
@@ -163,20 +210,28 @@ class Collection:
         n_events: int,
         now_ms: int | None,
         new_entry: dict | None = None,
+        event_counts: list[int] | None = None,
     ) -> None:
         """Apply staged ops as one new version.
 
         ops: ordered ("add", rows) / ("del", id_df) — adds become
         segments, dels become tombstones masking every EARLIER segment.
         events: per-op CDC event DataFrames, sequenced in op order.
+        event_counts: per-event-DF row counts (defaults to [n_events]
+        for the single-event common case).
         new_entry: manifest-only commits (restore/clear/compact) pass
         the full {"segments", "tombstones"} entry instead of ops.
 
-        Scale note: contiguous CDC sequences are assigned with one
-        global-order window over the EVENT batch only (not the table) —
-        the single unavoidable serialization point of a sequential
-        change log.  Bulk loads that don't need per-row events should
-        go through streaming ingestion and checkpoint offsets instead.
+        Scale note: sequences are COMPOSITE — each op gets a reserved
+        contiguous range [base, base+count), and within an op rows rank
+        in parallel per partition (partition-local row_number + the
+        partition's cumulative offset).  Replay order only needs
+        same-id events ordered ACROSS ops (ids are unique WITHIN an
+        op), which the range bases guarantee, so no single-partition
+        sort exists anywhere in the event path — a 1-billion-row bulk
+        insert sequences its events at full parallelism.  Batches under
+        _SEQ_PARALLEL_THRESHOLD keep the one-window plan (fewer jobs
+        beats parallelism at that size).
         """
         m = self._manifest
         cur = dict(m["versions"][str(m["version"])])
@@ -203,19 +258,23 @@ class Collection:
         if events and n_events:
             seq0 = m["cdc_seq"]
             ts = now_ms if now_ms is not None else _utcnow_ms()
-            tagged = [
-                ev.withColumn("__op", F.lit(i)) for i, ev in enumerate(events)
-            ]
-            ev_all = reduce(lambda a, b: a.unionByName(b), tagged)
-            w = Window.orderBy(F.col("__op").asc(), F.col("vector_id").asc())
-            ev_out = ev_all.select(
-                (F.lit(seq0) - 1 + F.row_number().over(w)).cast("long").alias("sequence"),
-                F.lit(ts).cast("long").alias("timestamp_ms"),
-                F.col("event_type"),
-                F.col("vector_id"),
-                F.col("metadata"),
-            )
+            counts = event_counts
+            if counts is None:
+                counts = [n_events] if len(events) == 1 else [
+                    ev.count() for ev in events
+                ]
+            base = seq0
+            outs, pinned = [], []
+            for ev, cnt in zip(events, counts):
+                seq_df, cached = self._sequence_events(ev, cnt, base, ts)
+                outs.append(seq_df)
+                if cached is not None:
+                    pinned.append(cached)
+                base += cnt
+            ev_out = reduce(lambda a, b: a.unionByName(b), outs)
             ev_out.write.mode("append").parquet(os.path.join(self.path, "_cdc"))
+            for c in pinned:
+                c.unpersist()
             m["cdc_seq"] = seq0 + n_events
 
         new_v = m["version"] + 1
@@ -699,7 +758,7 @@ class Transaction:
         self._df = coll.df()
         self._ops: list[tuple[str, DataFrame]] = []
         self._events: list[DataFrame] = []
-        self._n_events = 0
+        self._event_counts: list[int] = []
         self._open = True
 
     def _check(self):
@@ -714,7 +773,7 @@ class Transaction:
         self._df = self._df.unionByName(rows, allowMissingColumns=True)
         self._ops.append(("add", rows))
         self._events.append(self.coll._event_df(rows, "insert"))
-        self._n_events += rows.count()
+        self._event_counts.append(rows.count())
         return self
 
     def delete(self, flt: dict) -> "Transaction":
@@ -724,13 +783,14 @@ class Transaction:
         victims = self._df.filter(pred).select(self.coll.id_col)
         self._ops.append(("del", victims))
         self._events.append(self.coll._event_df(victims, "delete"))
-        self._n_events += victims.count()
+        self._event_counts.append(victims.count())
         self._df = self._df.filter(~pred)
         return self
 
     def commit(self, now_ms: int | None = None) -> None:
         self._check()
-        self.coll._commit(self._ops, self._events, self._n_events, now_ms)
+        self.coll._commit(self._ops, self._events, sum(self._event_counts),
+                          now_ms, event_counts=self._event_counts)
         self._open = False
 
     def rollback(self) -> None:

@@ -241,3 +241,51 @@ def test_database_ddl(spark, db):
     assert db.list_collections() == ["one"]
     with pytest.raises(CollectionError):
         db.create_collection("one", dims=2)  # already exists
+
+
+def test_bulk_commit_sequences_in_parallel(spark, db):
+    """Composite CDC sequencing: above the threshold, event sequences
+    assign via partition-local ranks + partition offsets — the physical
+    plan contains NO single-partition exchange, and the sequences are
+    still the same dense, unique range the serial path would produce.
+    Replay contract holds across mixed serial/parallel commits."""
+    c = db.create_collection(
+        "bulkdocs", dims=2, schema="id string, vector array<float>, category string"
+    )
+    c._SEQ_PARALLEL_THRESHOLD = 100  # force the parallel path at test size
+
+    # plan proof: sequencing a >threshold batch must not funnel through
+    # one task (no SinglePartition exchange anywhere in the plan)
+    rows = spark.range(0, 500, 1, 8).select(
+        F.concat(F.lit("id"), F.col("id")).alias("id"),
+        F.array(F.lit(1.0), F.lit(0.0)).cast("array<float>").alias("vector"),
+        F.lit("bulk").alias("category"),
+    )
+    ev = c._event_df(rows, "insert")
+    seq_df, cached = c._sequence_events(ev, 500, base=1, ts=123)
+    plan = seq_df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    got = seq_df.collect()
+    if cached is not None:
+        cached.unpersist()
+    assert sorted(r["sequence"] for r in got) == list(range(1, 501))
+
+    # the serial twin produces the same dense range for the same batch
+    c2 = db.create_collection(
+        "serialdocs", dims=2, schema="id string, vector array<float>, category string"
+    )
+    ser_df, _ = c2._sequence_events(c2._event_df(rows, "insert"), 500, base=1, ts=123)
+    assert sorted(r["sequence"] for r in ser_df.collect()) == list(range(1, 501))
+
+    # end-to-end: bulk insert through the parallel path, then a small
+    # serial-path delete; sequences stay unique and replay converges
+    c.insert(rows)
+    assert c.delete({"id": {"$in": ["id1", "id2"]}}) == 2
+    seqs = [r["sequence"] for r in c.cdc_events().collect()]
+    assert len(seqs) == len(set(seqs)) == 502
+    assert sorted(seqs) == list(range(0, 502))  # cdc_seq is 0-based
+    from needle_spark.streaming.ingestion import replay_state
+
+    replay_ids = {r["vector_id"] for r in replay_state(c).collect()}
+    table_ids = {r["id"] for r in c.df().collect()}
+    assert replay_ids == table_ids
