@@ -186,6 +186,67 @@ def pagerank(
     return scores.orderBy(F.col("importance").desc(), F.col("id").asc())
 
 
+def pagerank_fixed(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    scale: int = 10**15,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Bit-reproducible PageRank (graphrag.rs compute_importance
+    :686-723 semantics) in fixed-point integer arithmetic: scores are
+    BIGINT micro-units (`scale` = 1.0), shares use integer division,
+    and the damped sum is `(contrib * num) DIV den` — every operation
+    is order-independent, so the result is IDENTICAL regardless of
+    partitioning, cluster size, or reduction order.  That's the
+    variant you run when two clusters (or a cluster and an oracle)
+    must agree on the last bit; the float `pagerank` above is the
+    throughput variant.  Bounds: node mass <= scale <= 2^53 keeps the
+    final int->double conversion exact; contrib*num <= ~2e16 fits
+    BIGINT with 100x headroom.  Returns (id, importance) descending."""
+    e = edges.select(
+        F.col(src_col).cast("string").alias("src"),
+        F.col(dst_col).cast("string").alias("dst"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct().cache()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("importance", F.lit(0.0))
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    adj = e.join(out_deg, "src").cache()
+    base = (scale * (damping_den - damping_num)) // damping_den // n
+    scores = nodes.withColumn("imp", F.lit(scale // n).cast("long"))
+    for i in range(iterations):
+        contrib = (
+            adj.join(scores.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.expr("imp DIV __deg")).alias("__in"))
+        )
+        scores = (
+            nodes.join(contrib, "id", "left")
+            .select(
+                "id",
+                (F.lit(base).cast("long")
+                 + F.expr(f"coalesce(__in, 0L) * {damping_num} "
+                          f"DIV {damping_den}")).alias("imp"),
+            )
+        )
+        if (i + 1) % 5 == 0 or i == iterations - 1:
+            scores = scores.localCheckpoint(eager=True)  # bound lineage
+    return (
+        scores.select(
+            "id", (F.col("imp").cast("double") / F.lit(float(scale))
+                   ).alias("importance"))
+        .orderBy(F.col("importance").desc(), F.col("id").asc())
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     max_iterations: int = 10,

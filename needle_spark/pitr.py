@@ -162,10 +162,25 @@ class PitrService:
                 return p
         raise PitrError(f"no such restore point: {target!r}")
 
-    def recover_to(self, target, now_ms: int | None = None) -> RecoveryResult:
+    def recover_to(self, target, now_ms: int | None = None,
+                   extra_collections: str = "keep") -> RecoveryResult:
         """:261 — verify, then replace each collection's CURRENT state
         with the bundled data (committed as new versions; nothing is
-        rewritten in place)."""
+        rewritten in place).
+
+        Atomicity: the restored segment is written FIRST, then the
+        manifest flips ONCE to {segments: [restored], tombstones: []} —
+        a crash mid-recovery (or a concurrent reader) sees either the
+        old state or the fully restored one, never an emptied
+        collection.
+
+        extra_collections: policy for collections created AFTER the
+        restore point (absent from the bundle).  "keep" (default)
+        leaves them untouched — recovery scopes to what was backed up;
+        "clear" truncates them (as an undoable new version) for full
+        database-state recovery matching the reference's semantics."""
+        if extra_collections not in ("keep", "clear"):
+            raise PitrError(f"unknown extra_collections policy: {extra_collections!r}")
         t0 = time.perf_counter()
         point = self._resolve_target(target)
         verified = self.verify_snapshot(point.id) if self.config.enable_checksums else False
@@ -176,13 +191,19 @@ class PitrService:
             bundle = os.path.join(self._point_dir(point.id), name)
             data = self.db.spark.read.parquet(os.path.join(bundle, "data"))
             coll = self.db.collection(name)
+            seg = coll._new_obj("seg")
+            data.write.mode("overwrite").parquet(os.path.join(coll.path, seg))
             coll._commit(
                 [], [coll._literal_event("restore", point.id)], 1, now_ms,
-                new_entry={"segments": [], "tombstones": []},
+                new_entry={"segments": [seg], "tombstones": []},
             )
-            # import bundled rows as the fresh state
-            coll._commit([("add", data)], [], 0, now_ms)
             restored += coll.count()
+        cleared = []
+        if extra_collections == "clear":
+            for name in self.db.list_collections():
+                if name not in point.collections:
+                    self.db.collection(name).clear(now_ms=now_ms)
+                    cleared.append(name)
         return RecoveryResult(
             restore_point_id=point.id,
             collections_restored=list(point.collections),

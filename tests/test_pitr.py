@@ -36,9 +36,10 @@ def test_snapshot_recover_roundtrip(spark, tmp_path, db):
     res = svc.recover_to("before-disaster", now_ms=13_000)
     assert res.verified and res.vectors_restored == 2
     assert {r["id"] for r in db.collection("docs").df().collect()} == {"a", "b"}
-    # recovery committed NEW versions — the junk state is still readable
+    # recovery committed ONE new version — the junk state is still
+    # readable immediately below it (recovery is itself undoable)
     assert "junk" in {r["id"] for r in db.collection("docs").df(
-        db.collection("docs").version - 2).collect()}
+        db.collection("docs").version - 1).collect()}
 
 
 def test_recovery_targets_and_tamper_detection(spark, tmp_path, db):
@@ -91,3 +92,34 @@ def test_retention_stats_and_auto_cadence(spark, tmp_path, db):
     # auto-snapshot cadence
     assert svc.should_auto_snapshot(now_ms=2 * day + 61_000)
     assert not svc.should_auto_snapshot(now_ms=2 * day + 30_000)
+
+
+def test_recover_atomic_flip_and_extra_collection_policy(spark, tmp_path, db):
+    """ADVICE r2: recovery flips each collection's manifest ONCE — no
+    intermediate emptied version a crash or concurrent reader could
+    observe — and the policy for collections created after the restore
+    point is explicit (keep by default, clear on request)."""
+    svc = PitrService(db, PitrConfig(backup_dir=str(tmp_path / "b2")))
+    svc.create_snapshot("s1", now_ms=10_000)
+    late = db.create_collection("late", dims=2, schema=SCHEMA)
+    late.insert(spark.createDataFrame([("z", [1.0, 1.0], "w")], SCHEMA),
+                now_ms=11_000)
+    v_before = db.collection("docs").version
+
+    svc.recover_to("s1", now_ms=12_000)
+    c = db.collection("docs")
+    assert c.version == v_before + 1  # exactly one new version
+    entry = c._manifest["versions"][str(c.version)]
+    assert len(entry["segments"]) == 1 and entry["tombstones"] == []
+    # every surviving version (crash point) is old state or restored
+    # state — never an emptied intermediate (v0 is the pre-data
+    # creation state, not a recovery artifact)
+    for v in c.versions():
+        if v > 0:
+            assert c.df(v).count() == 2
+    assert db.collection("late").count() == 1  # default: keep
+
+    svc.recover_to("s1", now_ms=13_000, extra_collections="clear")
+    assert db.collection("late").count() == 0  # full-state recovery
+    with pytest.raises(PitrError, match="policy"):
+        svc.recover_to("s1", extra_collections="bogus")

@@ -85,3 +85,20 @@ def test_ttl_filter_noop_without_column(spark):
     df = spark.range(5)
     assert ttl_filter(df, 123).count() == 5
     assert ttl_filter(df.withColumn("expires_at", F.lit(None).cast("long")), None).count() == 5
+
+
+def test_compact_preserves_expired_rows_for_sweep(spark, ttl_coll):
+    """compact() folds the RAW view (ADVICE r2): TTL-expired rows are
+    not silently dropped without CDC delete events — they survive
+    compaction physically, stay hidden from reads, and sweep_expired()
+    remains the single place expiry removal is CDC-logged."""
+    c = ttl_coll
+    c.compact(keep_versions=0, target_partitions=1)
+    assert c.df(include_expired=True).count() == 2   # carried through
+    assert c.df(now=1200).count() == 0               # still hidden lazily
+    assert [e for e in c.cdc_events().collect()
+            if e["event_type"] == "delete"] == []    # compact emitted none
+    assert c.sweep_expired(now=1200) == 2            # sweep emits the deletes
+    ev = c.cdc_events().orderBy("sequence").collect()
+    assert [e["event_type"] for e in ev][-2:] == ["delete", "delete"]
+    assert c.df(include_expired=True).count() == 0
