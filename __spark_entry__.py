@@ -1310,6 +1310,118 @@ GROUP BY a.entity_id, b.entity_id
 """
 
 
+_PR_SCALE = 10**15  # fixed-point 1.0 (graphrag.pagerank_fixed)
+
+
+def _graphrag_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-reproducible PageRank over the co-occurrence graph
+    (graphrag.rs compute_importance:686-723) — fixed-point integer
+    arithmetic, so the distributed result is order-independent and
+    oracle-checkable to the last bit."""
+    from needle_spark.operators.graphrag import (
+        entity_cooccurrences,
+        extract_entities,
+        pagerank_fixed,
+    )
+
+    ents = extract_entities(_graphrag_docs(spark, sf_dir))
+    return pagerank_fixed(entity_cooccurrences(ents), iterations=10,
+                          scale=_PR_SCALE)
+
+
+def _graphrag_pagerank_sql(iterations: int = 10) -> str:
+    """Unrolled fixed-point PageRank: one CTE per iteration, integer
+    shares (`//`), damped as contrib*17//20 — mirrors pagerank_fixed
+    exactly (order-independent BIGINT sums on both engines)."""
+    pre = (_PR_SCALE * 3) // 20  # scale*(1-d) with d = 17/20
+    parts = [f"""
+WITH e AS ({_graphrag_cooccur_sql()}),
+nodes AS (SELECT DISTINCT id FROM
+          (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+adj AS (SELECT e.src, e.dst, d.deg FROM e JOIN deg d ON e.src = d.src),
+pr0 AS (SELECT id, {_PR_SCALE} // nn.n AS imp FROM nodes CROSS JOIN nn)"""]
+    for i in range(1, iterations + 1):
+        parts.append(f""",
+c{i} AS (SELECT a.dst AS id, CAST(sum(p.imp // a.deg) AS BIGINT) AS contrib
+         FROM adj a JOIN pr{i - 1} p ON p.id = a.src GROUP BY a.dst),
+pr{i} AS (SELECT nodes.id,
+                 {pre} // nn.n + coalesce(c.contrib, 0) * 17 // 20 AS imp
+          FROM nodes CROSS JOIN nn LEFT JOIN c{i} c ON nodes.id = c.id)""")
+    parts.append(f"""
+SELECT id, CAST(imp AS DOUBLE) / CAST({_PR_SCALE} AS DOUBLE) AS importance
+FROM pr{iterations}""")
+    return "".join(parts)
+
+
+_GRAPH_WEIGHTED_START = "entity_building"
+_GRAPH_WEIGHTED_HOPS = 3
+_GRAPH_WEIGHTED_K = 10
+
+
+def _graph_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-accumulated-weight BFS over the co-occurrence graph
+    (graphrag.rs:625-686); path emitted as a '->' string so the oracle
+    hash compares scalars."""
+    from needle_spark.operators.graphrag import (
+        entity_cooccurrences,
+        extract_entities,
+        weighted_traversal,
+    )
+
+    ents = extract_entities(_graphrag_docs(spark, sf_dir))
+    edges = entity_cooccurrences(ents)
+    out = weighted_traversal(edges, _GRAPH_WEIGHTED_START,
+                             max_hops=_GRAPH_WEIGHTED_HOPS,
+                             k=_GRAPH_WEIGHTED_K)
+    return out.withColumn("path", F.array_join("path", "->"))
+
+
+def _graph_weighted_sql() -> str:
+    """Unrolled weighted traversal: per-hop frontier dedup (best acc,
+    lexicographically-smallest path) + strictly-better-than-best
+    visited check, scored acc/(1+hop) — mirrors weighted_traversal.
+    All accs are products of BIGINT weights held in doubles, so every
+    comparison is exact on both engines."""
+    start, hops, k = (_GRAPH_WEIGHTED_START, _GRAPH_WEIGHTED_HOPS,
+                      _GRAPH_WEIGHTED_K)
+    parts = [f"""
+WITH e AS ({_graphrag_cooccur_sql()}),
+f0 AS (SELECT '{start}' AS id, CAST(1 AS DOUBLE) AS acc,
+              ['{start}'] AS path),
+b0 AS (SELECT id, acc FROM f0)"""]
+    for h in range(1, hops + 1):
+        p = h - 1
+        parts.append(f""",
+n{h} AS (SELECT e.dst AS id, f.acc * e.weight AS acc,
+                list_append(f.path, e.dst) AS path
+         FROM e JOIN f{p} f ON e.src = f.id),
+n{h}b AS (SELECT id, acc, path FROM
+          (SELECT id, acc, path, row_number() OVER
+             (PARTITION BY id ORDER BY acc DESC, path ASC) AS rn
+           FROM n{h}) WHERE rn = 1),
+f{h} AS (SELECT n.id, n.acc, n.path
+         FROM n{h}b n LEFT JOIN b{p} prev ON n.id = prev.id
+         WHERE prev.acc IS NULL OR n.acc > prev.acc),
+b{h} AS (SELECT id, max(acc) AS acc FROM
+         (SELECT id, acc FROM b{p} UNION ALL
+          SELECT id, acc FROM f{h}) GROUP BY id),
+s{h} AS (SELECT id, acc / CAST({h + 1} AS DOUBLE) AS graph_score,
+                CAST({h} AS INTEGER) AS hop, path FROM f{h})""")
+    reached = " UNION ALL ".join(
+        f"SELECT * FROM s{h}" for h in range(1, hops + 1))
+    parts.append(f""",
+r AS ({reached}),
+rb AS (SELECT id, graph_score, hop, path, row_number() OVER
+         (PARTITION BY id ORDER BY graph_score DESC, hop ASC) AS rn
+       FROM r)
+SELECT id, graph_score, hop, array_to_string(path, '->') AS path
+FROM rb WHERE rn = 1
+ORDER BY graph_score DESC, id ASC LIMIT {k}""")
+    return "".join(parts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": _mk_knn("cosine"),
@@ -1362,6 +1474,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_agg_best": _cross_agg_best,
         "graphrag_entities": _graphrag_entities,
         "graphrag_cooccur": _graphrag_cooccur,
+        "graphrag_pagerank": _graphrag_pagerank,
+        "graph_weighted": _graph_weighted,
     }
 
 
@@ -1431,4 +1545,6 @@ def oracle_sql() -> dict[str, str]:
         "cross_agg_best": _cross_agg_best_sql(),
         "graphrag_entities": _graphrag_entities_sql(),
         "graphrag_cooccur": _graphrag_cooccur_sql(),
+        "graphrag_pagerank": _graphrag_pagerank_sql(),
+        "graph_weighted": _graph_weighted_sql(),
     }

@@ -11,6 +11,7 @@ from needle_spark.operators.graphrag import (
     extract_entities,
     label_propagation,
     pagerank,
+    pagerank_fixed,
     weighted_traversal,
 )
 
@@ -122,6 +123,25 @@ def test_pagerank_matches_python_oracle(spark):
     ranked = sorted(got, key=lambda v: -got[v])
     want_ranked = sorted(want, key=lambda v: -want[v])
     assert ranked == want_ranked
+
+
+def test_pagerank_fixed_tracks_float_and_is_partition_invariant(spark):
+    """pagerank_fixed: fixed-point scores agree with the float variant
+    to ~1e-10 (integer truncation is the only divergence) and are
+    bit-identical under different partitionings — the property that
+    makes it oracle-checkable and cluster-reproducible."""
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    fixed = {r["id"]: r["importance"]
+             for r in pagerank_fixed(df, iterations=12).collect()}
+    flt = {r["id"]: r["importance"]
+           for r in pagerank(df, iterations=12).collect()}
+    for v in flt:
+        assert abs(fixed[v] - flt[v]) < 1e-9, v
+    repart = {r["id"]: r["importance"]
+              for r in pagerank_fixed(df.repartition(7),
+                                      iterations=12).collect()}
+    assert fixed == repart  # exact equality, not approx
 
 
 def test_label_propagation_two_cliques(spark):
