@@ -8,8 +8,13 @@ partition-size control, Arrow batch shape, UDF signatures) is real and
 tested; the actual codec calls (image decode, audio resample, frame
 extraction) are STUBBED behind `NotImplementedError` or a
 deterministic fake because media libraries are not available in this
-environment — swap `_decode_image_impl` etc. for Pillow/ffmpeg calls in
-production.
+environment.  Codecs are PLUGGABLE: operators resolve their decode
+function from `DEFAULT_CODECS` (a priority registry) at plan-build
+time, so production swaps in Pillow/soundfile/ffmpeg without touching
+any operator — either automatically (`probe_codecs()` registers real
+implementations for whatever imports cleanly) or explicitly
+(`DEFAULT_CODECS.register("image_decode", my_fn, "mylib", priority=20)`).
+The deterministic fakes stay registered at priority 0 as the fallback.
 
 Scale notes:
 - blobs make rows big: keep `spark.sql.files.maxPartitionBytes` in mind
@@ -66,20 +71,102 @@ def media_repartition(df: DataFrame, target_bytes_per_partition: int = 128 << 20
     return df.repartition(parts)
 
 
-# --------------------------------------------------------- stubs -----
+# ----------------------------------------------------- codec registry
 
-def _decode_image_impl(data: bytes, mime: str) -> np.ndarray:
-    """STUB: replace with Pillow/turbojpeg. Deterministic fake: derives a
-    4x4 gray image from the blob hash so pipelines are testable."""
+class CodecRegistry:
+    """Priority registry mapping an operation name ("image_decode",
+    "audio_decode", ...) to decode callables `(bytes, mime) -> ndarray`.
+
+    Spark contract: `resolve()` runs on the DRIVER at plan-build time
+    and the returned function is captured in the UDF closure, so it
+    must be a module-level (picklable) function; heavy imports belong
+    INSIDE the function body so executors import them lazily.  The
+    registry object itself never ships to executors."""
+
+    def __init__(self) -> None:
+        self._ops: dict[str, list[tuple[int, str, object]]] = {}
+
+    def register(self, op: str, fn, provider: str, priority: int = 0) -> None:
+        entries = [e for e in self._ops.get(op, []) if e[1] != provider]
+        entries.append((priority, provider, fn))
+        entries.sort(key=lambda e: -e[0])
+        self._ops[op] = entries
+
+    def unregister(self, op: str, provider: str) -> None:
+        self._ops[op] = [e for e in self._ops.get(op, [])
+                         if e[1] != provider]
+
+    def resolve(self, op: str):
+        """Highest-priority codec for `op` (ties: latest registration)."""
+        entries = self._ops.get(op)
+        if not entries:
+            raise KeyError(f"no codec registered for {op!r}")
+        return entries[0][2]
+
+    def providers(self, op: str) -> list[str]:
+        return [provider for _, provider, _ in self._ops.get(op, [])]
+
+
+def _decode_image_fake(data: bytes, mime: str) -> np.ndarray:
+    """Deterministic fake (priority-0 fallback): derives a 4x4 gray
+    image from the blob hash so pipelines are testable end-to-end
+    without Pillow."""
     import zlib
 
     h = zlib.crc32(data)
     return np.full((4, 4), h % 256, dtype=np.uint8)
 
 
-def _audio_samples_impl(data: bytes, mime: str) -> np.ndarray:
-    """STUB: replace with soundfile/ffmpeg decode."""
-    raise NotImplementedError("audio decode requires ffmpeg/soundfile")
+def _decode_audio_stub(data: bytes, mime: str) -> np.ndarray:
+    """Priority-0 fallback: audio has no meaningful deterministic fake
+    (sample streams feed DSP downstream), so absent a real codec this
+    raises instead of fabricating samples."""
+    raise NotImplementedError(
+        "audio decode requires a registered codec (soundfile/ffmpeg); "
+        "run probe_codecs() or DEFAULT_CODECS.register('audio_decode', ...)")
+
+
+def _decode_image_pillow(data: bytes, mime: str) -> np.ndarray:
+    import io
+
+    from PIL import Image  # noqa: executor-side lazy import
+
+    return np.asarray(Image.open(io.BytesIO(data)))
+
+
+def _decode_audio_soundfile(data: bytes, mime: str) -> np.ndarray:
+    import io
+
+    import soundfile  # noqa: executor-side lazy import
+
+    samples, _sr = soundfile.read(io.BytesIO(data))
+    return np.asarray(samples, dtype=np.float32)
+
+
+DEFAULT_CODECS = CodecRegistry()
+DEFAULT_CODECS.register("image_decode", _decode_image_fake, "fake", 0)
+DEFAULT_CODECS.register("audio_decode", _decode_audio_stub, "stub", 0)
+
+
+def probe_codecs(registry: CodecRegistry | None = None) -> dict[str, str]:
+    """Register real codecs for every media library that imports
+    cleanly (call once at startup in production; harmless when nothing
+    is installed).  Returns {operation: provider} for what was wired."""
+    reg = registry if registry is not None else DEFAULT_CODECS
+    wired: dict[str, str] = {}
+    try:
+        import PIL  # noqa: F401
+        reg.register("image_decode", _decode_image_pillow, "pillow", 10)
+        wired["image_decode"] = "pillow"
+    except ImportError:
+        pass
+    try:
+        import soundfile  # noqa: F401
+        reg.register("audio_decode", _decode_audio_soundfile, "soundfile", 10)
+        wired["audio_decode"] = "soundfile"
+    except ImportError:
+        pass
+    return wired
 
 
 # ------------------------------------------------------- operators ---
@@ -89,9 +176,13 @@ def image_features(
     data_col: str = "data",
     mime_col: str = "mime",
     id_col: str = "media_id",
+    codec=None,
 ) -> DataFrame:
     """Decode images and emit per-image features (mean/std intensity +
-    dims).  Real mapInPandas plumbing; decode is the stub above."""
+    dims).  Real mapInPandas plumbing; decode comes from the codec
+    registry (deterministic fake unless a real one is registered)."""
+    decode = codec if codec is not None else DEFAULT_CODECS.resolve(
+        "image_decode")
     schema = T.StructType([
         T.StructField(id_col, T.StringType()),
         T.StructField("mean_intensity", T.DoubleType()),
@@ -105,12 +196,50 @@ def image_features(
             out = {id_col: [], "mean_intensity": [], "std_intensity": [],
                    "decoded_h": [], "decoded_w": []}
             for mid, blob, mime in zip(pdf[id_col], pdf[data_col], pdf[mime_col]):
-                img = _decode_image_impl(bytes(blob), mime)
+                img = decode(bytes(blob), mime)
                 out[id_col].append(mid)
                 out["mean_intensity"].append(float(img.mean()))
                 out["std_intensity"].append(float(img.std()))
                 out["decoded_h"].append(int(img.shape[0]))
                 out["decoded_w"].append(int(img.shape[1]))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, data_col, mime_col).mapInPandas(kernel, schema)
+
+
+def audio_features(
+    df: DataFrame,
+    data_col: str = "data",
+    mime_col: str = "mime",
+    id_col: str = "media_id",
+    codec=None,
+) -> DataFrame:
+    """Decode audio and emit per-clip sample stats (n_samples, RMS,
+    peak).  Same registry contract as image_features: with only the
+    default stub registered this raises NotImplementedError AT
+    EXECUTION (the plan builds fine), which is the honest sandbox
+    behavior — register a soundfile/ffmpeg codec to light it up."""
+    decode = codec if codec is not None else DEFAULT_CODECS.resolve(
+        "audio_decode")
+    schema = T.StructType([
+        T.StructField(id_col, T.StringType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {id_col: [], "n_samples": [], "rms": [], "peak": []}
+            for mid, blob, mime in zip(pdf[id_col], pdf[data_col], pdf[mime_col]):
+                samples = np.asarray(
+                    decode(bytes(blob), mime), dtype=np.float64).ravel()
+                out[id_col].append(mid)
+                out["n_samples"].append(int(samples.size))
+                out["rms"].append(
+                    float(np.sqrt(np.mean(samples ** 2))) if samples.size else 0.0)
+                out["peak"].append(
+                    float(np.abs(samples).max()) if samples.size else 0.0)
             yield pd.DataFrame(out)
 
     return df.select(id_col, data_col, mime_col).mapInPandas(kernel, schema)

@@ -242,7 +242,60 @@ def test_multimodal_plumbing(spark):
 
 
 def test_audio_stub_raises(spark):
-    from needle_spark.operators.multimodal import _audio_samples_impl
+    from needle_spark.operators.multimodal import _decode_audio_stub
 
     with pytest.raises(NotImplementedError):
-        _audio_samples_impl(b"RIFF", "audio/wav")
+        _decode_audio_stub(b"RIFF", "audio/wav")
+
+
+def test_codec_registry_swap_path(spark):
+    """The production swap path: register a higher-priority codec and
+    every operator picks it up without code changes; unregister and the
+    deterministic fake is back.  This is exactly how Pillow/soundfile
+    get wired outside the sandbox (probe_codecs)."""
+    import numpy as np
+
+    from needle_spark.operators.multimodal import (
+        CodecRegistry,
+        DEFAULT_CODECS,
+        audio_features,
+        make_media_df,
+        probe_codecs,
+    )
+
+    media = make_media_df(spark, [
+        ("img1", "image", "image/png", b"\x89PNGfakedata1", (64, 48, None, None)),
+        ("aud1", "audio", "audio/wav", b"\x01\x02\x03\x04", (None, None, 2000, 16000)),
+    ])
+
+    # default resolution order: fake image codec, raising audio stub
+    assert DEFAULT_CODECS.providers("image_decode")[-1] == "fake"
+    with pytest.raises(Exception, match="registered codec"):
+        audio_features(media.filter("kind = 'audio'")).collect()
+
+    def pcm8_codec(data: bytes, mime: str) -> np.ndarray:
+        return np.frombuffer(data, dtype=np.uint8).astype(np.float32) / 255.0
+
+    DEFAULT_CODECS.register("audio_decode", pcm8_codec, "pcm8", priority=5)
+    try:
+        assert DEFAULT_CODECS.providers("audio_decode")[0] == "pcm8"
+        row = audio_features(media.filter("kind = 'audio'")).first()
+        assert row["n_samples"] == 4
+        assert abs(row["peak"] - 4.0 / 255.0) < 1e-9
+    finally:
+        DEFAULT_CODECS.unregister("audio_decode", "pcm8")
+    assert DEFAULT_CODECS.providers("audio_decode") == ["stub"]
+
+    # explicit per-call codec injection beats the registry
+    big = {r["media_id"]: r for r in image_features(
+        media.filter("kind = 'image'"),
+        codec=lambda d, m: np.full((8, 8), 7, dtype=np.uint8)).collect()}
+    assert big["img1"]["decoded_h"] == 8
+
+    # probe is a no-op here (no media libs in the sandbox) and must not
+    # disturb the registry; in production it wires pillow/soundfile
+    reg = CodecRegistry()
+    reg.register("image_decode", lambda d, m: None, "fake", 0)
+    wired = probe_codecs(reg)
+    for op, provider in wired.items():  # only if the lib exists
+        assert reg.providers(op)[0] == provider
