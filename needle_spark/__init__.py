@@ -69,6 +69,16 @@ def __getattr__(name):
         "AdaptiveOptimizer": ("needle_spark.plans.adaptive", "AdaptiveOptimizer"),
         "AdaptiveSelector": ("needle_spark.plans.index_selector", "AdaptiveSelector"),
         "graphrag_search": ("needle_spark.operators.graphrag", "graphrag_search"),
+        "pagerank_fixed": ("needle_spark.operators.graphrag", "pagerank_fixed"),
+        "CohereRerankClient": ("needle_spark.operators.model_clients",
+                               "CohereRerankClient"),
+        "CohereEmbedClient": ("needle_spark.operators.model_clients",
+                              "CohereEmbedClient"),
+        "CrossEncoderClient": ("needle_spark.operators.model_clients",
+                               "CrossEncoderClient"),
+        "CodecRegistry": ("needle_spark.operators.multimodal", "CodecRegistry"),
+        "DEFAULT_CODECS": ("needle_spark.operators.multimodal", "DEFAULT_CODECS"),
+        "probe_codecs": ("needle_spark.operators.multimodal", "probe_codecs"),
     }
     if name in _lazy:
         import importlib
@@ -87,5 +97,7 @@ __all__ = [
     "parse_mongo_change", "TextCollection", "PitrService", "PitrConfig",
     "NamespaceSchema", "fusion_search", "QueryRecorder", "QueryReplayer",
     "AdaptiveOptimizer", "AdaptiveSelector", "graphrag_search",
+    "pagerank_fixed", "CohereRerankClient", "CohereEmbedClient",
+    "CrossEncoderClient", "CodecRegistry", "DEFAULT_CODECS", "probe_codecs",
     "__version__",
 ]
