@@ -29,9 +29,19 @@ from needle_spark.operators.knn import batch_knn, knn, radius_search
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # the driver may hand us a session without our factory's confs;
-    # events.parquet stores TIMESTAMP(NANOS), unreadable without this.
+    # a TIMESTAMP(NANOS) events.parquet is unreadable without this.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # normalize ts to epoch NANOS as bigint regardless of how the
+        # generator wrote it (TIMESTAMP(NANOS) -> already long;
+        # timestamp[us] -> TIMESTAMP_NTZ, converted as UTC to match
+        # DuckDB's epoch_ns on naive timestamps)
+        if dict(df.dtypes).get("ts") not in ("bigint", None):
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            df = df.withColumn(
+                "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000))
+    return df
 
 
 _QV_CACHE: dict[tuple[str, int], list[float]] = {}

@@ -102,8 +102,17 @@ class QueryExecutor:
 
     # ------------------------------------------------------- dispatch --
     def execute(self, sql: str, params: dict[str, Any] | None = None):
-        stmt = parse(sql)
+        return self._execute_stmt(parse(sql), params or {})
+
+    def execute_script(self, sql: str, params: dict[str, Any] | None = None) -> list:
+        """Run a ';'-separated script statement-by-statement, returning
+        one result per statement (docs/needleql.md batch sessions)."""
+        from needle_spark.ql.parser import parse_script
+
         params = params or {}
+        return [self._execute_stmt(s, params) for s in parse_script(sql)]
+
+    def _execute_stmt(self, stmt, params: dict[str, Any]):
         if isinstance(stmt, ast.SelectStmt):
             if stmt.explain:
                 return self.explain(stmt, params)
@@ -333,12 +342,31 @@ class QueryExecutor:
                 if len(key.expr.args) >= 3:
                     alpha = float(key.expr.args[2])
 
+        # ORDER BY time_decay(distance, ts_col, '7d') — the docs/needleql.md
+        # form; sugar for WITH TIME_DECAY with an exponential half-life read
+        # from the duration argument, decaying on the named timestamp column
+        decay = stmt.with_time_decay
+        decay_ts = self.inserted_at_col
+        for key in stmt.order_by:
+            if isinstance(key.expr, ast.FuncCall) and key.expr.name == "time_decay":
+                args = key.expr.args
+                if len(args) != 3:
+                    raise ExecError(
+                        "time_decay(distance, ts_column, duration) takes 3 args")
+                if decay is None:
+                    dur = args[2]
+                    decay = ast.TimeDecaySpec(
+                        function="exponential",
+                        params={"half_life_seconds": (
+                            parse_duration(dur) if isinstance(dur, str) else int(dur))},
+                    )
+                    decay_ts = str(args[1])
+
         if similar is not None and match is not None:
             qv = self._bind_vector(similar.param, params)
             base = df.filter(pred) if pred is not None else df
             fetch = max(limit * 5, 50)
             k_out = limit + (stmt.offset or 0)
-            decay = stmt.with_time_decay
             post = (stmt.rerank is not None or decay is not None
                     or (rag is not None and rag.deduplicate))
             # post-fusion stages re-sort, so pool extra fused candidates
@@ -350,12 +378,23 @@ class QueryExecutor:
                            id_col=self.id_col, text_col=match.column or self.text_col)
             out = rrf_fuse(vec, bm, id_col=self.id_col, limit=pool,
                            vector_weight=alpha, bm25_weight=1.0 - alpha)
+            # restore columns that fusion projected away: post stages need
+            # the payload (text / vector / inserted_at), and the SELECT
+            # list may name payload columns or the vector-side `distance`
+            # (docs/needleql.md hybrid examples select id,title,distance)
+            need = list(stmt.columns) if stmt.columns else list(df.columns)
             if post:
-                # downstream stages need payload columns (text / vector /
-                # inserted_at) that fusion projected away — join them back
-                extra = [c for c in df.columns if c not in out.columns]
-                if extra:
-                    out = out.join(df.select(self.id_col, *extra), self.id_col, "left")
+                need = list(dict.fromkeys(need + list(df.columns)))
+            if "distance" in need and "distance" not in out.columns:
+                out = out.join(vec, self.id_col, "left")
+            extra = [c for c in df.columns if c in need and c not in out.columns]
+            if extra:
+                out = out.join(df.select(self.id_col, *extra), self.id_col, "left")
+            if not post:
+                # the joins dropped fusion's ordering guarantee
+                out = out.orderBy(
+                    F.col("score").desc(), F.col(self.id_col).asc()).limit(k_out)
+            if post:
                 if rag is not None and rag.deduplicate:
                     out = self._dedup_candidates(out, "score", ascending=False)
                 if decay is not None:
@@ -368,7 +407,7 @@ class QueryExecutor:
                          for k, v in decay.params.items()}
                     now = int(params.get("now", p.pop("now", 0)))
                     factor = decay_factor_expr(
-                        decay.function, age_expr(now, self.inserted_at_col), **p)
+                        decay.function, age_expr(now, decay_ts), **p)
                     out = out.withColumn("score", F.col("score") * factor)
                 if stmt.rerank is not None:
                     out = out.withColumn("__negscore", -F.col("score"))
@@ -398,7 +437,6 @@ class QueryExecutor:
 
         if similar is not None:
             qv = self._bind_vector(similar.param, params)
-            decay = stmt.with_time_decay
             k_page = limit + (stmt.offset or 0)
             fetch = k_page
             if decay:
@@ -417,7 +455,7 @@ class QueryExecutor:
                 now = int(params.get("now", p.pop("now", 0)))
                 out = apply_time_decay(
                     out, decay.function, now=now, k=limit + (stmt.offset or 0),
-                    inserted_at_col=self.inserted_at_col, id_col=self.id_col, **p)
+                    inserted_at_col=decay_ts, id_col=self.id_col, **p)
             if stmt.rerank is not None:
                 if stmt.rerank.mode == "mmr":
                     # sequential greedy over the candidate set; rebuild a
@@ -435,6 +473,15 @@ class QueryExecutor:
                     out = rerank_by_field(out, stmt.rerank.field, k=k_page,
                                           fetch_k=fetch, descending=stmt.rerank.descending,
                                           id_col=self.id_col)
+            # plain-column ORDER BY re-sorts the candidate page (grammar
+            # order_expr := column_name [ASC|DESC]); 'distance ASC' is the
+            # kNN default and stays a no-op
+            plain = [k for k in stmt.order_by if isinstance(k.expr, str)]
+            if plain and not all(k.expr == "distance" and not k.desc for k in plain):
+                out = out.orderBy(
+                    *[F.col(k.expr).desc() if k.desc else F.col(k.expr).asc()
+                      for k in plain],
+                    F.col(self.id_col).asc())
             return self._project(out, stmt, offset=stmt.offset, limit=limit)
 
         if match is not None:

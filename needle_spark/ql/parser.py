@@ -19,6 +19,7 @@ class Parser:
     def __init__(self, text: str):
         self.toks = tokenize(text)
         self.i = 0
+        self.script = False  # parse_script: ';' separates statements
 
     # ------------------------------------------------------- helpers --
     def peek(self) -> Token:
@@ -126,8 +127,10 @@ class Parser:
     def _end(self):
         if self.peek().kind == "PUNCT" and self.peek().value == ";":
             self.next()
+            if self.script:
+                return
         t = self.peek()
-        if t.kind != "EOF":
+        if t.kind != "EOF" and not self.script:
             raise ParseError(f"trailing input at {t.pos}: {t.value!r}")
 
     # --------------------------------------------------------- SELECT --
@@ -416,3 +419,14 @@ class Parser:
 def parse(text: str):
     """Parse one NeedleQL statement."""
     return Parser(text).parse_statement()
+
+
+def parse_script(text: str) -> list:
+    """Parse a ';'-separated multi-statement script (docs/needleql.md
+    'Batch Insert and Delete' runs several statements in one session)."""
+    p = Parser(text)
+    p.script = True
+    stmts = []
+    while p.peek().kind != "EOF":
+        stmts.append(p.parse_statement())
+    return stmts
