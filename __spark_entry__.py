@@ -448,6 +448,38 @@ SELECT event_id, user_id, event_type FROM (
 """
 
 
+_MIX_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+
+
+def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style benchmark decontamination: flag corpus docs sharing
+    any 8-gram with the held-out 'benchmark' slice (doc_id % 10 == 0)."""
+    from needle_spark.operators.llm_hygiene import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return decontaminate(corpus, bench, n=8, id_col="doc_id", text_col="text")
+
+
+def _gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-paper quality rules as scan-projection expressions."""
+    from needle_spark.operators.llm_hygiene import gopher_quality
+
+    return gopher_quality(_t(spark, sf_dir, "documents"))
+
+
+def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixing sample (md5-threshold, map-only)."""
+    from needle_spark.operators.llm_hygiene import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "source", _MIX_FRACTIONS, key_col="doc_id", seed="mix0",
+        default_fraction=0.05,
+    ).select("doc_id", "source")
+
+
 def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from needle_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -1459,6 +1491,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dedup": _minhash_lsh,
         "simhash_candidates": _simhash,
         "embedding_neardup": _embedding_neardup,
+        "decontaminate": _decontaminate,
+        "gopher_quality": _gopher_quality,
+        "stratified_sample": _stratified_sample,
         "text_profile": _text_profile,
         "time_decay_knn": _time_decay_knn,
         "asof_knn": _asof_knn,
@@ -1530,6 +1565,18 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_dedup": _jaccard_oracle_sql(0.6),
         # simhash_candidates: no oracle (xxhash64 has no DuckDB twin)
         "embedding_neardup": _embedding_neardup_sql(),
+        "decontaminate": __import__(
+            "needle_spark.operators.llm_hygiene", fromlist=["decontaminate_sql"]
+        ).decontaminate_sql(n=8),
+        "gopher_quality": __import__(
+            "needle_spark.operators.llm_hygiene", fromlist=["gopher_quality_sql"]
+        ).gopher_quality_sql(),
+        "stratified_sample": __import__(
+            "needle_spark.operators.llm_hygiene", fromlist=["stratified_sample_sql"]
+        ).stratified_sample_sql(
+            "documents", "source", _MIX_FRACTIONS, key_col="doc_id", seed="mix0",
+            default_fraction=0.05, select="doc_id, source",
+        ),
         "text_profile": _text_profile_sql(),
         "time_decay_knn": _time_decay_knn_sql(),
         "asof_knn": _knn_oracle("cosine", where="WHERE vec_id * 10 <= 2000"),

@@ -63,6 +63,7 @@ def main() -> None:
         "cross_collection", "graph_traverse", "term_overlap_rerank",
         "revenue_per_nation", "distinct_agg", "rollup_agg",
         "idf_overlap_rerank", "chunk_fixed", "cross_agg_best",
+        "decontaminate", "gopher_quality", "stratified_sample",
     ]
     for name in bench_queries:
         fn = qs[name]
