@@ -17,6 +17,7 @@ Determinism rules used throughout (see needle_spark.functions.distance):
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -88,6 +89,128 @@ def _knn_oracle(metric: str, k: int = 10, where: str = "", post: str = "") -> st
         f"SELECT vec_id, label, {d} AS distance FROM embeddings {where} "
         f"ORDER BY distance ASC, vec_id ASC LIMIT {k}"
     )
+
+
+_FOLD_SQL = "list_reduce(list_prepend(0.0::DOUBLE, {body}), (acc, x) -> acc + x)"
+
+
+def _norm_sql(a: str) -> str:
+    body = f"list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    return "sqrt(" + _FOLD_SQL.format(body=body) + ")"
+
+
+def _knn_cosine_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cosine_normalized metric over L2-normalized vectors (the caller
+    contract: unit vectors, distance = 1 - dot)."""
+    from needle_spark.functions.distance import l2_normalize_expr
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", l2_normalize_expr(F.col("embedding")))
+    qv = _query_vec(spark, sf_dir, 0)
+    n = math.sqrt(sum(x * x for x in qv)) or 1.0
+    qn = [x / n for x in qv]
+    return knn(
+        emb, qn, k=10, metric="cosine_normalized",
+        vector_col="embedding", id_col="vec_id",
+    ).select("vec_id", "label", "distance")
+
+
+def _knn_cosine_normalized_sql() -> str:
+    # doc side mirrors l2_normalize_expr's float32 round-trip; the query
+    # side stays double like the Python-normalized literal
+    a = ("list_transform(embedding, x -> "
+         f"CAST(CAST(x AS DOUBLE) / {_norm_sql('embedding')} AS FLOAT))")
+    q_inner = ("list_transform(embedding, x -> "
+               f"CAST(x AS DOUBLE) / {_norm_sql('embedding')})")
+    b = f"(SELECT {q_inner} FROM embeddings WHERE vec_id = 0)"
+    d = duckdb_distance_sql("cosine_normalized", a, b)
+    return (
+        f"SELECT vec_id, label, {d} AS distance FROM embeddings "
+        f"ORDER BY distance ASC, vec_id ASC LIMIT 10"
+    )
+
+
+def _knn_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming distance over sign-binarized embeddings (the binary-code
+    search shape; raw embeddings are dense so binarize first)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding",
+        F.transform(F.col("embedding"),
+                    lambda x: F.when(x > 0, F.lit(1.0)).otherwise(F.lit(0.0))
+                    .cast("float")),
+    )
+    qv = _query_vec(spark, sf_dir, 0)
+    qb = [1.0 if x > 0 else 0.0 for x in qv]
+    return knn(
+        emb, qb, k=10, metric="hamming",
+        vector_col="embedding", id_col="vec_id",
+    ).select("vec_id", "label", "distance")
+
+
+def _knn_hamming_sql() -> str:
+    binz = ("list_transform({v}, x -> CASE WHEN x > 0 "
+            "THEN 1.0::FLOAT ELSE 0.0::FLOAT END)")
+    a = binz.format(v="embedding")
+    b = f"(SELECT {binz.format(v='embedding')} FROM embeddings WHERE vec_id = 0)"
+    d = duckdb_distance_sql("hamming", a, b)
+    return (
+        f"SELECT vec_id, label, {d} AS distance FROM embeddings "
+        f"ORDER BY distance ASC, vec_id ASC LIMIT 10"
+    )
+
+
+def _federated_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated search: route by query attrs to the parity members,
+    weight odd results down, global top-k (federated.py over
+    cross_collection_knn)."""
+    from needle_spark.operators.federated import (
+        FederationConfig, RoutingRule, federated_knn,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+
+    def member(parity: int) -> DataFrame:
+        return emb.filter(F.col("vec_id") % 2 == parity).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+
+    config = FederationConfig(
+        members={"even": member(0), "odd": member(1),
+                 "all": emb.select(F.col("vec_id").alias("id"),
+                                   F.col("embedding").alias("vector"))},
+        weights={"even": 1.0, "odd": 0.7},
+        rules=[RoutingRule(
+            name="parity",
+            predicate=lambda attrs: attrs.get("domain") == "parity",
+            targets=["even", "odd"],
+        )],
+    )
+    return federated_knn(
+        config, qv, k=10, per_collection_k=8,
+        query_attrs={"domain": "parity"},
+    )
+
+
+def _federated_routed_sql() -> str:
+    d = duckdb_distance_sql("cosine", "embedding", _Q_SQL)
+    return f"""
+WITH e AS (SELECT 'even' AS collection, CAST(vec_id AS VARCHAR) AS id, {d} AS distance
+           FROM embeddings WHERE vec_id % 2 = 0
+           ORDER BY distance ASC, vec_id ASC LIMIT 8),
+o AS (SELECT 'odd' AS collection, CAST(vec_id AS VARCHAR) AS id, {d} AS distance
+      FROM embeddings WHERE vec_id % 2 = 1
+      ORDER BY distance ASC, vec_id ASC LIMIT 8),
+u AS (SELECT *, 1.0 / (1.0 + distance) AS s FROM (SELECT * FROM e UNION ALL SELECT * FROM o)),
+n AS (
+  SELECT collection, id, distance,
+         CASE WHEN max(s) OVER w = min(s) OVER w THEN 1.0
+              ELSE (s - min(s) OVER w) / (max(s) OVER w - min(s) OVER w) END
+           * CASE WHEN collection = 'odd' THEN 0.7 ELSE 1.0 END AS score
+  FROM u WINDOW w AS (PARTITION BY collection)
+)
+SELECT collection, id, distance, score FROM n
+ORDER BY score DESC, collection ASC, id ASC LIMIT 10
+"""
 
 
 def _knn_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1471,6 +1594,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_dot": _mk_knn("dot"),
         "knn_manhattan": _mk_knn("manhattan"),
         "knn_chebyshev": _mk_knn("chebyshev"),
+        "knn_cosine_normalized": _knn_cosine_normalized,
+        "knn_hamming": _knn_hamming,
+        "federated_routed": _federated_routed,
         "knn_prefilter": _knn_prefilter,
         "knn_postfilter": _knn_postfilter,
         "radius_search": _radius,
@@ -1532,6 +1658,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_dot": _knn_oracle("dot"),
         "knn_manhattan": _knn_oracle("manhattan"),
         "knn_chebyshev": _knn_oracle("chebyshev"),
+        "knn_cosine_normalized": _knn_cosine_normalized_sql(),
+        "knn_hamming": _knn_hamming_sql(),
+        "federated_routed": _federated_routed_sql(),
         "knn_prefilter": _knn_oracle("cosine", where="WHERE label IN (1, 2, 3)"),
         "knn_postfilter": (
             f"SELECT vec_id, label, distance FROM ("
