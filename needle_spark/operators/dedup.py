@@ -158,8 +158,14 @@ def ngram_jaccard_pairs(
     boilerplate — document the tradeoff when using it.
     """
     sh = _shingle_frame(df, id_col, text_col, n, impl)
-    sizes = sh.select(F.col(id_col), F.size("__sh").alias("__sz"))
-    e = sh.select(F.col(id_col), F.explode("__sh").alias("__g"))
+    # carry the doc's shingle-set size THROUGH the explode: the
+    # intersection groups then already hold both sizes, so no separate
+    # size frame and no size joins — the shingle kernel evaluates only
+    # on the two self-join sides instead of four scans
+    e = sh.select(
+        F.col(id_col), F.size("__sh").alias("__sz"),
+        F.explode("__sh").alias("__g"),
+    )
     if max_shingle_df is not None:
         hot = (
             e.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
@@ -167,20 +173,20 @@ def ngram_jaccard_pairs(
             .select("__g")
         )
         e = e.join(F.broadcast(hot), "__g")
-    a = e.select(F.col(id_col).alias("id1"), F.col("__g"))
-    b = e.select(F.col(id_col).alias("id2"), F.col("__g"))
+    a = e.select(F.col(id_col).alias("id1"), F.col("__sz").alias("__s1"), "__g")
+    b = e.select(F.col(id_col).alias("id2"), F.col("__sz").alias("__s2"), "__g")
     inter = (
         a.join(b, "__g")
         .filter(F.col("id1") < F.col("id2"))
         .groupBy("id1", "id2")
-        .agg(F.count(F.lit(1)).cast("double").alias("__c"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("__c"),
+            F.min("__s1").alias("__s1"),   # constant within the group
+            F.min("__s2").alias("__s2"),
+        )
     )
-    s1 = sizes.select(F.col(id_col).alias("id1"), F.col("__sz").alias("__s1"))
-    s2 = sizes.select(F.col(id_col).alias("id2"), F.col("__sz").alias("__s2"))
     return (
-        inter.join(s1, "id1")
-        .join(s2, "id2")
-        .withColumn(
+        inter.withColumn(
             "jaccard", F.col("__c") / (F.col("__s1") + F.col("__s2") - F.col("__c"))
         )
         .filter(F.col("jaccard") >= threshold)
@@ -327,25 +333,60 @@ def minhash_lsh_candidates(
             F.col(id_col), F.col("__b.band").alias("band"),
             F.col("__b.bucket").cast("long").alias("bucket"),
         )
-    a = banded.select("band", "bucket", F.col(id_col).alias("id1"))
-    b_side = banded.select("band", "bucket", F.col(id_col).alias("id2"))
+    # pair generation by bucket GROUPING, not a self-join: one scan of
+    # the banded frame, one shuffle of (band, bucket, id) rows, pairs
+    # expanded per bucket from the sorted member list (id1 < id2 by
+    # construction).  A pathological hot bucket is quadratic either way;
+    # grouping at least keeps it to one task with no join-side
+    # duplication of the signature scan.
+    bucket_ids = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("__ids"))
+        .filter(F.size("__ids") > 1)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("__ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__ids"), i + 2, F.size(F.col("__ids"))),
+                lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b_side, ["band", "bucket"])
-        .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
+        bucket_ids.select(F.explode(combos).alias("__p"))
+        .select(F.col("__p.id1").alias("id1"), F.col("__p.id2").alias("id2"))
         .dropDuplicates(["id1", "id2"])
     )
     if verify_threshold is None:
         return pairs
-    # verify candidates with exact Jaccard: re-join the (small) pair list
-    # against the shingle-set table by id.
-    s1 = sh.select(F.col(id_col).alias("id1"), F.col("__sh").alias("__sh1"))
-    s2 = sh.select(F.col(id_col).alias("id2"), F.col("__sh").alias("__sh2"))
+    # verify candidates with exact Jaccard.  Role-explode the pair list
+    # and join the shingle table ONCE (the kernel that builds shingle
+    # sets evaluates on a single scan), then fold the two sets back into
+    # one row per pair.
+    roles = pairs.select(
+        "id1", "id2",
+        F.explode(
+            F.array(
+                F.struct(F.col("id1").alias("rid"), F.lit(1).alias("role")),
+                F.struct(F.col("id2").alias("rid"), F.lit(2).alias("role")),
+            )
+        ).alias("__r"),
+    ).select("id1", "id2", F.col("__r.rid").alias("__rid"),
+             F.col("__r.role").alias("__role"))
+    j = roles.join(
+        sh.select(F.col(id_col).alias("__rid"), "__sh"), "__rid"
+    )
+    both = j.groupBy("id1", "id2").agg(
+        F.first(F.when(F.col("__role") == 1, F.col("__sh")),
+                ignorenulls=True).alias("__sh1"),
+        F.first(F.when(F.col("__role") == 2, F.col("__sh")),
+                ignorenulls=True).alias("__sh2"),
+    )
     inter = F.size(F.array_intersect("__sh1", "__sh2")).cast("double")
     union = (F.size("__sh1") + F.size("__sh2")).cast("double") - inter
     return (
-        pairs.join(s1, "id1").join(s2, "id2")
-        .withColumn("jaccard", inter / union)
+        both.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= verify_threshold)
         .select("id1", "id2", "jaccard")
     )
