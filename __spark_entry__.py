@@ -603,6 +603,67 @@ def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+def _pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII counts + redaction over documents with deterministically
+    injected PII (the corpus itself is synthetic-clean, so the query
+    plants emails/SSNs to make the check meaningful)."""
+    from needle_spark.operators.llm_hygiene import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit(" reach me: user"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@example.com"))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit(" ssn 123-45-6789 tel 555-123-4567")).otherwise(
+                F.lit("")),
+        ).alias("text"),
+    )
+    return redact_pii(injected, id_col="doc_id", text_col="text")
+
+
+def _pii_redact_sql() -> str:
+    from needle_spark.operators.llm_hygiene import redact_pii_sql
+
+    inner = (
+        "SELECT doc_id, text || "
+        "CASE WHEN doc_id % 3 = 0 THEN ' reach me: user' || "
+        "CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END || "
+        "CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-6789 tel 555-123-4567' "
+        "ELSE '' END AS text FROM documents"
+    )
+    return redact_pii_sql(table=f"({inner})")
+
+
+def _dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated-line removal over constructed multi-line
+    docs (synthetic corpus is single-line, so lines are planted)."""
+    from needle_spark.operators.llm_hygiene import dedup_lines_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    multi = docs.select(
+        "doc_id",
+        F.concat_ws("\n", F.col("text"), F.col("text"), F.lit("END"),
+                    F.col("text")).alias("text"),
+    )
+    return multi.select("doc_id", dedup_lines_expr("text").alias("deduped"))
+
+
+def _dedup_lines_sql() -> str:
+    from needle_spark.operators.llm_hygiene import duckdb_dedup_lines_sql
+
+    inner = (
+        "SELECT doc_id, text || chr(10) || text || chr(10) || 'END' || "
+        "chr(10) || text AS text FROM documents"
+    )
+    return (f"SELECT doc_id, {duckdb_dedup_lines_sql('text')} AS deduped "
+            f"FROM ({inner})")
+
+
 def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from needle_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -1620,6 +1681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _decontaminate,
         "gopher_quality": _gopher_quality,
         "stratified_sample": _stratified_sample,
+        "pii_redact": _pii_redact,
+        "dedup_lines": _dedup_lines,
         "text_profile": _text_profile,
         "time_decay_knn": _time_decay_knn,
         "asof_knn": _asof_knn,
@@ -1706,6 +1769,8 @@ def oracle_sql() -> dict[str, str]:
             "documents", "source", _MIX_FRACTIONS, key_col="doc_id", seed="mix0",
             default_fraction=0.05, select="doc_id, source",
         ),
+        "pii_redact": _pii_redact_sql(),
+        "dedup_lines": _dedup_lines_sql(),
         "text_profile": _text_profile_sql(),
         "time_decay_knn": _time_decay_knn_sql(),
         "asof_knn": _knn_oracle("cosine", where="WHERE vec_id * 10 <= 2000"),

@@ -307,6 +307,95 @@ def stratified_sample_sql(
     return f"SELECT {select} FROM {table} WHERE {u} < {frac}"
 
 
+# ------------------------------------------------------- PII redaction --
+
+# Conservative patterns valid in BOTH Java regex (Spark) and RE2
+# (DuckDB): no backreferences, no lookaround.  Order matters: longer /
+# more specific first so e.g. SSNs don't half-match as phones.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "[SSN]"),
+    ("phone", "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b", "[PHONE]"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "[IP]"),
+)
+
+
+def redact_pii_expr(text_col: Column | str,
+                    kinds: tuple[str, ...] | None = None) -> Column:
+    """Replace PII matches with typed placeholder tokens (map-only)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    for name, pat, token in PII_PATTERNS:
+        if kinds is None or name in kinds:
+            c = F.regexp_replace(c, pat, token)
+    return c
+
+
+def pii_counts_exprs(text_col: Column | str,
+                     kinds: tuple[str, ...] | None = None) -> dict[str, Column]:
+    """Per-kind match counts (size of regexp_extract_all — identical
+    semantics in both engines)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    out = {}
+    for name, pat, _tok in PII_PATTERNS:
+        if kinds is None or name in kinds:
+            out[f"n_{name}"] = F.size(
+                F.regexp_extract_all(c, F.lit(pat), 0)).cast("long")
+    return out
+
+
+def redact_pii(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    kinds: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """(id, per-kind counts, redacted text) — counts measured BEFORE
+    redaction so earlier patterns can't eat later ones' matches."""
+    counts = pii_counts_exprs(text_col, kinds)
+    cols = [F.col(id_col)]
+    cols += [expr.alias(name) for name, expr in counts.items()]
+    cols.append(redact_pii_expr(text_col, kinds).alias("redacted"))
+    return df.select(*cols)
+
+
+def redact_pii_sql(table: str = "documents", id_col: str = "doc_id",
+                   text_expr: str = "text",
+                   kinds: tuple[str, ...] | None = None) -> str:
+    """DuckDB twin of redact_pii (RE2 'g' flag for replace-all)."""
+    counts, red = [], text_expr
+    for name, pat, token in PII_PATTERNS:
+        if kinds is not None and name not in kinds:
+            continue
+        counts.append(
+            f"CAST(len(regexp_extract_all({text_expr}, '{pat}')) AS BIGINT)"
+            f" AS n_{name}")
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    cols = ", ".join([id_col] + counts + [f"{red} AS redacted"])
+    return f"SELECT {cols} FROM {table}"
+
+
+# ------------------------------------- intra-document repetition removal --
+
+def dedup_lines_expr(text_col: Column | str) -> Column:
+    """Drop repeated lines within a document, keeping first occurrences
+    in order (the intra-doc half of line-level corpus dedup)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    lines = F.split(c, "\n")
+    keep = F.filter(
+        lines, lambda l, i: F.array_position(lines, l) == i + F.lit(1)
+    )
+    return F.array_join(keep, "\n")
+
+
+def duckdb_dedup_lines_sql(text_expr: str) -> str:
+    """DuckDB twin of dedup_lines_expr (list_position = first index)."""
+    lines = f"string_split({text_expr}, chr(10))"
+    return (
+        f"array_to_string(list_filter({lines}, "
+        f"(l, i) -> list_position({lines}, l) = i), chr(10))"
+    )
+
+
 def mixture_report(
     df: DataFrame, sampled: DataFrame, strata_col: str
 ) -> DataFrame:

@@ -8,8 +8,10 @@ from pyspark.sql import functions as F
 
 from needle_spark.operators.llm_hygiene import (
     decontaminate,
+    dedup_lines_expr,
     gopher_quality,
     mixture_report,
+    redact_pii,
     stratified_sample,
     word_ngrams_expr,
 )
@@ -94,6 +96,41 @@ def test_stratified_sample_seed_changes_selection(spark, documents):
     b = {r["doc_id"] for r in stratified_sample(
         documents, "source", fr, seed="mix1").collect()}
     assert a != b  # different seed, different (deterministic) sample
+
+
+def test_redact_pii_counts_and_masks(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-ample.org and 555-123-4567 plus 10.0.0.1"),
+            (2, "ssn 123-45-6789 twice 123-45-6789"),
+            (3, "clean text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1 and out[1]["n_ipv4"] == 1
+    assert out[1]["redacted"] == "mail [EMAIL] and [PHONE] plus [IP]"
+    assert out[2]["n_ssn"] == 2
+    assert out[2]["redacted"] == "ssn [SSN] twice [SSN]"
+    assert out[3]["redacted"] == "clean text"
+    assert sum(out[3][c] for c in ("n_email", "n_ssn", "n_phone", "n_ipv4")) == 0
+
+
+def test_ssn_not_double_masked_as_phone(spark):
+    # SSN pattern applies before phone so xxx-xx-xxxx never half-matches
+    df = spark.createDataFrame([(1, "id 123-45-6789.")], "doc_id long, text string")
+    assert redact_pii(df).first()["redacted"] == "id [SSN]."
+
+
+def test_dedup_lines_keeps_first_occurrence_order(spark):
+    df = spark.createDataFrame(
+        [(1, "a\nb\na\nc\nb\nd"), (2, "x"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["d"] for r in
+           df.select("doc_id", dedup_lines_expr("text").alias("d")).collect()}
+    assert out[1] == "a\nb\nc\nd"
+    assert out[2] == "x" and out[3] == ""
 
 
 def test_stratified_sample_map_only(spark, documents):
