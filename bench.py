@@ -64,6 +64,7 @@ def main() -> None:
         "revenue_per_nation", "distinct_agg", "rollup_agg",
         "idf_overlap_rerank", "chunk_fixed", "cross_agg_best",
         "decontaminate", "gopher_quality", "stratified_sample",
+        "pii_redact", "dedup_lines", "federated_routed",
     ]
     for name in bench_queries:
         fn = qs[name]

@@ -140,6 +140,61 @@ def main() -> None:
         },
     ))
 
+    from needle_spark.operators.llm_hygiene import (
+        decontaminate, stratified_sample,
+    )
+
+    bench_docs = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus_docs = docs.filter(F.col("doc_id") % 10 != 0)
+    p = explain_text(decontaminate(corpus_docs, bench_docs, n=8))
+    checks.append((
+        "benchmark decontamination (n-gram overlap)",
+        "benchmark n-grams distinct + broadcast; corpus-side exploded "
+        "n-grams never shuffle into a sort-merge join; no Python UDFs",
+        {
+            "BroadcastHashJoin count": str(p.count("BroadcastHashJoin")),
+            "SortMergeJoin count": str(p.count("SortMergeJoin")),
+            "PythonUDF": "ABSENT" if "pythonUDF" not in p else "PRESENT",
+        },
+    ))
+
+    p = explain_text(stratified_sample(docs, "source", {"src0": 0.5}))
+    checks.append((
+        "stratified mixing sample",
+        "md5-threshold keep decision is a scan-level filter: map-only, "
+        "zero shuffles",
+        {
+            "Exchange count": str(p.count("Exchange")),
+            "Filter": grab(p, "Filter")["Filter"],
+        },
+    ))
+
+    from needle_spark.operators.dedup import (
+        minhash_lsh_candidates, ngram_jaccard_pairs,
+    )
+
+    p = explain_text(ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", n=3, threshold=0.6))
+    checks.append((
+        "n-gram Jaccard pairs (exact)",
+        "shingle-set sizes ride through the explode: the shingle kernel "
+        "evaluates on exactly the two self-join scans, with no separate "
+        "size frame",
+        {"unique scan nodes": str(len(set(re.findall(r"\((\d+)\) Scan parquet", p)))),
+         "SortMergeJoin count": str(p.count("SortMergeJoin"))},
+    ))
+
+    p = explain_text(minhash_lsh_candidates(
+        docs, id_col="doc_id", text_col="text", n=3, verify_threshold=0.6))
+    checks.append((
+        "MinHash LSH dedup",
+        "bucket-grouped pair expansion (no banded self-join) + single "
+        "role-exploded verification join: the signature/shingle kernel "
+        "evaluates on two scans total",
+        {"unique scan nodes": str(len(set(re.findall(r"\((\d+)\) Scan parquet", p)))),
+         "SortMergeJoin count": str(p.count("SortMergeJoin"))},
+    ))
+
     lines = [
         "# PLANS — physical-plan evidence (generated by scripts/plan_report.py)",
         "",
