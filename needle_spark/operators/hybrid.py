@@ -60,8 +60,12 @@ def bm25_scores(
 ) -> DataFrame:
     """BM25 scores for every matching doc: (id, score), score > 0 only.
 
-    One tokenize pass; corpus stats (N, avgdl) ride in as a broadcast
-    1-row cross join so the whole thing stays one lazy plan.
+    Query terms are FEW, so per-doc term frequencies become one array-
+    count column per distinct term in a single tokenize projection — no
+    explode, no groupBy.  Corpus stats (N, avgdl, per-term df) fold into
+    ONE broadcast 1-row aggregate.  Physical shape: two scans (stats +
+    scoring), zero hash exchanges; at corpus scale the only data motion
+    is the 1-row broadcast.
     """
     q_terms = tokenize_py(query_text, stop_words=stop_words)
     if stem:
@@ -71,40 +75,47 @@ def bm25_scores(
         return spark.createDataFrame([], f"{id_col} string, {score_col} double")
 
     qcounts = Counter(q_terms)
-    qdf = spark.createDataFrame(
-        [(t, float(c)) for t, c in sorted(qcounts.items())], "term string, qcount double"
-    )
+    terms = sorted(qcounts)
+
+    def _count_eq(term: str):
+        return F.size(F.filter("__toks", lambda x: x == F.lit(term)))
 
     toks = _tokens(docs, id_col, text_col, stem, stop_words)
-    lens = toks.select(F.col(id_col), F.size("__toks").cast("double").alias("__dl"))
-    stats = lens.agg(
+    per_doc = toks.select(
+        F.col(id_col),
+        F.size("__toks").cast("double").alias("__dl"),
+        *[
+            _count_eq(t).cast("double").alias(f"__tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = per_doc.agg(
         F.count(F.lit(1)).cast("double").alias("__n"),
         (F.sum("__dl") / F.count(F.lit(1))).alias("__avgdl"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("double")).alias(f"__df_{i}")
+            for i in range(len(terms))
+        ],
     )
 
-    tf = (
-        toks.select(F.col(id_col), F.explode("__toks").alias("term"))
-        .filter(F.col("term").isin(list(qcounts)))
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).cast("double").alias("__tf"))
-    )
-    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("__df"))
-
-    idf = F.log((F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5) + 1.0)
     lnorm = F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("__dl") / F.col("__avgdl")
-    tf_norm = (F.col("__tf") * (k1 + 1.0)) / (F.col("__tf") + F.lit(k1) * lnorm)
+    score = F.lit(0.0)
+    for i, t in enumerate(terms):
+        tf = F.col(f"__tf_{i}")
+        idf = F.log(
+            (F.col("__n") - F.col(f"__df_{i}") + 0.5)
+            / (F.col(f"__df_{i}") + 0.5) + 1.0
+        )
+        tf_norm = (tf * (k1 + 1.0)) / (tf + F.lit(k1) * lnorm)
+        score = score + F.when(
+            tf > 0, idf * tf_norm * F.lit(float(qcounts[t]))
+        ).otherwise(F.lit(0.0))
 
-    scored = (
-        tf.join(F.broadcast(df_t), "term")
-        .join(lens, id_col)
-        .crossJoin(F.broadcast(stats))
-        .join(F.broadcast(qdf), "term")
-        .withColumn("__s", idf * tf_norm * F.col("qcount"))
-        .groupBy(id_col)
-        .agg(F.sum("__s").alias(score_col))
+    return (
+        per_doc.crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), score.alias(score_col))
         .filter(F.col(score_col) > 0.0)
     )
-    return scored
 
 
 class Bm25Index:
