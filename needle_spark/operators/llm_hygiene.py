@@ -76,24 +76,23 @@ def decontaminate(
     bench_grams = (
         benchmark.select(F.explode(word_ngrams_expr(btc, n)).alias("gram"))
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
+    # explode_outer keeps gram-less docs as a null-gram row, so ONE
+    # corpus scan yields every doc's count (no separate id scan + join
+    # back); nulls never match the broadcast set -> count 0
     corpus_grams = corpus.select(
-        F.col(id_col), F.explode(word_ngrams_expr(text_col, n)).alias("gram")
-    )
-    hits = (
-        corpus_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("matched_ngrams"))
+        F.col(id_col), F.explode_outer(word_ngrams_expr(text_col, n)).alias("gram")
     )
     return (
-        corpus.select(id_col)
-        .join(hits, id_col, "left")
+        corpus_grams.join(F.broadcast(bench_grams), "gram", "left")
+        .groupBy(id_col)
+        .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias(
+            "matched_ngrams"))
         .select(
             id_col,
-            F.coalesce(F.col("matched_ngrams"), F.lit(0)).cast("long").alias(
-                "matched_ngrams"),
-            (F.coalesce(F.col("matched_ngrams"), F.lit(0)) > 0).alias(
-                "contaminated"),
+            "matched_ngrams",
+            (F.col("matched_ngrams") > 0).alias("contaminated"),
         )
     )
 
