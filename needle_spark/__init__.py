@@ -79,6 +79,18 @@ def __getattr__(name):
         "CodecRegistry": ("needle_spark.operators.multimodal", "CodecRegistry"),
         "DEFAULT_CODECS": ("needle_spark.operators.multimodal", "DEFAULT_CODECS"),
         "probe_codecs": ("needle_spark.operators.multimodal", "probe_codecs"),
+        "BranchManager": ("needle_spark.branches", "BranchManager"),
+        "MergeResult": ("needle_spark.branches", "MergeResult"),
+        "decontaminate": ("needle_spark.operators.llm_hygiene", "decontaminate"),
+        "gopher_quality": ("needle_spark.operators.llm_hygiene", "gopher_quality"),
+        "stratified_sample": ("needle_spark.operators.llm_hygiene",
+                              "stratified_sample"),
+        "redact_pii": ("needle_spark.operators.llm_hygiene", "redact_pii"),
+        "RetryPolicy": ("needle_spark.streaming.reliability", "RetryPolicy"),
+        "reliable_ingest_sink": ("needle_spark.streaming.reliability",
+                                 "reliable_ingest_sink"),
+        "IngestionMetrics": ("needle_spark.streaming.reliability",
+                             "IngestionMetrics"),
     }
     if name in _lazy:
         import importlib
@@ -99,5 +111,8 @@ __all__ = [
     "AdaptiveOptimizer", "AdaptiveSelector", "graphrag_search",
     "pagerank_fixed", "CohereRerankClient", "CohereEmbedClient",
     "CrossEncoderClient", "CodecRegistry", "DEFAULT_CODECS", "probe_codecs",
+    "BranchManager", "MergeResult", "decontaminate", "gopher_quality",
+    "stratified_sample", "redact_pii", "RetryPolicy", "reliable_ingest_sink",
+    "IngestionMetrics",
     "__version__",
 ]

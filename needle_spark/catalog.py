@@ -790,6 +790,12 @@ class Collection:
         for entry in m["versions"].values():
             live.update(entry["segments"])
             live.update(t for t, _ in entry["tombstones"])
+        # objects pinned by branches (needle_spark.branches forked this
+        # collection and references these files copy-on-write) stay live
+        pins_path = os.path.join(self.path, "branch_pins.json")
+        if os.path.exists(pins_path):
+            with open(pins_path) as f:
+                live.update(json.load(f))
         for d in os.listdir(self.path):
             if (d.startswith("seg-") or d.startswith("del-")) and d not in live:
                 shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
