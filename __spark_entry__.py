@@ -159,6 +159,45 @@ def _knn_hamming_sql() -> str:
     )
 
 
+def _matryoshka_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse-to-fine MRL search: 16-d renormalized prefix retrieves
+    4x candidates, exact 64-d rescore picks the top 10."""
+    from needle_spark.operators.matryoshka import coarse_to_fine_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    return coarse_to_fine_search(
+        emb, qv, k=10, coarse_dim=16, candidate_multiplier=4,
+        metric="cosine", vector_col="embedding", id_col="vec_id",
+    )
+
+
+def _matryoshka_sql() -> str:
+    from needle_spark.operators.matryoshka import duckdb_truncate_sql
+
+    sliced = "embedding[1:16]"
+    norm = ("sqrt(list_reduce(list_prepend(0.0::DOUBLE, "
+            "list_transform(embedding[1:16], x -> CAST(x AS DOUBLE) * "
+            "CAST(x AS DOUBLE))), (acc, x) -> acc + x))")
+    q_coarse = (
+        f"(SELECT CASE WHEN {norm} > 0.0 THEN "
+        f"list_transform({sliced}, x -> CAST(x AS DOUBLE) / {norm}) "
+        f"ELSE list_transform({sliced}, x -> CAST(x AS DOUBLE)) END "
+        f"FROM embeddings WHERE vec_id = 0)"
+    )
+    cd = duckdb_distance_sql("cosine", duckdb_truncate_sql("embedding", 16),
+                             q_coarse)
+    fd = duckdb_distance_sql("cosine", "embedding", _Q_SQL)
+    return f"""
+WITH c AS (
+  SELECT vec_id, embedding, {cd} AS coarse_distance FROM embeddings
+  ORDER BY coarse_distance ASC, vec_id ASC LIMIT 40
+)
+SELECT vec_id, coarse_distance, {fd} AS distance
+FROM c ORDER BY distance ASC, vec_id ASC LIMIT 10
+"""
+
+
 def _federated_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Federated search: route by query attrs to the parity members,
     weight odd results down, global top-k (federated.py over
@@ -1658,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine_normalized": _knn_cosine_normalized,
         "knn_hamming": _knn_hamming,
         "federated_routed": _federated_routed,
+        "matryoshka_knn": _matryoshka_knn,
         "knn_prefilter": _knn_prefilter,
         "knn_postfilter": _knn_postfilter,
         "radius_search": _radius,
@@ -1724,6 +1764,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine_normalized": _knn_cosine_normalized_sql(),
         "knn_hamming": _knn_hamming_sql(),
         "federated_routed": _federated_routed_sql(),
+        "matryoshka_knn": _matryoshka_sql(),
         "knn_prefilter": _knn_oracle("cosine", where="WHERE label IN (1, 2, 3)"),
         "knn_postfilter": (
             f"SELECT vec_id, label, distance FROM ("
