@@ -198,6 +198,25 @@ FROM c ORDER BY distance ASC, vec_id ASC LIMIT 10
 """
 
 
+def _random_projection_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded JL projection of embeddings to 2-d (visualization /
+    compression path); the matrix derives from a counter hash so the
+    DuckDB twin embeds identical literals."""
+    from needle_spark.operators.dimreduce import RandomProjection
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rp = RandomProjection(in_dim=64, out_dim=2, seed=7)
+    return rp.transform(emb, vector_col="embedding").select("vec_id", "p0", "p1")
+
+
+def _random_projection_sql() -> str:
+    from needle_spark.operators.dimreduce import RandomProjection
+
+    rp = RandomProjection(in_dim=64, out_dim=2, seed=7)
+    exprs = ", ".join(rp.duckdb_transform_sql("embedding"))
+    return f"SELECT vec_id, {exprs} FROM embeddings"
+
+
 def _federated_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Federated search: route by query attrs to the parity members,
     weight odd results down, global top-k (federated.py over
@@ -1698,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_hamming": _knn_hamming,
         "federated_routed": _federated_routed,
         "matryoshka_knn": _matryoshka_knn,
+        "random_projection_2d": _random_projection_2d,
         "knn_prefilter": _knn_prefilter,
         "knn_postfilter": _knn_postfilter,
         "radius_search": _radius,
@@ -1765,6 +1785,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_hamming": _knn_hamming_sql(),
         "federated_routed": _federated_routed_sql(),
         "matryoshka_knn": _matryoshka_sql(),
+        "random_projection_2d": _random_projection_sql(),
         "knn_prefilter": _knn_oracle("cosine", where="WHERE label IN (1, 2, 3)"),
         "knn_postfilter": (
             f"SELECT vec_id, label, distance FROM ("
