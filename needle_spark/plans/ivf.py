@@ -17,12 +17,13 @@ harness below, mirroring src/recall_benchmark.rs).
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 class IvfIndex:
@@ -147,3 +148,606 @@ def recall_at_k(
         }
         total += len(exact & approx) / k
     return total / len(queries)
+
+
+# ---------------------------------------------------------------------------
+# IVF + SQ8-residual batch serving
+# ---------------------------------------------------------------------------
+
+def _l2_normalize(M: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    return M / np.where(n == 0.0, 1.0, n)
+
+
+def _kmeans_fit(X: np.ndarray, nlist: int, seed: int, max_iter: int) -> np.ndarray:
+    """Driver-side Lloyd's over a bounded sample (float32 BLAS).
+
+    The sample is capped (IvfBatchKnnIndex.sample_rows), so this is
+    O(sample x nlist x d) on the driver regardless of table size — the
+    same fit-on-sample contract as IvfIndex.fit, without an MLlib
+    vector-conversion pass."""
+    rng = np.random.default_rng(seed)
+    n = X.shape[0]
+    k = min(nlist, n)
+    C = X[rng.choice(n, size=k, replace=False)].astype(np.float32).copy()
+    Xf = np.ascontiguousarray(X, dtype=np.float32)
+    xsq = (Xf * Xf).sum(axis=1, keepdims=True)
+    for _ in range(max_iter):
+        d = xsq - 2.0 * (Xf @ C.T) + (C * C).sum(axis=1)[None, :]
+        assign = d.argmin(axis=1)
+        newC = C.copy()
+        for c in range(k):
+            members = Xf[assign == c]
+            if len(members):
+                newC[c] = members.mean(axis=0)
+            else:  # re-seed empty cells from the farthest points
+                newC[c] = Xf[int(d.min(axis=1).argmax())]
+        if np.allclose(newC, C, atol=1e-7):
+            C = newC
+            break
+        C = newC
+    return C.astype(np.float64)
+
+
+def _bytes_matrix_from_arrow(arr, width: int) -> np.ndarray:
+    """Arrow binary column of uniform `width` -> (n, width) uint8 view."""
+    import pyarrow as pa
+
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, width), dtype=np.uint8)
+    if pa.types.is_fixed_size_binary(arr.type):
+        buf = arr.buffers()[1]
+        flat = np.frombuffer(buf, dtype=np.uint8)
+        start = arr.offset * width
+        return flat[start:start + n * width].reshape(n, width)
+    # variable-width binary (Spark BinaryType): offsets + data buffers
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[arr.offset:arr.offset + n + 1]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    widths = np.diff(offs)
+    if widths.size and (widths == width).all():
+        return data[offs[0]:offs[-1]].reshape(n, width)
+    return np.asarray([np.frombuffer(b, dtype=np.uint8) for b in arr.to_pylist()])
+
+
+def _score_cell_block(codes_u8, ids_cell, nsq_cell, qidx, SQ, base_row, qsq,
+                      metric: str, k: int):
+    """Score one cell's rows against the queries probing it.
+
+    dist decomposes over the SQ8 codes without decoding:
+    dot(v, q) = c.q + mn.q + codes_f32 . (step*q); the uint8->float32
+    cast plus one sgemm is the whole inner loop."""
+    Cf = codes_u8.astype(np.float32)
+    dot = Cf @ SQ[:, qidx]  # (n_cell, n_probing)
+    dot += base_row[qidx][None, :]
+    if metric == "cosine":
+        D = 1.0 - dot
+    elif metric == "dot":
+        D = -dot
+    else:  # euclidean
+        D = np.sqrt(np.clip(
+            np.asarray(nsq_cell)[:, None] - 2.0 * dot + qsq[qidx][None, :],
+            0.0, None))
+    if D.shape[0] > k:
+        sel = np.argpartition(D, k - 1, axis=0)[:k]
+        return np.take_along_axis(D, sel, axis=0), np.asarray(ids_cell)[sel]
+    return D, np.broadcast_to(np.asarray(ids_cell)[:, None], D.shape)
+
+
+def _partition_topk(acc_d, acc_i, q_arr, k: int):
+    """Reduce per-query candidate lists to top-k before the rows leave
+    the worker — the map-side combine that keeps the driver merge at
+    partitions x Q x k rows."""
+    out_q, out_i, out_d = [], [], []
+    for qi in range(len(acc_d)):
+        if not acc_d[qi]:
+            continue
+        dcat = np.concatenate(acc_d[qi])
+        icat = np.concatenate(acc_i[qi])
+        if len(dcat) > k:
+            sel = np.argpartition(dcat, k - 1)[:k]
+            dcat, icat = dcat[sel], icat[sel]
+        out_q.append(np.full(len(dcat), q_arr[qi]))
+        out_i.append(icat)
+        out_d.append(dcat)
+    if not out_q:
+        return None
+    return (np.concatenate(out_q), np.concatenate(out_i),
+            np.concatenate(out_d).astype(np.float64))
+
+
+class IvfBatchKnnIndex:
+    """IVF + scalar-quantized residual codes: the batch-ANN serving path.
+
+    Mirrors the reference's IVF index (src/indexing/ivf.rs:1-11 — coarse
+    quantizer + inverted lists) and its recall harness
+    (src/recall_benchmark.rs), re-shaped for Spark's execution model.
+    The profile of the exact path (scripts/profile_batch1m.py) shows the
+    1M x 384 batch scan is ARROW-TRANSFER-bound (0.51 s of 0.75 s), not
+    compute-bound — so acceleration must cut bytes crossing the
+    JVM->Python boundary, not just FLOPs:
+
+    - **SQ8 residual codes**: each vector is stored as uint8 codes of
+      (v - centroid) — 384 B instead of ~1.5 KB of list<float>, a 4x
+      transfer cut.  Residuals span a far narrower range than raw
+      values, so the 8-bit step is small: quantization error stays well
+      under typical neighbor-gap scales (measured recall printed by
+      bench.py).  dist(v, q) decomposes as c.q + r.q, so the kernel
+      never decodes: one uint8->float32 cast and a small sgemm against
+      (step * q).
+    - **Per-cell query masking**: each query probes `nprobe` of `nlist`
+      cells; the kernel groups a partition's rows by centroid_id and
+      scores each cell only against the queries that probe it —
+      compute drops by ~nprobe/nlist.
+    - **Map-only serving**: like knn_arrow, the doc side never
+      shuffles; per-partition candidates (<= cells x probing-queries x
+      k rows) merge on the driver, the `takeOrdered` pattern.
+
+    At 100 TB the codes table is written `partitionBy("centroid_id")`
+    (see `to_partitioned_parquet`), so low-fanout query sets prune the
+    scan to nprobe/nlist of the files — proven by plan test
+    (tests/test_ivf_batch.py).  Build (KMeans fit + encode) is one
+    sample collect plus one map-only pass.
+    """
+
+    CODE_COL = "__sq8"
+
+    def __init__(
+        self,
+        docs: DataFrame,
+        nlist: int = 256,
+        vector_col: str = "vector",
+        id_col: str = "id",
+        metric: str = "cosine",
+        seed: int = 42,
+        kmeans_max_iter: int = 10,
+        sample_rows: int = 65536,
+        persist: bool = True,
+        cluster_partitions: int | None = None,
+    ):
+        m = metric.lower()
+        if m in ("l2",):
+            m = "euclidean"
+        if m not in ("cosine", "dot", "euclidean"):
+            raise ValueError(
+                f"IvfBatchKnnIndex supports cosine/dot/euclidean, got {metric!r}")
+        self.metric = m
+        self.vector_col = vector_col
+        self.id_col = id_col
+        self.nlist = nlist
+        self.seed = seed
+
+        # -- fit: centroids + residual quantizer params, on a bounded sample
+        sample_df = docs.select(vector_col)
+        # sample without a full count when possible: limit() is cheap and
+        # biased toward leading partitions, acceptable for quantizer fit;
+        # use an explicit fraction sample when the caller wants one.
+        sample = np.asarray(
+            [list(r[0]) for r in sample_df.limit(sample_rows).collect()],
+            dtype=np.float64,
+        )
+        if sample.size == 0:
+            raise ValueError("cannot build an IVF index over an empty table")
+        if m == "cosine":
+            sample = _l2_normalize(sample)
+        self.dim = sample.shape[1]
+        self.centroids = _kmeans_fit(sample, nlist, seed, kmeans_max_iter)
+        self.nlist = len(self.centroids)
+        # residual range per dimension (padded: the sample is not the
+        # full table; out-of-range residuals clip, adding bounded error)
+        C = self.centroids
+        d2 = ((sample * sample).sum(axis=1, keepdims=True)
+              - 2.0 * (sample @ C.T) + (C * C).sum(axis=1)[None, :])
+        res = sample - C[d2.argmin(axis=1)]
+        lo, hi = res.min(axis=0), res.max(axis=0)
+        pad = 0.10 * (hi - lo) + 1e-9
+        self.mn = (lo - pad).astype(np.float64)
+        self.step = ((hi + pad - self.mn) / 255.0).astype(np.float64)
+
+        # cluster the codes by cell: each cell lands whole in one
+        # partition, contiguous after the sort — the serving kernel
+        # scores cells as contiguous slices (few large sgemms instead of
+        # thousands of scattered gathers), and a cell filter skips whole
+        # partitions' Arrow transfer.  One build-time shuffle; the same
+        # layout `partitionBy("centroid_id")` gives on disk.
+        n_parts = cluster_partitions or docs.sparkSession.sparkContext.defaultParallelism
+        self.codes = (
+            self._encode(docs)
+            .repartition(n_parts, F.col("centroid_id"))
+            .sortWithinPartitions("centroid_id")
+        )
+        self._persisted = persist
+        if persist:
+            self.codes = self.codes.persist()
+            self.codes.count()
+        self._segments: tuple[str, int] | None = None
+        self._seg_tmp = False
+
+    # -- encode ---------------------------------------------------------
+    def _encode(self, docs: DataFrame) -> DataFrame:
+        """One map-only pass: (id, vector) -> (id, centroid_id, norm_sq,
+        uint8 residual codes).  No shuffle; write partitionBy(centroid_id)
+        for pruned serving at rest."""
+        import pyarrow as pa
+
+        from needle_spark.operators.knn_arrow import _matrix_from_arrow
+
+        C32 = np.ascontiguousarray(self.centroids, dtype=np.float32)
+        csq = (C32 * C32).sum(axis=1)
+        mn32 = self.mn.astype(np.float32)
+        inv_step = (1.0 / self.step).astype(np.float32)
+        normalize = self.metric == "cosine"
+        vector_col, id_col = self.vector_col, self.id_col
+        dim = self.dim
+
+        id_type = docs.schema[id_col].dataType
+        out_schema = T.StructType([
+            T.StructField(id_col, id_type),
+            T.StructField("centroid_id", T.IntegerType()),
+            T.StructField("norm_sq", T.FloatType()),
+            T.StructField(self.CODE_COL, T.BinaryType()),
+        ])
+        from pyspark.sql.pandas.types import to_arrow_schema
+        arrow_schema = to_arrow_schema(out_schema)
+
+        def kernel(batches) -> Iterator:
+            for batch in batches:
+                names = batch.schema.names
+                V = _matrix_from_arrow(batch.column(names.index(vector_col)), np.float32)
+                if V.size == 0:
+                    continue
+                nsq = (V * V).sum(axis=1)
+                if normalize:
+                    norms = np.sqrt(nsq)
+                    V = V / np.where(norms == 0.0, 1.0, norms)[:, None]
+                    nsq = np.ones_like(nsq)
+                d = ((V * V).sum(axis=1, keepdims=True)
+                     - 2.0 * (V @ C32.T) + csq[None, :])
+                assign = d.argmin(axis=1).astype(np.int32)
+                res = V - C32[assign]
+                codes = np.clip(
+                    np.rint((res - mn32) * inv_step), 0.0, 255.0
+                ).astype(np.uint8)
+                n = codes.shape[0]
+                offs = pa.array(
+                    np.arange(0, (n + 1) * dim, dim, dtype=np.int32), type=pa.int32())
+                flat = pa.py_buffer(np.ascontiguousarray(codes).tobytes())
+                code_arr = pa.Array.from_buffers(
+                    pa.binary(), n, [None, offs.buffers()[1], flat])
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        batch.column(names.index(id_col)),
+                        pa.array(assign, type=pa.int32()),
+                        pa.array(nsq.astype(np.float32), type=pa.float32()),
+                        code_arr,
+                    ],
+                    schema=arrow_schema,
+                )
+
+        return docs.select(id_col, vector_col).mapInArrow(kernel, out_schema)
+
+    def to_partitioned_parquet(self, path: str) -> None:
+        """Lay the codes out partitioned by centroid_id: the at-rest form
+        whose probe filter becomes partition pruning (the 100 TB shape)."""
+        self.codes.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+    # -- pinned serving segments ----------------------------------------
+    def pin_segments(self, seg_dir: str | None = None) -> int:
+        """Write the clustered codes once as mmap-able segment files and
+        serve from them: the Spark analogue of the reference's prebuilt
+        in-memory/mmap'd index (its 1.8 ms/query batch number queries an
+        index that lives in process memory — src/indexing/ivf.rs inverted
+        lists, README.md:83).
+
+        Why this exists: the profile (scripts/profile_batch1m.py) shows
+        the steady-state cost of DataFrame serving is re-shipping the
+        SAME immutable codes across the JVM->Python boundary on every
+        query batch (~0.34 s per batch at 1M x 384 — more than compute +
+        merge combined).  An index is write-once/read-many, so serving
+        tasks instead mmap per-partition segment files (ids / norms /
+        uint8 codes / cell directory) written by one build-time job; a
+        query batch is then a map stage over one-row partitions that
+        touches ONLY probed cells' byte ranges, page-cache-resident
+        after first use — no per-batch data motion at all.
+
+        Cluster posture: each serving task reads the segment for its own
+        partition — on a multi-node cluster the segments belong on
+        shared or executor-local storage (this is exactly the
+        partitionBy(centroid_id) at-rest layout, stripped to raw
+        arrays); the DataFrame `search` path remains the shuffle-free
+        cluster-wide variant.  Returns the number of rows pinned."""
+        import tempfile
+
+        if seg_dir is None:
+            seg_dir = tempfile.mkdtemp(prefix="ivf_segments_")
+            self._seg_tmp = True
+        n_parts = self.codes.rdd.getNumPartitions()
+        dim = self.dim
+        id_col, code_col = self.id_col, self.CODE_COL
+
+        def write_part(batches) -> Iterator:
+            import pyarrow as pa
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            ids_l, cent_l, nsq_l, code_l = [], [], [], []
+            for batch in batches:
+                if batch.num_rows == 0:
+                    continue
+                names = batch.schema.names
+                ids_l.append(batch.column(names.index(id_col)).to_numpy(zero_copy_only=False))
+                cent_l.append(batch.column(names.index("centroid_id")).to_numpy(zero_copy_only=False))
+                nsq_l.append(batch.column(names.index("norm_sq")).to_numpy(zero_copy_only=False))
+                code_l.append(_bytes_matrix_from_arrow(batch.column(names.index(code_col)), dim))
+            if ids_l:
+                ids = np.concatenate(ids_l)
+                cent = np.concatenate(cent_l).astype(np.int64)
+                nsq = np.concatenate(nsq_l).astype(np.float32)
+                codes = np.concatenate(code_l, axis=0) if len(code_l) > 1 else code_l[0]
+                if not (np.diff(cent) >= 0).all():
+                    order = np.argsort(cent, kind="stable")
+                    ids, cent, nsq, codes = ids[order], cent[order], nsq[order], codes[order]
+                if ids.dtype == object:  # string ids -> fixed-width unicode (mmap-able)
+                    ids = np.asarray(ids, dtype=str)
+                cells, starts = np.unique(cent, return_index=True)
+                starts = np.append(starts, len(cent))
+                n = len(ids)
+            else:
+                ids = np.empty(0, dtype=np.int64)
+                nsq = np.empty(0, dtype=np.float32)
+                codes = np.empty((0, dim), dtype=np.uint8)
+                cells = np.empty(0, dtype=np.int64)
+                starts = np.zeros(1, dtype=np.int64)
+                n = 0
+            np.save(f"{seg_dir}/ids_{pid}.npy", ids)
+            np.save(f"{seg_dir}/nsq_{pid}.npy", nsq)
+            np.save(f"{seg_dir}/codes_{pid}.npy", np.ascontiguousarray(codes))
+            np.save(f"{seg_dir}/cells_{pid}.npy", cells)
+            np.save(f"{seg_dir}/starts_{pid}.npy", starts)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([pid], type=pa.int32()), pa.array([n], type=pa.int64())],
+                names=["pid", "n"])
+
+        import os
+
+        os.makedirs(seg_dir, exist_ok=True)
+        rows = self.codes.mapInArrow(write_part, "pid int, n long").collect()
+        self._segments = (seg_dir, n_parts)
+        return int(sum(r["n"] for r in rows))
+
+    def _partial_segments(self, q_ids, Q, qid_type, cell2q, k: int) -> DataFrame:
+        """Map stage over one-row partitions: each task mmaps its pinned
+        segment and scores only the cells its queries probe.  Input rows
+        carry no data — the scan never crosses the JVM boundary."""
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        seg_dir, n_parts = self._segments  # type: ignore[misc]
+        metric, dim, kk = self.metric, self.dim, k
+        SQ = np.ascontiguousarray((self.step[:, None] * Q.T), dtype=np.float32)
+        base = np.ascontiguousarray(
+            (self.centroids @ Q.T) + (self.mn @ Q.T)[None, :], dtype=np.float32)
+        qsq = (Q * Q).sum(axis=1).astype(np.float32)
+        q_arr = np.asarray(q_ids)
+        nq = len(q_ids)
+        id_type = self.codes.schema[self.id_col].dataType
+        out_schema = T.StructType([
+            T.StructField("query_id", qid_type),
+            T.StructField(self.id_col, id_type),
+            T.StructField("distance", T.DoubleType()),
+        ])
+        arrow_schema = to_arrow_schema(out_schema)
+
+        def kernel(batches) -> Iterator:
+            for batch in batches:
+                for pid in batch.column(0).to_pylist():
+                    try:
+                        cells = np.load(f"{seg_dir}/cells_{pid}.npy")
+                    except FileNotFoundError:
+                        continue
+                    if cells.size == 0:
+                        continue
+                    starts = np.load(f"{seg_dir}/starts_{pid}.npy")
+                    ids = np.load(f"{seg_dir}/ids_{pid}.npy", mmap_mode="r")
+                    nsq = np.load(f"{seg_dir}/nsq_{pid}.npy", mmap_mode="r")
+                    codes = np.load(f"{seg_dir}/codes_{pid}.npy", mmap_mode="r")
+                    acc_d: list[list[np.ndarray]] = [[] for _ in range(nq)]
+                    acc_i: list[list[np.ndarray]] = [[] for _ in range(nq)]
+                    for ci, cell in enumerate(cells):
+                        qidx = cell2q[int(cell)]
+                        if qidx is None or len(qidx) == 0:
+                            continue
+                        s, e = int(starts[ci]), int(starts[ci + 1])
+                        Dk, Ik = _score_cell_block(
+                            np.asarray(codes[s:e]), ids[s:e], nsq[s:e],
+                            qidx, SQ, base[int(cell)], qsq, metric, kk)
+                        for j, qi in enumerate(qidx):
+                            acc_d[qi].append(Dk[:, j])
+                            acc_i[qi].append(Ik[:, j])
+                    reduced = _partition_topk(acc_d, acc_i, q_arr, kk)
+                    if reduced is None:
+                        continue
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(reduced[0], type=arrow_schema.field(0).type),
+                         pa.array(reduced[1], type=arrow_schema.field(1).type),
+                         pa.array(reduced[2], type=arrow_schema.field(2).type)],
+                        schema=arrow_schema,
+                    )
+
+        spark = self.codes.sparkSession
+        return spark.range(0, n_parts, 1, n_parts).mapInArrow(kernel, out_schema)
+
+    # -- search ---------------------------------------------------------
+    def _prep_queries(self, queries, nprobe: int):
+        from needle_spark.operators.knn_arrow import _resolve_queries
+
+        q_ids, Q, qid_type = _resolve_queries(queries, "query_id", "vector")
+        Q = np.ascontiguousarray(Q, dtype=np.float64)
+        if self.metric == "cosine":
+            Q = _l2_normalize(Q)
+        # per-query probe cells (L2 to centroids, exact)
+        dq = ((Q * Q).sum(axis=1, keepdims=True)
+              - 2.0 * (Q @ self.centroids.T)
+              + (self.centroids * self.centroids).sum(axis=1)[None, :])
+        nprobe = min(nprobe, self.nlist)
+        probes = np.argsort(dq, axis=1, kind="stable")[:, :nprobe]  # (q, nprobe)
+        # invert: cell -> indices of queries probing it
+        cell2q: list[np.ndarray] = [None] * self.nlist  # type: ignore[list-item]
+        flat_cells = probes.ravel()
+        flat_q = np.repeat(np.arange(len(Q)), nprobe)
+        order = np.argsort(flat_cells, kind="stable")
+        fc, fq = flat_cells[order], flat_q[order]
+        bounds = np.searchsorted(fc, np.arange(self.nlist + 1))
+        for c in range(self.nlist):
+            s, e = bounds[c], bounds[c + 1]
+            cell2q[c] = fq[s:e] if e > s else None  # type: ignore[assignment]
+        return q_ids, Q, qid_type, cell2q, probes
+
+    def _partial(self, q_ids, Q, qid_type, cell2q, k: int, source: DataFrame | None = None):
+        """mapInArrow stage: per-partition, per-cell masked scoring ->
+        at most (cells x probing-queries x k) candidate rows."""
+        import pyarrow as pa
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        metric = self.metric
+        mn, step = self.mn, self.step
+        C = self.centroids
+        dim = self.dim
+        id_col, code_col = self.id_col, self.CODE_COL
+        # per-query precomputed pieces:
+        #   dot(v, q) = c.q + mn.q + codes_f32 . (step*q)
+        SQ = np.ascontiguousarray((step[:, None] * Q.T), dtype=np.float32)  # (d, q)
+        base = (C @ Q.T) + (mn @ Q.T)[None, :]  # (nlist, q): c.q + mn.q
+        base = np.ascontiguousarray(base, dtype=np.float32)
+        qsq = (Q * Q).sum(axis=1).astype(np.float32)  # (q,)
+        q_arr = np.asarray(q_ids)
+        docs = source if source is not None else self.codes
+        id_type = docs.schema[id_col].dataType
+        out_schema = T.StructType([
+            T.StructField("query_id", qid_type),
+            T.StructField(id_col, id_type),
+            T.StructField("distance", T.DoubleType()),
+        ])
+        arrow_schema = to_arrow_schema(out_schema)
+        kk = k
+
+        nq = len(q_ids)
+
+        def kernel(batches) -> Iterator:
+            ids_l, cent_l, nsq_l, code_l = [], [], [], []
+            for batch in batches:
+                names = batch.schema.names
+                n = batch.num_rows
+                if n == 0:
+                    continue
+                ids_l.append(batch.column(names.index(id_col)).to_numpy(zero_copy_only=False))
+                cent_l.append(batch.column(names.index("centroid_id")).to_numpy(zero_copy_only=False))
+                nsq_l.append(batch.column(names.index("norm_sq")).to_numpy(zero_copy_only=False))
+                code_l.append(_bytes_matrix_from_arrow(batch.column(names.index(code_col)), dim))
+            if not ids_l:
+                return
+            ids = np.concatenate(ids_l)
+            cent = np.concatenate(cent_l).astype(np.int64)
+            nsq = np.concatenate(nsq_l).astype(np.float32)
+            codes = np.concatenate(code_l, axis=0) if len(code_l) > 1 else code_l[0]
+            # build-time layout guarantees cells arrive sorted; argsort is
+            # then O(n) bookkeeping and every cell is a contiguous slice
+            if not (np.diff(cent) >= 0).all():
+                order = np.argsort(cent, kind="stable")
+                ids, cent, nsq = ids[order], cent[order], nsq[order]
+                codes = codes[order]
+            cells, starts = np.unique(cent, return_index=True)
+            starts = np.append(starts, len(cent))
+            # per-query candidate accumulators across this partition's
+            # cells; reduced to top-k per query before leaving the worker
+            acc_d: list[list[np.ndarray]] = [[] for _ in range(nq)]
+            acc_i: list[list[np.ndarray]] = [[] for _ in range(nq)]
+            for ci, cell in enumerate(cells):
+                qidx = cell2q[int(cell)]
+                if qidx is None or len(qidx) == 0:
+                    continue
+                s, e = starts[ci], starts[ci + 1]
+                Dk, Ik = _score_cell_block(
+                    codes[s:e], ids[s:e], nsq[s:e], qidx, SQ,
+                    base[int(cell)], qsq, metric, kk)
+                for j, qi in enumerate(qidx):
+                    acc_d[qi].append(Dk[:, j])
+                    acc_i[qi].append(Ik[:, j])
+            reduced = _partition_topk(acc_d, acc_i, q_arr, kk)
+            if reduced is None:
+                return
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(reduced[0], type=arrow_schema.field(0).type),
+                 pa.array(reduced[1], type=arrow_schema.field(1).type),
+                 pa.array(reduced[2], type=arrow_schema.field(2).type)],
+                schema=arrow_schema,
+            )
+
+        cols = [id_col, "centroid_id", "norm_sq", code_col]
+        return docs.select(*cols).mapInArrow(kernel, out_schema)
+
+    def _pruned_source(self, source: DataFrame | None, probes: np.ndarray) -> DataFrame | None:
+        """JVM-side cell filter ahead of the Arrow kernel.
+
+        The 1M x 384 profile (scripts/profile_batch1m.py) shows the batch
+        scan is transfer-bound: rows that no query probes must be dropped
+        BEFORE they cross the JVM->Python boundary.  `centroid_id IN
+        (probe union)` is a Catalyst filter — against the in-memory codes
+        cache it is a cheap JVM predicate; against a
+        partitionBy("centroid_id") parquet layout it becomes partition
+        pruning and the excluded cells are never read at all."""
+        union = sorted({int(c) for c in probes.ravel()})
+        if len(union) >= self.nlist:
+            return source
+        docs = source if source is not None else self.codes
+        return docs.filter(F.col("centroid_id").isin(union))
+
+    def search(self, queries, k: int = 10, nprobe: int = 16,
+               source: DataFrame | None = None) -> DataFrame:
+        """Distributed merge variant: returns a DataFrame
+        (query_id, <id>, distance, rank).  `source` overrides the scanned
+        codes table — pass a pruned partitionBy(centroid_id) read to get
+        partition pruning on disk."""
+        from needle_spark.operators.knn_arrow import _merge_topk
+
+        q_ids, Q, qid_type, cell2q, probes = self._prep_queries(queries, nprobe)
+        if source is None and self._segments is not None:
+            partial = self._partial_segments(q_ids, Q, qid_type, cell2q, k)
+        else:
+            partial = self._partial(q_ids, Q, qid_type, cell2q, k,
+                                    source=self._pruned_source(source, probes))
+        return _merge_topk(partial, k, "query_id", self.id_col, "distance", "rank")
+
+    def search_local(self, queries, k: int = 10, nprobe: int = 16,
+                     source: DataFrame | None = None):
+        """Low-latency batch path: one map-stage job + driver merge of
+        <= partitions x Q x k candidates (the takeOrdered pattern) —
+        mirrors BatchKnnIndex.search_local."""
+        q_ids, Q, qid_type, cell2q, probes = self._prep_queries(queries, nprobe)
+        if source is None and self._segments is not None:
+            partial = self._partial_segments(q_ids, Q, qid_type, cell2q, k)
+        else:
+            partial = self._partial(q_ids, Q, qid_type, cell2q, k,
+                                    source=self._pruned_source(source, probes))
+        pdf = partial.toPandas()
+        pdf = pdf.sort_values(["query_id", "distance", self.id_col],
+                              kind="mergesort", ignore_index=True)
+        pdf = pdf.groupby("query_id", sort=False).head(k).reset_index(drop=True)
+        pdf["rank"] = pdf.groupby("query_id", sort=False).cumcount() + 1
+        return pdf
+
+    def probe_union(self, queries, nprobe: int = 16) -> list[int]:
+        """Distinct cells probed by a query set — the pruning predicate
+        for a partitionBy(centroid_id) table."""
+        _, _, _, _, probes = self._prep_queries(queries, nprobe)
+        return sorted({int(c) for c in probes.ravel()})
+
+    def unpersist(self) -> None:
+        if self._persisted:
+            self.codes.unpersist()
+        if self._segments is not None and self._seg_tmp:
+            import shutil
+
+            shutil.rmtree(self._segments[0], ignore_errors=True)
+            self._segments = None

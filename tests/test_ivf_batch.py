@@ -1,0 +1,166 @@
+"""IVF + SQ8-residual batch serving (plans/ivf.py IvfBatchKnnIndex).
+
+The reference serves batch ANN from an in-process index
+(src/indexing/ivf.rs coarse quantizer + inverted lists; recall harness
+src/recall_benchmark.rs).  Here the contract under test is:
+
+- recall@10 >= 0.95 against the exact oracle on CLUSTERED data (the
+  data shape ANN indexes are for) at a modest nprobe;
+- at nprobe == nlist the only error left is SQ8 quantization (>= 0.98);
+- the distributed `search` and driver-merge `search_local` agree;
+- a partitionBy(centroid_id) layout turns the probe filter into real
+  partition pruning (the 100 TB claim).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from needle_spark.operators.knn_arrow import BatchKnnIndex
+from needle_spark.plans.ivf import IvfBatchKnnIndex
+from needle_spark.plans.planner import explain_text
+
+DIM = 32
+N_CLUSTERS = 20
+PER_CLUSTER = 100
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((N_CLUSTERS, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = np.repeat(centers, PER_CLUSTER, axis=0) + 0.15 * rng.standard_normal(
+        (N_CLUSTERS * PER_CLUSTER, DIM))
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in pts[i]]) for i in range(len(pts))],
+        "id long, vector array<float>",
+    ).repartition(8).persist()
+    df.count()
+    queries = centers + 0.05 * rng.standard_normal(centers.shape)
+    yield df, pts, queries
+    df.unpersist()
+
+
+def _recall(exact_pdf, approx_pdf, q_ids, k=10):
+    total = 0.0
+    for qid in q_ids:
+        e = set(exact_pdf[exact_pdf.query_id == qid].id)
+        a = set(approx_pdf[approx_pdf.query_id == qid].id)
+        total += len(e & a) / k
+    return total / len(q_ids)
+
+
+@pytest.fixture(scope="module")
+def exact_top10(spark, clustered):
+    df, _, queries = clustered
+    q_ids = list(range(len(queries)))
+    exact = BatchKnnIndex(df, vector_col="vector", id_col="id", metric="cosine")
+    pdf = exact.search_local((q_ids, queries), k=10)
+    exact.unpersist()
+    return q_ids, pdf
+
+
+def test_recall_clustered(spark, clustered, exact_top10):
+    df, _, queries = clustered
+    q_ids, exact_pdf = exact_top10
+    idx = IvfBatchKnnIndex(df, nlist=N_CLUSTERS, vector_col="vector",
+                           id_col="id", metric="cosine", seed=3)
+    approx = idx.search_local((q_ids, queries), k=10, nprobe=4)
+    assert _recall(exact_pdf, approx, q_ids) >= 0.95
+    idx.unpersist()
+
+
+def test_sq8_error_only_at_full_probe(spark, clustered, exact_top10):
+    df, _, queries = clustered
+    q_ids, exact_pdf = exact_top10
+    idx = IvfBatchKnnIndex(df, nlist=N_CLUSTERS, vector_col="vector",
+                           id_col="id", metric="cosine", seed=3)
+    approx = idx.search_local((q_ids, queries), k=10, nprobe=idx.nlist)
+    assert _recall(exact_pdf, approx, q_ids) >= 0.98
+    idx.unpersist()
+
+
+@pytest.mark.parametrize("metric", ["euclidean", "dot"])
+def test_metrics_against_numpy(spark, clustered, metric):
+    df, pts, queries = clustered
+    q_ids = list(range(len(queries)))
+    idx = IvfBatchKnnIndex(df, nlist=N_CLUSTERS, vector_col="vector",
+                           id_col="id", metric=metric, seed=3)
+    approx = idx.search_local((q_ids, queries), k=10, nprobe=idx.nlist)
+    P = pts.astype(np.float32).astype(np.float64)
+    hits = 0.0
+    for qi in q_ids:
+        q = queries[qi]
+        if metric == "euclidean":
+            d = np.linalg.norm(P - q, axis=1)
+        else:
+            d = -(P @ q)
+        true10 = set(np.argsort(d, kind="stable")[:10].tolist())
+        got = set(approx[approx.query_id == qi].id)
+        hits += len(true10 & got) / 10
+    assert hits / len(q_ids) >= 0.95
+    idx.unpersist()
+
+
+def test_distributed_search_matches_local(spark, clustered):
+    df, _, queries = clustered
+    q_ids = list(range(len(queries)))
+    idx = IvfBatchKnnIndex(df, nlist=N_CLUSTERS, vector_col="vector",
+                           id_col="id", metric="cosine", seed=3)
+    local = idx.search_local((q_ids, queries), k=5, nprobe=4)
+    dist = idx.search((q_ids, queries), k=5, nprobe=4).toPandas()
+    dist = dist.sort_values(["query_id", "rank"], ignore_index=True)
+    local = local.sort_values(["query_id", "rank"], ignore_index=True)
+    assert list(dist["id"]) == list(local["id"])
+    assert np.allclose(dist["distance"], local["distance"], atol=1e-9)
+    idx.unpersist()
+
+
+def test_partitioned_layout_prunes(spark, clustered, tmp_path):
+    df, _, queries = clustered
+    q_ids = [0, 1]
+    idx = IvfBatchKnnIndex(df, nlist=N_CLUSTERS, vector_col="vector",
+                           id_col="id", metric="cosine", seed=3)
+    path = str(tmp_path / "codes")
+    idx.to_partitioned_parquet(path)
+    at_rest = spark.read.parquet(path)
+
+    union = idx.probe_union((q_ids, queries[:2]), nprobe=2)
+    assert 0 < len(union) < idx.nlist
+    pruned = at_rest.filter(F.col("centroid_id").isin(union))
+    plan = explain_text(pruned.select("id"))
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+
+    # search over the at-rest layout == search over the in-memory cache
+    mem = idx.search_local((q_ids, queries[:2]), k=5, nprobe=2)
+    rest = idx.search_local((q_ids, queries[:2]), k=5, nprobe=2, source=at_rest)
+    assert list(mem["id"]) == list(rest["id"])
+    idx.unpersist()
+
+
+def test_pinned_segments_match_dataframe_path(spark, clustered, tmp_path):
+    df, _, queries = clustered
+    q_ids = list(range(len(queries)))
+    idx = IvfBatchKnnIndex(df, nlist=N_CLUSTERS, vector_col="vector",
+                           id_col="id", metric="cosine", seed=3)
+    via_df = idx.search_local((q_ids, queries), k=10, nprobe=4)
+    n = idx.pin_segments(str(tmp_path / "segments"))
+    assert n == N_CLUSTERS * PER_CLUSTER
+    via_seg = idx.search_local((q_ids, queries), k=10, nprobe=4)
+    assert list(via_seg["id"]) == list(via_df["id"])
+    assert np.allclose(via_seg["distance"], via_df["distance"], atol=1e-9)
+    # distributed search also serves from segments once pinned
+    via_seg_dist = idx.search((q_ids, queries), k=10, nprobe=4).toPandas()
+    via_seg_dist = via_seg_dist.sort_values(["query_id", "rank"], ignore_index=True)
+    assert list(via_seg_dist["id"]) == list(via_df["id"])
+    idx.unpersist()
+
+
+def test_empty_and_validation(spark):
+    empty = spark.createDataFrame([], "id long, vector array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        IvfBatchKnnIndex(empty, nlist=4, vector_col="vector", id_col="id")
+    one = spark.createDataFrame([(1, [0.1, 0.2])], "id long, vector array<float>")
+    with pytest.raises(ValueError, match="cosine"):
+        IvfBatchKnnIndex(one, vector_col="vector", id_col="id", metric="hamming")
