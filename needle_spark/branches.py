@@ -157,6 +157,15 @@ class BranchManager:
         meta = self._meta()
         if branch not in meta["branches"]:
             raise CollectionError(f"no such branch: {branch}")
+        # a grandchild fork references this branch's local segment files
+        # (pinned under this branch's directory only); deleting out from
+        # under it would dangle those reads after the next compact() GC
+        children = sorted(
+            b for b, i in meta["branches"].items() if i["parent"] == branch)
+        if children:
+            raise CollectionError(
+                f"branch {branch!r} has dependent branches {children}; "
+                "delete or merge them first")
         info = meta["branches"].pop(branch)
         parent = self.collection(info["parent"])
         self._unpin(parent.path, branch)
@@ -198,8 +207,12 @@ class BranchManager:
         dst = self.collection(info["parent"])
         ic = dst.id_col
 
+        # conflict baseline: the fork point, advanced past our own writes
+        # by previous merges (merged_seq) — without it a re-merge would
+        # see the first merge's parent-side CDC events as conflicts
+        baseline = max(int(info["fork_seq"]), int(info.get("merged_seq", 0)))
         src_changed = self._changed_ids(src, 0)
-        dst_changed = self._changed_ids(dst, info["fork_seq"])
+        dst_changed = self._changed_ids(dst, baseline)
         conflicts = src_changed.join(dst_changed, "vector_id")
         n_conflicts = conflicts.count()
         if strategy == FAIL_ON_CONFLICT and n_conflicts:
@@ -229,5 +242,12 @@ class BranchManager:
         deleted = 0
         if gone_ids:
             deleted = dst.delete(pred=F.col(ic).cast("string").isin(gone_ids))
+
+        # record the parent's post-merge sequence as the next conflict
+        # baseline so this merge's own CDC events are not re-flagged
+        meta = self._meta()
+        meta["branches"][branch]["merged_seq"] = int(
+            dst._manifest.get("cdc_seq", 0))
+        _write_json(self.meta_path, meta)
         return MergeResult(merged=int(merged), deleted=int(deleted),
                            conflicts=int(n_conflicts), skipped=int(skipped))

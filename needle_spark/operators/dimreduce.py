@@ -106,7 +106,10 @@ class PCA:
             vector_col: str = "vector") -> "PCA":
         import pandas as pd
 
-        d_probe = len(df.select(vector_col).first()[0])
+        first = df.select(vector_col).first()
+        if first is None or first[0] is None:
+            raise ValueError("cannot fit PCA on an empty dataset")
+        d_probe = len(first[0])
 
         def partials(batches):
             for pdf in batches:

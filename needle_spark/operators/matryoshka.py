@@ -58,8 +58,11 @@ class MatryoshkaConfig:
         budget (search_adaptive's accuracy-vs-latency rule): cost ~
         rows x dim x unit / parallelism."""
         budget_ns = target_latency_ms * 1e6
-        best = self.valid_tiers()[0]
-        for d in self.valid_tiers():
+        tiers = self.valid_tiers()
+        if not tiers:  # every configured tier exceeds full_dim
+            return self.full_dim
+        best = tiers[0]
+        for d in tiers:
             est = corpus_rows * d * self.cost_per_row_dim_ns / max(parallelism, 1)
             if est <= budget_ns:
                 best = d

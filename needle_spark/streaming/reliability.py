@@ -141,29 +141,37 @@ def bounded_batch_sink(
 ):
     """Backpressure at the sink: cap peak in-flight rows per apply.
 
-    A batch within the bound passes through untouched (no extra job).
-    An oversize batch is cached once, counted, then applied as
-    ceil(n / max_buffer_rows) hash-bucketed chunks — deterministic,
-    map-only selection (xxhash64(id) % n_chunks), each chunk a separate
-    `sink` call so downstream memory (upsert shuffles, CDC event
-    sequencing) is bounded by the buffer size, not by how far the
-    source got ahead after an outage."""
+    Every batch is cached and counted once (one sizing job, whose
+    materialized cache the sink calls then reuse — the count is not
+    thrown-away work).  A batch within the bound is applied as-is; an
+    oversize batch is applied as ceil(n / max_buffer_rows)
+    hash-bucketed chunks — deterministic, map-only selection
+    (xxhash64(id) % n_chunks), each chunk a separate `sink` call so
+    downstream memory (upsert shuffles, CDC event sequencing) is
+    bounded by the buffer size, not by how far the source got ahead
+    after an outage.
+
+    The per-chunk bound is APPROXIMATE: hash bucketing averages
+    n / n_chunks rows per chunk, but skewed or duplicated ids land in
+    the same bucket and can exceed max_buffer_rows (an exact split
+    would need a row_number sort — a full shuffle per batch, not worth
+    it for a memory guard-rail)."""
     if max_buffer_rows <= 0:
         raise ValueError("max_buffer_rows must be positive")
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         t0 = time.perf_counter()
-        n = batch_df.count()
-        if n <= max_buffer_rows:
-            sink(batch_df, batch_id)
-            if metrics is not None:
-                metrics.observe_batch(n, time.perf_counter() - t0)
-            return
-        if metrics is not None:
-            metrics.backpressure_events_total += 1
-        n_chunks = math.ceil(n / max_buffer_rows)
         cached = batch_df.persist()
         try:
+            n = cached.count()
+            if n <= max_buffer_rows:
+                sink(cached, batch_id)
+                if metrics is not None:
+                    metrics.observe_batch(n, time.perf_counter() - t0)
+                return
+            if metrics is not None:
+                metrics.backpressure_events_total += 1
+            n_chunks = math.ceil(n / max_buffer_rows)
             bucket = F.pmod(F.xxhash64(F.col(id_col).cast("string")),
                             F.lit(n_chunks))
             for i in range(n_chunks):

@@ -123,3 +123,41 @@ def test_knn_works_on_branch(spark, mgr):
     got = knn(br.df(), [1.0, 0.0], k=2, metric="cosine").collect()
     assert [r["id"] for r in got][0] in ("d1", "near")
     assert len(got) == 2
+
+
+def test_delete_branch_with_children_refused(spark, mgr):
+    b1 = mgr.create_branch("b1")
+    b1.upsert(_rows(spark, b1, [("x1", 1, 1)]))
+    mgr.create_branch("b2", from_branch="b1")
+    # b2 references b1's local segments: deleting b1 would dangle b2
+    with pytest.raises(CollectionError, match="dependent"):
+        mgr.delete_branch("b1")
+    # leaf-first deletion works
+    mgr.delete_branch("b2")
+    mgr.delete_branch("b1")
+    assert mgr.list_branches() == ["main"]
+
+
+def test_remerge_is_not_a_conflict(spark, mgr):
+    br = mgr.create_branch("exp")
+    br.upsert(_rows(spark, br, [("d1", 9, 9), ("d4", 4, 0)]))
+    res1 = mgr.merge("exp", strategy=FAIL_ON_CONFLICT)
+    assert res1.conflicts == 0 and res1.merged == 2
+    # the first merge's own parent-side CDC events must not count as
+    # post-fork parent changes on a second merge
+    br.upsert(_rows(spark, br, [("d5", 5, 0)]))
+    res2 = mgr.merge("exp", strategy=FAIL_ON_CONFLICT)
+    assert res2.conflicts == 0
+    assert _state(mgr.collection("main"))["d5"] == [5.0, 0.0]
+
+
+def test_remerge_target_wins_applies_branch_updates(spark, mgr):
+    br = mgr.create_branch("exp")
+    br.upsert(_rows(spark, br, [("d1", 9, 9)]))
+    assert mgr.merge("exp", strategy=TARGET_WINS).skipped == 0
+    # branch updates the same id again; with the advanced baseline the
+    # second merge must apply it, not skip it as a stale conflict
+    br.upsert(_rows(spark, br, [("d1", 11, 11)]))
+    res = mgr.merge("exp", strategy=TARGET_WINS)
+    assert res.skipped == 0
+    assert _state(mgr.collection("main"))["d1"] == [11.0, 11.0]

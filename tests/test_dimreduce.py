@@ -82,3 +82,12 @@ def test_random_projection_plan_map_only(spark, embeddings):
     plan = RandomProjection(64, 2, 7).transform(
         emb)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "pythonUDF" not in plan
+
+
+def test_pca_empty_dataset_raises_value_error(spark):
+    empty = spark.createDataFrame([], "id long, vector array<float>")
+    import pytest as _pytest
+
+    from needle_spark.operators.dimreduce import PCA
+    with _pytest.raises(ValueError, match="empty"):
+        PCA.fit(empty, n_components=2)

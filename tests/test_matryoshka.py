@@ -83,3 +83,12 @@ def test_plan_take_ordered_both_phases(emb, qv):
         emb, qv, k=10, coarse_dim=16)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Exchange hashpartitioning" not in plan  # pure top-k reductions
+
+
+def test_choose_tier_small_full_dim_falls_back():
+    from needle_spark.operators.matryoshka import MatryoshkaConfig
+
+    cfg = MatryoshkaConfig(full_dim=16, tiers=(64, 128, 256))
+    # no configured tier fits under full_dim -> serve at full_dim
+    assert cfg.valid_tiers() == []
+    assert cfg.choose_tier(10.0, corpus_rows=1000) == 16
