@@ -286,6 +286,8 @@ def minhash_lsh_candidates(
     bands: int = 32,
     verify_threshold: float | None = 0.6,
     impl: str = "arrow",
+    max_bucket_size: int | None = 256,
+    bucket_stats: dict | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash + LSH banding.
 
@@ -302,6 +304,23 @@ def minhash_lsh_candidates(
     hashes); impl='expr' stays in pure JVM expressions (xxhash64 base
     hashes) — same structure, different hash family, identical verified
     output.
+
+    Hot-bucket guard (on by default): a degenerate bucket — e.g. a
+    boilerplate-heavy corpus where thousands of docs share one
+    signature — would otherwise expand C(n,2) pairs in ONE task.  When a
+    bucket exceeds `max_bucket_size` members, pair expansion switches to
+    overlapping chunks of `max_bucket_size` (each chunk shares one
+    boundary element with the next), which bounds per-bucket work to
+    O(n·chunk) while keeping every bucket's duplicate component
+    CONNECTED — dedup-by-connected-components still groups all members.
+    The cap is never silent: pass `bucket_stats={}` to receive
+    {"oversized_buckets", "capped_members", "suppressed_pairs"}, where
+    suppressed_pairs counts exactly the cross-chunk pairs each oversized
+    bucket did not emit (C(n,2) − Σ C(len_i,2); the 1-element overlap
+    never double-counts a pair because a pair needs two shared members).
+    Note this is per-bucket accounting — a pair suppressed in one band's
+    bucket is still emitted if any OTHER band buckets it within a chunk.
+    Set `max_bucket_size=None` to disable the guard.
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -336,23 +355,76 @@ def minhash_lsh_candidates(
     # pair generation by bucket GROUPING, not a self-join: one scan of
     # the banded frame, one shuffle of (band, bucket, id) rows, pairs
     # expanded per bucket from the sorted member list (id1 < id2 by
-    # construction).  A pathological hot bucket is quadratic either way;
-    # grouping at least keeps it to one task with no join-side
-    # duplication of the signature scan.
+    # construction).  Grouping keeps a bucket in one task with no
+    # join-side duplication of the signature scan; the hot-bucket guard
+    # below bounds that task's work when a bucket degenerates.
     bucket_ids = (
         banded.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("__ids"))
         .filter(F.size("__ids") > 1)
     )
-    combos = F.flatten(
-        F.transform(
-            F.col("__ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("__ids"), i + 2, F.size(F.col("__ids"))),
-                lambda y: F.struct(x.alias("id1"), y.alias("id2")),
-            ),
+
+    def _combos(ids: Column) -> Column:
+        """All ordered pairs (id1 < id2) from a sorted member array."""
+        return F.flatten(
+            F.transform(
+                ids,
+                lambda x, i: F.transform(
+                    F.slice(ids, i + 2, F.size(ids)),
+                    lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+                ),
+            )
         )
-    )
+
+    if max_bucket_size is not None:
+        cap = int(max_bucket_size)
+        if cap < 2:
+            raise ValueError("max_bucket_size must be >= 2")
+        n_ids = F.size("__ids")
+        # overlapping chunks: chunk i covers [i*cap, i*cap + cap], one
+        # element shared with the next chunk so the bucket's duplicate
+        # component stays connected through the boundary members
+        n_chunks = F.ceil((n_ids - 1) / F.lit(cap)).cast("int")
+        chunk_pairs = F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: _combos(F.slice(F.col("__ids"), i * cap + 1, cap + 1)),
+            )
+        )
+        combos = F.when(n_ids > cap, chunk_pairs).otherwise(
+            _combos(F.col("__ids"))
+        )
+        if bucket_stats is not None:
+            # exact accounting of the capped expansion (one cheap agg
+            # over the bucket frame, opt-in so the common path adds no
+            # job).  Per oversized bucket: emitted = Σ C(len_i, 2) over
+            # its chunks, suppressed = C(n, 2) − emitted.
+            chunk_lens = F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.least(n_ids - i * cap, F.lit(cap + 1)),
+            )
+            emitted = F.aggregate(
+                chunk_lens, F.lit(0).cast("long"),
+                lambda acc, ln: acc + (ln * (ln - 1) / 2).cast("long"),
+            )
+            total = (n_ids.cast("long") * (n_ids - 1) / 2).cast("long")
+            stats_row = (
+                bucket_ids.filter(n_ids > cap)
+                .agg(
+                    F.count(F.lit(1)).alias("oversized_buckets"),
+                    F.coalesce(F.sum(n_ids), F.lit(0)).alias("capped_members"),
+                    F.coalesce(F.sum(total - emitted), F.lit(0)).alias(
+                        "suppressed_pairs"),
+                )
+                .first()
+            )
+            bucket_stats.update({
+                "oversized_buckets": int(stats_row["oversized_buckets"]),
+                "capped_members": int(stats_row["capped_members"]),
+                "suppressed_pairs": int(stats_row["suppressed_pairs"]),
+            })
+    else:
+        combos = _combos(F.col("__ids"))
     pairs = (
         bucket_ids.select(F.explode(combos).alias("__p"))
         .select(F.col("__p.id1").alias("id1"), F.col("__p.id2").alias("id2"))

@@ -19,6 +19,7 @@ over top-N candidate sets (tiny) and a full outer join on id.
 
 from __future__ import annotations
 
+import warnings
 from collections import Counter
 
 from pyspark.sql import Column, DataFrame, Window
@@ -36,6 +37,16 @@ from needle_spark.functions.text import (
 DEFAULT_K1 = 1.5
 DEFAULT_B = 0.75
 DEFAULT_RRF_K = 60.0
+
+
+class StaleIndexWarning(UserWarning):
+    """A version-stamped Bm25Index served a query after its source
+    collection advanced past the build version."""
+
+
+class StaleIndexError(RuntimeError):
+    """Raised by stale_policy='error' when the source collection has
+    advanced past the index's build version."""
 
 
 def _tokens(docs: DataFrame, id_col: str, text_col: str, stem: bool,
@@ -133,11 +144,63 @@ class Bm25Index:
     batch into ONE job via `search_many`.
     """
 
+    STALE_POLICIES = ("ignore", "warn", "rebuild", "error")
+
     def __init__(self, docs: DataFrame, id_col: str = "id", text_col: str = "text",
                  k1: float = DEFAULT_K1, b: float = DEFAULT_B,
-                 stem: bool = False, stop_words=STOP_WORDS):
+                 stem: bool = False, stop_words=STOP_WORDS,
+                 source=None, stale_policy: str = "warn"):
+        """`source`: an optional needle_spark Collection the docs came
+        from.  The index is stamped with the collection's manifest
+        version at build; every search re-reads the manifest (cheap JSON
+        stat, no Spark job) and applies `stale_policy` on drift:
+        'warn' (default) emits a warning and serves the frozen stats —
+        the reference's own build-once lifecycle (hybrid.rs:270-430) —
+        'rebuild' re-derives postings from the collection's current
+        state, 'error' raises, 'ignore' skips the check."""
+        if stale_policy not in self.STALE_POLICIES:
+            raise ValueError(f"unknown stale_policy: {stale_policy!r}")
         self.id_col, self.k1, self.b = id_col, k1, b
         self.stem, self.stop_words = stem, stop_words
+        self._text_col = text_col
+        self.source, self.stale_policy = source, stale_policy
+        self.built_version = source.version if source is not None else None
+        self._build(docs, text_col)
+
+    @classmethod
+    def from_collection(cls, coll, text_col: str = "text",
+                        stale_policy: str = "warn", **kwargs) -> "Bm25Index":
+        """Build over a Collection's current state, version-stamped."""
+        kwargs.setdefault("id_col", coll.id_col)
+        return cls(coll.df(), text_col=text_col, source=coll,
+                   stale_policy=stale_policy, **kwargs)
+
+    def _current_source_version(self):
+        # re-read the manifest from disk: another writer (or another
+        # handle to the same path) may have advanced the collection
+        return self.source._read_manifest()["version"]
+
+    def _check_stale(self) -> None:
+        if self.source is None or self.stale_policy == "ignore":
+            return
+        cur = self._current_source_version()
+        if cur == self.built_version:
+            return
+        msg = (f"Bm25Index built at collection version {self.built_version} "
+               f"but the collection is now at version {cur}; scores use "
+               "frozen postings/N/avgdl")
+        if self.stale_policy == "error":
+            raise StaleIndexError(msg)
+        if self.stale_policy == "rebuild":
+            self.unpersist()
+            self.source._manifest = self.source._read_manifest()
+            self.built_version = cur
+            self._build(self.source.df(), self._text_col)
+            return
+        warnings.warn(msg, StaleIndexWarning, stacklevel=3)
+
+    def _build(self, docs: DataFrame, text_col: str) -> None:
+        id_col, stem, stop_words = self.id_col, self.stem, self.stop_words
         toks = _tokens(docs, id_col, text_col, stem, stop_words)
         bare = (
             toks.select(F.col(id_col), F.size("__toks").cast("double").alias("__dl"),
@@ -176,6 +239,7 @@ class Bm25Index:
                score_col: str = "score", rounding: int | None = 9) -> DataFrame:
         """Score one query in ONE job: filter + literal-map lookup +
         aggregate (+ TakeOrderedAndProject when limited)."""
+        self._check_stale()
         qcounts = self._q_terms(query_text)
         spark = self.postings.sparkSession
         if not qcounts:
@@ -202,6 +266,7 @@ class Bm25Index:
         the (query_id, term, qcount) table onto the postings, aggregate
         per (query_id, doc), rank per query with a window.  Returns
         (query_id, id, score) with the top-`limit` rows per query."""
+        self._check_stale()
         if isinstance(queries, list):
             queries = {str(i): q for i, q in enumerate(queries)}
         rows = [

@@ -1,11 +1,18 @@
 """Bm25Index (build-once) must agree with the one-shot bm25_scores and
-amortize repeated queries."""
+amortize repeated queries; version-stamped indexes detect source drift."""
 
 import time
+import warnings
 
 import pytest
 
-from needle_spark.operators.hybrid import Bm25Index, bm25_scores
+from needle_spark.catalog import Database
+from needle_spark.operators.hybrid import (
+    Bm25Index,
+    StaleIndexError,
+    StaleIndexWarning,
+    bm25_scores,
+)
 
 
 def test_index_matches_oneshot(spark, documents):
@@ -53,5 +60,65 @@ def test_index_amortizes(spark, documents):
         oneshot = time.perf_counter() - t1
         # warm index queries skip the tokenize scan entirely
         assert amortized < oneshot * 1.5
+    finally:
+        idx.unpersist()
+
+
+@pytest.fixture()
+def text_coll(spark, tmp_path):
+    db = Database(spark, str(tmp_path / "bm25db"))
+    c = db.create_collection(
+        "texts", dims=2, schema="id string, vector array<float>, text string"
+    )
+    c.insert(spark.createDataFrame(
+        [("a", [1.0, 0.0], "merge sort join algorithms"),
+         ("b", [0.0, 1.0], "window batch streaming scan"),
+         ("c", [1.0, 1.0], "query row data layout")],
+        "id string, vector array<float>, text string",
+    ), now_ms=1000)
+    return c
+
+
+def test_stale_warn_default(spark, text_coll):
+    idx = Bm25Index.from_collection(text_coll)
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # fresh index: no warning
+            idx.search("merge sort", limit=5).collect()
+        text_coll.insert(spark.createDataFrame(
+            [("d", [0.5, 0.5], "merge sort revisited")],
+            "id string, vector array<float>, text string"))
+        with pytest.warns(StaleIndexWarning, match="version 1 .*now at version 2"):
+            got = idx.search("merge sort", limit=5).collect()
+        # warn policy serves the FROZEN postings (build-once lifecycle)
+        assert {r["id"] for r in got} == {"a"}
+    finally:
+        idx.unpersist()
+
+
+def test_stale_error_and_ignore(spark, text_coll):
+    idx = Bm25Index.from_collection(text_coll, stale_policy="error")
+    try:
+        text_coll.delete(ids=["c"])
+        with pytest.raises(StaleIndexError):
+            idx.search("query row", limit=5).collect()
+        idx.stale_policy = "ignore"
+        assert {r["id"] for r in idx.search("query row", limit=5).collect()} == {"c"}
+    finally:
+        idx.unpersist()
+
+
+def test_stale_rebuild(spark, text_coll):
+    idx = Bm25Index.from_collection(text_coll, stale_policy="rebuild")
+    try:
+        text_coll.insert(spark.createDataFrame(
+            [("d", [0.5, 0.5], "merge sort revisited")],
+            "id string, vector array<float>, text string"))
+        got = {r["id"] for r in idx.search("merge sort", limit=5).collect()}
+        assert got == {"a", "d"}
+        assert idx.built_version == text_coll._read_manifest()["version"]
+        # search_many also checks; no further drift -> no rebuild churn
+        many = idx.search_many({"q": "merge sort"}, limit=5).collect()
+        assert {r["id"] for r in many} == {"a", "d"}
     finally:
         idx.unpersist()

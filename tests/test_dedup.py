@@ -92,6 +92,85 @@ def test_minhash_lsh_finds_planted_pairs(spark, documents):
     assert lsh == exact
 
 
+def _components(pairs):
+    """Union-find over (id1, id2) pairs -> frozenset components."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    comps = {}
+    for x in list(parent):
+        comps.setdefault(find(x), set()).add(x)
+    return {frozenset(c) for c in comps.values()}
+
+
+def test_minhash_lsh_hot_bucket_guard(spark):
+    """A degenerate corpus (1000 identical docs -> every band hashes
+    them into ONE bucket) must not expand C(1000,2) pairs in one task:
+    the guard chunks the bucket, bounding pairs to O(n*cap) while
+    keeping the duplicate component connected, with exact suppressed-
+    pair accounting."""
+    n, cap = 1000, 64
+    rows = [(i, "boilerplate header repeated verbatim in every document "
+                "of this degenerate corpus for the hot bucket test")
+            for i in range(n)]
+    rows += [(n + 1, "completely unrelated content about query engines"),
+             (n + 2, "another distinct document about stream processing")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    stats = {}
+    pairs = [
+        (r["id1"], r["id2"])
+        for r in minhash_lsh_candidates(
+            df, id_col="id", verify_threshold=None,
+            max_bucket_size=cap, bucket_stats=stats,
+        ).collect()
+    ]
+    # every band buckets the 1000 identical docs together -> 32 oversized
+    # buckets, each chunk-expanded identically (sorted ids), deduped
+    n_chunks = -(-(n - 1) // cap)
+    lens = [min(n - i * cap, cap + 1) for i in range(n_chunks)]
+    expected = sum(ln * (ln - 1) // 2 for ln in lens)
+    assert len(pairs) == expected < n * (n - 1) // 2 // 3
+    assert stats["oversized_buckets"] == 32
+    assert stats["capped_members"] == 32 * n
+    assert stats["suppressed_pairs"] == 32 * (n * (n - 1) // 2 - expected)
+    # chunk overlap keeps the duplicate component CONNECTED
+    comps = _components(pairs)
+    assert comps == {frozenset(range(n))}
+
+
+def test_minhash_lsh_guard_preserves_planted(spark):
+    """Planted near-dups survive a tight guard: the capped bucket stays
+    one connected component and pairs outside hot buckets are intact."""
+    base = ("the quick brown fox jumps over the lazy dog near the "
+            "river bank on a sunny morning in spring time")
+    rows = [(i, "identical boilerplate text shared by every single "
+                "row in this block of the corpus") for i in range(200)]
+    rows += [(1001, base), (1002, base.replace("bank", "bend"))]
+    rows += [(1003, "unrelated text about catalyst optimizer rewrites")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    stats = {}
+    got = [
+        (r["id1"], r["id2"])
+        for r in minhash_lsh_candidates(
+            df, id_col="id", verify_threshold=0.6,
+            max_bucket_size=16, bucket_stats=stats,
+        ).collect()
+    ]
+    assert stats["oversized_buckets"] > 0
+    assert (1001, 1002) in got          # planted pair untouched by guard
+    comps = _components(got)
+    assert frozenset(range(200)) in comps   # hot block fully grouped
+    assert frozenset({1001, 1002}) in comps
+
+
 def test_simhash_candidates(spark, docs):
     pairs = {(r["id1"], r["id2"]): r["hamming"] for r in
              simhash_candidates(docs, id_col="id", max_hamming=10).collect()}
