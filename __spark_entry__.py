@@ -1706,6 +1706,110 @@ ORDER BY graph_score DESC, id ASC LIMIT {k}""")
     return "".join(parts)
 
 
+def _collection_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-level VCS diff (vcs.snapshot_diff) between the embeddings
+    table and a deterministically mutated twin: vec_id%13 deleted,
+    vec_id%7 vector-shifted, vec_id%11 re-inserted under +100000."""
+    from needle_spark.vcs import snapshot_diff
+
+    base = _t(spark, sf_dir, "embeddings")
+    shifted = F.transform(
+        "embedding", lambda x: (x.cast("double") + 1.0).cast("float")
+    )
+    target = (
+        base.filter(F.col("vec_id") % 13 != 0)
+        .withColumn(
+            "embedding",
+            F.when(F.col("vec_id") % 7 == 0, shifted)
+            .otherwise(F.col("embedding")),
+        )
+        .unionByName(
+            base.filter(F.col("vec_id") % 11 == 0)
+            .withColumn("vec_id", F.col("vec_id") + 100000)
+        )
+    )
+    return snapshot_diff(base, target, id_col="vec_id",
+                         vector_col="embedding")
+
+
+def _collection_diff_sql() -> str:
+    sim = duckdb_distance_sql("cosine", "b.embedding", "t.embedding")
+    return f"""
+WITH tgt AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 7 = 0
+              THEN list_transform(embedding,
+                                  x -> CAST(CAST(x AS DOUBLE) + 1.0 AS FLOAT))
+              ELSE embedding END AS embedding,
+         label
+  FROM embeddings WHERE vec_id % 13 <> 0
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding, label
+  FROM embeddings WHERE vec_id % 11 = 0
+)
+SELECT CAST(COALESCE(b.vec_id, t.vec_id) AS VARCHAR) AS vector_id,
+       CASE WHEN b.vec_id IS NULL THEN 'added'
+            WHEN t.vec_id IS NULL THEN 'deleted'
+            ELSE 'modified' END AS change_type,
+       CASE WHEN b.vec_id IS NOT NULL AND t.vec_id IS NOT NULL
+            THEN 1.0 - ({sim}) END AS similarity
+FROM embeddings b FULL OUTER JOIN tgt t ON b.vec_id = t.vec_id
+WHERE b.vec_id IS NULL OR t.vec_id IS NULL
+   OR b.embedding <> t.embedding OR b.label <> t.label
+"""
+
+
+def _lineage_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic CDC log over embeddings: every id
+    inserted, vec_id%7 upserted later, vec_id%13 deleted last —
+    disjoint sequence ranges exactly like the catalog's composite
+    per-op sequencing."""
+    ids = _t(spark, sf_dir, "embeddings").select("vec_id")
+
+    def ev(df, seq_base, ts_base, etype):
+        return df.select(
+            (F.lit(seq_base) + F.col("vec_id")).cast("long").alias("sequence"),
+            (F.lit(ts_base) + F.col("vec_id")).cast("long").alias("timestamp_ms"),
+            F.lit(etype).alias("event_type"),
+            F.col("vec_id").cast("string").alias("vector_id"),
+            F.lit(None).cast("string").alias("metadata"),
+        )
+
+    return (
+        ev(ids, 0, 1000, "insert")
+        .unionByName(ev(ids.filter(F.col("vec_id") % 7 == 0),
+                        100000, 2000000, "upsert"))
+        .unionByName(ev(ids.filter(F.col("vec_id") % 13 == 0),
+                        200000, 3000000, "delete"))
+    )
+
+
+def _vector_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from needle_spark.operators.lineage import lineage_from_cdc
+
+    return lineage_from_cdc(_lineage_events(spark, sf_dir))
+
+
+def _vector_lineage_sql() -> str:
+    from needle_spark.operators.lineage import duckdb_lineage_sql
+
+    ev = """(
+  SELECT CAST(vec_id AS BIGINT) AS sequence,
+         CAST(1000 + vec_id AS BIGINT) AS timestamp_ms,
+         'insert' AS event_type, CAST(vec_id AS VARCHAR) AS vector_id
+  FROM embeddings
+  UNION ALL
+  SELECT CAST(100000 + vec_id AS BIGINT), CAST(2000000 + vec_id AS BIGINT),
+         'upsert', CAST(vec_id AS VARCHAR)
+  FROM embeddings WHERE vec_id % 7 = 0
+  UNION ALL
+  SELECT CAST(200000 + vec_id AS BIGINT), CAST(3000000 + vec_id AS BIGINT),
+         'delete', CAST(vec_id AS VARCHAR)
+  FROM embeddings WHERE vec_id % 13 = 0
+) ev"""
+    return duckdb_lineage_sql(ev)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": _mk_knn("cosine"),
@@ -1770,6 +1874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graphrag_cooccur": _graphrag_cooccur,
         "graphrag_pagerank": _graphrag_pagerank,
         "graph_weighted": _graph_weighted,
+        "collection_diff": _collection_diff,
+        "vector_lineage": _vector_lineage,
     }
 
 
@@ -1860,4 +1966,6 @@ def oracle_sql() -> dict[str, str]:
         "graphrag_cooccur": _graphrag_cooccur_sql(),
         "graphrag_pagerank": _graphrag_pagerank_sql(),
         "graph_weighted": _graph_weighted_sql(),
+        "collection_diff": _collection_diff_sql(),
+        "vector_lineage": _vector_lineage_sql(),
     }

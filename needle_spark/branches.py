@@ -110,14 +110,28 @@ class BranchManager:
         _write_json(pins_path, {o: bs for o, bs in pins.items() if bs})
 
     # ------------------------------------------------------- branching --
-    def create_branch(self, branch: str, from_branch: str = "main") -> Collection:
+    def create_branch(self, branch: str, from_branch: str = "main",
+                      at_version: int | None = None,
+                      fork_seq: int | None = None) -> Collection:
         """Fork `from_branch` at its current version (COW — no data
-        copied; the new manifest references the parent's files)."""
+        copied; the new manifest references the parent's files).
+
+        `at_version` forks at an older retained manifest version
+        (commit-level VCS checkouts); `fork_seq` overrides the conflict
+        baseline when the caller knows the CDC sequence at that version
+        (vcs.py records it per commit) — without it, forking at an old
+        version keeps the CURRENT cdc_seq as baseline, so parent
+        changes between the old version and now would not be flagged as
+        conflicts on merge."""
         if branch == "main" or branch in self._meta()["branches"]:
             raise CollectionError(f"branch exists: {branch}")
         parent = self.collection(from_branch)
         m = parent._manifest
-        entry = m["versions"][str(m["version"])]
+        fork_v = m["version"] if at_version is None else int(at_version)
+        if str(fork_v) not in m["versions"]:
+            raise CollectionError(
+                f"version {fork_v} is not retained (compacted away?)")
+        entry = m["versions"][str(fork_v)]
         abs_segs = [
             s if os.path.isabs(s) else os.path.join(parent.path, s)
             for s in entry["segments"]
@@ -146,8 +160,8 @@ class BranchManager:
         meta = self._meta()
         meta["branches"][branch] = {
             "parent": from_branch,
-            "fork_version": m["version"],
-            "fork_seq": m.get("cdc_seq", 0),
+            "fork_version": fork_v,
+            "fork_seq": m.get("cdc_seq", 0) if fork_seq is None else int(fork_seq),
             "created_ms": int(time.time() * 1000),
         }
         _write_json(self.meta_path, meta)

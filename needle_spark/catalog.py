@@ -680,6 +680,29 @@ class Collection:
             ev = ev.filter(F.col("timestamp_ms") <= to_ms)
         return ev.orderBy("sequence")
 
+    # ------------------------------------------------ lineage / audit --
+    def lineage(self) -> DataFrame:
+        """Per-vector lineage summary (first/last op, per-op counts,
+        liveness) as ONE aggregation over the CDC log — see
+        operators/lineage.py (observe/lineage.rs:170-224)."""
+        from needle_spark.operators.lineage import lineage_from_cdc
+
+        return lineage_from_cdc(self.cdc_events())
+
+    def audit_report(self, bucket: str = "day") -> DataFrame:
+        """Time-bucketed operation counts over the full log
+        (observe/audit.rs:275-290)."""
+        from needle_spark.operators.lineage import audit_report
+
+        return audit_report(self.cdc_events(), bucket=bucket)
+
+    def compliance_report(self, vector_id: Any) -> dict:
+        """One vector's chain + forget-proof summary
+        (observe/audit.rs:446-477)."""
+        from needle_spark.operators.lineage import compliance_report
+
+        return compliance_report(self.cdc_events(), vector_id)
+
     # ------------------------------------------------ named snapshots --
     def create_snapshot(self, name: str) -> int:
         """Named snapshot (database/snapshots.rs:10-29): records the
