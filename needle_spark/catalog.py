@@ -703,6 +703,14 @@ class Collection:
 
         return compliance_report(self.cdc_events(), vector_id)
 
+    def schema_registry(self):
+        """Versioned schema evolution for this collection
+        (persistence/schema_evolution.rs) — see
+        needle_spark.schema_evolution.SchemaRegistry."""
+        from needle_spark.schema_evolution import SchemaRegistry
+
+        return SchemaRegistry(self)
+
     # ------------------------------------------------ named snapshots --
     def create_snapshot(self, name: str) -> int:
         """Named snapshot (database/snapshots.rs:10-29): records the
