@@ -91,3 +91,87 @@ def test_pca_empty_dataset_raises_value_error(spark):
     from needle_spark.operators.dimreduce import PCA
     with _pytest.raises(ValueError, match="empty"):
         PCA.fit(empty, n_components=2)
+
+
+# ------------------------------------------------- neighbor embedding --
+
+def _cluster_frame(spark, n_per=40, d=16, seed=4):
+    rng = np.random.default_rng(seed)
+    centers = np.zeros((3, d))
+    centers[0, 0] = 10.0
+    centers[1, 1] = 10.0
+    centers[2, 2] = 10.0
+    rows = []
+    for c in range(3):
+        pts = centers[c] + rng.normal(scale=0.5, size=(n_per, d))
+        rows += [(c * n_per + i, c, [float(x) for x in pts[i]])
+                 for i in range(n_per)]
+    return spark.createDataFrame(
+        rows, "id long, cluster int, vector array<float>")
+
+
+def test_neighbor_embedding_preserves_clusters(spark):
+    """Trustworthiness at fixture scale: planted clusters stay
+    separated in the 2-d layout (same-cluster mean distance well below
+    cross-cluster)."""
+    from needle_spark.operators.dimreduce import NeighborEmbedding
+
+    df = _cluster_frame(spark)
+    ne = NeighborEmbedding(n_iter=300, perplexity=15.0, max_landmarks=60,
+                           seed=11)
+    out = ne.fit_transform(df).collect()
+    assert all(len(r["layout"]) == 2 and
+               all(np.isfinite(v) for v in r["layout"]) for r in out)
+    pos = {r["id"]: np.array(r["layout"]) for r in out}
+    clu = {r["id"]: r["cluster"] for r in out}
+    ids = sorted(pos)
+    same, cross = [], []
+    for i in range(0, len(ids), 3):
+        for j in range(i + 1, len(ids), 7):
+            d2 = np.linalg.norm(pos[ids[i]] - pos[ids[j]])
+            (same if clu[ids[i]] == clu[ids[j]] else cross).append(d2)
+    assert np.mean(same) < 0.35 * np.mean(cross)
+
+
+def test_neighbor_embedding_deterministic(spark):
+    from needle_spark.operators.dimreduce import NeighborEmbedding
+
+    df = _cluster_frame(spark, n_per=15)
+    a = NeighborEmbedding(n_iter=100, max_landmarks=30, seed=5).fit_transform(df)
+    b = NeighborEmbedding(n_iter=100, max_landmarks=30, seed=5).fit_transform(df)
+    la = {r["id"]: r["layout"] for r in a.collect()}
+    lb = {r["id"]: r["layout"] for r in b.collect()}
+    assert la == lb
+    # and invariant to input partitioning (hash-ordered landmark sample)
+    c = NeighborEmbedding(n_iter=100, max_landmarks=30, seed=5).fit_transform(
+        df.repartition(7))
+    lc = {r["id"]: r["layout"] for r in c.collect()}
+    assert {k: [round(v, 9) for v in vs] for k, vs in la.items()} == \
+           {k: [round(v, 9) for v in vs] for k, vs in lc.items()}
+
+
+def test_neighbor_embedding_landmarks_exact(spark):
+    """A row that served as a landmark lands (nearly) on its fitted
+    position: its zero distance dominates the inverse-distance weights."""
+    from needle_spark.operators.dimreduce import NeighborEmbedding
+
+    df = _cluster_frame(spark, n_per=12)
+    ne = NeighborEmbedding(n_iter=100, max_landmarks=36, seed=3)
+    out = ne.fit_transform(df)  # 36 rows = all rows are landmarks
+    pos = {r["id"]: np.array(r["layout"]) for r in out.collect()}
+    fitted = ne.landmarks_ld
+    hd = ne.landmarks_hd
+    # match each landmark row back by high-dim vector
+    rows = {r["id"]: np.array(r["vector"]) for r in df.collect()}
+    for i in range(hd.shape[0]):
+        rid = next(k for k, v in rows.items()
+                   if np.allclose(v, hd[i], atol=1e-6))
+        assert np.allclose(pos[rid], fitted[i], atol=1e-4)
+
+
+def test_neighbor_embedding_empty_raises(spark):
+    from needle_spark.operators.dimreduce import NeighborEmbedding
+
+    empty = spark.createDataFrame([], "id long, vector array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        NeighborEmbedding().fit(empty)
