@@ -155,6 +155,41 @@ def main() -> None:
     ivf_recall = round(ivf_recall / len(q_ids), 4)
     ivf_idx.unpersist()
 
+    # dedup-family scaling point: the same operators on a 4x corpus
+    # (documents replicated with per-replica token prefixes, so replicas
+    # share NO shingles across copies — corpus and true-pair counts both
+    # scale by 4, exactly the linear-growth shape a 100 TB run needs).
+    # A linear operator shows time ratio ~4x the 1x rows above; a
+    # quadratic one would show ~16x.  See PLANS.md 'Dedup scaling'.
+    from needle_spark.operators.dedup import minhash_lsh_candidates
+    from needle_spark.operators.llm_hygiene import decontaminate
+
+    SCALE = 4
+    parts = [docs_base := spark.read.parquet(f"{SF_DIR}/documents.parquet")]
+    for r in range(1, SCALE):
+        parts.append(
+            docs_base.withColumn("doc_id", F.col("doc_id") + F.lit(r * 1_000_000))
+            .withColumn("text", F.regexp_replace("text", r"(\S+)", f"v{r}x$1"))
+        )
+    docs_4x = parts[0]
+    for p in parts[1:]:
+        docs_4x = docs_4x.unionByName(p)
+    docs_4x = docs_4x.repartition(32).persist()
+    n_docs_4x = docs_4x.count()  # materialize outside the timed window
+
+    run("minhash_lsh_dedup_4x",
+        lambda: minhash_lsh_candidates(
+            docs_4x, id_col="doc_id", text_col="text", n=3,
+            verify_threshold=0.6).collect(),
+        repeats=1)
+    bench_4x = docs_4x.filter(F.col("doc_id") % 10 == 0)
+    corpus_4x = docs_4x.filter(F.col("doc_id") % 10 != 0)
+    run("decontaminate_4x",
+        lambda: decontaminate(corpus_4x, bench_4x, n=8, id_col="doc_id",
+                              text_col="text").collect(),
+        repeats=1)
+    docs_4x.unpersist()
+
     # repeated-query BM25 throughput on a built index (10 queries)
     from needle_spark.operators.hybrid import Bm25Index
 
@@ -198,6 +233,12 @@ def main() -> None:
         "batch_knn_1M384_ivf_recall_at_10": ivf_recall,
         "batch_knn_1M384_rows": big_n,
         "bm25_indexed_qps": round(10.0 / timings["bm25_indexed_10q"], 2),
+        # linear operators stay near SCALE (=4); quadratic would be ~16
+        "minhash_lsh_4x_time_ratio": round(
+            timings["minhash_lsh_dedup_4x"] / timings["minhash_lsh_dedup"], 2),
+        "decontaminate_4x_time_ratio": round(
+            timings["decontaminate_4x"] / timings["decontaminate"], 2),
+        "dedup_scale_docs": n_docs_4x,
         "bulk_insert_rows_per_sec": round(li_rows / timings["bulk_insert_lineitem"]),
         "lineitem_agg_rows_per_sec": round(li_rows / timings["agg_lineitem"]),
     }
