@@ -1810,6 +1810,66 @@ def _vector_lineage_sql() -> str:
     return duckdb_lineage_sql(ev)
 
 
+def _lineage_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineage-graph impact: transitive descendants (with hop depth) of
+    vector '1' over a deterministic derived-from DAG (every vec_id
+    derives from vec_id DIV 2 — a binary tree over embeddings)."""
+    from needle_spark.operators.lineage import lineage_descendants
+
+    edges = (
+        _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") >= 1)
+        .select(
+            F.col("vec_id").cast("string").alias("child"),
+            F.expr("CAST(vec_id DIV 2 AS STRING)").alias("parent"),
+        )
+    )
+    return lineage_descendants(edges, "1", max_depth=10)
+
+
+def _lineage_impact_sql() -> str:
+    from needle_spark.operators.lineage import duckdb_descendants_sql
+
+    edges = ("(SELECT CAST(vec_id AS VARCHAR) AS child, "
+             "CAST(vec_id // 2 AS VARCHAR) AS parent "
+             "FROM embeddings WHERE vec_id >= 1)")
+    return duckdb_descendants_sql(edges, "1", max_depth=10)
+
+
+def _schema_adapted_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution end-to-end: embeddings land in a real collection,
+    the registry applies add_field + widen_field + change_dimension
+    (truncate 64 -> 16), and the adapted read reshapes rows written
+    under the ORIGINAL schema — all scan expressions."""
+    import tempfile
+
+    from needle_spark.catalog import Collection
+
+    path = tempfile.mkdtemp(prefix="needle_schema_q_") + "/emb"
+    coll = Collection.create(
+        spark, path, dims=64, id_col="vec_id", vector_col="embedding",
+        schema="vec_id bigint, embedding array<float>, label int",
+    )
+    coll.insert(_t(spark, sf_dir, "embeddings"), now_ms=1000)
+    reg = coll.schema_registry()
+    reg.apply_change({"kind": "add_field", "name": "quality",
+                      "dtype": "double", "default": 0.5})
+    reg.apply_change({"kind": "widen_field", "name": "label",
+                      "to_dtype": "bigint"})
+    reg.apply_change({"kind": "change_dimension", "to": 16,
+                      "strategy": "truncate"})
+    return reg.adapted_df()
+
+
+def _schema_adapted_read_sql() -> str:
+    return """
+SELECT vec_id,
+       embedding[1:16] AS embedding,
+       CAST(label AS BIGINT) AS label,
+       CAST(0.5 AS DOUBLE) AS quality
+FROM embeddings
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": _mk_knn("cosine"),
@@ -1876,6 +1936,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_weighted": _graph_weighted,
         "collection_diff": _collection_diff,
         "vector_lineage": _vector_lineage,
+        "lineage_impact": _lineage_impact,
+        "schema_adapted_read": _schema_adapted_read,
     }
 
 
@@ -1968,4 +2030,6 @@ def oracle_sql() -> dict[str, str]:
         "graph_weighted": _graph_weighted_sql(),
         "collection_diff": _collection_diff_sql(),
         "vector_lineage": _vector_lineage_sql(),
+        "lineage_impact": _lineage_impact_sql(),
+        "schema_adapted_read": _schema_adapted_read_sql(),
     }

@@ -132,3 +132,141 @@ def compliance_report(events: DataFrame, vector_id,
         "deleted": bool(chain) and chain[-1]["event_type"] == "delete",
         "chain": chain,
     }
+
+
+# ---------------------------------------------------- lineage graph --
+
+def lineage_edges(df: DataFrame, id_col: str = "vector_id",
+                  parents_col: str = "parents") -> DataFrame:
+    """(child, parent) edge table from a derived-from column
+    (lineage.rs:106-155 Transformation::derived_from parents;
+    LineageGraph export :506-545).  parents_col is array<string>."""
+    return df.select(
+        F.col(id_col).cast("string").alias("child"),
+        F.explode(parents_col).alias("parent"),
+    ).filter(F.col("parent").isNotNull())
+
+
+def _frontier_walk(edges: DataFrame, start: str, max_depth: int,
+                   key: str, nxt: str) -> DataFrame:
+    """Bounded BFS over the edge table: each hop broadcast-joins the
+    (small) frontier against the (huge) edges — the frontier never
+    exceeds the reachable set, and edges are scanned once per hop with
+    the join key pushed down (the graph.py traversal shape).  Returns
+    (vector_id, depth) with the MIN depth per node (DAG-safe).
+
+    Each hop is localCheckpoint(eager)'d: an iterative union otherwise
+    builds a plan that re-evaluates every earlier hop per action —
+    exponential planning by hop 10.  Checkpointing pins each round to
+    one edges-scan job."""
+    spark = edges.sparkSession
+    frontier = spark.createDataFrame(
+        [(str(start), 0)], "vector_id string, depth int"
+    ).localCheckpoint(eager=True)
+    seen = frontier
+    for _ in range(max_depth):
+        step = (
+            edges.join(
+                F.broadcast(frontier.withColumnRenamed("vector_id", key)), key)
+            .select(F.col(nxt).alias("vector_id"),
+                    (F.col("depth") + 1).alias("depth"))
+            .join(F.broadcast(seen.select("vector_id")), "vector_id",
+                  "left_anti")
+            .groupBy("vector_id").agg(F.min("depth").alias("depth"))
+        ).localCheckpoint(eager=True)
+        if step.isEmpty():
+            break
+        seen = seen.unionByName(step).localCheckpoint(eager=True)
+        frontier = step
+    return seen.filter(F.col("depth") > 0)
+
+
+def lineage_descendants(edges: DataFrame, source_id,
+                        max_depth: int = 10) -> DataFrame:
+    """Everything derived (transitively) from source_id, with hop depth
+    (lineage.rs:450-478 get_descendants / explorer :952-980)."""
+    return _frontier_walk(edges, str(source_id), max_depth,
+                          key="parent", nxt="child")
+
+
+def lineage_ancestors(edges: DataFrame, vector_id,
+                      max_depth: int = 10) -> DataFrame:
+    """The derivation chain above vector_id (lineage.rs:421-449 /
+    explorer :923-951)."""
+    return _frontier_walk(edges, str(vector_id), max_depth,
+                          key="child", nxt="parent")
+
+
+def impact_analysis(edges: DataFrame, source_id,
+                    max_depth: int = 10) -> dict:
+    """ImpactReport (lineage.rs:479-505 / :981-1024): how many vectors
+    a source transitively feeds.  Counts aggregate distributed; only
+    the summary lands on the driver."""
+    desc = lineage_descendants(edges, source_id, max_depth)
+    row = desc.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.coalesce(F.sum((F.col("depth") == 1).cast("long")), F.lit(0))
+        .alias("direct"),
+        F.coalesce(F.max("depth"), F.lit(0)).alias("deepest"),
+    ).first()
+    return {
+        "source_id": str(source_id),
+        "directly_affected": int(row["direct"]),
+        "total_affected": int(row["total"]),
+        "max_depth_reached": int(row["deepest"]),
+    }
+
+
+def lineage_path(edges: DataFrame, from_id, to_id,
+                 max_depth: int = 20) -> list[str] | None:
+    """Shortest derived-from path from_id -> to_id (explorer
+    path_between :1025-1067): BFS over descendants carrying
+    predecessor pointers; the path reconstructs driver-side from the
+    bounded (node, predecessor) set."""
+    frm, to = str(from_id), str(to_id)
+    if frm == to:
+        return [frm]
+    spark = edges.sparkSession
+    frontier = spark.createDataFrame([(frm,)], "vector_id string")
+    preds: dict[str, str] = {}
+    seen = {frm}
+    for _ in range(max_depth):
+        step = (
+            edges.join(
+                F.broadcast(frontier.withColumnRenamed("vector_id", "parent")),
+                "parent")
+            .select(F.col("child"), F.col("parent"))
+            .dropDuplicates(["child"])
+            .collect()
+        )
+        nxt = []
+        for r in step:
+            if r["child"] not in seen:
+                seen.add(r["child"])
+                preds[r["child"]] = r["parent"]
+                nxt.append((r["child"],))
+        if to in preds:
+            path = [to]
+            while path[-1] != frm:
+                path.append(preds[path[-1]])
+            return list(reversed(path))
+        if not nxt:
+            return None
+        frontier = spark.createDataFrame(nxt, "vector_id string")
+    return None
+
+
+def duckdb_descendants_sql(edges_sql: str, source_id,
+                           max_depth: int = 10) -> str:
+    """Recursive-CTE twin of lineage_descendants (min depth per node)."""
+    return f"""
+WITH RECURSIVE walk(vector_id, depth) AS (
+  SELECT child, 1 FROM {edges_sql} WHERE parent = '{source_id}'
+  UNION ALL
+  SELECT e.child, w.depth + 1
+  FROM {edges_sql} e JOIN walk w ON e.parent = w.vector_id
+  WHERE w.depth < {int(max_depth)}
+)
+SELECT vector_id, CAST(min(depth) AS INT) AS depth
+FROM walk GROUP BY vector_id
+"""

@@ -91,3 +91,57 @@ def test_lineage_from_cdc_standalone(spark):
     assert set(lin) == {"x", "y"}
     assert not lin["x"]["is_live"] and lin["y"]["is_live"]
     assert lin["x"]["n_events"] == 3
+
+
+# ---------------------------------------------------- lineage graph --
+
+def _edges(spark):
+    """a -> b -> d -> e, a -> c -> d (diamond: d reachable 2 ways)."""
+    rows = [("b", ["a"]), ("c", ["a"]), ("d", ["b", "c"]), ("e", ["d"]),
+            ("z", [])]
+    df = spark.createDataFrame(rows, "vector_id string, parents array<string>")
+    from needle_spark.operators.lineage import lineage_edges
+    return lineage_edges(df)
+
+
+def test_lineage_descendants_min_depth(spark):
+    from needle_spark.operators.lineage import lineage_descendants
+
+    got = {r["vector_id"]: r["depth"]
+           for r in lineage_descendants(_edges(spark), "a").collect()}
+    assert got == {"b": 1, "c": 1, "d": 2, "e": 3}
+    # depth bound respected
+    shallow = {r["vector_id"]
+               for r in lineage_descendants(_edges(spark), "a", max_depth=1)
+               .collect()}
+    assert shallow == {"b", "c"}
+
+
+def test_lineage_ancestors(spark):
+    from needle_spark.operators.lineage import lineage_ancestors
+
+    got = {r["vector_id"]: r["depth"]
+           for r in lineage_ancestors(_edges(spark), "e").collect()}
+    assert got == {"d": 1, "b": 2, "c": 2, "a": 3}
+    assert lineage_ancestors(_edges(spark), "a").count() == 0
+
+
+def test_impact_analysis(spark):
+    from needle_spark.operators.lineage import impact_analysis
+
+    rep = impact_analysis(_edges(spark), "a")
+    assert rep == {"source_id": "a", "directly_affected": 2,
+                   "total_affected": 4, "max_depth_reached": 3}
+    assert impact_analysis(_edges(spark), "e")["total_affected"] == 0
+
+
+def test_lineage_path(spark):
+    from needle_spark.operators.lineage import lineage_path
+
+    e = _edges(spark)
+    p = lineage_path(e, "a", "e")
+    assert p[0] == "a" and p[-1] == "e" and len(p) == 4
+    assert p[2] == "d"
+    assert lineage_path(e, "e", "a") is None     # edges are directed
+    assert lineage_path(e, "a", "a") == ["a"]
+    assert lineage_path(e, "a", "zz") is None

@@ -113,3 +113,66 @@ def test_embedding_neardup_is_distributed_kernel(spark, embeddings):
     p = plan_of(pairs)
     assert "FlatMapGroupsInPandas" in p  # per-cell verification kernel
     assert "Scan parquet" in p           # source scan retained (no collect)
+
+
+def test_snapshot_diff_single_join_no_python(spark, embeddings):
+    """VCS diff must stay one join on the id key with every comparison
+    a scan expression — no Python, no second pass."""
+    from needle_spark.vcs import snapshot_diff
+
+    target = embeddings.filter(F.col("vec_id") % 2 == 0)
+    p = plan_of(snapshot_diff(embeddings, target, id_col="vec_id",
+                              vector_col="embedding"))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "pythonUDF"):
+        assert marker not in p
+    import re
+
+    joins = re.findall(
+        r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", p)
+    assert len(joins) == 1  # ONE full-outer join on the id key
+
+
+def test_lineage_summary_single_aggregation(spark):
+    """Per-vector lineage is ONE hash aggregation over the CDC log
+    (map-side partial + final), nothing Python, no join."""
+    from needle_spark.operators.lineage import lineage_from_cdc
+
+    ev = spark.createDataFrame(
+        [(0, 10, "insert", "x", None)],
+        "sequence long, timestamp_ms long, event_type string, "
+        "vector_id string, metadata string")
+    p = plan_of(lineage_from_cdc(ev))
+    assert "Join" not in p
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "pythonUDF"):
+        assert marker not in p
+    import re
+
+    # partial + final (sort-based: min_by/max_by are TypedImperative),
+    # one exchange between them — map-side combine is intact
+    aggs = re.findall(r"\(\d+\) (?:Sort|Hash)Aggregate", p)
+    assert len(aggs) >= 2
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+
+
+def test_schema_adapted_read_map_only(spark, tmp_path):
+    """Lazy schema adaptation is pure scan projection: no exchange, no
+    Python, on top of the collection's merge-on-read view."""
+    from needle_spark.catalog import Database
+
+    db = Database(spark, str(tmp_path / "seplandb"))
+    c = db.create_collection(
+        "docs", dims=2, schema="id string, vector array<float>, category string")
+    c.insert(spark.createDataFrame(
+        [("a", [1.0, 0.0], "x")],
+        "id string, vector array<float>, category string"), now_ms=1000)
+    reg = c.schema_registry()
+    reg.apply_change({"kind": "add_field", "name": "q",
+                      "dtype": "double", "default": 0.5})
+    reg.apply_change({"kind": "change_dimension", "to": 4,
+                      "strategy": "zero_pad"})
+    base = plan_of(c.df())
+    adapted = plan_of(reg.adapted_df())
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "pythonUDF"):
+        assert marker not in adapted
+    # adaptation adds NO exchanges beyond the base read's own plan
+    assert adapted.count("Exchange") == base.count("Exchange")
