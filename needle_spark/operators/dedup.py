@@ -297,8 +297,13 @@ def minhash_lsh_candidates(
     only (doc, band, bucket) rows — doc payloads and shingle arrays never
     ride the shuffle; this is the 100 TB path.  If `verify_threshold` is
     set, candidates are verified with exact Jaccard by re-joining the
-    shingle-set table (pairs-only join, cheap), so the output equals the
-    exact ngram_jaccard_pairs result up to banding misses.
+    shingle-set table (pairs-only join, cheap), so — WHEN no bucket
+    exceeds `max_bucket_size` — the output equals the exact
+    ngram_jaccard_pairs result up to banding misses.  On corpora where a
+    bucket does exceed the cap, cross-chunk pairs of that bucket are
+    deliberately suppressed (accounted, never silent — see below), so
+    exact-parity callers on degenerate corpora must raise the cap or
+    disable the guard.
 
     impl='arrow' computes signatures in a numpy kernel (crc32 base
     hashes); impl='expr' stays in pure JVM expressions (xxhash64 base

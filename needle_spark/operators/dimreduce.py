@@ -230,7 +230,14 @@ class NeighborEmbedding:
 
     def _fit_local(self, x: np.ndarray) -> np.ndarray:
         n = x.shape[0]
-        d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+        if n == 1:
+            # a single landmark has no neighbors: its layout is the
+            # origin (gradient descent on an empty P would divide by 0)
+            return np.zeros((1, self.output_dims))
+        # ||a-b||^2 = a^2 - 2ab + b^2 — never materialize the
+        # (L, L, d) difference tensor (1.6 GB at L=512, d=768)
+        sq = (x ** 2).sum(1)
+        d2 = np.maximum(sq[:, None] - 2.0 * (x @ x.T) + sq[None, :], 0.0)
         p = self._affinities(d2)
         rng = np.random.default_rng(self.seed)
         y = (rng.random((n, self.output_dims)) - 0.5) * 0.01

@@ -193,9 +193,12 @@ class Bm25Index:
             raise StaleIndexError(msg)
         if self.stale_policy == "rebuild":
             self.unpersist()
-            self.source._manifest = self.source._read_manifest()
+            # rebuild from a FRESH handle — mutating the caller's
+            # Collection._manifest would silently advance a handle the
+            # user may be holding at an older cached state
+            fresh = type(self.source)(self.source.spark, self.source.path)
             self.built_version = cur
-            self._build(self.source.df(), self._text_col)
+            self._build(fresh.df(), self._text_col)
             return
         warnings.warn(msg, StaleIndexWarning, stacklevel=3)
 

@@ -51,6 +51,26 @@ def _now_ms() -> int:
     return int(time.time() * 1000)
 
 
+def _project_local(vec: list[float], dim_change: dict) -> list[float]:
+    """Driver-side twin of SchemaRegistry._dim_expr for a single vector
+    (same math, float32-cast components like the scan expression)."""
+    import numpy as np
+
+    to, strategy = dim_change["to"], dim_change["strategy"]
+    if strategy == "zero_pad":
+        out = list(vec[:to]) + [0.0] * max(0, to - len(vec))
+        return [float(np.float32(x)) for x in out]
+    if strategy == "truncate":
+        return [float(np.float32(x)) for x in vec[:to]]
+    if strategy == "random_project":
+        rows = RandomProjection(dim_change["from"], to,
+                                seed=dim_change["seed"]).matrix()
+    else:
+        rows = dim_change["matrix"]
+    return [float(np.float32(sum(float(a) * float(b)
+                                 for a, b in zip(vec, r)))) for r in rows]
+
+
 @dataclass
 class MigrationReport:
     """MigrationPhase::Complete accounting (schema_evolution.rs:368)."""
@@ -149,7 +169,11 @@ class SchemaRegistry:
             "dims": cur["dims"],
             "metric": cur["metric"],
             "fields": {n: dict(f) for n, f in cur["fields"].items()},
-            "dim_change": None,
+            # a pending dim_change is a LAZY-ADAPTATION marker, not
+            # history: it must survive unrelated schema changes or
+            # reads silently stop reshaping old segments (and migrate()
+            # would rewrite un-adapted vectors under the new dims)
+            "dim_change": dict(cur["dim_change"]) if cur["dim_change"] else None,
             "created_ms": _now_ms(),
             "description": None,
             "parent_version": cur["version"],
@@ -201,6 +225,11 @@ class SchemaRegistry:
             new["description"] = f"Required field '{name}'"
         elif kind == "change_dimension":
             to, strategy = int(change["to"]), change["strategy"]
+            if cur["dim_change"] is not None:
+                raise CollectionError(
+                    "a dimension change is already pending; migrate() "
+                    "before changing dimensions again (stacked lazy "
+                    "projections are not composed)")
             if to <= 0:
                 raise CollectionError("dimensions must be > 0")
             if strategy not in DIM_STRATEGIES:
@@ -225,9 +254,14 @@ class SchemaRegistry:
             new["dim_change"] = dim_change
             new["description"] = f"Changed dimensions {cur['dims']} -> {to}"
         elif kind == "change_distance":
-            new["metric"] = change["to"]
+            from needle_spark.functions.distance import _ALIAS
+
+            to_metric = _ALIAS.get(str(change["to"]).lower().replace("-", "_"))
+            if to_metric is None:
+                raise CollectionError(f"unknown distance metric {change['to']!r}")
+            new["metric"] = to_metric
             new["description"] = (
-                f"Changed distance {cur['metric']} -> {change['to']}")
+                f"Changed distance {cur['metric']} -> {to_metric}")
         else:
             raise CollectionError(f"unknown schema change kind {kind!r}")
 
@@ -323,6 +357,12 @@ class SchemaRegistry:
             os.path.join(self.coll.path, name))
         m["schema"] = ", ".join(f"{n} {t}" for n, t in written.dtypes)
         m["schema_migrated_version"] = cur["version"]
+        # every row is now physically at the target dims — the pending
+        # lazy-adaptation marker is consumed (a later change_dimension
+        # starts a fresh one)
+        for s in m["schema_evolution"]["versions"]:
+            if s["version"] == cur["version"]:
+                s["dim_change"] = None
         self.coll._write_manifest_static(self.coll.path, m)
         return MigrationReport(
             from_version=from_v, to_version=cur["version"],
@@ -359,8 +399,9 @@ class SchemaRegistry:
             qv = [float(x) for x in r[vc]]
             a = knn(base, qv, k=k, metric="cosine", vector_col=vc, id_col=ic)
             got_a = {x[ic]: x["distance"] for x in a.collect()}
-            pv_row = proj.filter(F.col(ic) == r[ic]).first()
-            pqv = [float(x) for x in pv_row[vc]]
+            # project the query vector DRIVER-side (pure function of
+            # qv + the strategy) — no per-query table scan
+            pqv = _project_local(qv, dc)
             b = knn(proj, pqv, k=k, metric="cosine", vector_col=vc, id_col=ic)
             got_b = {x[ic]: x["distance"] for x in b.collect()}
             hits += len(set(got_a) & set(got_b))

@@ -381,6 +381,7 @@ class CollectionVcs:
                 f"commit {rec['hash']} is on branch {rec['branch']!r}, "
                 f"not {branch!r}")
         coll = self._collection(branch)
+        cdc_lo = coll._manifest.get("cdc_seq", 0)
         ts = _utcnow_ms()
         coll.restore(rec["version"], now_ms=ts)
         parent = st["heads"][branch]
@@ -388,11 +389,15 @@ class CollectionVcs:
             [parent, "rollback", author, ts, coll.version],
             sort_keys=True).encode()).hexdigest()[:10]
         st = self._state()
+        # CDC range covers the restore marker itself: a branch forked
+        # at this commit must baseline at the CURRENT sequence, not the
+        # old commit's (events between them are already-settled history
+        # and must not resurface as merge conflicts)
         st["commits"][h] = {
             "parent": parent, "message": f"Rollback to {rec['hash']}",
             "author": author, "timestamp_ms": ts, "branch": branch,
             "version": coll.version,
-            "cdc_lo": rec["cdc_hi"], "cdc_hi": rec["cdc_hi"],
+            "cdc_lo": cdc_lo, "cdc_hi": coll._manifest.get("cdc_seq", 0),
         }
         st["heads"][branch] = h
         self._write_state(st)
@@ -409,9 +414,16 @@ class CollectionVcs:
         target = st["current"]
         if source_branch == target:
             raise CollectionError("cannot merge a branch into itself")
-        if target != "main":
+        # branches.merge always lands in the source's ACTUAL parent —
+        # the commit must be recorded on that same branch, so require
+        # the current branch to BE the parent (not just any branch)
+        info = self.branches._meta()["branches"].get(source_branch)
+        if info is None:
+            raise CollectionError(f"no such branch: {source_branch}")
+        if info["parent"] != target:
             raise CollectionError(
-                "merge target must be the source branch's parent")
+                f"branch {source_branch!r} merges into its parent "
+                f"{info['parent']!r}; checkout that branch first")
         kwargs = {"strategy": strategy} if strategy else {}
         self.branches.merge(source_branch, **kwargs)
         coll = self._collection(target)

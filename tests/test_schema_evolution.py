@@ -178,3 +178,45 @@ def test_recall_validation_gate(spark, tmp_path):
          "strategy": "random_project", "seed": 3},
         sample_queries=5, k=5, min_recall=0.95)
     assert res1["recall_at_k"] < 0.95 and not res1["passed"]
+
+
+def test_dim_change_survives_later_schema_changes(spark, coll):
+    """A pending dimension change is a lazy-adaptation marker: it must
+    keep reshaping old rows through UNRELATED later changes (and
+    migrate() must not rewrite un-adapted vectors)."""
+    reg = coll.schema_registry()
+    reg.apply_change({"kind": "change_dimension", "to": 4,
+                      "strategy": "zero_pad"})
+    reg.apply_change({"kind": "add_field", "name": "q",
+                      "dtype": "double", "default": 0.5})
+    rows = {r["id"]: list(r["vector"]) for r in reg.adapted_df().collect()}
+    assert rows["a"] == [1.0, 0.0, 0.0, 0.0]   # still padded
+    rep = reg.migrate()
+    assert rep.total_migrated == 2
+    direct = {r["id"]: list(r["vector"]) for r in coll.df().collect()}
+    assert direct["a"] == [1.0, 0.0, 0.0, 0.0]
+    assert coll.dims == 4
+
+
+def test_stacked_dimension_changes_require_migrate(spark, coll):
+    reg = coll.schema_registry()
+    reg.apply_change({"kind": "change_dimension", "to": 4,
+                      "strategy": "zero_pad"})
+    with pytest.raises(CollectionError, match="migrate"):
+        reg.apply_change({"kind": "change_dimension", "to": 8,
+                          "strategy": "zero_pad"})
+    reg.migrate()
+    # marker consumed by the rewrite -> a fresh change is legal again
+    v = reg.apply_change({"kind": "change_dimension", "to": 8,
+                          "strategy": "zero_pad"})
+    assert reg.schema_at(v)["dims"] == 8
+    rows = {r["id"]: len(r["vector"]) for r in reg.adapted_df().collect()}
+    assert set(rows.values()) == {8}
+
+
+def test_change_distance_validated_and_normalized(spark, coll):
+    reg = coll.schema_registry()
+    with pytest.raises(CollectionError, match="unknown distance"):
+        reg.apply_change({"kind": "change_distance", "to": "cosin"})
+    reg.apply_change({"kind": "change_distance", "to": "L2"})
+    assert reg.current_schema()["metric"] == "euclidean"

@@ -162,3 +162,53 @@ def test_snapshot_diff_no_vector_col(spark):
     d = {r["vector_id"]: (r["change_type"], r["similarity"])
          for r in snapshot_diff(base, tgt, id_col="id").collect()}
     assert d == {"b": ("modified", None), "c": ("added", None)}
+
+
+def test_merge_requires_actual_parent(spark, vcs):
+    """branches.merge lands in the source's real parent; recording the
+    commit anywhere else would corrupt both histories."""
+    vcs.stage_insert(mk_rows(spark, [("a", [1.0, 0.0], "x")]))
+    vcs.commit("first", "t")
+    vcs.create_branch("f1")
+    vcs.checkout("f1")
+    vcs.stage_insert(mk_rows(spark, [("f", [0.0, 1.0], "f")]))
+    f1_head = vcs.commit("f1 work", "t")
+    vcs.create_branch("f2", at_ref=f1_head)
+    vcs.checkout("f2")
+    vcs.stage_insert(mk_rows(spark, [("g", [0.5, 0.5], "g")]))
+    vcs.commit("f2 work", "t")
+
+    vcs.checkout("main")
+    with pytest.raises(CollectionError, match="merges into its parent 'f1'"):
+        vcs.merge("f2", "t")
+    # merging on the true parent works and lands there only
+    vcs.checkout("f1")
+    vcs.merge("f2", "t")
+    assert {r["id"] for r in vcs.snapshot("f1").collect()} == {"a", "f", "g"}
+    assert {r["id"] for r in vcs.snapshot("main").collect()} == {"a"}
+
+
+def test_rollback_cdc_range_covers_restore(spark, vcs):
+    """A branch forked at a rollback commit must baseline at the
+    post-restore CDC sequence, or settled history resurfaces as merge
+    conflicts."""
+    vcs.stage_insert(mk_rows(spark, [("a", [1.0, 0.0], "x")]))
+    h1 = vcs.commit("first", "t")
+    vcs.stage_insert(mk_rows(spark, [("b", [0.0, 1.0], "y")]))
+    vcs.commit("second", "t")
+    hr = vcs.rollback(h1, "t")
+    rec = vcs.get_commit(hr)
+    coll = vcs.branches.collection("main")
+    assert rec["cdc_hi"] == coll._manifest.get("cdc_seq", 0)
+    assert rec["cdc_lo"] <= rec["cdc_hi"]
+    # fork at the rollback commit, re-insert the rolled-back id in the
+    # branch, merge back: no spurious conflict from pre-rollback events
+    vcs.create_branch("redo", at_ref=hr)
+    vcs.checkout("redo")
+    vcs.stage_insert(mk_rows(spark, [("b", [0.9, 0.1], "y2")]))
+    vcs.commit("redo b", "t")
+    vcs.checkout("main")
+    from needle_spark.branches import FAIL_ON_CONFLICT
+    vcs.merge("redo", "t", strategy=FAIL_ON_CONFLICT)
+    got = {r["id"]: r["category"] for r in vcs.head_snapshot().collect()}
+    assert got == {"a": "x", "b": "y2"}
