@@ -1835,6 +1835,101 @@ def _lineage_impact_sql() -> str:
     return duckdb_descendants_sql(edges, "1", max_depth=10)
 
 
+def _drift_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between the two halves of the embeddings
+    table: centroid cosine shift, total-variance ratio, exact
+    two-sample KS over magnitudes (observe/drift.rs semantics)."""
+    from needle_spark.operators.drift import drift_metrics_df
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return drift_metrics_df(
+        emb.filter(F.col("vec_id") < 250),
+        emb.filter(F.col("vec_id") >= 250),
+        vector_col="embedding",
+    )
+
+
+def _drift_metrics_sql() -> str:
+    mag = ("sqrt(list_reduce(list_prepend(0.0::DOUBLE, "
+           "list_transform(embedding, x -> CAST(x AS DOUBLE) * "
+           "CAST(x AS DOUBLE))), (acc, x) -> acc + x))")
+    return f"""
+WITH e AS (
+  SELECT CASE WHEN vec_id < 250 THEN 'b' ELSE 'c' END AS side, embedding
+  FROM embeddings
+),
+n AS (
+  SELECT CAST(sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         CAST(sum(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS BIGINT) AS nc
+  FROM e
+),
+idx AS (
+  SELECT unnest(range((SELECT max(len(embedding)) FROM embeddings))) AS i
+),
+dims AS (
+  SELECT side, idx.i AS dim,
+         avg(CAST(embedding[idx.i + 1] AS DOUBLE)) AS m,
+         var_samp(CAST(embedding[idx.i + 1] AS DOUBLE)) AS v
+  FROM e, idx
+  GROUP BY side, idx.i
+),
+cen AS (
+  SELECT sum(b.m * c.m) AS dot,
+         sqrt(sum(b.m * b.m)) AS normb, sqrt(sum(c.m * c.m)) AS normc,
+         sum(b.v) AS vb, sum(c.v) AS vc
+  FROM (SELECT * FROM dims WHERE side = 'b') b
+  JOIN (SELECT * FROM dims WHERE side = 'c') c USING (dim)
+),
+mags AS (SELECT side, {mag} AS mag FROM e),
+grouped AS (
+  SELECT mag,
+         sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS cb,
+         sum(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS cc
+  FROM mags GROUP BY mag
+),
+cdf AS (
+  SELECT abs(sum(cb) OVER w / (SELECT CAST(nb AS DOUBLE) FROM n)
+           - sum(cc) OVER w / (SELECT CAST(nc AS DOUBLE) FROM n)) AS d
+  FROM grouped
+  WINDOW w AS (ORDER BY mag ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT CASE WHEN cen.normb = 0 OR cen.normc = 0 THEN 1.0
+       ELSE 1.0 - cen.dot / (cen.normb * cen.normc) END AS centroid_shift,
+       CASE WHEN cen.vb > 0 THEN cen.vc / cen.vb ELSE 1.0 END AS variance_ratio,
+       (SELECT max(d) FROM cdf) AS ks_statistic,
+       n.nb AS n_baseline, n.nc AS n_current
+FROM cen, n
+"""
+
+
+def _knn_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-based outlier scores: every vector's average cosine
+    distance to its 5 nearest neighbors (observe/anomaly.rs
+    DistanceOutlierDetector)."""
+    from needle_spark.operators.anomaly import avg_knn_distance
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return avg_knn_distance(emb, k=5, metric="cosine",
+                            vector_col="embedding", id_col="vec_id")
+
+
+def _knn_outlier_scores_sql() -> str:
+    dist = duckdb_distance_sql("cosine", "a.embedding", "b.embedding")
+    return f"""
+WITH pairs AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid, {dist} AS distance
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT qid, distance,
+         row_number() OVER (PARTITION BY qid ORDER BY distance, nid) AS rn
+  FROM pairs
+)
+SELECT qid AS vec_id, avg(distance) AS avg_knn_distance
+FROM ranked WHERE rn <= 5 GROUP BY qid
+"""
+
+
 def _schema_adapted_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution end-to-end: embeddings land in a real collection,
     the registry applies add_field + widen_field + change_dimension
@@ -1938,6 +2033,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_lineage": _vector_lineage,
         "lineage_impact": _lineage_impact,
         "schema_adapted_read": _schema_adapted_read,
+        "drift_metrics": _drift_metrics,
+        "knn_outlier_scores": _knn_outlier_scores,
     }
 
 
@@ -2032,4 +2129,6 @@ def oracle_sql() -> dict[str, str]:
         "vector_lineage": _vector_lineage_sql(),
         "lineage_impact": _lineage_impact_sql(),
         "schema_adapted_read": _schema_adapted_read_sql(),
+        "drift_metrics": _drift_metrics_sql(),
+        "knn_outlier_scores": _knn_outlier_scores_sql(),
     }
