@@ -1835,6 +1835,68 @@ def _lineage_impact_sql() -> str:
     return duckdb_descendants_sql(edges, "1", max_depth=10)
 
 
+def _numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram over orders.o_totalprice (the planner's
+    selectivity statistics, plans/planner.py numeric_histogram)."""
+    from needle_spark.plans.planner import numeric_histogram
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("double").alias("price"))
+    lo, hi, counts = numeric_histogram(orders, "price", buckets=10)
+    return spark.createDataFrame(
+        [(i, int(c)) for i, c in enumerate(counts)],
+        "bucket int, cnt long",
+    )
+
+
+def _numeric_histogram_sql() -> str:
+    return """
+WITH b AS (SELECT min(CAST(o_totalprice AS DOUBLE)) AS lo,
+                  max(CAST(o_totalprice AS DOUBLE)) AS hi FROM orders),
+assigned AS (
+  SELECT CAST(least(floor((CAST(o_totalprice AS DOUBLE) - b.lo)
+                          / ((b.hi - b.lo) / 10)), 9) AS INT) AS bucket
+  FROM orders, b
+),
+counts AS (SELECT bucket, count(*) AS cnt FROM assigned GROUP BY bucket)
+SELECT CAST(r.i AS INT) AS bucket,
+       CAST(COALESCE(counts.cnt, 0) AS BIGINT) AS cnt
+FROM (SELECT unnest(range(10)) AS i) r LEFT JOIN counts ON counts.bucket = r.i
+"""
+
+
+def _score_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three score-normalization modes (min_max / z_score /
+    softmax, collection/search.rs:94-122) over the BM25 result set."""
+    from needle_spark.operators.hybrid import bm25_scores, normalize_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    s = bm25_scores(docs, _BM25_QUERY, id_col="doc_id", text_col="text")
+    s = normalize_scores(s, "min_max", out_col="score_minmax")
+    s = normalize_scores(s, "z_score", out_col="score_z")
+    s = normalize_scores(s, "softmax", out_col="score_softmax")
+    return s.select("doc_id", "score_minmax", "score_z", "score_softmax")
+
+
+def _score_normalize_sql() -> str:
+    from needle_spark.operators.hybrid import duckdb_bm25_sql
+
+    base = duckdb_bm25_sql(_BM25_QUERY, table="documents", id_col="doc_id")
+    return f"""
+WITH s AS ({base}),
+st AS (SELECT min(score) AS mn, max(score) AS mx,
+              avg(score) AS mu, stddev_pop(score) AS sd FROM s),
+sm AS (SELECT sum(exp(score - st.mx)) AS se FROM s, st)
+SELECT doc_id,
+       CASE WHEN st.mx = st.mn THEN 1.0
+            ELSE (score - st.mn) / (st.mx - st.mn) END AS score_minmax,
+       CASE WHEN st.sd = 0.0 THEN 0.0
+            ELSE (score - st.mu) / st.sd END AS score_z,
+       exp(score - st.mx) / sm.se AS score_softmax
+FROM s, st, sm
+"""
+
+
 def _drift_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution drift between the two halves of the embeddings
     table: centroid cosine shift, total-variance ratio, exact
@@ -2035,6 +2097,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_adapted_read": _schema_adapted_read,
         "drift_metrics": _drift_metrics,
         "knn_outlier_scores": _knn_outlier_scores,
+        "numeric_histogram": _numeric_histogram,
+        "score_normalize": _score_normalize,
     }
 
 
@@ -2131,4 +2195,6 @@ def oracle_sql() -> dict[str, str]:
         "schema_adapted_read": _schema_adapted_read_sql(),
         "drift_metrics": _drift_metrics_sql(),
         "knn_outlier_scores": _knn_outlier_scores_sql(),
+        "numeric_histogram": _numeric_histogram_sql(),
+        "score_normalize": _score_normalize_sql(),
     }
