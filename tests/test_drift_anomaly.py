@@ -161,3 +161,74 @@ def test_isolation_forest_seeded_and_distributed(spark):
     assert s1[999] > max(v for i, v in s1.items() if i != 999)
     mean_inlier = float(np.mean([v for i, v in s1.items() if i != 999]))
     assert mean_inlier < 0.55
+
+
+# --------------------------------------------------- streaming monitor --
+
+def test_streaming_drift_monitor_batches_and_trend(spark, tmp_path):
+    from needle_spark.streaming.drift_monitor import StreamingDriftMonitor
+
+    rng = np.random.default_rng(7)
+    center = np.array([1.0, 1.0, 1.0, 1.0])
+    base = vecs(spark, [(i, v) for i, v in
+                        enumerate(_gauss(rng, 300, center))])
+    # ks_threshold sized to the batch: same-distribution KS noise for
+    # n=200 vs m=300 sits near 1.36*sqrt(1/n+1/m) ~ 0.12, so the 0.1
+    # default would flag statistical noise at this batch size
+    mon = StreamingDriftMonitor(
+        base, vector_col="vector", ks_threshold=0.2,
+        history_dir=str(tmp_path / "drift_history"))
+
+    # quiet batches: same distribution
+    for e in range(3):
+        rep = mon.check_batch(
+            vecs(spark, [(i, v) for i, v in
+                         enumerate(_gauss(rng, 200, center))]), epoch_id=e)
+        assert not rep["is_drifting"], rep
+    assert mon.trend(window=3) == "stable"
+
+    # warm-up path: tiny batch records a zero entry
+    tiny = mon.check_batch(vecs(spark, [(0, [1.0, 1.0, 1.0, 1.0])]),
+                           epoch_id=3)
+    assert tiny["n_samples"] == 1 and tiny["drift_score"] == 0.0
+
+    # drifting batches: shifted center
+    for e in range(4, 9):
+        rep = mon.check_batch(
+            vecs(spark, [(i, v) for i, v in enumerate(
+                _gauss(rng, 200, np.array([4.0, -2.0, 4.0, -2.0])))]),
+            epoch_id=e)
+        assert rep["is_drifting"] and rep["severity"] in ("medium", "high")
+    assert mon.trend(window=5) == "severe_drift"
+
+    hist = mon.history().orderBy("epoch_id").collect()
+    assert len(hist) == 9
+    assert [r["is_drifting"] for r in hist] == [False] * 4 + [True] * 5
+
+
+def test_streaming_drift_monitor_attaches_to_stream(spark, tmp_path):
+    """End-to-end wiring through a real file stream + foreachBatch."""
+    import json as _json
+
+    from needle_spark.streaming.drift_monitor import StreamingDriftMonitor
+
+    rng = np.random.default_rng(8)
+    center = np.array([1.0, 1.0, 1.0, 1.0])
+    base = vecs(spark, [(i, v) for i, v in
+                        enumerate(_gauss(rng, 200, center))])
+    mon = StreamingDriftMonitor(base, vector_col="vector", min_samples=5)
+
+    src = str(tmp_path / "stream_src")
+    import os as _os
+    _os.makedirs(src, exist_ok=True)
+    with open(_os.path.join(src, "b1.json"), "w") as f:
+        for i, v in enumerate(_gauss(rng, 50,
+                                     np.array([4.0, -2.0, 4.0, -2.0]))):
+            f.write(_json.dumps({"id": i, "vector": v}) + "\n")
+    stream = (spark.readStream.schema("id long, vector array<float>")
+              .json(src))
+    q = mon.attach(stream, checkpoint_dir=str(tmp_path / "ckpt"),
+                   available_now=True)
+    q.awaitTermination(120)
+    hist = mon.history().collect()
+    assert len(hist) >= 1 and any(r["is_drifting"] for r in hist)
