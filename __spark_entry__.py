@@ -2027,6 +2027,236 @@ FROM embeddings
 """
 
 
+# ---------------------------------------------------------------- RAG --
+# The synthetic docs corpus has no punctuation, so the sentence/paragraph
+# chunking queries derive a deterministically punctuated twin of each
+# document (8-word sentences joined by '. ' / blank lines) with the SAME
+# list expressions in both engines, then exercise the real operator.
+
+def _ptext_expr(sep: str) -> F.Column:
+    words = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+    starts = F.sequence(F.lit(0), F.greatest(F.size(words) - 1, F.lit(0)), F.lit(8))
+    sents8 = F.transform(
+        starts, lambda i: F.array_join(F.slice(words, i + 1, 8), " "))
+    return F.array_join(sents8, sep)
+
+
+def _chunk_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic sentence-boundary chunking (rag/pipeline.rs:379-419) as
+    a single map-only left fold; see operators/rag.py."""
+    from needle_spark.operators.rag import chunk_semantic_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    ptext = F.concat(_ptext_expr(". "), F.lit("."))
+    return (docs.withColumn("__p", ptext)
+            .select("doc_id",
+                    F.posexplode(chunk_semantic_expr(F.col("__p"), 200, 50))
+                    .alias("chunk_index", "chunk"))
+            .select("doc_id",
+                    F.col("chunk_index").cast("long").alias("chunk_index"),
+                    "chunk"))
+
+
+_CHUNK_SEMANTIC_SQL = r"""
+WITH RECURSIVE
+w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS words FROM documents),
+p AS (SELECT doc_id,
+        array_to_string(
+          list_transform(range(0, greatest(len(words)-1, 0)+1, 8),
+                         s -> array_to_string(words[s+1:s+8], ' ')),
+          '. ') || '.' AS ptext
+      FROM w),
+sl AS (SELECT doc_id,
+         list_filter(list_transform(regexp_extract_all(ptext, '[^.!?]+[.!?]?'),
+                                    x -> trim(x)),
+                     x -> length(x) > 0) AS sents
+       FROM p),
+sents AS (SELECT doc_id, i, sents[i] AS sent
+          FROM sl, unnest(range(1, len(sents)+1)) AS t(i)),
+rec AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS i, '' AS cur, NULL::VARCHAR AS emitted
+  FROM (SELECT DISTINCT doc_id FROM sents)
+  UNION ALL
+  SELECT r.doc_id, r.i + 1,
+    CASE WHEN length(r.cur) + length(s.sent) > 200 AND length(r.cur) >= 50
+         THEN s.sent
+         WHEN length(r.cur) = 0 THEN s.sent
+         ELSE r.cur || ' ' || s.sent END,
+    CASE WHEN length(r.cur) + length(s.sent) > 200 AND length(r.cur) >= 50
+         THEN trim(r.cur) END
+  FROM rec r JOIN sents s ON s.doc_id = r.doc_id AND s.i = r.i + 1
+),
+mx AS (SELECT doc_id, max(i) AS n FROM rec GROUP BY doc_id),
+chunks AS (
+  SELECT doc_id, i AS ord, emitted AS chunk FROM rec WHERE emitted IS NOT NULL
+  UNION ALL
+  SELECT r.doc_id, r.i + 1000000000, trim(r.cur)
+  FROM rec r JOIN mx ON mx.doc_id = r.doc_id AND r.i = mx.n
+  WHERE length(trim(r.cur)) > 0
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS BIGINT)
+         AS chunk_index,
+       chunk
+FROM chunks
+"""
+
+
+def _chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-count sliding window (rag/pipeline.rs:347-377)."""
+    from needle_spark.operators.rag import chunk_sliding_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select(
+        "doc_id",
+        F.posexplode(chunk_sliding_expr(F.col("text"), 16, 8))
+         .alias("chunk_index", "chunk"))
+        .select("doc_id",
+                F.col("chunk_index").cast("long").alias("chunk_index"),
+                "chunk"))
+
+
+_CHUNK_SLIDING_SQL = r"""
+WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS words
+           FROM documents WHERE length(trim(text)) > 0),
+st AS (SELECT doc_id, words,
+         list_filter(range(0, greatest(len(words)-1, 0)+1, 8),
+                     i -> i = 0 OR i - 8 + 16 < len(words)) AS starts
+       FROM w),
+c AS (SELECT doc_id, s, array_to_string(words[s+1:s+16], ' ') AS chunk
+      FROM st, unnest(starts) AS t(s))
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS BIGINT)
+         AS chunk_index,
+       chunk
+FROM c
+"""
+
+
+def _chunk_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-group chunking (rag/pipeline.rs:428-441)."""
+    from needle_spark.operators.rag import chunk_paragraphs_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.withColumn("__p", _ptext_expr("\n\n"))
+            .select("doc_id",
+                    F.posexplode(chunk_paragraphs_expr(F.col("__p"), 3))
+                    .alias("chunk_index", "chunk"))
+            .select("doc_id",
+                    F.col("chunk_index").cast("long").alias("chunk_index"),
+                    "chunk"))
+
+
+_CHUNK_PARAGRAPHS_SQL = r"""
+WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS words FROM documents),
+p AS (SELECT doc_id,
+        list_transform(range(0, greatest(len(words)-1, 0)+1, 8),
+                       s -> array_to_string(words[s+1:s+8], ' ')) AS paras
+      FROM w),
+g AS (SELECT doc_id, s,
+        array_to_string(paras[s+1:s+3], chr(10) || chr(10)) AS chunk
+      FROM p, unnest(range(0, greatest(len(paras)-1, 0)+1, 3)) AS t(s))
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS BIGINT)
+         AS chunk_index,
+       chunk
+FROM g WHERE length(trim(chunk)) > 0
+"""
+
+
+def _markdown_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown document loading (rag/chunking.rs:43-79): heading strip,
+    title + headings extraction over a derived markdown corpus."""
+    from needle_spark.operators.rag import load_markdown
+
+    docs = _t(spark, sf_dir, "documents")
+    md = F.concat(F.lit("# Doc "), F.col("doc_id").cast("string"),
+                  F.lit("\n## "), F.col("source"), F.lit("\n"), F.col("text"))
+    return load_markdown(docs.select("doc_id", md.alias("text"))).select(
+        "doc_id", "title", "headings", "text")
+
+
+_MARKDOWN_LOAD_SQL = r"""
+SELECT doc_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       ['Doc ' || CAST(doc_id AS VARCHAR), source] AS headings,
+       'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || source || chr(10) || text
+         AS text
+FROM documents
+"""
+
+
+def _rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ScorePriority context selection (rag/pipeline.rs:603-624): the
+    greedy budget cut is a window cumulative-sum prefix."""
+    from needle_spark.operators.rag import select_context_chunks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    qv = _query_vec(spark, sf_dir, 0)
+    hits = knn(emb.select(F.col("vec_id").alias("id"),
+                          F.col("embedding").alias("vector")), qv, k=9)
+    joined = hits.join(docs, hits["id"] == docs["doc_id"]).select(
+        F.col("id"), F.col("text").alias("chunk"),
+        (F.lit(1.0) - F.col("distance")).alias("score"))
+    sel = select_context_chunks(joined, max_context_tokens=150)
+    return sel.select("id",
+                      F.col("display_idx").cast("long").alias("display_idx"),
+                      F.col("cum_chars").cast("long").alias("cum_chars"),
+                      "score")
+
+
+def _rag_context_sql() -> str:
+    d = duckdb_distance_sql("cosine", "embedding", _Q_SQL)
+    return f"""
+WITH hits AS (
+  SELECT vec_id AS id, {d} AS dist
+  FROM embeddings ORDER BY dist ASC, vec_id ASC LIMIT 9),
+j AS (SELECT h.id, dd.text AS chunk, 1.0 - h.dist AS score
+      FROM hits h JOIN documents dd ON dd.doc_id = h.id),
+r AS (SELECT *, CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS BIGINT)
+        AS display_idx FROM j),
+c AS (SELECT *, CAST(sum(length(chunk) + length(CAST(display_idx AS VARCHAR)) + 5)
+        OVER (ORDER BY display_idx ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        AS cum_chars
+      FROM r)
+SELECT id, display_idx, cum_chars, score
+FROM c WHERE display_idx = 1 OR cum_chars <= 600
+"""
+
+
+def _multiquery_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query RRF fusion (rag/mod.rs:308-316, pipeline.rs:840-907):
+    all expansions ride one fused batch-kNN broadcast join."""
+    from needle_spark.operators.rag import multi_query_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vecs = [_query_vec(spark, sf_dir, i) for i in range(3)]
+    return multi_query_search(
+        emb.select(F.col("vec_id").alias("id"),
+                   F.col("embedding").alias("vector")),
+        vecs, k=10, merge="rrf")
+
+
+def _multiquery_rrf_sql() -> str:
+    parts = []
+    for i in range(3):
+        di = duckdb_distance_sql(
+            "cosine", "embedding",
+            f"(SELECT embedding FROM embeddings WHERE vec_id = {i})")
+        parts.append(f"""
+q{i} AS (SELECT vec_id AS id, {di} AS dist,
+         CAST(row_number() OVER (ORDER BY {di} ASC, vec_id ASC) AS BIGINT)
+           AS rank
+       FROM embeddings ORDER BY dist ASC, vec_id ASC LIMIT 10)""")
+    return "WITH " + ",".join(parts) + """
+, u AS (SELECT * FROM q0 UNION ALL SELECT * FROM q1 UNION ALL SELECT * FROM q2)
+SELECT id, sum(1.0 / (60.0 + rank)) AS rrf_score, min(dist) AS best_distance
+FROM u GROUP BY id
+ORDER BY rrf_score DESC, id ASC LIMIT 10
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": _mk_knn("cosine"),
@@ -2099,6 +2329,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_outlier_scores": _knn_outlier_scores,
         "numeric_histogram": _numeric_histogram,
         "score_normalize": _score_normalize,
+        "chunk_semantic": _chunk_semantic,
+        "chunk_sliding": _chunk_sliding,
+        "chunk_paragraphs": _chunk_paragraphs,
+        "markdown_load": _markdown_load,
+        "rag_context": _rag_context,
+        "multiquery_rrf": _multiquery_rrf,
     }
 
 
@@ -2197,4 +2433,10 @@ def oracle_sql() -> dict[str, str]:
         "knn_outlier_scores": _knn_outlier_scores_sql(),
         "numeric_histogram": _numeric_histogram_sql(),
         "score_normalize": _score_normalize_sql(),
+        "chunk_semantic": _CHUNK_SEMANTIC_SQL,
+        "chunk_sliding": _CHUNK_SLIDING_SQL,
+        "chunk_paragraphs": _CHUNK_PARAGRAPHS_SQL,
+        "markdown_load": _MARKDOWN_LOAD_SQL,
+        "rag_context": _rag_context_sql(),
+        "multiquery_rrf": _multiquery_rrf_sql(),
     }

@@ -65,6 +65,7 @@ def main() -> None:
         "idf_overlap_rerank", "chunk_fixed", "cross_agg_best",
         "decontaminate", "gopher_quality", "stratified_sample",
         "pii_redact", "dedup_lines", "federated_routed",
+        "chunk_semantic", "multiquery_rrf",
     ]
     for name in bench_queries:
         fn = qs[name]
