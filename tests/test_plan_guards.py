@@ -176,3 +176,34 @@ def test_schema_adapted_read_map_only(spark, tmp_path):
         assert marker not in adapted
     # adaptation adds NO exchanges beyond the base read's own plan
     assert adapted.count("Exchange") == base.count("Exchange")
+
+
+def test_chunk_semantic_map_only(spark, sf_dir):
+    """Semantic chunking (operators/rag.py chunk_semantic_expr) is a pure
+    scan expression: no exchange, no Python UDF — chunking a 100 TB
+    corpus is map-only work."""
+    from needle_spark.operators.rag import chunk_semantic_expr
+
+    docs = load(spark, "documents", sf_dir)
+    df = docs.select(
+        "doc_id",
+        F.posexplode(chunk_semantic_expr(F.col("text"), 200, 50))
+         .alias("chunk_index", "chunk"))
+    p = plan_of(df)
+    assert "Exchange" not in p
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "pythonUDF"):
+        assert marker not in p
+
+
+def test_multi_query_search_single_rank_exchange(spark, embeddings):
+    """Multi-query fusion rides the fused batch-kNN broadcast join: the
+    doc side never hash-partitions before ranking; only the per-query
+    rank window and the final merge aggregate exchange."""
+    from needle_spark.operators.rag import multi_query_search
+
+    docs = embeddings.select(F.col("vec_id").alias("id"),
+                             F.col("embedding").alias("vector"))
+    qv = [[float(i == j) for j in range(64)] for i in range(3)]
+    p = plan_of(multi_query_search(docs, qv, k=5))
+    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
