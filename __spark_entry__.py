@@ -2257,6 +2257,50 @@ ORDER BY rrf_score DESC, id ASC LIMIT 10
 """
 
 
+def _data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide half of DataProfiler.profile (tuning.rs:1122-1311)
+    as ONE order-exact aggregation: magnitudes, sparsity, normalization
+    flag.  Fixed-point sums make the result partition-invariant."""
+    from needle_spark.plans.tuning import profile_stats_df
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return profile_stats_df(emb.select(F.col("embedding").alias("vector")))
+
+
+def _data_profile_sql() -> str:
+    mag = ("sqrt(list_reduce(list_prepend(0.0::DOUBLE, "
+           "list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+           "(acc, x) -> acc + x))")
+    nz = ("list_reduce(list_prepend(0, list_transform(embedding, "
+          "x -> CASE WHEN abs(x) < 0.001 THEN 1 ELSE 0 END)), (a, b) -> a + b)")
+    mean = "sum_m / CAST(sample_size AS DOUBLE)"
+    std = (f"sqrt(greatest(sum_m2 / CAST(sample_size AS DOUBLE) "
+           f"- ({mean}) * ({mean}), 0.0))")
+    return f"""
+WITH per AS (
+  SELECT len(embedding) AS d,
+         CAST(round({mag} * 1000000.0) AS BIGINT) AS m_fx,
+         CAST(round({mag} * {mag} * 1000000.0) AS BIGINT) AS m2_fx,
+         {nz} AS nz
+  FROM embeddings
+), agg AS (
+  SELECT CAST(max(d) AS INT) AS dimensions,
+         count(*) AS sample_size,
+         CAST(sum(m_fx) AS DOUBLE) / 1000000.0 AS sum_m,
+         CAST(sum(m2_fx) AS DOUBLE) / 1000000.0 AS sum_m2,
+         CAST(sum(nz) AS DOUBLE) AS nz_total,
+         CAST(sum(d) AS DOUBLE) AS values_total
+  FROM per
+)
+SELECT dimensions, sample_size,
+       {mean} AS mean_magnitude,
+       {std} AS std_magnitude,
+       nz_total / values_total AS sparsity_ratio,
+       (abs({mean} - 1.0) < 0.1 AND {std} < 0.1) AS appears_normalized
+FROM agg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": _mk_knn("cosine"),
@@ -2335,6 +2379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markdown_load": _markdown_load,
         "rag_context": _rag_context,
         "multiquery_rrf": _multiquery_rrf,
+        "data_profile": _data_profile,
     }
 
 
@@ -2439,4 +2484,5 @@ def oracle_sql() -> dict[str, str]:
         "markdown_load": _MARKDOWN_LOAD_SQL,
         "rag_context": _rag_context_sql(),
         "multiquery_rrf": _multiquery_rrf_sql(),
+        "data_profile": _data_profile_sql(),
     }
