@@ -357,11 +357,18 @@ class IvfBatchKnnIndex:
             .sortWithinPartitions("centroid_id")
         )
         self._persisted = persist
+        self.n_main = None
         if persist:
             self.codes = self.codes.persist()
-            self.codes.count()
+            self.n_main = self.codes.count()
         self._segments: tuple[str, int] | None = None
         self._seg_tmp = False
+        # incremental state (src/indexing/incremental.rs IncrementalIndex):
+        # new rows encode with the FROZEN centroids/quantizer into a delta
+        # frame that search merges in; deletes tombstone until merge_delta
+        self._delta: DataFrame | None = None
+        self._delta_rows = 0
+        self._tombstones: set = set()
 
     # -- encode ---------------------------------------------------------
     def _encode(self, docs: DataFrame) -> DataFrame:
@@ -712,11 +719,19 @@ class IvfBatchKnnIndex:
         from needle_spark.operators.knn_arrow import _merge_topk
 
         q_ids, Q, qid_type, cell2q, probes = self._prep_queries(queries, nprobe)
+        fetch = self._fetch_k(k)
         if source is None and self._segments is not None:
-            partial = self._partial_segments(q_ids, Q, qid_type, cell2q, k)
+            partial = self._partial_segments(q_ids, Q, qid_type, cell2q, fetch)
         else:
-            partial = self._partial(q_ids, Q, qid_type, cell2q, k,
+            partial = self._partial(q_ids, Q, qid_type, cell2q, fetch,
                                     source=self._pruned_source(source, probes))
+        if source is None and self._delta is not None:
+            partial = partial.unionByName(self._partial(
+                q_ids, Q, qid_type, cell2q, fetch,
+                source=self._pruned_source(self._delta, probes)))
+        if self._tombstones:
+            partial = partial.filter(
+                ~F.col(self.id_col).isin(sorted(self._tombstones)))
         return _merge_topk(partial, k, "query_id", self.id_col, "distance", "rank")
 
     def search_local(self, queries, k: int = 10, nprobe: int = 16,
@@ -724,13 +739,23 @@ class IvfBatchKnnIndex:
         """Low-latency batch path: one map-stage job + driver merge of
         <= partitions x Q x k candidates (the takeOrdered pattern) —
         mirrors BatchKnnIndex.search_local."""
+        import pandas as pd
+
         q_ids, Q, qid_type, cell2q, probes = self._prep_queries(queries, nprobe)
+        fetch = self._fetch_k(k)
         if source is None and self._segments is not None:
-            partial = self._partial_segments(q_ids, Q, qid_type, cell2q, k)
+            partial = self._partial_segments(q_ids, Q, qid_type, cell2q, fetch)
         else:
-            partial = self._partial(q_ids, Q, qid_type, cell2q, k,
+            partial = self._partial(q_ids, Q, qid_type, cell2q, fetch,
                                     source=self._pruned_source(source, probes))
         pdf = partial.toPandas()
+        if source is None and self._delta is not None:
+            dpdf = self._partial(
+                q_ids, Q, qid_type, cell2q, fetch,
+                source=self._pruned_source(self._delta, probes)).toPandas()
+            pdf = pd.concat([pdf, dpdf], ignore_index=True)
+        if self._tombstones:
+            pdf = pdf[~pdf[self.id_col].isin(self._tombstones)]
         pdf = pdf.sort_values(["query_id", "distance", self.id_col],
                               kind="mergesort", ignore_index=True)
         pdf = pdf.groupby("query_id", sort=False).head(k).reset_index(drop=True)
@@ -743,9 +768,108 @@ class IvfBatchKnnIndex:
         _, _, _, _, probes = self._prep_queries(queries, nprobe)
         return sorted({int(c) for c in probes.ravel()})
 
+    # -- incremental maintenance (incremental.rs IncrementalIndex) ------
+    def _fetch_k(self, k: int) -> int:
+        """Over-fetch per partition so tombstone filtering cannot
+        under-fill the final top-k; bounded — a large delete backlog
+        should merge_delta() instead (needs_optimization flags it)."""
+        return k + min(len(self._tombstones), 64)
+
+    def add(self, rows: DataFrame) -> int:
+        """Insert without rebuilding (incremental.rs:331 insert): encode
+        with the frozen centroids/quantizer (one map-only pass) into the
+        delta frame; searches merge it in immediately.  Centroids do NOT
+        refit — like the reference, drifted data degrades recall until
+        merge/rebuild, which stats() makes visible."""
+        enc = self._encode(rows).persist()
+        n = enc.count()
+        if self._tombstones:
+            # re-inserting a tombstoned id revives it
+            new_ids = {r[0] for r in enc.select(self.id_col).collect()}
+            self._tombstones -= new_ids
+        self._delta = enc if self._delta is None \
+            else self._delta.unionByName(enc)
+        self._delta_rows += n
+        return n
+
+    def delete(self, ids) -> int:
+        """Tombstone ids (incremental.rs:513): delta rows drop
+        immediately, main rows are masked at search until merge_delta."""
+        ids = set(ids)
+        if self._delta is not None and ids:
+            self._delta = self._delta.filter(
+                ~F.col(self.id_col).isin(sorted(ids)))
+        self._tombstones |= ids
+        return len(ids)
+
+    def merge_delta(self) -> dict:
+        """Fold the delta into the main codes table (incremental.rs:423):
+        one repartition of (main ∪ delta) minus tombstones back into the
+        cell-contiguous layout; re-pins mmap segments if they were
+        pinned.  At rest this is a partition-localized rewrite — only
+        cells that received delta rows change files."""
+        merged = self.codes
+        if self._delta is not None:
+            merged = merged.unionByName(self._delta)
+        if self._tombstones:
+            merged = merged.filter(
+                ~F.col(self.id_col).isin(sorted(self._tombstones)))
+        n_parts = merged.sparkSession.sparkContext.defaultParallelism
+        new_codes = (merged.repartition(n_parts, F.col("centroid_id"))
+                     .sortWithinPartitions("centroid_id"))
+        if self._persisted:
+            new_codes = new_codes.persist()
+            n = new_codes.count()
+        else:
+            n = new_codes.count()
+        old = self.codes
+        self.codes = new_codes
+        if self._persisted:
+            old.unpersist()
+        if self._delta is not None:
+            self._delta.unpersist()
+        deleted = len(self._tombstones)
+        merged_rows = self._delta_rows
+        self._delta, self._delta_rows, self._tombstones = None, 0, set()
+        was_pinned = self._segments is not None
+        if was_pinned:
+            import shutil
+
+            old_dir = self._segments[0]
+            was_tmp = self._seg_tmp
+            self._segments = None
+            self._seg_tmp = False
+            # wipe stale segment files (partition count may shrink)
+            shutil.rmtree(old_dir, ignore_errors=True)
+            self.pin_segments(None if was_tmp else old_dir)
+        self.n_main = n
+        return {"merged_rows": merged_rows, "deleted": deleted,
+                "main_rows": n, "repinned_segments": was_pinned}
+
+    def incremental_stats(self) -> dict:
+        """incremental.rs:207 IncrementalStats."""
+        main = self.n_main if self.n_main is not None else self.codes.count()
+        total = main + self._delta_rows
+        return {
+            "main_rows": main,
+            "delta_rows": self._delta_rows,
+            "deleted_pending": len(self._tombstones),
+            "fragmentation": len(self._tombstones) / total if total else 0.0,
+        }
+
+    def needs_optimization(self, delta_threshold: int = 10_000,
+                           max_fragmentation: float = 0.2) -> bool:
+        """incremental.rs:624: merge when the delta outgrows its brute
+        regime or tombstones fragment the main table."""
+        s = self.incremental_stats()
+        return (s["delta_rows"] >= delta_threshold
+                or s["fragmentation"] >= max_fragmentation)
+
     def unpersist(self) -> None:
         if self._persisted:
             self.codes.unpersist()
+        if self._delta is not None:
+            self._delta.unpersist()
         if self._segments is not None and self._seg_tmp:
             import shutil
 

@@ -164,3 +164,117 @@ def test_empty_and_validation(spark):
     one = spark.createDataFrame([(1, [0.1, 0.2])], "id long, vector array<float>")
     with pytest.raises(ValueError, match="cosine"):
         IvfBatchKnnIndex(one, vector_col="vector", id_col="id", metric="hamming")
+
+
+# ===================================================================
+# Incremental maintenance (incremental.rs IncrementalIndex)
+# ===================================================================
+
+def test_incremental_add_serves_immediately(spark, clustered):
+    df, pts, queries = clustered
+    rng = np.random.default_rng(11)
+    idx = IvfBatchKnnIndex(df, nlist=N_CLUSTERS, vector_col="vector",
+                           id_col="id", metric="euclidean", seed=1)
+    try:
+        # a brand-new point very close to query 0
+        q0 = queries[0]
+        new_vec = q0 + 0.001 * rng.standard_normal(DIM)
+        delta = spark.createDataFrame(
+            [(999_001, [float(x) for x in new_vec])],
+            "id long, vector array<float>")
+        assert idx.add(delta) == 1
+        st = idx.incremental_stats()
+        assert st["delta_rows"] == 1 and st["main_rows"] == len(pts)
+
+        got = idx.search_local(([0], q0[None, :]), k=5, nprobe=N_CLUSTERS)
+        assert got.iloc[0]["id"] == 999_001  # the new point wins rank 1
+        # the distributed merge variant sees the delta too
+        dist = idx.search(([0], q0[None, :]), k=5,
+                          nprobe=N_CLUSTERS).toPandas()
+        assert 999_001 in set(dist["id"])
+    finally:
+        idx.unpersist()
+
+
+def test_incremental_delete_then_merge(spark, clustered):
+    df, pts, queries = clustered
+    idx = IvfBatchKnnIndex(df, nlist=N_CLUSTERS, vector_col="vector",
+                           id_col="id", metric="euclidean", seed=1)
+    try:
+        q0 = queries[0]
+        before = idx.search_local(([0], q0[None, :]), k=5, nprobe=N_CLUSTERS)
+        victim = int(before.iloc[0]["id"])
+        idx.delete([victim])
+        after = idx.search_local(([0], q0[None, :]), k=5, nprobe=N_CLUSTERS)
+        assert victim not in set(after["id"])
+        assert len(after) == 5  # over-fetch kept the page full
+
+        st = idx.incremental_stats()
+        assert st["deleted_pending"] == 1
+
+        res = idx.merge_delta()
+        assert res["deleted"] == 1
+        assert res["main_rows"] == len(pts) - 1
+        st2 = idx.incremental_stats()
+        assert st2["deleted_pending"] == 0 and st2["delta_rows"] == 0
+        merged = idx.search_local(([0], q0[None, :]), k=5, nprobe=N_CLUSTERS)
+        assert victim not in set(merged["id"])
+    finally:
+        idx.unpersist()
+
+
+def test_incremental_readd_revives_tombstone(spark, clustered):
+    df, pts, queries = clustered
+    idx = IvfBatchKnnIndex(df, nlist=N_CLUSTERS, vector_col="vector",
+                           id_col="id", metric="euclidean", seed=1)
+    try:
+        q0 = queries[0]
+        before = idx.search_local(([0], q0[None, :]), k=3, nprobe=N_CLUSTERS)
+        victim = int(before.iloc[0]["id"])
+        idx.delete([victim])
+        revive = spark.createDataFrame(
+            [(victim, [float(x) for x in pts[victim]])],
+            "id long, vector array<float>")
+        idx.add(revive)
+        assert idx.incremental_stats()["deleted_pending"] == 0
+        got = idx.search_local(([0], q0[None, :]), k=3, nprobe=N_CLUSTERS)
+        assert victim in set(got["id"])
+    finally:
+        idx.unpersist()
+
+
+def test_incremental_merge_with_pinned_segments(spark, clustered):
+    df, pts, queries = clustered
+    idx = IvfBatchKnnIndex(df, nlist=N_CLUSTERS, vector_col="vector",
+                           id_col="id", metric="euclidean", seed=1)
+    try:
+        idx.pin_segments()
+        q0 = queries[0]
+        new_vec = q0 * 1.0
+        idx.add(spark.createDataFrame(
+            [(999_002, [float(x) for x in new_vec])],
+            "id long, vector array<float>"))
+        # delta merges into the pinned path too (segments + delta pass)
+        got = idx.search_local(([0], q0[None, :]), k=3, nprobe=N_CLUSTERS)
+        assert 999_002 in set(got["id"])
+        res = idx.merge_delta()
+        assert res["repinned_segments"] is True
+        got2 = idx.search_local(([0], q0[None, :]), k=3, nprobe=N_CLUSTERS)
+        assert 999_002 in set(got2["id"])
+        assert idx.incremental_stats()["main_rows"] == len(pts) + 1
+    finally:
+        idx.unpersist()
+
+
+def test_needs_optimization_thresholds(spark, clustered):
+    df, pts, _ = clustered
+    idx = IvfBatchKnnIndex(df, nlist=N_CLUSTERS, vector_col="vector",
+                           id_col="id", metric="euclidean", seed=1)
+    try:
+        assert idx.needs_optimization() is False
+        idx.delete(range(0, len(pts) // 4))  # 25% tombstoned
+        assert idx.needs_optimization(max_fragmentation=0.2) is True
+        assert idx.needs_optimization(max_fragmentation=0.9,
+                                      delta_threshold=10) is False
+    finally:
+        idx.unpersist()
