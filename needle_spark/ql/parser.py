@@ -206,7 +206,13 @@ class Parser:
             return opts
         self.next()
         while not (self.peek().kind == "PUNCT" and self.peek().value == ")"):
-            key = self.ident()
+            # option keys may collide with keywords (RERANK): accept both
+            t = self.peek()
+            if t.kind == "KEYWORD":
+                self.next()
+                key = t.value.lower()
+            else:
+                key = self.ident()
             self.expect("OP", "=")
             val = self._literal()
             if key == "top_k":
