@@ -144,10 +144,10 @@ def main() -> None:
                                id_col="vec_id", metric="cosine", seed=42,
                                kmeans_max_iter=6, sample_rows=32768)
     ivf_idx.pin_segments()
-    ivf_idx.search_local((q_ids, Q384), k=10, nprobe=8)  # warm
+    ivf_idx.search_local((q_ids, Q384), k=10, nprobe=6)  # warm
     run("batch_knn_1M384_ivf_100q",
-        lambda: ivf_idx.search_local((q_ids, Q384), k=10, nprobe=8), repeats=3)
-    ivf_1m = ivf_idx.search_local((q_ids, Q384), k=10, nprobe=8)
+        lambda: ivf_idx.search_local((q_ids, Q384), k=10, nprobe=6), repeats=3)
+    ivf_1m = ivf_idx.search_local((q_ids, Q384), k=10, nprobe=6)
     ivf_recall = 0.0
     for qid in q_ids:
         e = set(exact_1m[exact_1m.query_id == qid].vec_id)
