@@ -271,8 +271,105 @@ class ProductQuantizer:
                    vector_col=self.vector_col, id_col=id_col)
 
 
+class HalfQuantizer:
+    """Half-precision vector storage: IEEE float16 or bfloat16 — 2x
+    compression with near-zero accuracy loss.
+
+    Reference: /root/reference/src/indexing/float16.rs (F16Vector /
+    Bf16Vector: from_f32/to_f32 + reduced-precision distances).  Spark
+    mapping: a `binary` column of packed 16-bit words written by one
+    Arrow-batched map pass.  float16 keeps 10 mantissa bits (better
+    precision); bfloat16 keeps float32's 8-bit exponent (full dynamic
+    range, 7 mantissa bits — the truncation round, float16.rs:202).
+    Search scores the half-precision codes directly in a vectorized
+    Arrow kernel (numpy decodes a whole batch at once), then exact
+    floats rescore the short candidate page like the SQ8 path."""
+
+    def __init__(self, fmt: str = "float16", vector_col: str = "vector",
+                 codes_col: str = "half"):
+        if fmt not in ("float16", "bfloat16"):
+            raise ValueError(f"unknown half format: {fmt!r}")
+        self.fmt = fmt
+        self.vector_col = vector_col
+        self.codes_col = codes_col
+
+    # -- pack/unpack (vectorized over whole Arrow batches) -------------
+    def _pack(self, x: np.ndarray) -> bytes:
+        if self.fmt == "float16":
+            return x.astype(np.float16).tobytes()
+        # bfloat16 = top 16 bits of the float32 pattern (truncation,
+        # float16.rs:202 from_f32)
+        u = x.astype(np.float32).view(np.uint32)
+        return (u >> 16).astype(np.uint16).tobytes()
+
+    def _unpack(self, raw: bytes) -> np.ndarray:
+        if self.fmt == "float16":
+            return np.frombuffer(raw, dtype=np.float16).astype(np.float32)
+        u = np.frombuffer(raw, dtype=np.uint16).astype(np.uint32) << 16
+        return u.view(np.float32)
+
+    def encode(self, df: DataFrame) -> DataFrame:
+        """One Arrow map pass: adds the packed `binary` column (keep the
+        float column for exact rescoring, or drop it for 2x at rest)."""
+        pack = self._pack
+
+        @F.pandas_udf("binary")
+        def _enc(vs: pd.Series) -> pd.Series:
+            return vs.apply(lambda v: pack(np.asarray(v, dtype=np.float32)))
+
+        return df.withColumn(self.codes_col, _enc(F.col(self.vector_col)))
+
+    def decode_udf(self):
+        pack_fmt, unpack = self.fmt, self._unpack
+
+        @F.pandas_udf("array<float>")
+        def _dec(bs: pd.Series) -> pd.Series:
+            return bs.apply(lambda b: [float(x) for x in unpack(b)])
+
+        return _dec
+
+    def search(self, encoded_df: DataFrame, query_vector, k: int = 10,
+               rescore_factor: int = 2, metric: str = "cosine",
+               id_col: str = "id") -> DataFrame:
+        """Coarse half-precision scoring (Arrow-vectorized) + exact
+        float rescore of the top (k * rescore_factor)."""
+        from needle_spark.operators.knn import knn, validate_query_vector
+
+        qv = np.asarray(validate_query_vector(query_vector),
+                        dtype=np.float32)
+        unpack = self._unpack
+        m = metric.lower()
+
+        @F.pandas_udf("double")
+        def _coarse(bs: pd.Series) -> pd.Series:
+            X = np.stack([unpack(b) for b in bs]) if len(bs) else \
+                np.zeros((0, len(qv)), dtype=np.float32)
+            if m == "cosine":
+                nx = np.linalg.norm(X, axis=1)
+                nq = float(np.linalg.norm(qv))
+                denom = np.where((nx == 0) | (nq == 0), 1.0, nx * nq)
+                d = 1.0 - (X @ qv) / denom
+                d = np.where((nx == 0) | (nq == 0), 1.0, d)
+            elif m == "dot":
+                d = -(X @ qv)
+            else:  # euclidean
+                diff = X - qv[None, :]
+                d = np.sqrt((diff * diff).sum(axis=1))
+            return pd.Series(d.astype(np.float64))
+
+        candidates = (
+            encoded_df.withColumn("__h", _coarse(F.col(self.codes_col)))
+            .orderBy(F.col("__h").asc(), F.col(id_col).asc())
+            .limit(k * rescore_factor)
+            .drop("__h")
+        )
+        return knn(candidates, qv.tolist(), k=k, metric=metric,
+                   vector_col=self.vector_col, id_col=id_col)
+
+
 def compression_ratio(kind: str = "sq8", dim: int = 64, m: int = 8) -> float:
-    """float32 -> int8 (4x), sign bits (32x), or PQ (dim*4/m bytes)."""
+    """float32 -> fp16/bf16 (2x), int8 (4x), sign bits (32x), or PQ
+    (dim*4/m bytes)."""
     if kind == "pq":
         return dim * 4.0 / m
-    return {"sq8": 4.0, "binary": 32.0}[kind]
+    return {"sq8": 4.0, "binary": 32.0, "float16": 2.0, "bfloat16": 2.0}[kind]

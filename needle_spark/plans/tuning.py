@@ -340,6 +340,42 @@ def recommended_nprobe(cells: int, target_recall: float) -> int:
     return max(int(cells * min(frac, 1.0)), 1)
 
 
+class AdaptiveProbeTuner:
+    """Feedback-driven probe tuning (query_explain.rs:247-305
+    AdaptiveEfTuner, with nprobe standing in for ef_search): latency
+    above target shrinks the probe count by learning_rate; latency
+    under half the target grows it back for recall.  Bounded history,
+    bounded probe range."""
+
+    def __init__(self, initial_nprobe: int, target_latency_ms: float,
+                 min_probe: int = 1, max_probe: int = 512,
+                 learning_rate: float = 0.1, max_history: int = 100):
+        self.current = int(initial_nprobe)
+        self.target_ms = float(target_latency_ms)
+        self.min_probe, self.max_probe = int(min_probe), int(max_probe)
+        self.lr = float(learning_rate)
+        self.history: list[float] = []
+        self.max_history = int(max_history)
+
+    def record_feedback(self, actual_latency_ms: float) -> None:
+        self.history.append(float(actual_latency_ms))
+        del self.history[: max(0, len(self.history) - self.max_history)]
+        step = max(int(self.current * self.lr), 1)
+        if actual_latency_ms > self.target_ms:
+            self.current = max(self.current - step, self.min_probe)
+        elif actual_latency_ms < self.target_ms / 2:
+            self.current = min(self.current + step, self.max_probe)
+
+    def recommended_nprobe(self) -> int:
+        return self.current
+
+    def avg_latency_ms(self) -> float:
+        return sum(self.history) / len(self.history) if self.history else 0.0
+
+    def observation_count(self) -> int:
+        return len(self.history)
+
+
 # ===================================================================
 # What-if analysis (tuning.rs:702-760)
 # ===================================================================
@@ -515,7 +551,11 @@ def advise_compression(df: DataFrame, vector_col: str = "vector",
     The measurement runs on a bounded sample (like the reference's
     max_sample_size) — encode cost is one map pass per strategy and
     each recall probe is a top-k scan of the sample."""
-    from needle_spark.plans.quantization import SQ8, BinaryQuantizer
+    from needle_spark.plans.quantization import (
+        SQ8,
+        BinaryQuantizer,
+        HalfQuantizer,
+    )
 
     sample = (df.select(F.col(id_col).alias("id"),
                         F.col(vector_col).alias("vector"))
@@ -535,6 +575,15 @@ def advise_compression(df: DataFrame, vector_col: str = "vector",
     exact_ids = [topk_ids(knn(sample, q, k=recall_k)) for q in queries]
 
     results = [StrategyResult("fp32", 1.0, 1.0, 4 * dim, list(target_recalls))]
+
+    half = HalfQuantizer("float16")
+    ench = half.encode(sample).cache()
+    rech = _measure_recall(
+        lambda q: half.search(ench, q, k=recall_k, metric="cosine"),
+        queries, exact_ids, recall_k)
+    results.append(StrategyResult(
+        "float16", 2.0, rech, 2 * dim,
+        [t for t in target_recalls if rech >= t]))
 
     sq8 = SQ8.fit(sample)
     enc8 = sq8.encode(sample).cache()
@@ -559,7 +608,7 @@ def advise_compression(df: DataFrame, vector_col: str = "vector",
         eligible = [r for r in results if r.measured_recall >= t]
         best = max(eligible, key=lambda r: r.compression_ratio)
         recommendations[float(t)] = best.strategy
-    for c in (sample, enc8, encb):
+    for c in (sample, ench, enc8, encb):
         c.unpersist()
     return AdvisorReport(n, dim, results, recommendations)
 

@@ -274,3 +274,58 @@ def test_query_profiler_end_to_end(spark, embeddings):
     assert len(prof.history) == 2
     assert prof.slowest(1)[0].total_time_us >= prof.history[-1].total_time_us \
         or len(prof.slowest(1)) == 1
+
+
+# ===================================================================
+# Half-precision quantization (float16.rs) + adaptive probe tuner
+# ===================================================================
+
+def test_half_quantizer_roundtrip_and_search(spark, embeddings):
+    from needle_spark.plans.quantization import HalfQuantizer, compression_ratio
+
+    df = embeddings.select(F.col("vec_id").cast("string").alias("id"),
+                           F.col("embedding").alias("vector")).limit(200)
+    for fmt in ("float16", "bfloat16"):
+        hq = HalfQuantizer(fmt)
+        enc = hq.encode(df)
+        row = enc.first()
+        assert len(row["half"]) == 2 * len(row["vector"])  # 2 bytes/dim
+        dec = enc.select("vector", hq.decode_udf()(F.col("half"))
+                         .alias("back")).first()
+        err = max(abs(a - b) for a, b in zip(dec["vector"], dec["back"]))
+        assert err < (2e-3 if fmt == "float16" else 2e-2)
+
+    from needle_spark.operators.knn import knn
+
+    hq = HalfQuantizer("float16")
+    enc = hq.encode(df).cache()
+    q = [float(x) for x in df.first()["vector"]]
+    exact = [r["id"] for r in knn(df, q, k=5).collect()]
+    got = [r["id"] for r in hq.search(enc, q, k=5).collect()]
+    assert len(set(exact) & set(got)) >= 4  # near-lossless
+    enc.unpersist()
+    assert compression_ratio("float16") == 2.0
+    with pytest.raises(ValueError):
+        HalfQuantizer("fp8")
+
+
+def test_adaptive_probe_tuner():
+    from needle_spark.plans.tuning import AdaptiveProbeTuner
+
+    t = AdaptiveProbeTuner(initial_nprobe=32, target_latency_ms=100.0)
+    t.record_feedback(250.0)  # too slow -> shrink
+    assert t.recommended_nprobe() < 32
+    before = t.recommended_nprobe()
+    t.record_feedback(20.0)  # far under target -> grow back
+    assert t.recommended_nprobe() > before
+    t.record_feedback(80.0)  # inside the band -> hold
+    held = t.recommended_nprobe()
+    t.record_feedback(60.0)
+    assert t.recommended_nprobe() == held
+    # floors and history bookkeeping
+    t2 = AdaptiveProbeTuner(2, 1.0, min_probe=1)
+    for _ in range(10):
+        t2.record_feedback(500.0)
+    assert t2.recommended_nprobe() == 1
+    assert t2.observation_count() == 10
+    assert t2.avg_latency_ms() == 500.0
