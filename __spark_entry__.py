@@ -2257,6 +2257,96 @@ ORDER BY rrf_score DESC, id ASC LIMIT 10
 """
 
 
+# ----------------------------------------------- collaborative filtering --
+
+_CF_WEIGHTS_SQL = ("CASE event_type WHEN 'click' THEN 1.0 "
+                   "WHEN 'purchase' THEN 5.0 WHEN 'view' THEN 0.5 "
+                   "ELSE 0.0 END")
+_CF_INTER_SQL = f"""
+inter AS (
+  SELECT user_id AS usr,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         sum({_CF_WEIGHTS_SQL}) AS weight
+  FROM events WHERE {_CF_WEIGHTS_SQL} > 0
+  GROUP BY 1, 2
+), norms AS (
+  SELECT item, sqrt(sum(weight * weight)) AS norm FROM inter GROUP BY item
+), pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+         sum(a.weight * b.weight) AS dot,
+         CAST(count(*) AS BIGINT) AS common_users
+  FROM inter a JOIN inter b ON a.usr = b.usr AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= 3
+)"""
+
+
+def _cf_inter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from needle_spark.operators.collab_filter import interaction_matrix
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "item_id", F.get_json_object("props", "$.k").cast("long"))
+    return interaction_matrix(ev, item_col="item_id")
+
+
+def _cf_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item cosine CF (collaborative_filtering.rs train/recommend
+    family; deterministic item-kNN variant — see operators/collab_filter)."""
+    from needle_spark.operators.collab_filter import item_similarity
+
+    sims = item_similarity(_cf_inter(spark, sf_dir), min_common=3)
+    return (sims.orderBy(F.col("similarity").desc(), F.col("item_a").asc(),
+                         F.col("item_b").asc()).limit(50)
+            .select("item_a", "item_b",
+                    F.col("common_users").cast("long").alias("common_users"),
+                    "similarity"))
+
+
+_CF_ITEM_SIM_SQL = f"""
+WITH {_CF_INTER_SQL}
+SELECT p.item_a, p.item_b, p.common_users,
+       p.dot / (na.norm * nb.norm) AS similarity
+FROM pairs p JOIN norms na ON na.item = p.item_a
+             JOIN norms nb ON nb.item = p.item_b
+ORDER BY similarity DESC, item_a ASC, item_b ASC LIMIT 50
+"""
+
+
+def _cf_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-based CF recommendation for one user: sum of neighbor
+    similarities weighted by the user's own interaction strengths,
+    seen items excluded."""
+    from needle_spark.operators.collab_filter import (
+        item_similarity,
+        recommend_itemknn,
+    )
+
+    inter = _cf_inter(spark, sf_dir)
+    sims = item_similarity(inter, min_common=3)
+    rec = recommend_itemknn(inter, sims, 0, limit=10)
+    return rec.select(F.col("item").cast("long").alias("item"), "cf_score")
+
+
+_CF_RECOMMEND_SQL = f"""
+WITH {_CF_INTER_SQL},
+tri AS (
+  SELECT p.item_a, p.item_b, p.dot / (na.norm * nb.norm) AS similarity
+  FROM pairs p JOIN norms na ON na.item = p.item_a
+               JOIN norms nb ON nb.item = p.item_b
+), sym AS (
+  SELECT item_a, item_b, similarity FROM tri
+  UNION ALL
+  SELECT item_b, item_a, similarity FROM tri
+), mine AS (
+  SELECT item AS item_a, weight FROM inter WHERE usr = 0
+)
+SELECT s.item_b AS item, sum(s.similarity * m.weight) AS cf_score
+FROM mine m JOIN sym s ON s.item_a = m.item_a
+WHERE s.item_b NOT IN (SELECT item_a FROM mine)
+GROUP BY s.item_b
+ORDER BY cf_score DESC, item ASC LIMIT 10
+"""
+
+
 def _data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide half of DataProfiler.profile (tuning.rs:1122-1311)
     as ONE order-exact aggregation: magnitudes, sparsity, normalization
@@ -2380,6 +2470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rag_context": _rag_context,
         "multiquery_rrf": _multiquery_rrf,
         "data_profile": _data_profile,
+        "cf_item_similarity": _cf_item_similarity,
+        "cf_recommend_itemknn": _cf_recommend,
     }
 
 
@@ -2485,4 +2577,6 @@ def oracle_sql() -> dict[str, str]:
         "rag_context": _rag_context_sql(),
         "multiquery_rrf": _multiquery_rrf_sql(),
         "data_profile": _data_profile_sql(),
+        "cf_item_similarity": _CF_ITEM_SIM_SQL,
+        "cf_recommend_itemknn": _CF_RECOMMEND_SQL,
     }
