@@ -2257,6 +2257,51 @@ ORDER BY rrf_score DESC, id ASC LIMIT 10
 """
 
 
+def _vector_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group vector aggregation (vector_aggregation.rs
+    compute_centroid/compute_spread): exact fixed-point centroid +
+    member count + mean squared centroid distance per label."""
+    from needle_spark.operators.vector_agg import group_centroids, group_spread
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("label"), F.col("embedding").alias("vector"))
+    cents = group_centroids(emb, "label", "vector")
+    spread = group_spread(emb, "label", "vector", centroids=cents)
+    return (cents.join(spread.select("group", "spread"), "group")
+            .select(F.col("group").cast("int").alias("label"), "centroid",
+                    "count", "spread"))
+
+
+_VECTOR_CENTROIDS_SQL = """
+WITH per AS (
+  SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i)
+), dim AS (
+  SELECT label, pos,
+         CAST(sum(CAST(round(x * 1000000.0) AS BIGINT)) AS DOUBLE)
+           / 1000000.0 / count(*) AS v,
+         count(*) AS n
+  FROM per GROUP BY label, pos
+), cents AS (
+  SELECT label, list(v ORDER BY pos) AS centroid,
+         CAST(max(n) AS BIGINT) AS cnt
+  FROM dim GROUP BY label
+), d2 AS (
+  SELECT e.label,
+         CAST(round(list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(list_zip(e.embedding, c.centroid),
+             z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2]))),
+           (acc, t) -> acc + t) * 1000000.0) AS BIGINT) AS d2fx
+  FROM embeddings e JOIN cents c ON c.label = e.label
+), sp AS (
+  SELECT label, CAST(sum(d2fx) AS DOUBLE) / 1000000.0 / count(*) AS spread
+  FROM d2 GROUP BY label
+)
+SELECT c.label, c.centroid, c.cnt AS count, sp.spread
+FROM cents c JOIN sp ON sp.label = c.label
+"""
+
+
 # ----------------------------------------------- collaborative filtering --
 
 _CF_WEIGHTS_SQL = ("CASE event_type WHEN 'click' THEN 1.0 "
@@ -2472,6 +2517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_profile": _data_profile,
         "cf_item_similarity": _cf_item_similarity,
         "cf_recommend_itemknn": _cf_recommend,
+        "vector_centroids": _vector_centroids,
     }
 
 
@@ -2579,4 +2625,5 @@ def oracle_sql() -> dict[str, str]:
         "data_profile": _data_profile_sql(),
         "cf_item_similarity": _CF_ITEM_SIM_SQL,
         "cf_recommend_itemknn": _CF_RECOMMEND_SQL,
+        "vector_centroids": _VECTOR_CENTROIDS_SQL,
     }
