@@ -2257,6 +2257,49 @@ ORDER BY rrf_score DESC, id ASC LIMIT 10
 """
 
 
+def _sequence_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sequence trend vectors (temporal_sequences.rs:152-177):
+    centroid(last window) - centroid(first window) over every sequence
+    in one rank-window + fixed-point aggregation pass."""
+    from needle_spark.operators.temporal_vectors import sequence_trends
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("label").alias("seq_id"), F.col("vec_id").alias("ts"),
+        F.col("embedding").alias("vector"))
+    return sequence_trends(emb, window_size=10).select(
+        F.col("seq").cast("int").alias("seq"), "trend")
+
+
+_SEQUENCE_TREND_SQL = """
+WITH ranked AS (
+  SELECT label, vec_id, embedding,
+         row_number() OVER (PARTITION BY label ORDER BY vec_id ASC) AS ra,
+         row_number() OVER (PARTITION BY label ORDER BY vec_id DESC) AS rd,
+         count(*) OVER (PARTITION BY label) AS n
+  FROM embeddings
+), ends AS (
+  SELECT label, CASE WHEN ra <= 10 THEN 'first' ELSE 'last' END AS side,
+         embedding
+  FROM ranked WHERE n >= 20 AND (ra <= 10 OR rd <= 10)
+), per AS (
+  SELECT label, side, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+  FROM ends, unnest(range(1, len(embedding)+1)) AS t(i)
+), dim AS (
+  SELECT label, side, pos,
+         CAST(sum(CAST(round(x * 1000000.0) AS BIGINT)) AS DOUBLE)
+           / 1000000.0 / count(*) AS v
+  FROM per GROUP BY 1, 2, 3
+), piv AS (
+  SELECT label, pos,
+         max(CASE WHEN side = 'first' THEN v END) AS fv,
+         max(CASE WHEN side = 'last' THEN v END) AS lv
+  FROM dim GROUP BY 1, 2
+)
+SELECT label AS seq, list(lv - fv ORDER BY pos) AS trend
+FROM piv GROUP BY label
+"""
+
+
 def _vector_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group vector aggregation (vector_aggregation.rs
     compute_centroid/compute_spread): exact fixed-point centroid +
@@ -2518,6 +2561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cf_item_similarity": _cf_item_similarity,
         "cf_recommend_itemknn": _cf_recommend,
         "vector_centroids": _vector_centroids,
+        "sequence_trend": _sequence_trend,
     }
 
 
@@ -2626,4 +2670,5 @@ def oracle_sql() -> dict[str, str]:
         "cf_item_similarity": _CF_ITEM_SIM_SQL,
         "cf_recommend_itemknn": _CF_RECOMMEND_SQL,
         "vector_centroids": _VECTOR_CENTROIDS_SQL,
+        "sequence_trend": _SEQUENCE_TREND_SQL,
     }
