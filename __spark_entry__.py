@@ -2257,6 +2257,59 @@ ORDER BY rrf_score DESC, id ASC LIMIT 10
 """
 
 
+def _relevance_adjustments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decay-weighted relevance feedback -> parameter adjustment
+    (relevance_feedback.rs:293-343).  temporal_decay pinned to 0.5 so
+    the hourly weights are exact powers of two (bit-reproducible)."""
+    from needle_spark.operators.relevance_feedback import (
+        FeedbackConfig,
+        compute_adjustments,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sig = (F.when(F.col("event_type") == "click", "click")
+           .when(F.col("event_type") == "purchase", "thumbs_up")
+           .when(F.col("event_type") == "error", "skip")
+           .when(F.col("event_type") == "view", "dwell"))
+    fb = ev.select(sig.alias("signal"), "value", "ts").filter(
+        F.col("signal").isNotNull())
+    now = fb.agg(F.max("ts")).first()[0]
+    return compute_adjustments(fb, now, FeedbackConfig(temporal_decay=0.5))
+
+
+_RELEVANCE_ADJUSTMENTS_SQL = """
+WITH fb AS (
+  SELECT CASE event_type
+           WHEN 'click' THEN 0.5
+           WHEN 'purchase' THEN 1.0
+           WHEN 'error' THEN -0.3
+           WHEN 'view' THEN greatest(least((value - 3.0)/5.0, 1.0), -1.0)
+         END AS s,
+         power(0.5, greatest(CAST(floor(
+           ((SELECT max(epoch_ns(ts)) FROM events
+             WHERE event_type IN ('click','purchase','error','view'))
+            - epoch_ns(ts)) / 3600000000000.0) AS BIGINT), 0)) AS w
+  FROM events
+  WHERE event_type IN ('click','purchase','error','view')
+), agg AS (
+  SELECT CAST(sum(CAST(round(s * w * 1000000.0) AS BIGINT)) AS DOUBLE)
+           / 1000000.0 AS wr,
+         CAST(sum(CAST(round(w * 1000000.0) AS BIGINT)) AS DOUBLE)
+           / 1000000.0 AS tw,
+         sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS pos,
+         count(*) AS n
+  FROM fb
+)
+SELECT greatest(least(1.0 + 0.01 * (1.0 - wr / tw), 2.0), 0.5)
+         AS ef_search_factor,
+       CAST(pos AS DOUBLE) / n AS rerank_weight,
+       wr / tw AS avg_relevance,
+       CAST(n AS BIGINT) AS event_count,
+       least(CAST(n AS DOUBLE) / 100.0, 1.0) AS confidence
+FROM agg WHERE n >= 10 AND tw > 1e-10
+"""
+
+
 def _sequence_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-sequence trend vectors (temporal_sequences.rs:152-177):
     centroid(last window) - centroid(first window) over every sequence
@@ -2562,6 +2615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cf_recommend_itemknn": _cf_recommend,
         "vector_centroids": _vector_centroids,
         "sequence_trend": _sequence_trend,
+        "relevance_adjustments": _relevance_adjustments,
     }
 
 
@@ -2671,4 +2725,5 @@ def oracle_sql() -> dict[str, str]:
         "cf_recommend_itemknn": _CF_RECOMMEND_SQL,
         "vector_centroids": _VECTOR_CENTROIDS_SQL,
         "sequence_trend": _SEQUENCE_TREND_SQL,
+        "relevance_adjustments": _RELEVANCE_ADJUSTMENTS_SQL,
     }
