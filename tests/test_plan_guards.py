@@ -207,3 +207,31 @@ def test_multi_query_search_single_rank_exchange(spark, embeddings):
     p = plan_of(multi_query_search(docs, qv, k=5))
     assert "SortMergeJoin" not in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_cf_similarity_no_cartesian(spark, sf_dir):
+    """Item-item CF similarity joins on user_id: co-occurring pairs
+    only — no CartesianProduct / BroadcastNestedLoopJoin of items."""
+    from needle_spark.operators.collab_filter import (
+        interaction_matrix,
+        item_similarity,
+    )
+
+    ev = load(spark, "events", sf_dir).withColumn(
+        "item_id", F.get_json_object("props", "$.k").cast("long"))
+    p = plan_of(item_similarity(interaction_matrix(ev, item_col="item_id")))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_centroids_ml_no_explode(spark, embeddings):
+    """The Summarizer centroid path must aggregate dense vectors —
+    no Generate/posexplode of n*d element rows."""
+    from needle_spark.operators.vector_agg import group_centroids_ml
+
+    df = embeddings.select("label", F.col("embedding").alias("vector"))
+    p = plan_of(group_centroids_ml(df))
+    import re
+
+    assert "Generate" not in p  # the explode operator
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 1  # one agg exchange
