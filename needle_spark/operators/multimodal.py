@@ -143,9 +143,205 @@ def _decode_audio_soundfile(data: bytes, mime: str) -> np.ndarray:
     return np.asarray(samples, dtype=np.float32)
 
 
+# ----------------------------------------------- stdlib real codecs --
+# REAL decoders with zero external dependencies (priority 5 — above the
+# fakes, below Pillow/soundfile when those exist).  Formats covered:
+# PNG (8-bit gray/RGB/RGBA, non-interlaced — zlib + per-row defilter),
+# netpbm P2/P3/P5/P6, uncompressed 24/32-bit BMP, and RIFF/WAV PCM
+# (8/16/32-bit + float32) via the stdlib `wave` module.
+
+def _decode_png(data: bytes) -> np.ndarray:
+    """Minimal PNG decoder: IHDR + concatenated IDAT -> zlib inflate ->
+    reverse per-row filters (types 0-4, the full spec set).  Supports
+    bit depth 8, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
+    6 (RGBA), non-interlaced."""
+    import struct
+    import zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, width = 8, None
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        ctype = data[pos + 4:pos + 8]
+        chunk = data[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", chunk)
+            if depth != 8 or interlace != 0:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, interlace={interlace})")
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+            if channels is None:
+                raise ValueError(f"unsupported PNG color type {color}")
+        elif ctype == b"IDAT":
+            idat += chunk
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(idat)
+    stride = width * channels
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels
+    off = 0
+    for y in range(height):
+        ftype = raw[off]
+        row = np.frombuffer(raw, dtype=np.uint8,
+                            count=stride, offset=off + 1).copy()
+        off += 1 + stride
+        if ftype == 1:    # Sub
+            for x in range(bpp, stride):
+                row[x] = (row[x] + row[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            row = (row.astype(np.uint16) + prev) & 0xFF
+            row = row.astype(np.uint8)
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = int(row[x - bpp]) if x >= bpp else 0
+                row[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = int(row[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                row[x] = (int(row[x]) + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = row
+        prev = out[y]
+    img = out.reshape(height, width, channels)
+    return img[:, :, 0] if channels == 1 else img
+
+
+def _decode_netpbm(data: bytes) -> np.ndarray:
+    """netpbm P2/P3 (ASCII) and P5/P6 (binary) gray/RGB images."""
+    magic = data[:2]
+    if magic not in (b"P2", b"P3", b"P5", b"P6"):
+        raise ValueError("not a netpbm image")
+    # header tokens (comments stripped), then raster
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while pos < len(data) and data[pos:pos + 1].isspace():
+            pos += 1
+        if data[pos:pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos:pos + 1].isspace():
+            pos += 1
+        tokens.append(int(data[start:pos]))
+    width, height, maxval = tokens
+    channels = 3 if magic in (b"P3", b"P6") else 1
+    n = width * height * channels
+    if magic in (b"P5", b"P6"):
+        raster = np.frombuffer(data, dtype=np.uint8, count=n, offset=pos + 1)
+    else:
+        raster = np.array(data[pos:].split()[:n], dtype=np.uint16)
+    # integer rescale to 8-bit (exact rounding, no float artifacts)
+    img = ((raster.astype(np.uint32) * 255 + maxval // 2) // maxval) \
+        .astype(np.uint8).reshape(height, width, channels)
+    return img[:, :, 0] if channels == 1 else img
+
+
+def _decode_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BI_RGB BMP (bottom-up or top-down)."""
+    import struct
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (pixel_off,) = struct.unpack("<I", data[10:14])
+    (hdr_size,) = struct.unpack("<I", data[14:18])
+    if hdr_size < 40:
+        raise ValueError("unsupported BMP header")
+    width, height = struct.unpack("<ii", data[18:26])
+    bpp, compression = struct.unpack("<HI", data[28:34])
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, comp={compression})")
+    top_down = height < 0
+    height = abs(height)
+    nch = bpp // 8
+    stride = (width * nch + 3) & ~3
+    img = np.empty((height, width, 3), dtype=np.uint8)
+    for y in range(height):
+        row = np.frombuffer(data, dtype=np.uint8, count=width * nch,
+                            offset=pixel_off + y * stride)
+        row = row.reshape(width, nch)
+        dst = y if top_down else height - 1 - y
+        img[dst] = row[:, [2, 1, 0]]  # BGR(A) -> RGB
+    return img
+
+
+def _decode_image_stdlib(data: bytes, mime: str) -> np.ndarray:
+    """Dispatch on magic bytes: PNG / netpbm / BMP, no external libs."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(data)
+    if data[:2] in (b"P2", b"P3", b"P5", b"P6"):
+        return _decode_netpbm(data)
+    if data[:2] == b"BM":
+        return _decode_bmp(data)
+    raise ValueError(
+        f"stdlib codec cannot decode this format (mime={mime!r}); "
+        "register a Pillow codec for JPEG/GIF/WebP")
+
+
+def _decode_audio_wave(data: bytes, mime: str) -> np.ndarray:
+    """RIFF/WAV PCM decode via the stdlib `wave` module: 8/16/32-bit
+    integer PCM normalized to [-1, 1] float32; IEEE float32 WAVs are
+    read directly via the RIFF fmt chunk.  Mono -> 1-D, multichannel ->
+    (frames, channels), matching soundfile.read's shape contract."""
+    import io
+    import struct
+    import wave
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError(
+            f"stdlib codec only decodes RIFF/WAV (mime={mime!r}); "
+            "register soundfile/ffmpeg for compressed audio")
+    # detect IEEE-float format (wave module rejects format tag 3)
+    fmt_tag = None
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (clen,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        if cid == b"fmt ":
+            (fmt_tag,) = struct.unpack("<H", data[pos + 8:pos + 10])
+            if fmt_tag == 3:
+                (channels,) = struct.unpack("<H", data[pos + 10:pos + 12])
+        if cid == b"data" and fmt_tag == 3:
+            samples = np.frombuffer(
+                data, dtype="<f4", count=clen // 4, offset=pos + 8)
+            return samples.reshape(-1, channels).squeeze().astype(np.float32)
+        pos += 8 + clen + (clen & 1)
+    with wave.open(io.BytesIO(data)) as w:
+        nch, sw, _fr, nframes = (w.getnchannels(), w.getsampwidth(),
+                                 w.getframerate(), w.getnframes())
+        raw = w.readframes(nframes)
+    if sw == 1:   # unsigned 8-bit
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+             - 128.0) / 128.0
+    elif sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif sw == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    return x.reshape(-1, nch).squeeze().astype(np.float32)
+
+
 DEFAULT_CODECS = CodecRegistry()
 DEFAULT_CODECS.register("image_decode", _decode_image_fake, "fake", 0)
 DEFAULT_CODECS.register("audio_decode", _decode_audio_stub, "stub", 0)
+DEFAULT_CODECS.register("image_decode", _decode_image_stdlib, "stdlib", 5)
+DEFAULT_CODECS.register("audio_decode", _decode_audio_wave, "stdlib", 5)
 
 
 def probe_codecs(registry: CodecRegistry | None = None) -> dict[str, str]:

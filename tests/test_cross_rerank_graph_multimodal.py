@@ -209,9 +209,12 @@ def test_graph_seed_by_similarity(spark, embeddings):
 
 
 def test_multimodal_plumbing(spark):
+    # real netpbm blobs: the stdlib codec (priority 5) decodes them
+    img1 = b"P5 4 4 255\n" + bytes(range(16))
+    img2 = b"P6 2 2 255\n" + bytes(range(12))
     rows = [
-        ("img1", "image", "image/png", b"\x89PNGfakedata1", (64, 48, None, None)),
-        ("img2", "image", "image/png", b"\x89PNGother", (32, 32, None, None)),
+        ("img1", "image", "image/x-portable-graymap", img1, (4, 4, None, None)),
+        ("img2", "image", "image/x-portable-pixmap", img2, (2, 2, None, None)),
         ("vid1", "video", "video/mp4", b"\x00mp4data", (None, None, 3500, None)),
         ("aud1", "audio", "audio/wav", b"RIFFdata", (None, None, 2000, 16000)),
     ]
@@ -219,8 +222,9 @@ def test_multimodal_plumbing(spark):
     feats = {r["media_id"]: r for r in
              image_features(media.filter("kind = 'image'")).collect()}
     assert set(feats) == {"img1", "img2"}
-    assert feats["img1"]["decoded_h"] == 4  # deterministic fake decoder
-    assert 0.0 <= feats["img1"]["mean_intensity"] <= 255.0
+    assert feats["img1"]["decoded_h"] == 4  # real stdlib decode
+    assert feats["img1"]["mean_intensity"] == 7.5  # mean of 0..15
+    assert feats["img2"]["decoded_w"] == 2
 
     frames = frame_sample_plan(media, every_ms=1000).collect()
     assert [(r["media_id"], r["frame_ts_ms"]) for r in frames] == [
@@ -265,18 +269,20 @@ def test_codec_registry_swap_path(spark):
 
     media = make_media_df(spark, [
         ("img1", "image", "image/png", b"\x89PNGfakedata1", (64, 48, None, None)),
-        ("aud1", "audio", "audio/wav", b"\x01\x02\x03\x04", (None, None, 2000, 16000)),
+        ("aud1", "audio", "audio/mp3", b"\x01\x02\x03\x04", (None, None, 2000, 16000)),
     ])
 
-    # default resolution order: fake image codec, raising audio stub
-    assert DEFAULT_CODECS.providers("image_decode")[-1] == "fake"
-    with pytest.raises(Exception, match="registered codec"):
+    # default resolution order: stdlib real codecs above the fakes
+    assert DEFAULT_CODECS.providers("image_decode") == ["stdlib", "fake"]
+    assert DEFAULT_CODECS.providers("audio_decode") == ["stdlib", "stub"]
+    # the stdlib audio codec refuses non-RIFF payloads honestly
+    with pytest.raises(Exception, match="RIFF"):
         audio_features(media.filter("kind = 'audio'")).collect()
 
     def pcm8_codec(data: bytes, mime: str) -> np.ndarray:
         return np.frombuffer(data, dtype=np.uint8).astype(np.float32) / 255.0
 
-    DEFAULT_CODECS.register("audio_decode", pcm8_codec, "pcm8", priority=5)
+    DEFAULT_CODECS.register("audio_decode", pcm8_codec, "pcm8", priority=7)
     try:
         assert DEFAULT_CODECS.providers("audio_decode")[0] == "pcm8"
         row = audio_features(media.filter("kind = 'audio'")).first()
@@ -284,7 +290,7 @@ def test_codec_registry_swap_path(spark):
         assert abs(row["peak"] - 4.0 / 255.0) < 1e-9
     finally:
         DEFAULT_CODECS.unregister("audio_decode", "pcm8")
-    assert DEFAULT_CODECS.providers("audio_decode") == ["stub"]
+    assert DEFAULT_CODECS.providers("audio_decode") == ["stdlib", "stub"]
 
     # explicit per-call codec injection beats the registry
     big = {r["media_id"]: r for r in image_features(
