@@ -3,18 +3,22 @@ pipelines.
 
 Design: media rides as an opaque `binary` column plus a typed metadata
 struct — the same convention as large-scale multimodal datasets
-(WebDataset/Parquet blobs).  All Spark-side plumbing (schemas,
-partition-size control, Arrow batch shape, UDF signatures) is real and
-tested; the actual codec calls (image decode, audio resample, frame
-extraction) are STUBBED behind `NotImplementedError` or a
-deterministic fake because media libraries are not available in this
-environment.  Codecs are PLUGGABLE: operators resolve their decode
-function from `DEFAULT_CODECS` (a priority registry) at plan-build
-time, so production swaps in Pillow/soundfile/ffmpeg without touching
-any operator — either automatically (`probe_codecs()` registers real
-implementations for whatever imports cleanly) or explicitly
-(`DEFAULT_CODECS.register("image_decode", my_fn, "mylib", priority=20)`).
-The deterministic fakes stay registered at priority 0 as the fallback.
+(WebDataset/Parquet blobs).  Codec tiers, highest priority first:
+
+1. library tier (priority 10) — Pillow / soundfile, wired by
+   `probe_codecs()` whenever those imports succeed; covers compressed
+   formats (JPEG/GIF/WebP/FLAC/OGG/MP3);
+2. stdlib tier (priority 5, ALWAYS available) — real decoders with
+   zero external dependencies: PNG (zlib + per-row defilter), netpbm
+   P2/P3/P5/P6, uncompressed BMP, RIFF/WAV PCM + float32;
+3. deterministic fallbacks (priority 0) — a hash-derived fake image
+   and an honestly-raising audio stub.
+
+Operators resolve their decode function from `DEFAULT_CODECS` at
+plan-build time, so production can still override everything with
+`DEFAULT_CODECS.register("image_decode", my_fn, "mylib", priority=20)`.
+Image transforms (resize/grayscale/average-hash/pixel embeddings) are
+pure numpy and run in the same mapInPandas pass as decode.
 
 Scale notes:
 - blobs make rows big: keep `spark.sql.files.maxPartitionBytes` in mind
@@ -478,3 +482,147 @@ def media_stats(df: DataFrame) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+# -------------------------------------------- real image transforms --
+# numpy-only transforms composing with the stdlib codecs: resize
+# (nearest / bilinear), grayscale, average-hash, and pixel embeddings.
+# All run inside the same mapInPandas decode pass — one Arrow batch of
+# blobs in, features out, nothing re-crosses the JVM boundary.
+
+def resize_image(img: np.ndarray, height: int, width: int,
+                 method: str = "bilinear") -> np.ndarray:
+    """Resize HxW[xC] uint8 to (height, width) — nearest or bilinear,
+    pure numpy (vectorized gather / lerp)."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+        squeeze = True
+    else:
+        squeeze = False
+    h, w, c = img.shape
+    if method == "nearest":
+        ys = np.minimum((np.arange(height) * h / height).astype(int), h - 1)
+        xs = np.minimum((np.arange(width) * w / width).astype(int), w - 1)
+        out = img[ys][:, xs]
+    elif method == "bilinear":
+        fy = (np.arange(height) + 0.5) * h / height - 0.5
+        fx = (np.arange(width) + 0.5) * w / width - 0.5
+        y0 = np.clip(np.floor(fy).astype(int), 0, h - 1)
+        x0 = np.clip(np.floor(fx).astype(int), 0, w - 1)
+        y1 = np.minimum(y0 + 1, h - 1)
+        x1 = np.minimum(x0 + 1, w - 1)
+        wy = np.clip(fy - y0, 0.0, 1.0)[:, None, None]
+        wx = np.clip(fx - x0, 0.0, 1.0)[None, :, None]
+        f = img.astype(np.float64)
+        top = f[y0][:, x0] * (1 - wx) + f[y0][:, x1] * wx
+        bot = f[y1][:, x0] * (1 - wx) + f[y1][:, x1] * wx
+        out = (top * (1 - wy) + bot * wy).round().astype(np.uint8)
+    else:
+        raise ValueError(f"unknown resize method: {method!r}")
+    return out[:, :, 0] if squeeze else out
+
+
+def to_grayscale(img: np.ndarray) -> np.ndarray:
+    """ITU-R BT.601 luma; alpha ignored."""
+    if img.ndim == 2:
+        return img
+    rgb = img[:, :, :3].astype(np.float64)
+    return (rgb @ np.array([0.299, 0.587, 0.114])).round().astype(np.uint8)
+
+
+def average_hash(img: np.ndarray, hash_size: int = 8) -> int:
+    """Perceptual average-hash: downscale to hash_size^2 gray, threshold
+    at the mean -> one bit per cell (near-duplicate images land within
+    a few hamming bits)."""
+    small = resize_image(to_grayscale(img), hash_size, hash_size, "bilinear")
+    bits = (small.astype(np.float64) > small.mean()).reshape(-1)
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    # fold to signed 64-bit so it stores in a LongType column
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_pixel_embedding(img: np.ndarray, size: int = 8) -> list[float]:
+    """L2-normalized downscaled-gray pixel embedding (size^2 dims) —
+    feeds the kNN / near-dup operators directly."""
+    small = resize_image(to_grayscale(img), size, size, "bilinear")
+    v = small.astype(np.float64).reshape(-1)
+    v = v - v.mean()
+    n = float(np.sqrt((v * v).sum()))
+    return (v / n).tolist() if n > 0 else v.tolist()
+
+
+def image_transform_features(
+    df: DataFrame,
+    data_col: str = "data",
+    mime_col: str = "mime",
+    id_col: str = "media_id",
+    resize_to: tuple[int, int] = (32, 32),
+    embed_size: int = 8,
+    codec=None,
+) -> DataFrame:
+    """Decode -> resize -> grayscale -> ahash + pixel embedding, all in
+    ONE mapInPandas pass: (id, h, w, resized_mean, ahash, embedding).
+    The embedding column plugs straight into operators/knn.py and
+    dedup.embedding-near-dup for image-level dedup at corpus scale."""
+    decode = codec if codec is not None else DEFAULT_CODECS.resolve(
+        "image_decode")
+    rh, rw = resize_to
+    schema = T.StructType([
+        T.StructField(id_col, T.StringType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("resized_mean", T.DoubleType()),
+        T.StructField("ahash", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {id_col: [], "height": [], "width": [],
+                   "resized_mean": [], "ahash": [], "embedding": []}
+            for mid, blob, mime in zip(pdf[id_col], pdf[data_col],
+                                       pdf[mime_col]):
+                img = decode(bytes(blob), mime)
+                resized = resize_image(img, rh, rw)
+                out[id_col].append(mid)
+                out["height"].append(int(img.shape[0]))
+                out["width"].append(int(img.shape[1]))
+                out["resized_mean"].append(float(resized.mean()))
+                out["ahash"].append(average_hash(img))
+                out["embedding"].append(
+                    [float(x) for x in image_pixel_embedding(img, embed_size)])
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, data_col, mime_col).mapInPandas(kernel, schema)
+
+
+def image_neardup_pairs(features: DataFrame, max_hamming: int = 6,
+                        id_col: str = "media_id",
+                        hash_col: str = "ahash") -> DataFrame:
+    """Near-duplicate image pairs by average-hash hamming distance,
+    banded for scale: the 64-bit hash splits into 4 x 16-bit bands and
+    only pairs sharing at least one band compare (pigeonhole: hamming
+    <= 6 guarantees >= 1 identical band at 4 bands x 16 bits) — the
+    SimHash shape from operators/dedup.py applied to images."""
+    bands = []
+    h = F.col(hash_col)
+    for b in range(4):
+        bands.append(F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(h, b * 16).bitwiseAND(F.lit(0xFFFF)).alias("key")))
+    banded = features.select(
+        F.col(id_col), h.alias("__h"),
+        F.explode(F.array(*bands)).alias("bk"))
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("__h").alias("h_a"),
+                      "bk")
+    b2 = banded.select(F.col(id_col).alias("id_b"), F.col("__h").alias("h_b"),
+                       "bk")
+    pairs = (a.join(b2, ["bk"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (pairs.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= int(max_hamming))
+            .select("id_a", "id_b", "hamming"))

@@ -244,3 +244,89 @@ def test_real_codecs_through_operators(spark):
     assert au["n_samples"] == 256
     assert abs(au["rms"] - 0.5) < 1e-3
     assert abs(au["peak"] - 0.5) < 1e-3
+
+
+# ===================================================================
+# image transforms
+# ===================================================================
+
+def test_resize_nearest_and_bilinear():
+    from needle_spark.operators.multimodal import resize_image
+
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    up = resize_image(img, 8, 8, "nearest")
+    assert up.shape == (8, 8)
+    assert up[0, 0] == img[0, 0] and up[7, 7] == img[3, 3]
+    down = resize_image(img, 2, 2, "bilinear")
+    assert down.shape == (2, 2)
+    assert int(down[0, 0]) < int(down[1, 1])  # gradient preserved
+    # constant image stays constant under bilinear
+    flat = resize_image(np.full((5, 7), 42, np.uint8), 3, 4, "bilinear")
+    assert (flat == 42).all()
+    with pytest.raises(ValueError):
+        resize_image(img, 2, 2, "lanczos")
+
+
+def test_grayscale_and_ahash():
+    from needle_spark.operators.multimodal import average_hash, to_grayscale
+
+    rgb = np.zeros((2, 2, 3), dtype=np.uint8)
+    rgb[..., 1] = 255  # pure green
+    g = to_grayscale(rgb)
+    assert g.shape == (2, 2) and abs(int(g[0, 0]) - 150) <= 1  # 0.587*255
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    h1 = average_hash(img)
+    assert average_hash(img) == h1  # deterministic
+    # small perturbation: hash stays within a few bits
+    noisy = np.clip(img.astype(int) + rng.integers(-4, 5, img.shape),
+                    0, 255).astype(np.uint8)
+    ham = bin((h1 ^ average_hash(noisy)) & ((1 << 64) - 1)).count("1")
+    assert ham <= 6
+    # unrelated image: far in hamming space
+    other = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    ham2 = bin((h1 ^ average_hash(other)) & ((1 << 64) - 1)).count("1")
+    assert ham2 > 10
+
+
+def test_pixel_embedding_normalized():
+    from needle_spark.operators.multimodal import image_pixel_embedding
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    v = np.array(image_pixel_embedding(img, size=8))
+    assert v.shape == (64,)
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+
+
+def test_image_transform_features_and_neardup(spark):
+    from needle_spark.operators.multimodal import (
+        image_neardup_pairs,
+        image_transform_features,
+        make_media_df,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    near = np.clip(base.astype(int) + rng.integers(-3, 4, base.shape),
+                   0, 255).astype(np.uint8)
+    other = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    media = make_media_df(spark, [
+        ("a", "image", "image/png", encode_png(base), (24, 24, None, None)),
+        ("b", "image", "image/png", encode_png(near), (24, 24, None, None)),
+        ("c", "image", "image/png", encode_png(other), (24, 24, None, None)),
+    ])
+    feats = image_transform_features(media, resize_to=(12, 12)).cache()
+    rows = {r["media_id"]: r for r in feats.collect()}
+    assert rows["a"]["height"] == 24
+    assert len(rows["a"]["embedding"]) == 64
+    # near-dup pair (a, b) found by banded ahash join; (c) unrelated
+    pairs = image_neardup_pairs(feats, max_hamming=6).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [("a", "b")]
+    # embeddings also agree: cosine(a,b) >> cosine(a,c)
+    va = np.array(rows["a"]["embedding"])
+    vb = np.array(rows["b"]["embedding"])
+    vc = np.array(rows["c"]["embedding"])
+    assert va @ vb > 0.9 > va @ vc
+    feats.unpersist()
