@@ -66,6 +66,8 @@ def main() -> None:
         "decontaminate", "gopher_quality", "stratified_sample",
         "pii_redact", "dedup_lines", "federated_routed",
         "chunk_semantic", "multiquery_rrf",
+        "cf_item_similarity", "vector_centroids", "sequence_trend",
+        "relevance_adjustments", "data_profile",
     ]
     for name in bench_queries:
         fn = qs[name]
