@@ -182,7 +182,11 @@ class RecursiveTextSplitter:
             if chunk and len(chunk) + len(piece) > self.chunk_size:
                 if len(chunk) > self.chunk_size:
                     self._split(chunk, chunk_start, sep_idx + 1, out)
-                else:
+                elif chunk.strip():
+                    # the reference's overflow push lacks the whitespace
+                    # guard its other two emit paths have
+                    # (chunking.rs:175-180); consecutive separators would
+                    # otherwise emit all-whitespace chunks — guard here too
                     out.append((chunk, chunk_start, chunk_start + len(chunk)))
                 keep = (len(chunk) - self.chunk_overlap
                         if 0 < self.chunk_overlap < len(chunk) else len(chunk))
