@@ -2257,6 +2257,52 @@ ORDER BY rrf_score DESC, id ASC LIMIT 10
 """
 
 
+_MEM_NOW = 720_000_000  # fixed epoch seconds for deterministic ages
+
+
+def _memory_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agentic memory recall scoring (agentic_memory.rs:452-523):
+    relevance = 0.7*similarity + 0.3*decayed importance.  Memories are
+    derived deterministically from embeddings (importance from vec_id,
+    integer ages); power-law decay keeps every weight an exact
+    rational, so the blend is bit-reproducible across engines."""
+    from needle_spark.operators.agent_memory import recall_scores
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    mems = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector"),
+        (((F.col("vec_id") % 10) + 1) / 10.0).alias("importance"),
+        (F.lit(_MEM_NOW) - (F.col("vec_id") % 200) * 3600)
+        .cast("long").alias("created_at"))
+    scored = recall_scores(mems, qv, _MEM_NOW, decay="power_law",
+                           decay_params={"exponent": 1.0},
+                           recall_threshold=-1.0)
+    return (scored.select("id", "similarity", "effective_importance",
+                          "relevance")
+            .orderBy(F.col("relevance").desc(), F.col("id").asc())
+            .limit(20))
+
+
+def _memory_recall_sql() -> str:
+    d = duckdb_distance_sql("cosine", "embedding", _Q_SQL)
+    return f"""
+WITH mems AS (
+  SELECT vec_id AS id,
+         ((vec_id % 10) + 1) / 10.0 AS importance,
+         CAST(vec_id % 200 AS DOUBLE) AS age_hours,
+         1.0 - ({d}) AS similarity
+  FROM embeddings
+)
+SELECT id, similarity,
+       importance / (1.0 + age_hours) AS effective_importance,
+       0.7 * similarity + 0.3 * (importance / (1.0 + age_hours))
+         AS relevance
+FROM mems
+ORDER BY relevance DESC, id ASC LIMIT 20
+"""
+
+
 def _relevance_adjustments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decay-weighted relevance feedback -> parameter adjustment
     (relevance_feedback.rs:293-343).  temporal_decay pinned to 0.5 so
@@ -2616,6 +2662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_centroids": _vector_centroids,
         "sequence_trend": _sequence_trend,
         "relevance_adjustments": _relevance_adjustments,
+        "memory_recall": _memory_recall,
     }
 
 
@@ -2726,4 +2773,5 @@ def oracle_sql() -> dict[str, str]:
         "vector_centroids": _VECTOR_CENTROIDS_SQL,
         "sequence_trend": _SEQUENCE_TREND_SQL,
         "relevance_adjustments": _RELEVANCE_ADJUSTMENTS_SQL,
+        "memory_recall": _memory_recall_sql(),
     }
