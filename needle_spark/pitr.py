@@ -21,6 +21,7 @@ import hashlib
 import json
 import os
 import shutil
+import tempfile
 import time
 from dataclasses import dataclass, field
 
@@ -259,3 +260,224 @@ class PitrService:
             return True
         now = now_ms if now_ms is not None else _utcnow_ms()
         return now - newest >= self.config.auto_snapshot_interval_secs * 1000
+
+
+# ===================================================================
+# Incremental backup chains (persistence/incremental_backup.rs)
+# ===================================================================
+
+@dataclass
+class ChainPoint:
+    """incremental_backup.rs BaseSnapshot (:207) / ArchivedSegment
+    (:72): one link of an incremental chain."""
+
+    id: str
+    label: str
+    kind: str               # base | incremental
+    base_id: str | None
+    timestamp_ms: int
+    files: list[str]        # relpaths copied INTO this point
+    checksum: str | None
+    size_bytes: int
+
+
+class IncrementalBackupService:
+    """File-level incremental backups over the collections' immutable
+    object layout (incremental_backup.rs IncrementalBackupManager
+    :274-400 + RecoveryPlan :238).
+
+    Collections append immutable objects (seg-*/del-*/_cdc files) and
+    only the manifest mutates, so an incremental point copies EXACTLY
+    the files whose relative path is new since the chain head, plus
+    the current manifests — bytes scale with churn, not corpus size.
+    Recovery assembles base + increments into a staging tree and
+    commits through the same atomic manifest-flip as PitrService."""
+
+    def __init__(self, db, backup_dir: str, enable_checksums: bool = True):
+        self.db = db
+        self.backup_dir = backup_dir
+        self.enable_checksums = enable_checksums
+        os.makedirs(backup_dir, exist_ok=True)
+        self._index_path = os.path.join(backup_dir, "chain_index.json")
+
+    # ------------------------------------------------------- index --
+    def _load(self) -> list[dict]:
+        if os.path.exists(self._index_path):
+            with open(self._index_path) as f:
+                return json.load(f)
+        return []
+
+    def _save(self, idx: list[dict]) -> None:
+        tmp = self._index_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(idx, f, indent=1)
+        os.replace(tmp, self._index_path)
+
+    def points(self) -> list[ChainPoint]:
+        return [ChainPoint(**d) for d in self._load()]
+
+    def _chain_to(self, point_id: str) -> list[ChainPoint]:
+        """RecoveryPlan (:238): base..increment links in apply order."""
+        by_id = {p.id: p for p in self.points()}
+        if point_id not in by_id:
+            raise PitrError(f"no such chain point: {point_id}")
+        chain = []
+        cur = by_id[point_id]
+        while cur is not None:
+            chain.append(cur)
+            cur = by_id.get(cur.base_id) if cur.base_id else None
+        chain.reverse()
+        if chain[0].kind != "base":
+            raise PitrError(f"chain for {point_id} has no base snapshot")
+        return chain
+
+    # ----------------------------------------------------- backups --
+    def _collection_files(self, name: str) -> list[str]:
+        coll = self.db.collection(name)
+        out = []
+        for dirpath, _, files in os.walk(coll.path):
+            for fn in files:
+                if fn.endswith(".crc") or fn == "_SUCCESS":
+                    continue
+                rel = os.path.relpath(os.path.join(dirpath, fn), coll.path)
+                out.append(os.path.join(name, rel))
+        return sorted(out)
+
+    def _copy(self, point_dir: str, relpaths: list[str]) -> int:
+        total = 0
+        for rel in relpaths:
+            name, inner = rel.split(os.sep, 1)
+            src = os.path.join(self.db.collection(name).path, inner)
+            dst = os.path.join(point_dir, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copy2(src, dst)
+            total += os.path.getsize(dst)
+        return total
+
+    def create_base(self, label: str, now_ms: int | None = None) -> ChainPoint:
+        """Full copy of every collection's raw object tree (:297)."""
+        now = now_ms if now_ms is not None else _utcnow_ms()
+        pid = f"cb_{now}_{label}"
+        pdir = os.path.join(self.backup_dir, pid)
+        files = []
+        for name in self.db.list_collections():
+            files.extend(self._collection_files(name))
+        size = self._copy(pdir, files)
+        point = ChainPoint(
+            id=pid, label=label, kind="base", base_id=None,
+            timestamp_ms=now, files=files,
+            checksum=_hash_dir(pdir) if self.enable_checksums else None,
+            size_bytes=size)
+        idx = self._load()
+        idx.append(point.__dict__)
+        self._save(idx)
+        return point
+
+    def create_incremental(self, label: str, base: str | None = None,
+                           now_ms: int | None = None) -> ChainPoint:
+        """Copy only files new since the chain head (:320
+        create_incremental): manifests always recopy (they mutate);
+        immutable objects copy once per chain."""
+        points = self.points()
+        if base is None:
+            heads = [p for p in points]
+            if not heads:
+                raise PitrError("no base snapshot; create_base first")
+            head = heads[-1]
+        else:
+            head = next((p for p in points if p.id == base or p.label == base),
+                        None)
+            if head is None:
+                raise PitrError(f"no such chain point: {base!r}")
+        chain_files = set()
+        for link in self._chain_to(head.id):
+            chain_files.update(link.files)
+        now = now_ms if now_ms is not None else _utcnow_ms()
+        pid = f"ci_{now}_{label}"
+        pdir = os.path.join(self.backup_dir, pid)
+        new_files = []
+        for name in self.db.list_collections():
+            for rel in self._collection_files(name):
+                mutable = os.path.basename(rel) in (
+                    "manifest.json", "aliases.json", "branches.json")
+                if mutable or rel not in chain_files:
+                    new_files.append(rel)
+        size = self._copy(pdir, new_files)
+        point = ChainPoint(
+            id=pid, label=label, kind="incremental", base_id=head.id,
+            timestamp_ms=now, files=new_files,
+            checksum=_hash_dir(pdir) if self.enable_checksums else None,
+            size_bytes=size)
+        idx = self._load()
+        idx.append(point.__dict__)
+        self._save(idx)
+        return point
+
+    def verify(self, point_id: str) -> bool:
+        p = next((x for x in self.points() if x.id == point_id), None)
+        if p is None or p.checksum is None:
+            return False
+        return _hash_dir(os.path.join(self.backup_dir, point_id)) == p.checksum
+
+    # ---------------------------------------------------- recovery --
+    def recover(self, point_id: str, now_ms: int | None = None) -> dict:
+        """Assemble the chain newest-last into a staging tree (later
+        links overwrite manifests), then commit each collection's
+        restored state atomically (same manifest-flip as
+        PitrService.recover_to)."""
+        chain = self._chain_to(point_id)
+        if self.enable_checksums:
+            for link in chain:
+                if not self.verify(link.id):
+                    raise PitrError(f"checksum mismatch for {link.id}")
+        staging = tempfile.mkdtemp(prefix="pitr_chain_")
+        try:
+            for link in chain:
+                pdir = os.path.join(self.backup_dir, link.id)
+                for rel in link.files:
+                    src = os.path.join(pdir, rel)
+                    dst = os.path.join(staging, rel)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    shutil.copy2(src, dst)
+            restored = {}
+            for name in sorted(os.listdir(staging)):
+                src_path = os.path.join(staging, name)
+                if not os.path.exists(os.path.join(src_path, "manifest.json")):
+                    continue
+                from needle_spark.catalog import Collection
+
+                assembled = Collection(self.db.spark, src_path)
+                data = assembled.df()
+                coll = self.db.collection(name)
+                seg = coll._new_obj("seg")
+                data.write.mode("overwrite").parquet(
+                    os.path.join(coll.path, seg))
+                coll._commit(
+                    [], [coll._literal_event("restore", point_id)], 1, now_ms,
+                    new_entry={"segments": [seg], "tombstones": []})
+                restored[name] = coll.count()
+            return {"point_id": point_id, "chain_length": len(chain),
+                    "collections": restored}
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+
+    def chain_stats(self) -> dict:
+        pts = self.points()
+        return {
+            "points": len(pts),
+            "bases": sum(1 for p in pts if p.kind == "base"),
+            "incrementals": sum(1 for p in pts if p.kind == "incremental"),
+            "total_bytes": sum(p.size_bytes for p in pts),
+        }
+
+
+def _hash_dir(root: str) -> str:
+    h = hashlib.sha256()
+    for dirpath, _, files in sorted(os.walk(root)):
+        for name in sorted(files):
+            path = os.path.join(dirpath, name)
+            h.update(os.path.relpath(path, root).encode())
+            with open(path, "rb") as f:
+                for chunk in iter(lambda: f.read(1 << 20), b""):
+                    h.update(chunk)
+    return h.hexdigest()

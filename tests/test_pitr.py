@@ -123,3 +123,98 @@ def test_recover_atomic_flip_and_extra_collection_policy(spark, tmp_path, db):
     assert db.collection("late").count() == 0  # full-state recovery
     with pytest.raises(PitrError, match="policy"):
         svc.recover_to("s1", extra_collections="bogus")
+
+
+# ===================================================================
+# Incremental backup chains (persistence/incremental_backup.rs)
+# ===================================================================
+
+def _ibs(spark, tmp_path, name="ibdb"):
+    from needle_spark.catalog import Database
+    from needle_spark.pitr import IncrementalBackupService
+
+    db = Database(spark, str(tmp_path / name))
+    coll = db.create_collection("docs", dims=2)
+    coll.insert(spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])],
+        "id string, vector array<float>"), now_ms=1000)
+    svc = IncrementalBackupService(db, str(tmp_path / f"{name}_backups"))
+    return db, coll, svc
+
+
+def test_incremental_copies_only_new_objects(spark, tmp_path):
+    db, coll, svc = _ibs(spark, tmp_path)
+    base = svc.create_base("b0", now_ms=1000)
+    assert base.kind == "base" and base.size_bytes > 0
+
+    coll.insert(spark.createDataFrame(
+        [("c", [0.5, 0.5])], "id string, vector array<float>"),
+        now_ms=2000)
+    inc = svc.create_incremental("i1", now_ms=2000)
+    assert inc.kind == "incremental" and inc.base_id == base.id
+    # the increment carries the new segment + mutable manifests only —
+    # strictly smaller than the base
+    assert inc.size_bytes < base.size_bytes
+    assert any("manifest.json" in f for f in inc.files)
+    base_objs = {f for f in base.files if "/seg-" in f or "\\seg-" in f}
+    assert not base_objs & set(inc.files)  # immutable objects copy once
+
+    st = svc.chain_stats()
+    assert st == {"points": 2, "bases": 1, "incrementals": 1,
+                  "total_bytes": base.size_bytes + inc.size_bytes}
+
+
+def test_chain_recovery_restores_latest_state(spark, tmp_path):
+    db, coll, svc = _ibs(spark, tmp_path, "ibdb2")
+    base = svc.create_base("b0", now_ms=1000)
+    coll.insert(spark.createDataFrame(
+        [("c", [0.5, 0.5])], "id string, vector array<float>"),
+        now_ms=2000)
+    coll.delete(ids=["a"], now_ms=2500)
+    inc = svc.create_incremental("i1", now_ms=3000)
+
+    # wreck the live state, then recover the full chain
+    coll.clear(now_ms=4000)
+    assert coll.count() == 0
+    rep = svc.recover(inc.id, now_ms=5000)
+    assert rep["chain_length"] == 2
+    assert rep["collections"] == {"docs": 2}
+    # handles cache their manifest (MVCC): re-fetch to see the restore
+    ids = {r["id"] for r in db.collection("docs").df()
+           .select("id").collect()}
+    assert ids == {"b", "c"}  # post-increment state: a deleted, c added
+
+    # recovering just the base restores the older state
+    svc2_rep = svc.recover(base.id, now_ms=6000)
+    assert svc2_rep["chain_length"] == 1
+    ids0 = {r["id"] for r in db.collection("docs").df()
+            .select("id").collect()}
+    assert ids0 == {"a", "b"}
+
+
+def test_chain_verify_and_errors(spark, tmp_path):
+    db, coll, svc = _ibs(spark, tmp_path, "ibdb3")
+    base = svc.create_base("b0", now_ms=1000)
+    assert svc.verify(base.id) is True
+
+    from needle_spark.pitr import PitrError
+
+    with pytest.raises(PitrError):
+        svc._chain_to("nope")
+    # corrupt a byte -> checksum catches it
+    import os
+
+    pdir = os.path.join(svc.backup_dir, base.id)
+    victim = None
+    for dirpath, _, files in os.walk(pdir):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                victim = os.path.join(dirpath, fn)
+                break
+        if victim:
+            break
+    with open(victim, "ab") as f:
+        f.write(b"x")
+    assert svc.verify(base.id) is False
+    with pytest.raises(PitrError, match="checksum"):
+        svc.recover(base.id)
