@@ -91,6 +91,63 @@ def __getattr__(name):
                                  "reliable_ingest_sink"),
         "IngestionMetrics": ("needle_spark.streaming.reliability",
                              "IngestionMetrics"),
+        # round-4 extension families
+        "RagPipeline": ("needle_spark.operators.rag", "RagPipeline"),
+        "RagConfig": ("needle_spark.operators.rag", "RagConfig"),
+        "RecursiveTextSplitter": ("needle_spark.operators.rag",
+                                  "RecursiveTextSplitter"),
+        "multi_query_search": ("needle_spark.operators.rag",
+                               "multi_query_search"),
+        "auto_tune": ("needle_spark.plans.tuning", "auto_tune"),
+        "profile_vectors": ("needle_spark.plans.tuning", "profile_vectors"),
+        "advise_compression": ("needle_spark.plans.tuning",
+                               "advise_compression"),
+        "what_if_analysis": ("needle_spark.plans.tuning", "what_if_analysis"),
+        "QueryProfiler": ("needle_spark.plans.profiler", "QueryProfiler"),
+        "analyze_plan": ("needle_spark.plans.profiler", "analyze_plan"),
+        "IvfBatchKnnIndex": ("needle_spark.plans.ivf", "IvfBatchKnnIndex"),
+        "HalfQuantizer": ("needle_spark.plans.quantization", "HalfQuantizer"),
+        "VisualQueryBuilder": ("needle_spark.operators.nl_query_builder",
+                               "VisualQueryBuilder"),
+        "CollectionProfile": ("needle_spark.operators.nl_query_builder",
+                              "CollectionProfile"),
+        "CollaborativeFilter": ("needle_spark.operators.collab_filter",
+                                "CollaborativeFilter"),
+        "item_similarity": ("needle_spark.operators.collab_filter",
+                            "item_similarity"),
+        "group_centroids": ("needle_spark.operators.vector_agg",
+                            "group_centroids"),
+        "group_medoid": ("needle_spark.operators.vector_agg", "group_medoid"),
+        "sequence_trends": ("needle_spark.operators.temporal_vectors",
+                            "sequence_trends"),
+        "trajectory_search": ("needle_spark.operators.temporal_vectors",
+                              "trajectory_search"),
+        "FeedbackConfig": ("needle_spark.operators.relevance_feedback",
+                           "FeedbackConfig"),
+        "compute_adjustments": ("needle_spark.operators.relevance_feedback",
+                                "compute_adjustments"),
+        "KnowledgeGraph": ("needle_spark.operators.knowledge_graph",
+                           "KnowledgeGraph"),
+        "QueryPrewarmer": ("needle_spark.operators.prewarming",
+                           "QueryPrewarmer"),
+        "AnalyticsDashboard": ("needle_spark.plans.analytics_dashboard",
+                               "AnalyticsDashboard"),
+        "AgentMemory": ("needle_spark.operators.agent_memory", "AgentMemory"),
+        "MemoryConfig": ("needle_spark.operators.agent_memory",
+                         "MemoryConfig"),
+        "TriggerRegistry": ("needle_spark.streaming.triggers",
+                            "TriggerRegistry"),
+        "multimodal_fusion_search": ("needle_spark.operators.namespaces",
+                                     "multimodal_fusion_search"),
+        "TieredCollection": ("needle_spark.plans.tiering",
+                             "TieredCollection"),
+        "KMeansModel": ("needle_spark.plans.clustering", "KMeansModel"),
+        "cluster_vectors": ("needle_spark.plans.clustering",
+                            "cluster_vectors"),
+        "EmbeddingRouter": ("needle_spark.operators.embedding_router",
+                            "EmbeddingRouter"),
+        "IncrementalBackupService": ("needle_spark.pitr",
+                                     "IncrementalBackupService"),
     }
     if name in _lazy:
         import importlib
