@@ -141,14 +141,40 @@ class EmbeddingRouter:
             raise RuntimeError("no healthy embedding provider")
         return embedding_provider_udf(self.get(name).embed_fn), name
 
+    def _route_excluding(self, collection: str | None,
+                         tried: set[str]) -> str | None:
+        """Strategy selection skipping providers already tried THIS
+        batch — a transient failure fails over immediately even while
+        the provider stays globally healthy."""
+        if collection is not None and collection in self._pins:
+            p = self.get(self._pins[collection])
+            if p is not None and p.healthy and p.name not in tried:
+                return p.name
+        healthy = [p for p in self._providers
+                   if p.healthy and p.name not in tried]
+        if not healthy:
+            return None
+        s = self.config.strategy
+        if s == "priority_chain":
+            return healthy[0].name
+        if s == "lowest_cost":
+            return min(healthy, key=lambda p: (p.cost_per_token, p.name)).name
+        if s == "lowest_latency":
+            return min(healthy, key=lambda p: (p.avg_latency_ms, p.name)).name
+        idx = self._rr % len(healthy)
+        self._rr += 1
+        return healthy[idx].name
+
     def embed_with_fallback(self, texts: list[str],
                             collection: str | None = None) -> tuple[list, str]:
         """Embed one bounded batch with automatic failover down the
-        healthy chain; success/failure feed the health stats."""
+        healthy chain; success/failure feed the health stats.  Each
+        provider is tried at most once per batch regardless of its
+        global health counters."""
         tried: set[str] = set()
         while True:
-            name = self.route(collection)
-            if name is None or name in tried:
+            name = self._route_excluding(collection, tried)
+            if name is None:
                 raise RuntimeError(
                     f"all providers failed for this batch (tried {sorted(tried)})")
             tried.add(name)

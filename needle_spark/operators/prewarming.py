@@ -129,7 +129,6 @@ class QueryPrewarmer:
                     centroid[i] += v * w
             confidence = min(total / len(rows), 1.0)
             if confidence >= self.current_threshold:
-                self.total_predictions += 1
                 preds.append({
                     "collection": coll,
                     "predicted_embedding": centroid,
@@ -137,7 +136,11 @@ class QueryPrewarmer:
                     "predicted_k": sum(r["k"] for r in rows) // len(rows),
                 })
         preds.sort(key=lambda p: -p["confidence"])
-        return preds[:limit]
+        preds = preds[:limit]
+        # count only EMITTED predictions so accuracy (hits/total) can
+        # actually reach 1.0 and adapt_threshold steers correctly
+        self.total_predictions += len(preds)
+        return preds
 
     # ------------------------------------------------------ feedback --
     def record_hit(self) -> None:

@@ -651,7 +651,7 @@ class RagPipeline:
         """Retrieve + assemble.  Pass `queries` for multi-query fusion
         (pipeline.rs:840); the cache serves exact repeats."""
         t0 = time.time()
-        cache_key = "\x1f".join([query_text, *(queries or [])])
+        cache_key = "\x1f".join([query_text, merge, *(queries or [])])
         if self.cache:
             hit = self.cache.get(cache_key, filter)
             if hit is not None:

@@ -183,7 +183,7 @@ def trajectory_search(df: DataFrame, query_seq: Sequence[Sequence[float]],
                 f"{max_seq_len}; downsample before trajectory search")
         pdf = pdf.sort_values(ts_col, kind="mergesort")
         seq = pdf[vector_col].tolist()
-        return pd.DataFrame({"seq_id": [key[0]],
+        return pd.DataFrame({"seq_id": [str(key[0])],
                              "distance": [fn(seq, Q)]})
 
     out = (df.select(seq_col, ts_col, vector_col)

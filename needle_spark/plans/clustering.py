@@ -85,7 +85,7 @@ class KMeansModel:
         """Silhouette score via the distributed evaluator."""
         from pyspark.ml.evaluation import ClusteringEvaluator
 
-        measure = ("cosineSilhouette" if self.config.distance == "cosine"
+        measure = ("cosine" if self.config.distance == "cosine"
                    else "squaredEuclidean")
         ev = ClusteringEvaluator(featuresCol="__features",
                                  predictionCol="cluster",

@@ -135,18 +135,13 @@ def analyze_plan(df: DataFrame, broadcast_threshold_rows: int = 1_000_000,
             "per-row hot path"))
     # filters that stayed above the scan instead of pushing down
     scans = re.findall(r"Scan parquet[^\n]*", p)
-    if scans and "Filter" in p and "PushedFilters: \\[\\]" in p.replace("[]", "\\[\\]"):
-        pass  # handled below with the precise check
-    for m in re.finditer(r"PushedFilters: \[\]", p):
-        # a scan with no pushed filters while the plan filters somewhere
-        if re.search(r"\(\d+\) Filter", p):
-            hints.append(OptimizationHint(
-                "warning", "pushdown",
-                "A Parquet scan has no pushed filters while the plan "
-                "filters rows above it",
-                "Express the predicate on raw columns (not UDF output) so "
-                "Catalyst can push it into the scan"))
-            break
+    if "PushedFilters: []" in p and re.search(r"\(\d+\) Filter", p):
+        hints.append(OptimizationHint(
+            "warning", "pushdown",
+            "A Parquet scan has no pushed filters while the plan "
+            "filters rows above it",
+            "Express the predicate on raw columns (not UDF output) so "
+            "Catalyst can push it into the scan"))
     n_exchange = len(re.findall(r"\(\d+\) Exchange", p))
     if n_exchange >= 4:
         hints.append(OptimizationHint(

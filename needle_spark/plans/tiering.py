@@ -65,6 +65,8 @@ class TieredCollection:
                                  schema=TIERED_SCHEMA)
         self.collection = db.collection(collection_name)
         self._hot_cache: DataFrame | None = None
+        self._warm_cache: tuple | None = None   # (HalfQuantizer, encoded df)
+        self._cold_cache: tuple | None = None   # (SQ8, encoded df)
 
     # ------------------------------------------------------ inserts --
     def insert(self, rows: DataFrame, now: int | None = None) -> int:
@@ -168,9 +170,16 @@ class TieredCollection:
 
     # -------------------------------------------------------- serve --
     def _invalidate_hot(self) -> None:
+        """Retier/insert invalidates every serving representation."""
         if self._hot_cache is not None:
             self._hot_cache.unpersist()
             self._hot_cache = None
+        if self._warm_cache is not None:
+            self._warm_cache[1].unpersist()
+            self._warm_cache = None
+        if self._cold_cache is not None:
+            self._cold_cache[1].unpersist()
+            self._cold_cache = None
 
     def _hot(self) -> DataFrame:
         """Hot tier: exact floats pinned in executor memory."""
@@ -181,6 +190,36 @@ class TieredCollection:
             self._hot_cache.count()
         return self._hot_cache
 
+    def _warm(self):
+        """Warm tier: float16 codes materialized ONCE per tier state
+        (re-encoding per query would cost more than the exact scan)."""
+        if self._warm_cache is None:
+            from needle_spark.plans.quantization import HalfQuantizer
+
+            warm = (self.collection.df().filter(F.col("tier") == "warm")
+                    .select("id", "vector"))
+            hq = HalfQuantizer("float16")
+            enc = hq.encode(warm).persist()
+            enc.count()
+            self._warm_cache = (hq, enc)
+        return self._warm_cache
+
+    def _cold(self):
+        """Cold tier: SQ8 codes, quantizer fitted once per tier state."""
+        if self._cold_cache is None:
+            from needle_spark.plans.quantization import SQ8
+
+            cold = (self.collection.df().filter(F.col("tier") == "cold")
+                    .select("id", "vector"))
+            if cold.head(1):
+                sq = SQ8.fit(cold)
+                enc = sq.encode(cold).persist()
+                enc.count()
+                self._cold_cache = (sq, enc)
+            else:
+                self._cold_cache = (None, cold.persist())
+        return self._cold_cache
+
     def search(self, query_vector, k: int = 10,
                record: bool = True) -> DataFrame:
         """Cross-tier search (tiered_service.rs:247): hot serves exact
@@ -188,7 +227,6 @@ class TieredCollection:
         codes; each tier's top-k merges into one page with its serving
         tier attached."""
         from needle_spark.operators.knn import knn
-        from needle_spark.plans.quantization import SQ8, HalfQuantizer
 
         qv = [float(x) for x in query_vector]
         parts = []
@@ -196,16 +234,13 @@ class TieredCollection:
         if hot.head(1):
             parts.append(knn(hot, qv, k=k).select(
                 "id", "distance", F.lit("hot").alias("tier")))
-        base = self.collection.df()
-        warm = base.filter(F.col("tier") == "warm").select("id", "vector")
-        if warm.head(1):
-            hq = HalfQuantizer("float16")
-            parts.append(hq.search(hq.encode(warm), qv, k=k).select(
+        hq, warm_enc = self._warm()
+        if warm_enc.head(1):
+            parts.append(hq.search(warm_enc, qv, k=k).select(
                 "id", "distance", F.lit("warm").alias("tier")))
-        cold = base.filter(F.col("tier") == "cold").select("id", "vector")
-        if cold.head(1):
-            sq = SQ8.fit(cold)
-            parts.append(sq.search(sq.encode(cold), qv, k=k,
+        sq, cold_enc = self._cold()
+        if sq is not None and cold_enc.head(1):
+            parts.append(sq.search(cold_enc, qv, k=k,
                                    metric="cosine").select(
                 "id", "distance", F.lit("cold").alias("tier")))
         if not parts:

@@ -191,11 +191,17 @@ class TriggerRegistry:
 
     def process_cdc(self, collection: str, cdc_batch: DataFrame,
                     op_col: str = "event_type",
-                    id_col: str = "vector_id") -> int:
+                    id_col: str = "vector_id",
+                    rows_source: DataFrame | None = None) -> int:
         """Consume one CDC micro-batch: per-event-type counts aggregate
         distributed; only the (op, ids) summary reaches the driver for
         dispatch.  Batch inserts (>1 id in one op group) dispatch as
-        batch_insert like the reference."""
+        batch_insert like the reference.
+
+        `rows_source` (an id->vector frame, usually the collection's
+        df()) lights up registered ProximityTriggers: inserted ids
+        resolve to their vectors there and run through check_batch —
+        CDC events alone carry no vectors."""
         groups = (cdc_batch.groupBy(op_col)
                   .agg(F.count(F.lit(1)).alias("n"),
                        F.collect_list(id_col).alias("ids")).collect())
@@ -211,6 +217,16 @@ class TriggerRegistry:
                 for vid in g["ids"]:
                     self.dispatch(collection, op, {"vector_id": vid})
                     dispatched += int(g["n"] > 0)
+        if rows_source is not None:
+            prox = [t for t in self._triggers if hasattr(t, "check_batch")]
+            if prox:
+                inserted = [vid for g in groups
+                            if g[op_col] in ("insert", "upsert")
+                            for vid in g["ids"]]
+                if inserted:
+                    rows = rows_source.filter(F.col("id").isin(inserted))
+                    for t in prox:
+                        t.check_batch(collection, rows)
         return dispatched
 
     def attach_stream(self, spark, collection, checkpoint_dir: str,
@@ -224,7 +240,7 @@ class TriggerRegistry:
         name = os.path.basename(getattr(collection, "path", "collection"))
 
         def _batch(df, _epoch):
-            self.process_cdc(name, df)
+            self.process_cdc(name, df, rows_source=collection.df())
 
         stream = change_stream(spark, collection)
         writer = (stream.writeStream.foreachBatch(_batch)

@@ -73,3 +73,11 @@ def test_cluster_summary(blobs):
     assert len(summ) == 3
     assert all(r["count"] == 40 for r in summ)
     assert all(r["spread"] < 2.0 for r in summ)  # tight blobs
+
+
+def test_cosine_silhouette_works(spark):
+    rows = [(f"a{i}", [1.0, 0.01 * i]) for i in range(15)] + \
+           [(f"b{i}", [0.01 * i, 1.0]) for i in range(15)]
+    df = spark.createDataFrame(rows, "id string, vector array<float>")
+    m = KMeansModel.fit(df, 2, config=ClusteringConfig(distance="cosine"))
+    assert m.silhouette(df) > 0.5  # no longer crashes on cosine

@@ -84,3 +84,21 @@ def test_embed_udf_bridges_to_spark(spark):
     df = spark.createDataFrame([("hello",)], "text string")
     row = df.select(udf(F.col("text")).alias("v")).first()
     assert row["v"] == [2.0] * 16
+
+
+def test_failover_on_first_transient_failure():
+    """A single transient failure of the routed provider fails over to
+    the next healthy provider within the SAME batch, even though the
+    failing provider stays globally healthy (max_failures not reached)."""
+    r = EmbeddingRouter(RouterConfig(max_failures=3))
+    calls = {"a": 0}
+
+    def flaky_once(t):
+        calls["a"] += 1
+        raise TimeoutError("blip")
+
+    r.register(ProviderEntry("alpha", 2, 1.0, embed_fn=flaky_once))
+    r.register(ProviderEntry("beta", 2, 2.0, embed_fn=lambda t: [9.0, 9.0]))
+    vecs, used = r.embed_with_fallback(["x"])
+    assert used == "beta" and vecs == [[9.0, 9.0]]
+    assert r.get("alpha").healthy  # one failure < max_failures

@@ -116,3 +116,14 @@ def test_sequence_drift(seqs):
     r = sequence_drift(rot, window_size=5, threshold=0.5).first()
     assert r["drift_score"] == pytest.approx(1.0)
     assert r["drift_detected"]
+
+
+def test_trajectory_search_numeric_seq_ids(spark):
+    """Non-string sequence ids cast cleanly into the declared schema."""
+    rows = [(7, t, [float(t), 0.0]) for t in range(4)] + \
+           [(8, t, [0.0, float(t)]) for t in range(4)]
+    df = spark.createDataFrame(rows, "seq_id long, ts long, "
+                                     "vector array<float>")
+    q = [[float(t), 0.0] for t in range(4)]
+    got = trajectory_search(df, q, k=1, metric="dtw").collect()
+    assert got[0]["seq_id"] == "7"

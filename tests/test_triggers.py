@@ -109,3 +109,23 @@ def test_attach_stream_end_to_end(spark, tmp_path):
     q = reg.attach_stream(spark, coll, str(tmp_path / "ckpt"))
     q.awaitTermination(60)
     assert any("batch_insert" in e[1] for e in log.entries())
+
+
+def test_proximity_trigger_fires_through_cdc(spark, tmp_path):
+    """Registered proximity triggers resolve inserted ids to vectors
+    via rows_source and alert from the CDC feed."""
+    from needle_spark.catalog import Database
+    from needle_spark.streaming.triggers import ProximityTrigger
+
+    db = Database(spark, str(tmp_path / "pxdb"))
+    coll = db.create_collection("docs", dims=2)
+    reg = TriggerRegistry()
+    prox = ProximityTrigger("near", threshold=0.05,
+                            watch_vector=[1.0, 0.0])
+    reg.register(prox)
+    coll.insert(spark.createDataFrame(
+        [("hit", [1.0, 0.0]), ("miss", [0.0, 1.0])],
+        "id string, vector array<float>"))
+    q = reg.attach_stream(spark, coll, str(tmp_path / "pxckpt"))
+    q.awaitTermination(60)
+    assert [a["vector_id"] for a in prox.alerts] == ["hit"]
