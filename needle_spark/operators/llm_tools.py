@@ -137,10 +137,12 @@ class ToolRegistry:
         reg(ToolSchema(
             "needle_insert",
             "Insert a text document into a collection (auto-embeds)",
+            # no `metadata` parameter: the auto-embedding text path
+            # stores (text, source_doc, chunk_index); advertising an
+            # argument the handler would drop silently lies to the LLM
             _params({"collection": {"type": "string"},
                      "id": {"type": "string"},
-                     "text": {"type": "string"},
-                     "metadata": {"type": "object"}},
+                     "text": {"type": "string"}},
                     ["collection", "id", "text"]),
             handler=lambda db, a: self._insert(a)))
         reg(ToolSchema(

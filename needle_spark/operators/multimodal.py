@@ -247,6 +247,10 @@ def _decode_netpbm(data: bytes) -> np.ndarray:
     channels = 3 if magic in (b"P3", b"P6") else 1
     n = width * height * channels
     if magic in (b"P5", b"P6"):
+        if maxval > 255:
+            raise ValueError(
+                f"binary netpbm with maxval {maxval} uses 2-byte samples "
+                "(unsupported); re-encode at maxval <= 255")
         raster = np.frombuffer(data, dtype=np.uint8, count=n, offset=pos + 1)
     else:
         raster = np.array(data[pos:].split()[:n], dtype=np.uint16)
@@ -602,16 +606,21 @@ def image_neardup_pairs(features: DataFrame, max_hamming: int = 6,
                         id_col: str = "media_id",
                         hash_col: str = "ahash") -> DataFrame:
     """Near-duplicate image pairs by average-hash hamming distance,
-    banded for scale: the 64-bit hash splits into 4 x 16-bit bands and
+    banded for scale: the 64-bit hash splits into 8 x 8-bit bands and
     only pairs sharing at least one band compare (pigeonhole: hamming
-    <= 6 guarantees >= 1 identical band at 4 bands x 16 bits) — the
-    SimHash shape from operators/dedup.py applied to images."""
+    <= 7 cannot touch all 8 bands, so every pair within the default
+    max_hamming=6 shares a band) — the SimHash shape from
+    operators/dedup.py applied to images."""
+    if max_hamming > 7:
+        raise ValueError(
+            "8x8-bit banding only guarantees pairs with hamming <= 7; "
+            f"max_hamming={max_hamming} would silently miss candidates")
     bands = []
     h = F.col(hash_col)
-    for b in range(4):
+    for b in range(8):
         bands.append(F.struct(
             F.lit(b).alias("band"),
-            F.shiftright(h, b * 16).bitwiseAND(F.lit(0xFFFF)).alias("key")))
+            F.shiftright(h, b * 8).bitwiseAND(F.lit(0xFF)).alias("key")))
     banded = features.select(
         F.col(id_col), h.alias("__h"),
         F.explode(F.array(*bands)).alias("bk"))

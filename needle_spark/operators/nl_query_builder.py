@@ -82,6 +82,10 @@ class CollectionProfile:
         for c in cols:
             aggs.append(F.approx_count_distinct(c).alias(f"__card_{c}"))
         row = df.agg(*aggs).first()
+        # example values for autocompletion come from ONE bounded
+        # sample job shared by every string field — not a
+        # distinct+sort scan per column
+        sample_rows = df.select(*cols).limit(500).collect()
         fields = []
         for c in cols:
             t = kinds.get(c, "string")
@@ -92,9 +96,9 @@ class CollectionProfile:
                      else "array" if t.startswith("array") else "string")
             ex = []
             if dtype == "string":
-                ex = [r[0] for r in (df.select(c).where(F.col(c).isNotNull())
-                                     .distinct().orderBy(c)
-                                     .limit(example_values).collect())]
+                seen = sorted({r[c] for r in sample_rows
+                               if r[c] is not None})
+                ex = seen[:example_values]
             fields.append(FieldProfile(
                 name=c, dtype=dtype, cardinality=int(row[f"__card_{c}"]),
                 examples=ex))
@@ -121,13 +125,23 @@ class QueryAnalyzer:
     def __init__(self):
         self.nl = NLFilterParser()
 
-    def analyze(self, query: str) -> QueryAnalysis:
-        parsed = self.nl.parse(query)
+    def analyze(self, query: str,
+                parsed: ParsedQuery | None = None) -> QueryAnalysis:
+        import re
+
+        parsed = parsed if parsed is not None else self.nl.parse(query)
         low = query.lower()
         patterns = []
         for ptype, keywords in _PATTERNS:
             for kw in keywords:
-                if kw in low:
+                # word-boundary match for word keywords so 'count' does
+                # not fire inside 'accounting' (punctuation keywords
+                # like ',' and '>' stay substring matches)
+                if kw[0].isalpha():
+                    hit = re.search(r"\b" + re.escape(kw) + r"\b", low)
+                else:
+                    hit = kw in low
+                if hit:
                     patterns.append((ptype, kw))
         q_class = self._classify(parsed, patterns)
         complexity = self._complexity(parsed, patterns)
@@ -296,8 +310,9 @@ class VisualQueryBuilder:
 
     # ------------------------------------------------------ build --
     def build(self, natural_query: str) -> QueryBuildResult:
-        analysis = self.analyzer.analyze(natural_query)
-        ql = self._translate(natural_query, analysis)
+        parsed_nl = self.analyzer.nl.parse(natural_query)
+        analysis = self.analyzer.analyze(natural_query, parsed=parsed_nl)
+        ql = self._translate(parsed_nl, analysis)
         parsed = self._validate(ql)
         hints = generate_hints(analysis, self.profile)
         quality = self._quality(analysis, hints, parsed)
@@ -307,11 +322,11 @@ class VisualQueryBuilder:
             suggestions=self._suggestions(analysis, quality),
             alternatives=self._alternatives(analysis))
 
-    def _translate(self, query: str, analysis: QueryAnalysis) -> str:
+    def _translate(self, parsed: ParsedQuery,
+                   analysis: QueryAnalysis) -> str:
         """query_builder.rs:774-830 translate_to_needleql, with parsed
         literal values inlined instead of placeholders where the NL
         parser extracted them."""
-        parsed = self.analyzer.nl.parse(query)
         where: list[str] = []
         if analysis.query_class in ("semantic", "hybrid") and \
                 analysis.search_terms:

@@ -682,6 +682,23 @@ class RagPipeline:
             r["chunk"] = r.get("chunk") or ""
             r["score"] = 1.0 - float(r["distance"])  # cosine similarity
         n_retrieved = len(rows)
+        if cfg.hybrid_search:
+            # hybrid blend (pipeline.rs hybrid_search/alpha): relevance =
+            # alpha * vector similarity + (1-alpha) * lexical overlap
+            # with the query, over the bounded fetched pool
+            a = float(cfg.hybrid_alpha)
+            for r in rows:
+                r["score"] = (a * r["score"] + (1.0 - a)
+                              * _text_sim(query_text, r["chunk"]))
+            rows.sort(key=lambda r: (-r["score"], r["id"]))
+        if cfg.rerank:
+            # rerank pass (pipeline.rs rerank_top_n): term-overlap
+            # scoring of the rerank_top_k pool against the query, then
+            # re-sort by (overlap, vector score) before the top_k cut
+            for r in rows:
+                r["rerank_score"] = _text_sim(query_text, r["chunk"])
+            rows.sort(key=lambda r: (-r["rerank_score"], -r["score"],
+                                     r["id"]))
         if cfg.dedup_threshold is not None:
             kept: list[dict] = []
             for r in rows:

@@ -175,3 +175,14 @@ def test_filter_to_ql_operators():
     assert got == "(a = 1 AND b < 2)"
     # quotes escape
     assert _filter_to_ql({"t": "it's"}) == "t = 'it''s'"
+
+
+def test_word_boundary_keyword_matching():
+    """'count' inside 'accounting' must not trigger the aggregation
+    class; semantic queries stay semantic."""
+    a = QueryAnalyzer().analyze("find documents about accounting")
+    assert a.query_class == "semantic"
+    assert not any(kw == "count" for _, kw in a.patterns)
+    # real aggregation keyword still fires with boundaries
+    b = QueryAnalyzer().analyze("count the documents")
+    assert b.query_class == "aggregation"

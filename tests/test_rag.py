@@ -377,3 +377,33 @@ def test_rag_pipeline_multi_query_and_dedup(spark, tmp_path):
     # near-identical overlapping windows were deduped
     texts = [c["chunk"] for c in resp.chunks]
     assert len(texts) == len(set(texts))
+
+
+def test_rag_pipeline_rerank_and_hybrid_change_ranking(spark, tmp_path):
+    """rerank=True and hybrid_search actually reorder results (they
+    were silent no-ops before): a lexically-matching chunk overtakes a
+    vector-closer one."""
+    from needle_spark.catalog import Database
+
+    db = Database(spark, str(tmp_path / "ragrrdb"))
+    cfg = RagConfig(collection_name="rr", dimensions=16, chunking="none",
+                    top_k=2, rerank=True, rerank_top_k=4,
+                    cache_capacity=None)
+    pipe = RagPipeline(db, cfg)
+    docs = spark.createDataFrame(
+        [("d1", "alpha beta gamma delta"),
+         ("d2", "catalyst optimizer rules engine"),
+         ("d3", "epsilon zeta eta theta")],
+        "id string, text string")
+    pipe.ingest_documents(docs)
+    got = pipe.query("catalyst optimizer rules engine")
+    assert got.chunks[0]["chunk"].startswith("catalyst")
+    assert "rerank_score" in got.chunks[0]
+
+    cfg2 = RagConfig(collection_name="rr2", dimensions=16, chunking="none",
+                     top_k=2, hybrid_search=True, hybrid_alpha=0.3,
+                     cache_capacity=None)
+    pipe2 = RagPipeline(db, cfg2)
+    pipe2.ingest_documents(docs)
+    got2 = pipe2.query("catalyst optimizer rules engine")
+    assert got2.chunks[0]["chunk"].startswith("catalyst")

@@ -330,3 +330,28 @@ def test_image_transform_features_and_neardup(spark):
     vc = np.array(rows["c"]["embedding"])
     assert va @ vb > 0.9 > va @ vc
     feats.unpersist()
+
+
+def test_netpbm_16bit_binary_rejected():
+    with pytest.raises(ValueError, match="maxval"):
+        _decode_netpbm(b"P5 2 2 65535\n" + bytes(8))
+
+
+def test_image_neardup_banding_guarantee(spark):
+    """8x8-bit banding finds pairs with hamming spread across 4+ of the
+    old 16-bit bands (the old 4-band scheme missed these)."""
+    from needle_spark.operators.multimodal import image_neardup_pairs
+
+    # craft two hashes differing in exactly 5 bits, one per 16-bit band
+    h1 = 0x0123456789ABCDEF
+    h2 = h1 ^ (1 << 0) ^ (1 << 16) ^ (1 << 32) ^ (1 << 48) ^ (1 << 8)
+    def signed(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+    feats = spark.createDataFrame(
+        [("x", signed(h1)), ("y", signed(h2))],
+        "media_id string, ahash long")
+    pairs = image_neardup_pairs(feats, max_hamming=6).collect()
+    assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == \
+        [("x", "y", 5)]
+    with pytest.raises(ValueError):
+        image_neardup_pairs(feats, max_hamming=12)
