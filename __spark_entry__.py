@@ -2257,6 +2257,130 @@ ORDER BY rrf_score DESC, id ASC LIMIT 10
 """
 
 
+def _kg_context_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knowledge-graph context-boosted search
+    (knowledge_graph.rs:388-438): cosine similarity blended with a
+    graph score — 1.0 for entities reachable from the anchor within 2
+    hops (broadcast-frontier BFS; recursive-CTE twin), degree
+    centrality otherwise.  Edges derived deterministically: chains
+    i -> i+1 -> i+2 from every fifth id."""
+    from needle_spark.operators.knowledge_graph import KnowledgeGraph
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    ents = emb.select(F.col("vec_id").cast("string").alias("id"),
+                      F.concat(F.lit("l"), F.col("label").cast("string"))
+                      .alias("entity_type"),
+                      F.col("embedding").alias("vector"))
+    base = emb.filter(F.col("vec_id") % 5 == 0).select("vec_id")
+    rels = (base.select(F.col("vec_id").cast("string").alias("src"),
+                        (F.col("vec_id") + 1).cast("string").alias("dst"),
+                        F.lit("next").alias("edge_type"))
+            .unionByName(base.select(
+                (F.col("vec_id") + 1).cast("string").alias("src"),
+                (F.col("vec_id") + 2).cast("string").alias("dst"),
+                F.lit("next").alias("edge_type"))))
+    kg = KnowledgeGraph(ents, rels)
+    got = kg.search_with_context(qv, k=15, anchors=["0"])
+    return got.select(F.col("id").cast("long").alias("id"), "similarity",
+                      "graph_score", "combined_score")
+
+
+def _kg_context_search_sql() -> str:
+    d = duckdb_distance_sql("cosine", "embedding", _Q_SQL)
+    return f"""
+WITH RECURSIVE
+edges AS (
+  SELECT CAST(vec_id AS VARCHAR) AS src,
+         CAST(vec_id + 1 AS VARCHAR) AS dst
+  FROM embeddings WHERE vec_id % 5 = 0
+  UNION ALL
+  SELECT CAST(vec_id + 1 AS VARCHAR), CAST(vec_id + 2 AS VARCHAR)
+  FROM embeddings WHERE vec_id % 5 = 0
+), und AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION ALL
+  SELECT dst, src FROM edges
+), reach AS (
+  SELECT '0' AS nid, 0 AS hop
+  UNION ALL
+  SELECT u.b, r.hop + 1 FROM reach r JOIN und u ON u.a = r.nid
+  WHERE r.hop < 2
+), reachable AS (SELECT DISTINCT nid FROM reach),
+deg AS (
+  SELECT nid, CAST(count(*) AS DOUBLE) /
+         (SELECT count(*) FROM embeddings) AS degree
+  FROM (SELECT a AS nid FROM und) GROUP BY nid
+),
+scored AS (
+  SELECT CAST(e.vec_id AS VARCHAR) AS id,
+         1.0 - ({d}) AS similarity,
+         CASE WHEN rch.nid IS NOT NULL THEN 1.0
+              ELSE least(coalesce(deg.degree, 0.0), 1.0) END AS graph_score
+  FROM embeddings e
+  LEFT JOIN reachable rch ON rch.nid = CAST(e.vec_id AS VARCHAR)
+  LEFT JOIN deg ON deg.nid = CAST(e.vec_id AS VARCHAR)
+)
+SELECT CAST(id AS BIGINT) AS id, similarity, graph_score,
+       0.7 * similarity + 0.3 * graph_score AS combined_score
+FROM scored
+ORDER BY combined_score DESC, CAST(id AS VARCHAR) ASC LIMIT 15
+"""
+
+
+def _mm_fusion_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late multi-modal fusion (multimodal_fusion.rs:173-186
+    WeightedSum): per-modality distances and the fused score compute in
+    ONE scan expression; missing modalities renormalize over the
+    present weights.  Modalities derived deterministically: the
+    embedding plus its reverse (odd ids lack the second modality)."""
+    from needle_spark.operators.namespaces import (
+        NamespaceSchema,
+        VectorFieldDef,
+        multimodal_fusion_search,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    docs = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("text_vec"),
+        F.when(F.col("vec_id") % 2 == 0, F.reverse(F.col("embedding")))
+         .alias("image_vec"))
+    schema = (NamespaceSchema("mm")
+              .add_field(VectorFieldDef("text_vec", 64, "cosine"))
+              .add_field(VectorFieldDef("image_vec", 64, "cosine")))
+    got = multimodal_fusion_search(
+        docs, schema,
+        [("text_vec", qv, 2.0), ("image_vec", list(reversed(qv)), 1.0)],
+        k=15, strategy="weighted_sum")
+    return got.select("id", "score", "modalities_present")
+
+
+def _mm_fusion_weighted_sql() -> str:
+    d_text = duckdb_distance_sql("cosine", "embedding", _Q_SQL)
+    d_img = duckdb_distance_sql(
+        "cosine", "list_reverse(embedding)",
+        "(SELECT list_reverse(embedding) FROM embeddings WHERE vec_id = 0)")
+    return f"""
+WITH scored AS (
+  SELECT vec_id AS id,
+         {d_text} AS dt,
+         CASE WHEN vec_id % 2 = 0 THEN {d_img} END AS di
+  FROM embeddings
+), fused AS (
+  SELECT id,
+         CASE WHEN di IS NULL THEN dt
+              ELSE (2.0 * dt + 1.0 * di) / 3.0 END AS score,
+         CASE WHEN di IS NULL THEN ['text_vec']
+              ELSE ['text_vec', 'image_vec'] END AS modalities_present
+  FROM scored
+)
+SELECT id, score, modalities_present
+FROM fused ORDER BY score ASC, id ASC LIMIT 15
+"""
+
+
 _MEM_NOW = 720_000_000  # fixed epoch seconds for deterministic ages
 
 
@@ -2663,6 +2787,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_trend": _sequence_trend,
         "relevance_adjustments": _relevance_adjustments,
         "memory_recall": _memory_recall,
+        "mm_fusion_weighted": _mm_fusion_weighted,
+        "kg_context_search": _kg_context_search,
     }
 
 
@@ -2774,4 +2900,6 @@ def oracle_sql() -> dict[str, str]:
         "sequence_trend": _SEQUENCE_TREND_SQL,
         "relevance_adjustments": _RELEVANCE_ADJUSTMENTS_SQL,
         "memory_recall": _memory_recall_sql(),
+        "mm_fusion_weighted": _mm_fusion_weighted_sql(),
+        "kg_context_search": _kg_context_search_sql(),
     }
