@@ -2257,6 +2257,49 @@ ORDER BY rrf_score DESC, id ASC LIMIT 10
 """
 
 
+def _dashboard_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-pattern rollup (experimental/analytics.rs:178-230,
+    :591-610): events map to (collection, operation, filter-shape)
+    pattern keys; occurrences + latency stats aggregate per pattern."""
+    from needle_spark.plans.analytics_dashboard import (
+        AnalyticsConfig,
+        AnalyticsDashboard,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    frame = ev.select(
+        F.col("event_type").alias("collection"),
+        F.when(F.col("event_type").isin("click", "view"), "search")
+         .otherwise("insert").alias("operation"),
+        (F.col("value") * 10.0).alias("latency_ms"),
+        F.lit(1).alias("result_count"), F.lit(5).alias("k"),
+        (F.col("user_id") % 2 == 0).alias("has_filter"),
+        F.lit(None).cast("int").alias("filter_complexity"),
+        F.lit(0).cast("long").alias("ts"))
+    dash = AnalyticsDashboard(spark, AnalyticsConfig())
+    return dash._patterns(frame).select(
+        "pattern_id", F.col("occurrences").cast("long").alias("occurrences"),
+        "avg_latency_ms", "max_latency_ms", "avg_results")
+
+
+_DASHBOARD_PATTERNS_SQL = """
+WITH frame AS (
+  SELECT event_type AS collection,
+         CASE WHEN event_type IN ('click','view') THEN 'search'
+              ELSE 'insert' END AS operation,
+         value * 10.0 AS latency_ms,
+         CASE WHEN user_id % 2 = 0 THEN 'filtered' ELSE 'plain' END AS fshape
+  FROM events
+)
+SELECT collection || '|' || operation || '|' || fshape AS pattern_id,
+       CAST(count(*) AS BIGINT) AS occurrences,
+       avg(latency_ms) AS avg_latency_ms,
+       max(latency_ms) AS max_latency_ms,
+       avg(1.0) AS avg_results
+FROM frame GROUP BY 1
+"""
+
+
 def _kg_context_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Knowledge-graph context-boosted search
     (knowledge_graph.rs:388-438): cosine similarity blended with a
@@ -2789,6 +2832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "memory_recall": _memory_recall,
         "mm_fusion_weighted": _mm_fusion_weighted,
         "kg_context_search": _kg_context_search,
+        "dashboard_patterns": _dashboard_patterns,
     }
 
 
@@ -2902,4 +2946,5 @@ def oracle_sql() -> dict[str, str]:
         "memory_recall": _memory_recall_sql(),
         "mm_fusion_weighted": _mm_fusion_weighted_sql(),
         "kg_context_search": _kg_context_search_sql(),
+        "dashboard_patterns": _DASHBOARD_PATTERNS_SQL,
     }
