@@ -2257,6 +2257,55 @@ ORDER BY rrf_score DESC, id ASC LIMIT 10
 """
 
 
+def _image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL image codec proof: P5 netpbm blobs constructed
+    from document text bytes, decoded by the stdlib codec, 8x8
+    average-hashed (operators/multimodal.py).  The DuckDB twin computes
+    the identical hash arithmetically from the same bytes — decode +
+    resize + threshold + bit packing all verified."""
+    from needle_spark.operators.multimodal import image_transform_features
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 64)
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image/x-portable-graymap").alias("mime"),
+        F.concat(F.lit(b"P5 8 8 255\n"),
+                 F.substring(F.col("text"), 1, 64).cast("binary"))
+        .alias("data"))
+    feats = image_transform_features(media, resize_to=(8, 8), embed_size=8)
+    return feats.select(F.col("media_id").cast("long").alias("doc_id"),
+                        "ahash", "resized_mean")
+
+
+_IMAGE_AHASH_SQL = """
+WITH px AS (
+  SELECT doc_id,
+         list_transform(range(1, 65),
+                        i -> CAST(ascii(substr(text, i, 1)) AS DOUBLE)) AS p
+  FROM documents WHERE n_chars >= 64
+), m AS (
+  SELECT doc_id, p,
+         list_reduce(list_prepend(0.0::DOUBLE, p), (a, b) -> a + b) / 64.0
+           AS mean_px
+  FROM px
+), bits AS (
+  SELECT doc_id, mean_px,
+         list_reduce(list_prepend(CAST(0 AS HUGEINT),
+           list_transform(range(1, 65),
+             i -> CASE WHEN p[i] > mean_px
+                  THEN CAST(1 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)),
+           (acc, b) -> acc * 2 + b) AS uhash
+  FROM m
+)
+SELECT doc_id,
+       CAST(CASE WHEN uhash >= CAST('9223372036854775808' AS HUGEINT)
+                 THEN uhash - CAST('18446744073709551616' AS HUGEINT)
+                 ELSE uhash END AS BIGINT) AS ahash,
+       mean_px AS resized_mean
+FROM bits
+"""
+
+
 def _dashboard_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query-pattern rollup (experimental/analytics.rs:178-230,
     :591-610): events map to (collection, operation, filter-shape)
@@ -2833,6 +2882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_fusion_weighted": _mm_fusion_weighted,
         "kg_context_search": _kg_context_search,
         "dashboard_patterns": _dashboard_patterns,
+        "image_ahash": _image_ahash,
     }
 
 
@@ -2947,4 +2997,5 @@ def oracle_sql() -> dict[str, str]:
         "mm_fusion_weighted": _mm_fusion_weighted_sql(),
         "kg_context_search": _kg_context_search_sql(),
         "dashboard_patterns": _DASHBOARD_PATTERNS_SQL,
+        "image_ahash": _IMAGE_AHASH_SQL,
     }
