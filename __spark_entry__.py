@@ -2257,6 +2257,55 @@ ORDER BY rrf_score DESC, id ASC LIMIT 10
 """
 
 
+def _audio_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL audio codec proof: PCM16 RIFF/WAV blobs built
+    from document text bytes, decoded by the stdlib wave codec inside
+    the Arrow pass, per-clip sample stats out.  The DuckDB twin
+    reconstructs the little-endian signed samples from the same bytes
+    and folds RMS/peak arithmetically."""
+    import struct as _struct
+
+    from needle_spark.operators.multimodal import audio_features
+
+    data_len = 128  # 64 samples x int16
+    hdr = (b"RIFF" + _struct.pack("<I", 36 + data_len) + b"WAVE" +
+           b"fmt " + _struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16) +
+           b"data" + _struct.pack("<I", data_len))
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 128)
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("audio/wav").alias("mime"),
+        F.concat(F.lit(hdr),
+                 F.substring(F.col("text"), 1, 128).cast("binary"))
+        .alias("data"))
+    feats = audio_features(media)
+    return feats.select(F.col("media_id").cast("long").alias("doc_id"),
+                        "n_samples", "rms", "peak")
+
+
+_AUDIO_WAV_STATS_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         list_transform(range(0, 64), i ->
+           (CASE WHEN ascii(substr(text, 2*i + 2, 1)) >= 128
+                 THEN ascii(substr(text, 2*i + 1, 1))
+                      + 256 * ascii(substr(text, 2*i + 2, 1)) - 65536
+                 ELSE ascii(substr(text, 2*i + 1, 1))
+                      + 256 * ascii(substr(text, 2*i + 2, 1)) END)
+           / 32768.0) AS x
+  FROM documents WHERE n_chars >= 128
+)
+SELECT doc_id,
+       CAST(64 AS BIGINT) AS n_samples,
+       sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(x, v -> v * v)), (a, b) -> a + b) / 64.0) AS rms,
+       list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(x, v -> abs(v))),
+            (a, b) -> CASE WHEN b > a THEN b ELSE a END) AS peak
+FROM s
+"""
+
+
 def _image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end REAL image codec proof: P5 netpbm blobs constructed
     from document text bytes, decoded by the stdlib codec, 8x8
@@ -2883,6 +2932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_context_search": _kg_context_search,
         "dashboard_patterns": _dashboard_patterns,
         "image_ahash": _image_ahash,
+        "audio_wav_stats": _audio_wav_stats,
     }
 
 
@@ -2998,4 +3048,5 @@ def oracle_sql() -> dict[str, str]:
         "kg_context_search": _kg_context_search_sql(),
         "dashboard_patterns": _DASHBOARD_PATTERNS_SQL,
         "image_ahash": _IMAGE_AHASH_SQL,
+        "audio_wav_stats": _AUDIO_WAV_STATS_SQL,
     }
