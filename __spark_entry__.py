@@ -2843,6 +2843,199 @@ FROM agg
 """
 
 
+def _temporal_search_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time temporal search (temporal.rs:328-374): a version
+    history is derived deterministically from embeddings (every 3rd id
+    gets a v2 update with the reversed vector, every 7th a later
+    delete); state at ts=3500 reconstructs per-id winners and excludes
+    deleted ids, then exact kNN."""
+    from needle_spark.operators.temporal_index import search_at
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.col("vec_id").alias("version"),
+        (F.lit(1000) + F.col("vec_id") % 100).cast("long").alias("timestamp"),
+        F.col("embedding").alias("vector"),
+        F.lit(None).cast("string").alias("metadata"),
+        F.lit("insert").alias("change_type"))
+    updates = emb.filter(F.col("vec_id") % 3 == 0).select(
+        F.col("vec_id").cast("string").alias("id"),
+        (F.col("vec_id") + 1000000).alias("version"),
+        (F.lit(2000) + F.col("vec_id") % 100).cast("long").alias("timestamp"),
+        F.reverse(F.col("embedding")).alias("vector"),
+        F.lit(None).cast("string").alias("metadata"),
+        F.lit("update").alias("change_type"))
+    deletes = emb.filter(F.col("vec_id") % 7 == 0).select(
+        F.col("vec_id").cast("string").alias("id"),
+        (F.col("vec_id") + 2000000).alias("version"),
+        F.lit(3000).cast("long").alias("timestamp"),
+        F.lit(None).cast("array<float>").alias("vector"),
+        F.lit(None).cast("string").alias("metadata"),
+        F.lit("delete").alias("change_type"))
+    history = base.unionByName(updates).unionByName(deletes)
+    qv = _query_vec(spark, sf_dir, 0)
+    return (search_at(history, qv, k=10, as_of=3500, metric="cosine")
+            .select("id", "version", "timestamp", "distance"))
+
+
+def _temporal_search_at_sql() -> str:
+    d = duckdb_distance_sql("cosine", "vector", _Q_SQL)
+    return f"""
+WITH hist AS (
+  SELECT CAST(vec_id AS VARCHAR) AS id, vec_id AS version,
+         1000 + vec_id % 100 AS timestamp, embedding AS vector,
+         'insert' AS change_type
+  FROM embeddings
+  UNION ALL
+  SELECT CAST(vec_id AS VARCHAR), vec_id + 1000000,
+         2000 + vec_id % 100, list_reverse(embedding), 'update'
+  FROM embeddings WHERE vec_id % 3 = 0
+  UNION ALL
+  SELECT CAST(vec_id AS VARCHAR), vec_id + 2000000, 3000, NULL, 'delete'
+  FROM embeddings WHERE vec_id % 7 = 0
+),
+cur AS (
+  SELECT id, version, timestamp, vector, change_type,
+         row_number() OVER (PARTITION BY id ORDER BY version DESC) AS rn
+  FROM hist WHERE timestamp <= 3500
+)
+SELECT id, version, timestamp, {d} AS distance
+FROM cur
+WHERE rn = 1 AND change_type <> 'delete'
+ORDER BY distance ASC, id ASC
+LIMIT 10
+"""
+
+
+def _llm_cache_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed LLM-cache batch lookup (llm_cache.rs get_semantic
+    :342-420 as one zero-shuffle scan): cache entries = every 5th
+    embedding row, incoming prompts = 100 other rows; per prompt the
+    arg-max-similarity cache entry at or above 0.8 cosine, else miss."""
+    from needle_spark.operators.llm_response_cache import cache_lookup_batch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cache = emb.filter(F.col("vec_id") % 5 == 0).select(
+        F.concat(F.lit("q"), F.col("vec_id").cast("string"))
+        .alias("cached_query"),
+        F.col("embedding"),
+        F.concat(F.lit("r"), F.col("vec_id").cast("string")).alias("response"))
+    batch = emb.filter((F.col("vec_id") % 5 != 0) & (F.col("vec_id") < 500)) \
+        .select(F.col("vec_id").alias("query_id"),
+                F.concat(F.lit("p"), F.col("vec_id").cast("string"))
+                .alias("query"),
+                F.col("embedding"))
+    out = cache_lookup_batch(batch, cache, threshold=0.8, metric="cosine")
+    return (out.select("query_id", "hit_type", "cached_query", "response",
+                       "similarity")
+            .orderBy("query_id"))
+
+
+_LLM_CACHE_BATCH_SQL = f"""
+WITH b AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings
+  WHERE vec_id % 5 <> 0 AND vec_id < 500
+), c AS (
+  SELECT 'q' || CAST(vec_id AS VARCHAR) AS cached_query, embedding,
+         'r' || CAST(vec_id AS VARCHAR) AS response
+  FROM embeddings WHERE vec_id % 5 = 0
+),
+scored AS (
+  SELECT b.query_id, c.cached_query, c.response,
+         1.0 - ({duckdb_distance_sql("cosine", "b.embedding", "c.embedding")})
+           AS similarity,
+         row_number() OVER (
+           PARTITION BY b.query_id
+           ORDER BY 1.0 - ({duckdb_distance_sql("cosine", "b.embedding",
+                                                "c.embedding")}) DESC,
+                    c.cached_query ASC) AS rn
+  FROM b, c
+  WHERE 1.0 - ({duckdb_distance_sql("cosine", "b.embedding", "c.embedding")})
+        >= 0.8
+)
+SELECT b.query_id,
+       CASE WHEN s.cached_query IS NULL THEN NULL
+            ELSE 'semantic' END AS hit_type,
+       s.cached_query, s.response, s.similarity
+FROM b LEFT JOIN (SELECT * FROM scored WHERE rn = 1) s USING (query_id)
+ORDER BY b.query_id
+"""
+
+
+def _crdt_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-replica CRDT merge to the LWW fixpoint (crdt.rs:294-541).
+    Two replica op logs are derived deterministically from the events
+    table (replica = event_id parity, HLC = (epoch-ms ts, event_id,
+    replica), 'error' events = deletes, everything else = adds); the
+    converged state is one distributed arg-max per id — newest
+    add/update wins unless an even newer delete tombstones the row."""
+    from needle_spark.crdt import crdt_state, merge_op_logs
+
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("id"),
+        F.when(F.col("event_type") == "error", "delete")
+        .otherwise("add").alias("op"),
+        F.when(F.col("event_type") != "error",
+               F.array(F.col("value").cast("float"),
+                       (F.col("user_id") % 7).cast("float"))).alias("vector"),
+        F.lit(None).cast("map<string,string>").alias("metadata"),
+        F.lit(None).cast("string").alias("meta_key"),
+        F.lit(None).cast("string").alias("meta_value"),
+        F.expr("ts div 1000000").alias("physical"),  # _t yields epoch-ns longs
+        F.col("event_id").cast("int").alias("logical"),
+        ((F.col("event_id") % 2) + 1).cast("long").alias("replica"),
+    )
+    r1 = log.filter(F.col("replica") == 1)
+    r2 = log.filter(F.col("replica") == 2)
+    st = crdt_state(merge_op_logs(r1, r2))
+    return (st.select(
+        "id",
+        F.col("vector")[0].cast("double").alias("x0"),
+        F.col("vector")[1].cast("double").alias("x1"),
+        "updated_physical", "updated_logical", "updated_replica")
+        .orderBy("id"))
+
+
+_CRDT_MERGE_SQL = """
+WITH log AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS id,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'add' END AS op,
+         CAST(value AS REAL) AS x0,
+         CAST(user_id % 7 AS REAL) AS x1,
+         epoch_ms(ts) AS physical,
+         CAST(event_id AS INT) AS logical,
+         CAST(event_id % 2 + 1 AS BIGINT) AS replica
+  FROM events
+),
+val AS (
+  SELECT id, x0, x1, physical, logical, replica,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY physical DESC, logical DESC,
+                                     replica DESC) AS rn
+  FROM log WHERE op = 'add'
+),
+del AS (
+  SELECT id, max(struct_pack(physical := physical, logical := logical,
+                             replica := replica)) AS d
+  FROM log WHERE op = 'delete' GROUP BY id
+)
+SELECT v.id,
+       CAST(v.x0 AS DOUBLE) AS x0,
+       CAST(v.x1 AS DOUBLE) AS x1,
+       v.physical AS updated_physical,
+       v.logical  AS updated_logical,
+       v.replica  AS updated_replica
+FROM val v LEFT JOIN del ON v.id = del.id
+WHERE v.rn = 1
+  AND (del.d IS NULL
+       OR struct_pack(physical := v.physical, logical := v.logical,
+                      replica := v.replica) > del.d)
+ORDER BY v.id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": _mk_knn("cosine"),
@@ -2933,6 +3126,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dashboard_patterns": _dashboard_patterns,
         "image_ahash": _image_ahash,
         "audio_wav_stats": _audio_wav_stats,
+        "crdt_merge": _crdt_merge,
+        "llm_cache_batch": _llm_cache_batch,
+        "temporal_search_at": _temporal_search_at,
     }
 
 
@@ -3049,4 +3245,7 @@ def oracle_sql() -> dict[str, str]:
         "dashboard_patterns": _DASHBOARD_PATTERNS_SQL,
         "image_ahash": _IMAGE_AHASH_SQL,
         "audio_wav_stats": _AUDIO_WAV_STATS_SQL,
+        "crdt_merge": _CRDT_MERGE_SQL,
+        "llm_cache_batch": _LLM_CACHE_BATCH_SQL,
+        "temporal_search_at": _temporal_search_at_sql(),
     }
