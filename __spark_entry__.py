@@ -2843,6 +2843,70 @@ FROM agg
 """
 
 
+def _rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-growth migration plan (rebalance.rs:482-521): per
+    (source, target) mover counts when growing 4 -> 5 shards, computed
+    as one scan + one aggregation.  Routing uses a Knuth
+    multiplicative hash so the DuckDB twin evaluates the identical
+    expression."""
+    from needle_spark.plans.rebalance import plan_add_shard
+
+    def route(id_col, n):
+        h = F.pmod(F.col(id_col).cast("long") * F.lit(2654435761),
+                   F.lit(4294967296))
+        return F.pmod(h, F.lit(int(n))).cast("int")
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("string").alias("id"))
+    plan = plan_add_shard(emb, old_shards=4, new_shards=5, route=route)
+    return plan.tasks          # (source_shard, target_shard, n_vectors)
+
+
+_REBALANCE_PLAN_SQL = """
+WITH r AS (
+  SELECT (vec_id * 2654435761) % 4294967296 % 4 AS source_shard,
+         (vec_id * 2654435761) % 4294967296 % 5 AS target_shard
+  FROM embeddings
+)
+SELECT CAST(source_shard AS INT) AS source_shard,
+       CAST(target_shard AS INT) AS target_shard,
+       count(*) AS n_vectors
+FROM r
+WHERE target_shard >= 4 AND source_shard <> target_shard
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def _coaccess_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-access pair counting for locality compaction
+    (locality_compaction.rs:80-124): each (user, hour) of the events
+    stream is one access event whose distinct event_types are the ids
+    returned together; pairs canonicalized a < b and counted in one
+    aggregation."""
+    from needle_spark.plans.locality import co_access_pairs
+
+    ev = _t(spark, sf_dir, "events")
+    log = (ev.groupBy("user_id",
+                      F.expr("ts div 3600000000000").alias("bk"))
+           .agg(F.collect_set("event_type").alias("result_ids")))
+    return (co_access_pairs(log)
+            .orderBy(F.col("n_co").desc(), "id_a", "id_b"))
+
+
+_COACCESS_PAIRS_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) // 3600000 AS bk, event_type
+  FROM events
+)
+SELECT a.event_type AS id_a, b.event_type AS id_b, count(*) AS n_co
+FROM d a JOIN d b
+  ON a.user_id = b.user_id AND a.bk = b.bk AND a.event_type < b.event_type
+GROUP BY 1, 2
+ORDER BY n_co DESC, id_a, id_b
+"""
+
+
 def _temporal_search_at(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time temporal search (temporal.rs:328-374): a version
     history is derived deterministically from embeddings (every 3rd id
@@ -3129,6 +3193,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crdt_merge": _crdt_merge,
         "llm_cache_batch": _llm_cache_batch,
         "temporal_search_at": _temporal_search_at,
+        "coaccess_pairs": _coaccess_pairs,
+        "rebalance_plan": _rebalance_plan,
     }
 
 
@@ -3248,4 +3314,6 @@ def oracle_sql() -> dict[str, str]:
         "crdt_merge": _CRDT_MERGE_SQL,
         "llm_cache_batch": _LLM_CACHE_BATCH_SQL,
         "temporal_search_at": _temporal_search_at_sql(),
+        "coaccess_pairs": _COACCESS_PAIRS_SQL,
+        "rebalance_plan": _REBALANCE_PLAN_SQL,
     }
