@@ -2843,6 +2843,57 @@ FROM agg
 """
 
 
+def _tuner_arm_rewards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-tuner warm start: the per-arm UCB1 reward aggregation
+    (learned_tuning.rs:556-575) computed distributed from an
+    events-derived feedback log.  Rewards are fixed-point encoded
+    before summing so Spark and DuckDB agree bit-for-bit regardless of
+    accumulation order."""
+    ev = _t(spark, sf_dir, "events")
+    fb = ev.select(
+        (F.lit(50) + (F.col("event_id") % 4) * 50).cast("int")
+        .alias("ef_search"),
+        F.col("value").alias("latency_ms"),
+        F.least(F.lit(1.0), F.col("value") / 10.0).alias("estimated_recall"),
+        (F.col("event_type") != "error").alias("satisfied"))
+    reward = (F.col("estimated_recall") * 0.6
+              + F.lit(0.3) / (F.lit(1.0) + F.col("latency_ms") * 0.1)
+              + F.when(F.col("satisfied"), 0.2).otherwise(0.0))
+    fx = F.round(reward * 1000000.0).cast("long")
+    return (fb.groupBy("ef_search")
+            .agg(F.count(F.lit(1)).alias("pulls"),
+                 (F.sum(fx).cast("double") / 1000000.0)
+                 .alias("total_reward"))
+            .withColumn("avg_reward",
+                        F.col("total_reward") / F.col("pulls"))
+            .orderBy("ef_search"))
+
+
+_TUNER_ARM_REWARDS_SQL = """
+WITH fb AS (
+  SELECT CAST(50 + (event_id % 4) * 50 AS INT) AS ef_search,
+         value AS latency_ms,
+         least(1.0, value / 10.0) AS estimated_recall,
+         event_type <> 'error' AS satisfied
+  FROM events
+),
+fx AS (
+  SELECT ef_search,
+         CAST(round((estimated_recall * 0.6
+                     + 0.3 / (1.0 + latency_ms * 0.1)
+                     + CASE WHEN satisfied THEN 0.2 ELSE 0.0 END)
+                    * 1000000.0) AS BIGINT) AS r_fx
+  FROM fb
+)
+SELECT ef_search, count(*) AS pulls,
+       CAST(sum(r_fx) AS DOUBLE) / 1000000.0 AS total_reward,
+       (CAST(sum(r_fx) AS DOUBLE) / 1000000.0) / count(*) AS avg_reward
+FROM fx
+GROUP BY ef_search
+ORDER BY ef_search
+"""
+
+
 def _rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shard-growth migration plan (rebalance.rs:482-521): per
     (source, target) mover counts when growing 4 -> 5 shards, computed
@@ -3195,6 +3246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_search_at": _temporal_search_at,
         "coaccess_pairs": _coaccess_pairs,
         "rebalance_plan": _rebalance_plan,
+        "tuner_arm_rewards": _tuner_arm_rewards,
     }
 
 
@@ -3316,4 +3368,5 @@ def oracle_sql() -> dict[str, str]:
         "temporal_search_at": _temporal_search_at_sql(),
         "coaccess_pairs": _COACCESS_PAIRS_SQL,
         "rebalance_plan": _REBALANCE_PLAN_SQL,
+        "tuner_arm_rewards": _TUNER_ARM_REWARDS_SQL,
     }
