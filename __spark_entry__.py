@@ -3151,6 +3151,42 @@ ORDER BY v.id
 """
 
 
+_ENC_CFG = None
+
+
+def _enc_cfg():
+    global _ENC_CFG
+    if _ENC_CFG is None:
+        from needle_spark.operators.encrypted_search import EncryptionConfig
+        _ENC_CFG = EncryptionConfig(dimensions=64, hash_bits=32, num_tables=2,
+                                    seed=42)
+    return _ENC_CFG
+
+
+def _encrypted_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-preserving search (encrypted_search.rs:111-127): encrypt
+    the collection into sign-LSH codes (map-only Arrow kernel — raw
+    vectors never reach the serving scan), then top-10 by Hamming
+    distance computed JVM-side as bit_count(code XOR query_code);
+    plans as TakeOrderedAndProject over the narrow coded table."""
+    from needle_spark.operators.encrypted_search import (
+        encrypt_vectors, encrypted_search)
+    emb = _t(spark, sf_dir, "embeddings")
+    cfg = _enc_cfg()
+    enc = encrypt_vectors(emb, cfg, id_col="vec_id", vector_col="embedding")
+    qv = _query_vec(spark, sf_dir, 0)
+    return encrypted_search(enc, qv, cfg, k=10).select(
+        F.col("id").alias("vec_id"), "hamming_distance", "estimated_similarity")
+
+
+def _encrypted_knn_sql() -> str:
+    from needle_spark.operators.encrypted_search import (
+        duckdb_encrypted_search_sql)
+    sql = duckdb_encrypted_search_sql(
+        "embeddings", "vec_id", "embedding", _Q_SQL.strip("()"), _enc_cfg(), k=10)
+    return sql.replace("SELECT id,", "SELECT id AS vec_id,", 1)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": _mk_knn("cosine"),
@@ -3247,6 +3283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coaccess_pairs": _coaccess_pairs,
         "rebalance_plan": _rebalance_plan,
         "tuner_arm_rewards": _tuner_arm_rewards,
+        "encrypted_knn": _encrypted_knn,
     }
 
 
@@ -3369,4 +3406,5 @@ def oracle_sql() -> dict[str, str]:
         "coaccess_pairs": _COACCESS_PAIRS_SQL,
         "rebalance_plan": _REBALANCE_PLAN_SQL,
         "tuner_arm_rewards": _TUNER_ARM_REWARDS_SQL,
+        "encrypted_knn": _encrypted_knn_sql(),
     }

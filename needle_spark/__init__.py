@@ -148,6 +148,12 @@ def __getattr__(name):
                             "EmbeddingRouter"),
         "IncrementalBackupService": ("needle_spark.pitr",
                                      "IncrementalBackupService"),
+        "EncryptionConfig": ("needle_spark.operators.encrypted_search",
+                             "EncryptionConfig"),
+        "encrypt_vectors": ("needle_spark.operators.encrypted_search",
+                            "encrypt_vectors"),
+        "encrypted_search": ("needle_spark.operators.encrypted_search",
+                             "encrypted_search"),
     }
     if name in _lazy:
         import importlib
@@ -170,6 +176,7 @@ __all__ = [
     "CrossEncoderClient", "CodecRegistry", "DEFAULT_CODECS", "probe_codecs",
     "BranchManager", "MergeResult", "decontaminate", "gopher_quality",
     "stratified_sample", "redact_pii", "RetryPolicy", "reliable_ingest_sink",
-    "IngestionMetrics",
+    "IngestionMetrics", "EncryptionConfig", "encrypt_vectors",
+    "encrypted_search",
     "__version__",
 ]
