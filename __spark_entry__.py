@@ -3187,6 +3187,51 @@ def _encrypted_knn_sql() -> str:
     return sql.replace("SELECT id,", "SELECT id AS vec_id,", 1)
 
 
+def _acl_engine_ctx():
+    from needle_spark.operators.acl import (
+        SEARCH, AclEngine, AclPolicy, RequestContext, any_principal,
+        attribute, metadata_field, role, vector_id)
+    eng = AclEngine()  # deny-by-default (vector_acl.rs:205-213)
+    eng.add_policy(AclPolicy(
+        id="deny-archive", principal=any_principal(),
+        resource=vector_id("1*"), effect="deny", actions=(SEARCH,),
+        priority=10))
+    eng.add_policy(AclPolicy(
+        id="team-en", principal=attribute("team", "nlp"),
+        resource=metadata_field("lang", "en"), effect="allow",
+        actions=(SEARCH,)))
+    eng.add_policy(AclPolicy(
+        id="reader-fr", principal=role("reader"),
+        resource=metadata_field("lang", "fr"), effect="allow",
+        actions=(SEARCH,)))
+    ctx = RequestContext("alice", roles=("reader",),
+                         attributes={"team": "nlp"})
+    return eng, ctx, SEARCH
+
+
+def _acl_rowlevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level security decisions (vector_acl.rs:258-335): the whole
+    priority-ordered policy set compiles driver-side into ONE `when`
+    cascade — per-row allow/deny + deciding policy are scan
+    projections (zero joins, zero shuffles, zero Python)."""
+    eng, ctx, action = _acl_engine_ctx()
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        eng.evaluate_rows(docs, ctx, action, id_col="doc_id")
+        .select("doc_id", "lang", "allowed", "policy_id")
+        .orderBy("doc_id")
+    )
+
+
+def _acl_rowlevel_sql() -> str:
+    eng, ctx, action = _acl_engine_ctx()
+    allowed_sql, policy_sql = eng.decision_sql(ctx, action, "doc_id")
+    return (
+        f"SELECT doc_id, lang, {allowed_sql} AS allowed, "
+        f"{policy_sql} AS policy_id FROM documents ORDER BY doc_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": _mk_knn("cosine"),
@@ -3284,6 +3329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rebalance_plan": _rebalance_plan,
         "tuner_arm_rewards": _tuner_arm_rewards,
         "encrypted_knn": _encrypted_knn,
+        "acl_rowlevel": _acl_rowlevel,
     }
 
 
@@ -3407,4 +3453,5 @@ def oracle_sql() -> dict[str, str]:
         "rebalance_plan": _REBALANCE_PLAN_SQL,
         "tuner_arm_rewards": _TUNER_ARM_REWARDS_SQL,
         "encrypted_knn": _encrypted_knn_sql(),
+        "acl_rowlevel": _acl_rowlevel_sql(),
     }

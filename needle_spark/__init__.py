@@ -154,6 +154,9 @@ def __getattr__(name):
                             "encrypt_vectors"),
         "encrypted_search": ("needle_spark.operators.encrypted_search",
                              "encrypted_search"),
+        "AclEngine": ("needle_spark.operators.acl", "AclEngine"),
+        "AclPolicy": ("needle_spark.operators.acl", "AclPolicy"),
+        "RbacPolicyEngine": ("needle_spark.operators.acl", "PolicyEngine"),
     }
     if name in _lazy:
         import importlib
@@ -177,6 +180,6 @@ __all__ = [
     "BranchManager", "MergeResult", "decontaminate", "gopher_quality",
     "stratified_sample", "redact_pii", "RetryPolicy", "reliable_ingest_sink",
     "IngestionMetrics", "EncryptionConfig", "encrypt_vectors",
-    "encrypted_search",
+    "encrypted_search", "AclEngine", "AclPolicy", "RbacPolicyEngine",
     "__version__",
 ]
