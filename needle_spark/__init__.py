@@ -157,6 +157,10 @@ def __getattr__(name):
         "AclEngine": ("needle_spark.operators.acl", "AclEngine"),
         "AclPolicy": ("needle_spark.operators.acl", "AclPolicy"),
         "RbacPolicyEngine": ("needle_spark.operators.acl", "PolicyEngine"),
+        "MigrationEngine": ("needle_spark.operators.live_migration",
+                            "MigrationEngine"),
+        "MigrationConfig": ("needle_spark.operators.live_migration",
+                            "MigrationConfig"),
     }
     if name in _lazy:
         import importlib
@@ -181,5 +185,6 @@ __all__ = [
     "stratified_sample", "redact_pii", "RetryPolicy", "reliable_ingest_sink",
     "IngestionMetrics", "EncryptionConfig", "encrypt_vectors",
     "encrypted_search", "AclEngine", "AclPolicy", "RbacPolicyEngine",
+    "MigrationEngine", "MigrationConfig",
     "__version__",
 ]
