@@ -161,6 +161,9 @@ def __getattr__(name):
                             "MigrationEngine"),
         "MigrationConfig": ("needle_spark.operators.live_migration",
                             "MigrationConfig"),
+        "SyncEngine": ("needle_spark.sync", "SyncEngine"),
+        "SyncConfig": ("needle_spark.sync", "SyncConfig"),
+        "SyncVectorClock": ("needle_spark.sync", "VectorClock"),
     }
     if name in _lazy:
         import importlib
@@ -185,6 +188,7 @@ __all__ = [
     "stratified_sample", "redact_pii", "RetryPolicy", "reliable_ingest_sink",
     "IngestionMetrics", "EncryptionConfig", "encrypt_vectors",
     "encrypted_search", "AclEngine", "AclPolicy", "RbacPolicyEngine",
-    "MigrationEngine", "MigrationConfig",
+    "MigrationEngine", "MigrationConfig", "SyncEngine", "SyncConfig",
+    "SyncVectorClock",
     "__version__",
 ]

@@ -1,0 +1,298 @@
+"""Bi-directional incremental sync: vector clocks for causal ordering,
+delta-based replication, and configurable conflict resolution between
+collection replicas.
+
+Reference: /root/reference/src/services/sync/sync_engine.rs —
+ConflictPolicy (:82-91: LastWriteWins/RemoteWins/LocalWins/Reject),
+VectorClock (:97-152: tick/get/merge/dominates/is_concurrent),
+SyncOp/SyncOpKind (:158-205), SyncDelta (:210-218), ApplyResult /
+SyncConflict / ConflictResolution (:220-252), SyncEngine (:256-495):
+record_insert/update/delete (:289-346), generate_delta (:349-366:
+only own ops newer than the peer's view of us, capped),
+apply_delta (:369-450: skip already-seen, detect+resolve conflicts,
+upsert/delete apply, clock merge, re-log for onward propagation),
+detect_conflict (:458-475: newest concurrent local op on the same id),
+trim_log (:487-493).  Sibling modules `incremental_sync.rs` and
+`multi_writer.rs` reuse the same clock/delta machinery; the CRDT
+variant (HLC + merkle anti-entropy) lives in needle_spark/crdt.py.
+
+Spark shape (100 TB posture): the op log is a DataFrame, not a Vec —
+`record_batch` stamps a whole DataFrame of mutations with contiguous
+clock ticks in one narrow transformation (row_number over the batch),
+`generate_delta` is a filter on the log (ships as Parquet/Arrow, never
+through the driver), and `apply_delta` classifies every incoming op in
+ONE join against the local log's per-id max-timestamp aggregate —
+skipped/conflict/applied are column expressions, and the final
+collection apply is a single distributed upsert + delete.  Only the
+clock itself (O(nodes)) lives on the driver."""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+LAST_WRITE_WINS = "last_write_wins"
+REMOTE_WINS = "remote_wins"
+LOCAL_WINS = "local_wins"
+REJECT = "reject"
+
+_POLICIES = (LAST_WRITE_WINS, REMOTE_WINS, LOCAL_WINS, REJECT)
+
+_OP_SCHEMA = ("node_id string, timestamp long, op string, id string, "
+              "vector array<float>, metadata string, wall_time long")
+
+
+class SyncError(ValueError):
+    pass
+
+
+class VectorClock:
+    """sync_engine.rs:97-152.  O(nodes) — driver-side by design."""
+
+    def __init__(self, clocks: dict[str, int] | None = None):
+        self.clocks: dict[str, int] = dict(clocks or {})
+
+    def tick(self, node_id: str) -> int:
+        self.clocks[node_id] = self.clocks.get(node_id, 0) + 1
+        return self.clocks[node_id]
+
+    def get(self, node_id: str) -> int:
+        return self.clocks.get(node_id, 0)
+
+    def merge(self, other: "VectorClock") -> None:
+        for node, ts in other.clocks.items():
+            self.clocks[node] = max(self.clocks.get(node, 0), ts)
+
+    def dominates(self, other: "VectorClock") -> bool:
+        dominated = False
+        for node, ts in other.clocks.items():
+            ours = self.get(node)
+            if ours < ts:
+                return False
+            if ours > ts:
+                dominated = True
+        for node, ts in self.clocks.items():
+            if other.get(node) < ts:
+                dominated = True
+        return dominated
+
+    def is_concurrent(self, other: "VectorClock") -> bool:
+        return (not self.dominates(other) and not other.dominates(self)
+                and self.clocks != other.clocks)
+
+    def copy(self) -> "VectorClock":
+        return VectorClock(self.clocks)
+
+    def __eq__(self, other):
+        return isinstance(other, VectorClock) and self.clocks == other.clocks
+
+
+@dataclass
+class SyncConfig:
+    """sync_engine.rs:48-79."""
+
+    conflict_policy: str = LAST_WRITE_WINS
+    max_delta_size: int = 10_000
+    log_retention: int = 10_000
+
+    def __post_init__(self):
+        if self.conflict_policy not in _POLICIES:
+            raise SyncError(f"conflict_policy must be one of {_POLICIES}")
+
+
+@dataclass
+class SyncDelta:
+    """sync_engine.rs:210-218 — operations ride as a DataFrame."""
+
+    source_node: str
+    source_clock: VectorClock
+    operations: DataFrame
+
+
+@dataclass
+class ApplyResult:
+    """sync_engine.rs:220-229."""
+
+    applied: int = 0
+    skipped: int = 0
+    conflicts: list[dict] = field(default_factory=list)
+
+
+class SyncEngine:
+    """sync_engine.rs:256-495 with a DataFrame op log."""
+
+    def __init__(self, spark: SparkSession, node_id: str,
+                 config: SyncConfig | None = None):
+        self.spark = spark
+        self.node_id = node_id
+        self.config = config or SyncConfig()
+        self.clock = VectorClock()
+        self.peer_clocks: dict[str, VectorClock] = {}
+        self._ops = spark.createDataFrame([], _OP_SCHEMA)
+
+    # -- recording --
+
+    def record_batch(self, rows: DataFrame, op: str,
+                     *, now_ms: int | None = None) -> int:
+        """Stamp a whole mutation batch with contiguous clock ticks —
+        the scale path the reference's per-vector record_* loop
+        becomes.  rows: (id [, vector] [, metadata])."""
+        if op not in ("insert", "update", "delete"):
+            raise SyncError("op must be insert|update|delete")
+        n = rows.count()
+        if n == 0:
+            return 0
+        base = self.clock.get(self.node_id)
+        wall = int(time.time() * 1000) if now_ms is None else now_ms
+        cols = set(rows.columns)
+        stamped = rows.withColumn(
+            "timestamp",
+            F.row_number().over(Window.orderBy("id")) + F.lit(base)
+        ).select(
+            F.lit(self.node_id).alias("node_id"),
+            F.col("timestamp").cast("long"),
+            F.lit(op).alias("op"),
+            F.col("id").cast("string"),
+            (F.col("vector").cast("array<float>") if "vector" in cols
+             else F.lit(None).cast("array<float>")).alias("vector"),
+            (F.col("metadata").cast("string") if "metadata" in cols
+             else F.lit(None).cast("string")).alias("metadata"),
+            F.lit(wall).alias("wall_time"),
+        )
+        self._ops = self._ops.unionByName(stamped)
+        self.clock.clocks[self.node_id] = base + n
+        self._trim_log()
+        return n
+
+    def record_insert(self, id: str, vector=None, metadata=None, **kw) -> int:
+        """Per-vector parity shim — sync_engine.rs:289-311."""
+        return self._record_one(id, "insert", vector, metadata, **kw)
+
+    def record_update(self, id: str, vector=None, metadata=None, **kw) -> int:
+        return self._record_one(id, "update", vector, metadata, **kw)
+
+    def record_delete(self, id: str, **kw) -> int:
+        return self._record_one(id, "delete", None, None, **kw)
+
+    def _record_one(self, id, op, vector, metadata, **kw) -> int:
+        df = self.spark.createDataFrame(
+            [(str(id),
+              None if vector is None else [float(x) for x in vector],
+              None if metadata is None else str(metadata))],
+            "id string, vector array<float>, metadata string")
+        self.record_batch(df, op, **kw)
+        return self.clock.get(self.node_id)
+
+    # -- delta exchange --
+
+    def vector_clock(self) -> VectorClock:
+        return self.clock.copy()
+
+    def log_len(self) -> int:
+        return self._ops.count()
+
+    def generate_delta(self, peer_clock: VectorClock) -> SyncDelta:
+        """Own ops the peer hasn't seen, oldest first, capped —
+        sync_engine.rs:349-366.  A filter on the log; nothing
+        collects."""
+        seen = peer_clock.get(self.node_id)
+        ops = (
+            self._ops
+            .filter((F.col("node_id") == self.node_id)
+                    & (F.col("timestamp") > seen))
+            .orderBy("timestamp")
+            .limit(self.config.max_delta_size)
+        )
+        return SyncDelta(self.node_id, self.clock.copy(), ops)
+
+    def apply_delta(self, delta: SyncDelta, collection=None) -> ApplyResult:
+        """sync_engine.rs:369-450.  One join classifies every incoming
+        op: already-seen -> skipped; concurrent local op on the same id
+        -> conflict (resolved per policy); survivors apply as one
+        distributed upsert + one delete against `collection` (omit for
+        log-only replication) and re-enter the log for onward
+        propagation."""
+        known = self.clock.get(delta.source_node)
+        remote_seen = self.clock.get(delta.source_node)
+
+        # newest local op per id that the remote could NOT have seen
+        # (detect_conflict, sync_engine.rs:458-475)
+        local_latest = (
+            self._ops
+            .filter((F.col("node_id") == self.node_id)
+                    & (F.col("timestamp") > F.lit(remote_seen)))
+            .groupBy("id")
+            .agg(F.max("timestamp").alias("__local_ts"))
+        )
+        classified = (
+            delta.operations
+            .withColumn("__skip", F.col("timestamp") <= F.lit(known))
+            .join(F.broadcast(local_latest), "id", "left")
+            .withColumn("__conflict",
+                        (~F.col("__skip")) & F.col("__local_ts").isNotNull())
+        )
+        remote_applies = self.config.conflict_policy in (
+            LAST_WRITE_WINS, REMOTE_WINS)
+        classified = classified.withColumn(
+            "__apply",
+            (~F.col("__skip"))
+            & (F.lit(remote_applies) | ~F.col("__conflict")),
+        ).cache()
+
+        result = ApplyResult()
+        counts = {
+            r["k"]: r["n"]
+            for r in classified.select(
+                F.when(F.col("__skip"), "skipped")
+                .when(F.col("__apply"), "applied")
+                .otherwise("kept").alias("k")
+            ).groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        result.applied = counts.get("applied", 0)
+        result.skipped = counts.get("skipped", 0) + counts.get("kept", 0)
+        resolution = ("remote_applied" if remote_applies else
+                      "local_kept" if self.config.conflict_policy == LOCAL_WINS
+                      else "rejected")
+        result.conflicts = [
+            {"vector_id": r["id"], "local_ts": r["__local_ts"],
+             "remote_ts": r["timestamp"], "resolution": resolution}
+            for r in classified.filter("__conflict")
+            .select("id", "__local_ts", "timestamp").collect()
+        ]
+
+        applied = classified.filter("__apply").drop(
+            "__skip", "__conflict", "__apply", "__local_ts")
+        if collection is not None and result.applied:
+            # within the delta, the newest op per id wins the apply
+            w = Window.partitionBy("id").orderBy(
+                F.col("timestamp").desc(), F.col("node_id"))
+            final = (applied.withColumn("__rn", F.row_number().over(w))
+                     .filter("__rn = 1").drop("__rn").cache())
+            upserts = final.filter("op != 'delete'").select(
+                F.col("id").alias(collection.id_col),
+                F.col("vector").alias(collection.vector_col))
+            if upserts.take(1):
+                collection.upsert(upserts)
+            dels = [r["id"] for r in
+                    final.filter("op = 'delete'").select("id").collect()]
+            if dels:
+                collection.delete(ids=dels)
+        self._ops = self._ops.unionByName(applied)
+        self.clock.merge(delta.source_clock)
+        self.peer_clocks[delta.source_node] = delta.source_clock.copy()
+        self._trim_log()
+        return result
+
+    def _trim_log(self) -> None:
+        """sync_engine.rs:487-493 — bound the replay window.  Uses a
+        per-node tail (newest `log_retention` ops per node) so no
+        node's frontier is dropped before its peers have pulled it."""
+        if self.log_len() > self.config.log_retention * 10:
+            keep = self.config.log_retention * 5
+            w = Window.partitionBy("node_id").orderBy(F.col("timestamp").desc())
+            self._ops = (self._ops.withColumn("__rn", F.row_number().over(w))
+                         .filter(F.col("__rn") <= keep).drop("__rn"))
