@@ -164,6 +164,17 @@ def __getattr__(name):
         "SyncEngine": ("needle_spark.sync", "SyncEngine"),
         "SyncConfig": ("needle_spark.sync", "SyncConfig"),
         "SyncVectorClock": ("needle_spark.sync", "VectorClock"),
+        "QuerySession": ("needle_spark.ql.session", "QuerySession"),
+        "MetricsRegistry": ("needle_spark.observe", "MetricsRegistry"),
+        "PrivacyMechanism": ("needle_spark.operators.privacy",
+                             "PrivacyMechanism"),
+        "PrivacyPolicyRegistry": ("needle_spark.operators.privacy",
+                                  "PrivacyPolicyRegistry"),
+        "TransactionManager": ("needle_spark.transactions",
+                               "TransactionManager"),
+        "TxOperation": ("needle_spark.transactions", "TxOperation"),
+        "TenantManager": ("needle_spark.tenancy", "TenantManager"),
+        "TenantConfig": ("needle_spark.tenancy", "TenantConfig"),
     }
     if name in _lazy:
         import importlib
@@ -189,6 +200,8 @@ __all__ = [
     "IngestionMetrics", "EncryptionConfig", "encrypt_vectors",
     "encrypted_search", "AclEngine", "AclPolicy", "RbacPolicyEngine",
     "MigrationEngine", "MigrationConfig", "SyncEngine", "SyncConfig",
-    "SyncVectorClock",
+    "SyncVectorClock", "QuerySession", "MetricsRegistry",
+    "PrivacyMechanism", "PrivacyPolicyRegistry", "TransactionManager",
+    "TxOperation", "TenantManager", "TenantConfig",
     "__version__",
 ]
