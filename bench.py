@@ -68,6 +68,7 @@ def main() -> None:
         "chunk_semantic", "multiquery_rrf",
         "cf_item_similarity", "vector_centroids", "sequence_trend",
         "relevance_adjustments", "data_profile",
+        "encrypted_knn", "acl_rowlevel",
     ]
     for name in bench_queries:
         fn = qs[name]
