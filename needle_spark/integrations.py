@@ -370,3 +370,342 @@ class SparkVectorStoreIndex:
 
     def delete_nodes(self, ids: Sequence[str]) -> bool:
         return self.store.delete(ids)
+
+
+# ------------------------------------------------------------- haystack
+
+
+@dataclass
+class HaystackDocument:
+    """haystack.rs:35-88: content + content_type (text/table/image) +
+    metadata + optional score."""
+
+    id: str
+    content: str
+    content_type: str = "text"
+    metadata: dict = dc_field(default_factory=dict)
+    score: float | None = None
+
+
+OVERWRITE = "overwrite"
+SKIP = "skip"
+ERROR = "error"
+
+
+class SparkDocumentStore:
+    """NeedleDocumentStore — haystack.rs:132-260, duck-typed to
+    Haystack's DocumentStore surface.  write_documents applies the
+    duplicate policy set-wise (one membership join + batched upsert,
+    not the reference's per-row loop)."""
+
+    def __init__(self, database, collection_name: str,
+                 embedding_dimension: int, *,
+                 duplicate_policy: str = OVERWRITE,
+                 content_key: str = "_content"):
+        if duplicate_policy not in (OVERWRITE, SKIP, ERROR):
+            raise IntegrationError("duplicate_policy: overwrite|skip|error")
+        self.duplicate_policy = duplicate_policy
+        self.store = SparkVectorStore(database, VectorStoreConfig(
+            collection_name, embedding_dimension, content_key=content_key))
+
+    def write_documents(self, documents: Sequence[HaystackDocument],
+                        embeddings: Sequence[Sequence[float]]) -> int:
+        """haystack.rs:159-217."""
+        if len(documents) != len(embeddings):
+            raise IntegrationError(
+                f"Document count ({len(documents)}) must match embedding "
+                f"count ({len(embeddings)})")
+        docs, embs = list(documents), list(embeddings)
+        if self.duplicate_policy in (SKIP, ERROR):
+            existing = {
+                r["id"] for r in self.store.collection.df()
+                .filter(F.col("id").isin([d.id for d in docs]))
+                .select("id").collect()
+            }
+            if existing and self.duplicate_policy == ERROR:
+                raise IntegrationError(
+                    f"duplicate ids: {sorted(existing)}")
+            keep = [(d, e) for d, e in zip(docs, embs)
+                    if d.id not in existing]
+            if not keep:
+                return 0
+            docs, embs = [d for d, _ in keep], [e for _, e in keep]
+        self.store.add_texts(
+            [d.content for d in docs], embs,
+            [dict(d.metadata, _content_type=d.content_type) for d in docs],
+            [d.id for d in docs])
+        return len(docs)
+
+    def delete_documents(self, ids: Sequence[str]) -> int:
+        """haystack.rs:219-228."""
+        return self.store.collection.delete(ids=list(ids))
+
+    def query_by_embedding(self, query_embedding: Sequence[float],
+                           top_k: int = 10, filters: dict | None = None
+                           ) -> list[HaystackDocument]:
+        """haystack.rs:230-249 — scored documents, best first."""
+        out = []
+        for doc, dist in self.store.similarity_search(
+                query_embedding, k=top_k, filter=filters):
+            meta = dict(doc.metadata)
+            ctype = meta.pop("_content_type", "text")
+            out.append(HaystackDocument(
+                id=doc.id, content=doc.page_content, content_type=ctype,
+                metadata=meta,
+                score=self.store.config.to_relevance_score(dist)))
+        return out
+
+    def count_documents(self) -> int:
+        return len(self.store)
+
+
+# --------------------------------------------------------------- crewai
+
+
+@dataclass
+class CrewAiConfig:
+    """crewai.rs:37-72."""
+
+    max_memories: int = 10
+    relevance_threshold: float = 0.0
+    distance_function: str = "cosine"
+    content_key: str = "_content"
+    agent_key: str = "_agent"
+
+
+@dataclass
+class Memory:
+    """crewai.rs:79-93."""
+
+    id: str
+    content: str
+    agent: str
+    relevance: float
+    metadata: dict | None = None
+
+
+class CrewAiMemoryStore:
+    """crewai.rs:98-200 — agent memory over the shared store."""
+
+    def __init__(self, database, collection_name: str,
+                 embedding_dimension: int,
+                 config: CrewAiConfig | None = None):
+        self.config = config or CrewAiConfig()
+        self.store = SparkVectorStore(database, VectorStoreConfig(
+            collection_name, embedding_dimension,
+            self.config.distance_function,
+            content_key=self.config.content_key))
+
+    def remember(self, agent: str, content: str,
+                 embedding: Sequence[float],
+                 metadata: dict | None = None) -> str:
+        """crewai.rs:127-171."""
+        meta = dict(metadata or {})
+        meta[self.config.agent_key] = agent
+        return self.store.add_texts([content], [embedding], [meta])[0]
+
+    remember_with_metadata = remember
+
+    def recall(self, query: Sequence[float],
+               top_k: int | None = None) -> list[Memory]:
+        """crewai.rs:174-186: k capped at max_memories, relevance
+        thresholded."""
+        k = min(top_k or self.config.max_memories,
+                self.config.max_memories)
+        out = []
+        for doc, dist in self.store.similarity_search(query, k=k):
+            rel = self.store.config.to_relevance_score(dist)
+            if rel >= self.config.relevance_threshold:
+                meta = dict(doc.metadata)
+                agent = meta.pop(self.config.agent_key, "")
+                out.append(Memory(id=doc.id, content=doc.page_content,
+                                  agent=agent, relevance=rel,
+                                  metadata=meta or None))
+        return out
+
+    def forget(self, id: str) -> bool:
+        """crewai.rs:188-191."""
+        return self.store.delete([id])
+
+    def __len__(self) -> int:
+        return len(self.store)
+
+
+# ------------------------------------------------------ semantic kernel
+
+
+@dataclass
+class MemoryRecord:
+    """semantic_kernel.rs:35-85."""
+
+    id: str
+    text: str
+    description: str = ""
+    external_source_name: str = ""
+    is_reference: bool = False
+    timestamp: str = ""
+    additional_metadata: dict = dc_field(default_factory=dict)
+
+
+@dataclass
+class MemoryQueryResult:
+    """semantic_kernel.rs:88-98."""
+
+    record: MemoryRecord
+    relevance: float
+
+
+class SemanticKernelMemoryStore:
+    """NeedleMemoryStore — semantic_kernel.rs:101-...: a multi-
+    collection memory store (Semantic Kernel's IMemoryStore shape)."""
+
+    def __init__(self, database, embedding_dimension: int):
+        self.database = database
+        self.embedding_dimension = embedding_dimension
+        self._stores: dict[str, SparkVectorStore] = {}
+
+    def create_collection(self, name: str) -> None:
+        if name not in self._stores:
+            self._stores[name] = SparkVectorStore(
+                self.database, VectorStoreConfig(
+                    name, self.embedding_dimension, store_content=False))
+
+    def has_collection(self, name: str) -> bool:
+        return name in self._stores
+
+    def delete_collection(self, name: str) -> bool:
+        store = self._stores.pop(name, None)
+        if store is None:
+            return False
+        store.collection.clear()
+        return True
+
+    def list_collections(self) -> list[str]:
+        return sorted(self._stores)
+
+    def _store(self, name: str) -> SparkVectorStore:
+        if name not in self._stores:
+            raise IntegrationError(f"no such collection: {name}")
+        return self._stores[name]
+
+    def upsert(self, collection_name: str, record: MemoryRecord,
+               embedding: Sequence[float]) -> str:
+        """semantic_kernel.rs:136-176 — record fields serialize under
+        underscore keys."""
+        self.create_collection(collection_name)
+        meta = {
+            "_text": record.text,
+            "_description": record.description,
+            "_external_source": record.external_source_name,
+            "_is_reference": record.is_reference,
+            "_timestamp": record.timestamp,
+            "_additional": record.additional_metadata,
+        }
+        self._stores[collection_name].add_texts(
+            [record.text], [embedding], [meta], [record.id])
+        return record.id
+
+    def get(self, collection_name: str, id: str) -> MemoryRecord | None:
+        row = self._store(collection_name).collection.get(id)
+        if row is None:
+            return None
+        meta = json.loads(row["metadata"] or "{}")
+        return MemoryRecord(
+            id=id, text=meta.get("_text", ""),
+            description=meta.get("_description", ""),
+            external_source_name=meta.get("_external_source", ""),
+            is_reference=bool(meta.get("_is_reference", False)),
+            timestamp=meta.get("_timestamp", ""),
+            additional_metadata=meta.get("_additional", {}) or {})
+
+    def remove(self, collection_name: str, id: str) -> bool:
+        return self._store(collection_name).delete([id])
+
+    def get_nearest_matches(self, collection_name: str,
+                            embedding: Sequence[float], limit: int = 1,
+                            min_relevance: float = 0.0
+                            ) -> list[MemoryQueryResult]:
+        store = self._store(collection_name)
+        out = []
+        for doc, dist in store.similarity_search(embedding, k=limit):
+            rel = store.config.to_relevance_score(dist)
+            if rel >= min_relevance:
+                out.append(MemoryQueryResult(
+                    record=self.get(collection_name, doc.id), relevance=rel))
+        return out
+
+
+# ------------------------------------------------------------ vercel ai
+
+
+@dataclass
+class VercelAiConfig:
+    """vercel_ai.rs:37-71."""
+
+    max_results: int = 10
+    score_threshold: float | None = None
+    include_metadata: bool = True
+    distance_function: str = "cosine"
+    content_key: str = "_content"
+
+
+@dataclass
+class RetrievalResult:
+    """vercel_ai.rs:74-87."""
+
+    id: str
+    content: str
+    score: float
+    metadata: dict | None = None
+
+
+class VercelAiStore:
+    """vercel_ai.rs:91-200 — the AI-SDK retrieval shape."""
+
+    def __init__(self, database, collection_name: str,
+                 embedding_dimension: int,
+                 config: VercelAiConfig | None = None):
+        self.config = config or VercelAiConfig()
+        self.store = SparkVectorStore(database, VectorStoreConfig(
+            collection_name, embedding_dimension,
+            self.config.distance_function,
+            content_key=self.config.content_key))
+
+    def add_document(self, id: str, content: str,
+                     embedding: Sequence[float],
+                     metadata: dict | None = None) -> str:
+        """vercel_ai.rs:143-160."""
+        return self.store.add_texts([content], [embedding],
+                                    [metadata or {}], [id])[0]
+
+    def add_documents(self, items: Sequence[tuple],
+                      ) -> list[str]:
+        """vercel_ai.rs:162-184 — items of (id, content, embedding[,
+        metadata])."""
+        ids = [it[0] for it in items]
+        return self.store.add_texts(
+            [it[1] for it in items], [it[2] for it in items],
+            [it[3] if len(it) > 3 and it[3] else {} for it in items], ids)
+
+    def retrieve(self, query_embedding: Sequence[float],
+                 top_k: int | None = None) -> list[RetrievalResult]:
+        """vercel_ai.rs:122-141 — capped, thresholded, metadata
+        optional."""
+        k = min(top_k or self.config.max_results, self.config.max_results)
+        out = []
+        for doc, dist in self.store.similarity_search(query_embedding, k=k):
+            score = self.store.config.to_relevance_score(dist)
+            if (self.config.score_threshold is not None
+                    and score < self.config.score_threshold):
+                continue
+            out.append(RetrievalResult(
+                id=doc.id, content=doc.page_content, score=score,
+                metadata=(doc.metadata or None)
+                if self.config.include_metadata else None))
+        return out
+
+    def delete_document(self, id: str) -> bool:
+        return self.store.delete([id])
+
+    def __len__(self) -> int:
+        return len(self.store)

@@ -144,3 +144,98 @@ def test_reopen_existing_collection(spark, tmp_path):
     s1.add_texts(["x"], [EMB["ml"]], ids=["only"])
     s2 = SparkVectorStore(db, VectorStoreConfig("docs", 4))
     assert len(s2) == 1 and s2.get("only").page_content == "x"
+
+
+# ----------------------------------------------- haystack / crewai / sk / vercel
+
+
+def test_haystack_store_policies(spark, tmp_path):
+    from needle_spark.integrations import (
+        ERROR, SKIP, HaystackDocument, SparkDocumentStore)
+    db = Database(spark, str(tmp_path / "hs"))
+    store = SparkDocumentStore(db, "hsdocs", 4, duplicate_policy=SKIP)
+    docs = [HaystackDocument("h1", "alpha", metadata={"k": "v"}),
+            HaystackDocument("h2", "beta", content_type="table")]
+    assert store.write_documents(docs, [EMB["ml"], EMB["cooking"]]) == 2
+    # skip policy: re-writing h1 writes nothing new
+    assert store.write_documents(
+        [HaystackDocument("h1", "alpha2")], [EMB["dl"]]) == 0
+    assert store.count_documents() == 2
+    res = store.query_by_embedding(EMB["ml"], top_k=1)
+    assert res[0].id == "h1" and res[0].content == "alpha"
+    assert res[0].score == pytest.approx(1.0, abs=1e-6)
+    assert res[0].metadata == {"k": "v"}
+    t = store.query_by_embedding(EMB["cooking"], top_k=1)[0]
+    assert t.content_type == "table"
+    # error policy raises on duplicates
+    est = SparkDocumentStore(db, "hserr", 4, duplicate_policy=ERROR)
+    est.write_documents([HaystackDocument("x", "x")], [EMB["ml"]])
+    with pytest.raises(IntegrationError, match="duplicate ids"):
+        est.write_documents([HaystackDocument("x", "x")], [EMB["ml"]])
+    assert store.delete_documents(["h1"]) == 1
+    assert store.count_documents() == 1
+
+
+def test_crewai_memory(spark, tmp_path):
+    from needle_spark.integrations import CrewAiConfig, CrewAiMemoryStore
+    db = Database(spark, str(tmp_path / "crew"))
+    mem = CrewAiMemoryStore(db, "memories", 4, CrewAiConfig(
+        max_memories=2, relevance_threshold=0.5))
+    mem.remember("researcher", "AI is growing fast", EMB["ml"])
+    mem.remember("chef", "bread needs yeast", EMB["cooking"],
+                 metadata={"topic": "baking"})
+    got = mem.recall(EMB["cooking"], top_k=5)  # capped at max_memories=2
+    assert len(got) == 1  # the ml memory fails the 0.5 threshold
+    assert got[0].agent == "chef" and got[0].content == "bread needs yeast"
+    assert got[0].metadata == {"topic": "baking"}
+    assert got[0].relevance == pytest.approx(1.0, abs=1e-6)
+    assert len(mem) == 2
+    assert mem.forget(got[0].id) is True
+    assert len(mem) == 1
+
+
+def test_semantic_kernel_store(spark, tmp_path):
+    from needle_spark.integrations import (
+        MemoryQueryResult, MemoryRecord, SemanticKernelMemoryStore)
+    db = Database(spark, str(tmp_path / "sk"))
+    sk = SemanticKernelMemoryStore(db, 4)
+    assert not sk.has_collection("facts")
+    rec = MemoryRecord("m1", "the sky is blue", description="color fact",
+                       external_source_name="obs", is_reference=True,
+                       timestamp="2024-01-01",
+                       additional_metadata={"conf": 0.9})
+    sk.upsert("facts", rec, EMB["ml"])  # auto-creates the collection
+    assert sk.has_collection("facts") and sk.list_collections() == ["facts"]
+    back = sk.get("facts", "m1")
+    assert back.text == "the sky is blue"
+    assert back.description == "color fact"
+    assert back.external_source_name == "obs"
+    assert back.is_reference is True and back.timestamp == "2024-01-01"
+    assert back.additional_metadata == {"conf": 0.9}
+    matches = sk.get_nearest_matches("facts", EMB["ml"], limit=1,
+                                     min_relevance=0.9)
+    assert isinstance(matches[0], MemoryQueryResult)
+    assert matches[0].record.id == "m1"
+    assert sk.remove("facts", "m1") is True
+    assert sk.get("facts", "m1") is None
+    assert sk.delete_collection("facts") is True
+    with pytest.raises(IntegrationError):
+        sk.get("nope", "x")
+
+
+def test_vercel_ai_store(spark, tmp_path):
+    from needle_spark.integrations import (
+        RetrievalResult, VercelAiConfig, VercelAiStore)
+    db = Database(spark, str(tmp_path / "vc"))
+    store = VercelAiStore(db, "kb", 4, VercelAiConfig(
+        max_results=2, score_threshold=0.5, include_metadata=True))
+    store.add_document("a", "first doc", EMB["ml"], {"tag": "x"})
+    store.add_documents([("b", "second", EMB["dl"]),
+                         ("c", "third", EMB["cooking"], {"t": 1})])
+    assert len(store) == 3
+    got = store.retrieve(EMB["ml"], top_k=10)  # capped at 2, thresholded
+    assert all(isinstance(r, RetrievalResult) for r in got)
+    assert [r.id for r in got] == ["a", "b"]
+    assert got[0].content == "first doc" and got[0].metadata == {"tag": "x"}
+    assert store.delete_document("a") is True
+    assert len(store) == 2
