@@ -340,3 +340,238 @@ class AnomalyDetector:
 
     def reset(self) -> None:
         self.window.clear()
+
+
+# -------------------------------------------------- observability suite
+
+
+#: Default latency bucket boundaries (µs) — observability.rs:13-16.
+LATENCY_BUCKETS_US = (100.0, 500.0, 1_000.0, 2_500.0, 5_000.0, 10_000.0,
+                      25_000.0, 50_000.0, 100_000.0)
+
+
+class LatencyHistogram:
+    """Cumulative latency histogram with interpolated percentiles —
+    observability.rs:23-120."""
+
+    def __init__(self, boundaries=LATENCY_BUCKETS_US):
+        self.buckets = [[b, 0] for b in boundaries]
+        self.total_count = 0
+        self.sum_us = 0
+        self.min_us = float("inf")
+        self.max_us = 0
+
+    def observe(self, latency_us: int) -> None:
+        self.total_count += 1
+        self.sum_us += latency_us
+        self.min_us = min(self.min_us, latency_us)
+        self.max_us = max(self.max_us, latency_us)
+        for b in self.buckets:  # cumulative: every bound >= value counts
+            if latency_us <= b[0]:
+                b[1] += 1
+
+    def percentile(self, p: float) -> float:
+        """Linear interpolation across cumulative counts —
+        observability.rs:66-90; beyond the last bucket returns the max
+        observed."""
+        if self.total_count == 0:
+            return 0.0
+        target = p * self.total_count
+        prev_count, prev_bound = 0, 0.0
+        for bound, count in self.buckets:
+            if count >= target:
+                in_bucket = count - prev_count
+                if in_bucket == 0:
+                    return prev_bound
+                frac = (target - prev_count) / in_bucket
+                return prev_bound + frac * (bound - prev_bound)
+            prev_count, prev_bound = count, bound
+        return float(self.max_us)
+
+    def mean(self) -> float:
+        return self.sum_us / self.total_count if self.total_count else 0.0
+
+    def reset(self) -> None:
+        for b in self.buckets:
+            b[1] = 0
+        self.total_count = 0
+        self.sum_us = 0
+        self.min_us = float("inf")
+        self.max_us = 0
+
+
+class RecallEstimator:
+    """Jaccard-overlap recall of approximate vs exact result ids —
+    observability.rs:124-188 (both-empty = 1.0, one-empty = 0.0)."""
+
+    def __init__(self, sample_size: int = 100):
+        self.sample_size = sample_size
+        self.estimated_recall = 0.0
+        self.confidence = 0.0
+        self.last_measured: float | None = None
+
+    def estimate(self, approximate, exact, *, now: float | None = None):
+        ts = time.monotonic() if now is None else now
+        self.last_measured = ts
+        if not exact and not approximate:
+            self.estimated_recall, self.confidence = 1.0, 1.0
+        elif not exact or not approximate:
+            self.estimated_recall, self.confidence = 0.0, 1.0
+        else:
+            a, e = set(approximate), set(exact)
+            self.estimated_recall = len(a & e) / len(a | e)
+            self.confidence = min(
+                1.0, min(len(approximate), len(exact)) / self.sample_size)
+        return self.estimated_recall
+
+    def is_stale(self, max_age: float, *, now: float | None = None) -> bool:
+        if self.last_measured is None:
+            return True
+        return ((time.monotonic() if now is None else now)
+                - self.last_measured) > max_age
+
+
+@dataclass
+class IndexHealthMetrics:
+    """observability.rs:191-222."""
+
+    fragmentation_ratio: float = 0.0
+    balance_score: float = 1.0
+    memory_usage_bytes: int = 0
+    disk_usage_bytes: int = 0
+    vector_count: int = 0
+    deleted_count: int = 0
+    avg_connections_per_node: float = 0.0
+    last_compaction: str | None = None
+
+
+@dataclass
+class AlertRule:
+    """observability.rs:264-274.  metric one of query_latency_p99 |
+    recall_estimate | fragmentation | memory_usage | drift_score |
+    error_rate; condition ('gt'|'lt', x) or ('range', lo, hi)."""
+
+    name: str
+    metric: str
+    condition: tuple
+    severity: str = "warning"
+    cooldown_seconds: float = 0.0
+    last_fired: float | None = None
+
+
+class ObservabilitySuite:
+    """observability.rs:278-440: histograms + recall + health + alert
+    evaluation with cooldowns."""
+
+    def __init__(self):
+        self.latency_histograms: dict[str, LatencyHistogram] = {}
+        self.recall_estimator = RecallEstimator(100)
+        self.index_health: dict[str, IndexHealthMetrics] = {}
+        self.alerts: list[dict] = []
+        self.alert_rules: list[AlertRule] = []
+        self.error_counts: dict[str, int] = {}
+        self.drift_score: float | None = None
+
+    def record_query_latency(self, collection: str, latency_us: int):
+        self.latency_histograms.setdefault(
+            collection, LatencyHistogram()).observe(latency_us)
+
+    def record_error(self, collection: str, error_type: str) -> None:
+        key = f"{collection}:{error_type}"
+        self.error_counts[key] = self.error_counts.get(key, 0) + 1
+
+    def update_index_health(self, collection: str,
+                            health: IndexHealthMetrics) -> None:
+        self.index_health[collection] = health
+
+    def health_from_collection(self, collection) -> IndexHealthMetrics:
+        """Derive real health from the catalog: fragmentation = delta
+        segments beyond the first per version entry (auto-compaction's
+        own trigger signal)."""
+        entry = collection._entry(collection.version)
+        segs = len(entry.get("segments", []) or [])
+        dels = len(entry.get("deletes", []) or [])
+        frag = (segs + dels - 1) / (segs + dels) if segs + dels > 1 else 0.0
+        h = IndexHealthMetrics(
+            fragmentation_ratio=frag,
+            vector_count=collection.count(),
+        )
+        self.index_health[collection.path] = h
+        return h
+
+    def estimate_recall(self, approx, exact, *, now=None) -> float:
+        return self.recall_estimator.estimate(approx, exact, now=now)
+
+    def add_alert_rule(self, rule: AlertRule) -> None:
+        self.alert_rules.append(rule)
+
+    def set_drift_score(self, score: float) -> None:
+        self.drift_score = score
+
+    def _metric_value(self, metric: str) -> float | None:
+        """observability.rs:345-379: p99/fragmentation = max across
+        collections, memory = sum, error_rate = total count."""
+        if metric == "query_latency_p99":
+            vals = [h.percentile(0.99)
+                    for h in self.latency_histograms.values()]
+            return max(vals) if vals else None
+        if metric == "recall_estimate":
+            return self.recall_estimator.estimated_recall
+        if metric == "fragmentation":
+            vals = [h.fragmentation_ratio
+                    for h in self.index_health.values()]
+            return max(vals) if vals else None
+        if metric == "memory_usage":
+            vals = [h.memory_usage_bytes for h in self.index_health.values()]
+            return float(sum(vals)) if vals else None
+        if metric == "drift_score":
+            return self.drift_score
+        if metric == "error_rate":
+            return float(sum(self.error_counts.values()))
+        return None
+
+    def check_alerts(self, *, now: float | None = None) -> list[dict]:
+        """observability.rs:335-440 — evaluate every rule, respecting
+        cooldowns; triggered alerts accumulate until acknowledged."""
+        ts = time.monotonic() if now is None else now
+        fired = []
+        for rule in self.alert_rules:
+            if (rule.last_fired is not None
+                    and ts - rule.last_fired < rule.cooldown_seconds):
+                continue
+            value = self._metric_value(rule.metric)
+            if value is None:
+                continue
+            kind = rule.condition[0]
+            if kind == "gt":
+                triggered, threshold = value > rule.condition[1], rule.condition[1]
+            elif kind == "lt":
+                triggered, threshold = value < rule.condition[1], rule.condition[1]
+            elif kind == "range":
+                lo, hi = rule.condition[1], rule.condition[2]
+                triggered = value < lo or value > hi
+                threshold = lo if value < lo else hi
+            else:
+                raise ValueError(f"unknown condition {kind!r}")
+            if triggered:
+                rule.last_fired = ts
+                alert = {
+                    "alert_id": f"{rule.name}-{len(self.alerts)}",
+                    "severity": rule.severity,
+                    "message": (f"Rule '{rule.name}' triggered: current "
+                                f"value {value:.4f} crossed threshold "
+                                f"{threshold:.4f}"),
+                    "metric_name": rule.metric,
+                    "current_value": value,
+                    "threshold": threshold,
+                    "triggered_at": ts,
+                    "acknowledged": False,
+                }
+                self.alerts.append(alert)
+                fired.append(alert)
+        return fired
+
+    def acknowledge_alert(self, alert_id: str) -> None:
+        for a in self.alerts:
+            if a["alert_id"] == alert_id:
+                a["acknowledged"] = True

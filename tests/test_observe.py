@@ -114,3 +114,89 @@ def test_anomaly_zero_variance():
         det.check(5.0)
     r = det.check(5.0)
     assert r.std_dev == 0.0 and r.z_score == 0.0 and not r.is_anomaly
+
+
+# -------------------------------------------------- observability suite
+
+
+def test_latency_histogram_percentiles():
+    from needle_spark.observe import LatencyHistogram
+    h = LatencyHistogram()
+    for v in (100, 200, 400, 800, 2000, 4000, 40000, 90000):
+        h.observe(v)
+    assert h.total_count == 8 and h.min_us == 100 and h.max_us == 90000
+    assert h.mean() == pytest.approx(sum((100, 200, 400, 800, 2000, 4000,
+                                          40000, 90000)) / 8)
+    p50 = h.percentile(0.5)
+    assert 400 <= p50 <= 2500  # interpolated inside the mid buckets
+    assert h.percentile(0.99) <= 100000
+    assert h.percentile(0.0) == 0.0 or h.percentile(0.0) >= 0
+    # beyond the last bucket returns max observed
+    h2 = LatencyHistogram()
+    h2.observe(500000)
+    assert h2.percentile(0.99) == 500000
+    h.reset()
+    assert h.total_count == 0 and h.percentile(0.5) == 0.0
+
+
+def test_recall_estimator_semantics():
+    from needle_spark.observe import RecallEstimator
+    r = RecallEstimator(sample_size=4)
+    # observability.rs:142-160 edge cases
+    assert r.estimate([], [], now=0) == 1.0
+    assert r.estimate(["a"], [], now=0) == 0.0
+    assert r.estimate([], ["a"], now=0) == 0.0
+    got = r.estimate(["a", "b", "c"], ["a", "b", "d"], now=0)
+    assert got == pytest.approx(2 / 4)  # Jaccard |∩|/|∪|
+    assert r.confidence == pytest.approx(3 / 4)
+    assert r.is_stale(10.0, now=20.0) and not r.is_stale(30.0, now=20.0)
+
+
+def test_suite_alert_rules_cooldown():
+    from needle_spark.observe import AlertRule, ObservabilitySuite
+    s = ObservabilitySuite()
+    s.record_query_latency("docs", 90_000)
+    s.record_query_latency("docs", 95_000)
+    s.record_error("docs", "timeout")
+    s.add_alert_rule(AlertRule("slow-p99", "query_latency_p99",
+                               ("gt", 50_000.0), "critical",
+                               cooldown_seconds=100))
+    s.add_alert_rule(AlertRule("errors", "error_rate", ("gt", 0.5)))
+    s.add_alert_rule(AlertRule("recall", "recall_estimate", ("lt", 0.9)))
+    s.estimate_recall(["a"], ["a"], now=0)  # recall 1.0 — no fire
+    fired = s.check_alerts(now=0)
+    names = sorted(a["alert_id"].rsplit("-", 1)[0] for a in fired)
+    assert names == ["errors", "slow-p99"]
+    assert all(not a["acknowledged"] for a in fired)
+    # cooldown suppresses slow-p99; errors (no cooldown) refires
+    again = s.check_alerts(now=50)
+    assert [a["alert_id"].rsplit("-", 1)[0] for a in again] == ["errors"]
+    # after cooldown it fires again
+    later = s.check_alerts(now=200)
+    assert "slow-p99" in [a["alert_id"].rsplit("-", 1)[0] for a in later]
+    s.acknowledge_alert(fired[0]["alert_id"])
+    assert any(a["acknowledged"] for a in s.alerts)
+
+
+def test_suite_range_condition_and_drift():
+    from needle_spark.observe import AlertRule, ObservabilitySuite
+    s = ObservabilitySuite()
+    s.add_alert_rule(AlertRule("drift", "drift_score", ("range", 0.1, 0.9)))
+    assert s.check_alerts(now=0) == []  # no drift score yet -> skipped
+    s.set_drift_score(0.95)
+    fired = s.check_alerts(now=1)
+    assert fired[0]["threshold"] == 0.9 and fired[0]["current_value"] == 0.95
+
+
+def test_health_from_real_collection(spark, tmp_path):
+    from needle_spark.observe import ObservabilitySuite
+    from needle_spark.catalog import Collection
+    coll = Collection.create(spark, str(tmp_path / "hc"), dims=2)
+    for i in range(3):  # three mutations -> fragmented deltas
+        coll.insert(spark.createDataFrame(
+            [(f"v{i}", [1.0, 0.0])], "id string, vector array<float>"))
+    s = ObservabilitySuite()
+    h = s.health_from_collection(coll)
+    assert h.vector_count == 3
+    assert h.fragmentation_ratio > 0.0  # multiple delta segments
+    assert coll.path in s.index_health
