@@ -175,6 +175,18 @@ def __getattr__(name):
         "TxOperation": ("needle_spark.transactions", "TxOperation"),
         "TenantManager": ("needle_spark.tenancy", "TenantManager"),
         "TenantConfig": ("needle_spark.tenancy", "TenantConfig"),
+        "SparkVectorStore": ("needle_spark.integrations", "SparkVectorStore"),
+        "VectorStoreConfig": ("needle_spark.integrations",
+                              "VectorStoreConfig"),
+        "WorkflowEngine": ("needle_spark.operators.agentic_workflow",
+                           "WorkflowEngine"),
+        "AutoScaler": ("needle_spark.plans.autoscaler", "AutoScaler"),
+        "WebhookService": ("needle_spark.streaming.webhooks",
+                           "WebhookService"),
+        "ObservabilitySuite": ("needle_spark.observe", "ObservabilitySuite"),
+        "VectorEncryptor": ("needle_spark.operators.encryption",
+                            "VectorEncryptor"),
+        "KeyManager": ("needle_spark.operators.encryption", "KeyManager"),
     }
     if name in _lazy:
         import importlib
@@ -202,6 +214,8 @@ __all__ = [
     "MigrationEngine", "MigrationConfig", "SyncEngine", "SyncConfig",
     "SyncVectorClock", "QuerySession", "MetricsRegistry",
     "PrivacyMechanism", "PrivacyPolicyRegistry", "TransactionManager",
-    "TxOperation", "TenantManager", "TenantConfig",
+    "TxOperation", "TenantManager", "TenantConfig", "SparkVectorStore",
+    "VectorStoreConfig", "WorkflowEngine", "AutoScaler", "WebhookService",
+    "ObservabilitySuite", "VectorEncryptor", "KeyManager",
     "__version__",
 ]
