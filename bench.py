@@ -40,9 +40,11 @@ def main() -> None:
     qs = entrymod.queries()
     timings: dict[str, float] = {}
 
-    def run(name, thunk, repeats: int = 2):
-        # best-of-N: local-mode scheduling noise is comparable to the
-        # runtimes of the sub-second queries; min is the stable statistic
+    def run(name, thunk, repeats: int = 3):
+        # best-of-N: local-mode scheduling noise AND host co-tenancy
+        # swings are comparable to the runtimes of the sub-second
+        # queries; min is the stable statistic (3 reps halves the
+        # p95 noise of 2 at ~25% extra wall time)
         best = float("inf")
         for _ in range(repeats):
             t0 = time.perf_counter()
