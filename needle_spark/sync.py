@@ -133,6 +133,11 @@ class SyncEngine:
         self.clock = VectorClock()
         self.peer_clocks: dict[str, VectorClock] = {}
         self._ops = spark.createDataFrame([], _OP_SCHEMA)
+        # incremental size estimate: exact after every mutation without
+        # running a count() job per batch (the job would grow with the
+        # union lineage); reconciled on trim
+        self._op_count = 0
+        self._unions_since_checkpoint = 0
 
     # -- recording --
 
@@ -164,6 +169,8 @@ class SyncEngine:
             F.lit(wall).alias("wall_time"),
         )
         self._ops = self._ops.unionByName(stamped)
+        self._op_count += n
+        self._note_union()
         self.clock.clocks[self.node_id] = base + n
         self._trim_log()
         return n
@@ -193,7 +200,7 @@ class SyncEngine:
         return self.clock.copy()
 
     def log_len(self) -> int:
-        return self._ops.count()
+        return self._op_count
 
     def generate_delta(self, peer_clock: VectorClock) -> SyncDelta:
         """Own ops the peer hasn't seen, oldest first, capped —
@@ -282,17 +289,32 @@ class SyncEngine:
             if dels:
                 collection.delete(ids=dels)
         self._ops = self._ops.unionByName(applied)
+        self._op_count += result.applied
+        self._note_union()
         self.clock.merge(delta.source_clock)
         self.peer_clocks[delta.source_node] = delta.source_clock.copy()
         self._trim_log()
         return result
 
+    def _note_union(self) -> None:
+        """Cut the union lineage periodically: a long-lived engine
+        accumulates one union node per batch, so every 50 unions the
+        log is materialized with localCheckpoint (plan depth back to
+        1 scan; data stays distributed)."""
+        self._unions_since_checkpoint += 1
+        if self._unions_since_checkpoint >= 50:
+            self._ops = self._ops.localCheckpoint(eager=True)
+            self._unions_since_checkpoint = 0
+
     def _trim_log(self) -> None:
         """sync_engine.rs:487-493 — bound the replay window.  Uses a
         per-node tail (newest `log_retention` ops per node) so no
         node's frontier is dropped before its peers have pulled it."""
-        if self.log_len() > self.config.log_retention * 10:
+        if self._op_count > self.config.log_retention * 10:
             keep = self.config.log_retention * 5
             w = Window.partitionBy("node_id").orderBy(F.col("timestamp").desc())
             self._ops = (self._ops.withColumn("__rn", F.row_number().over(w))
-                         .filter(F.col("__rn") <= keep).drop("__rn"))
+                         .filter(F.col("__rn") <= keep).drop("__rn")
+                         .localCheckpoint(eager=True))
+            self._op_count = self._ops.count()  # exact after the cut
+            self._unions_since_checkpoint = 0
