@@ -139,6 +139,9 @@ class SparkVectorStore:
         if len(texts) != len(embeddings):
             raise IntegrationError(
                 "Number of texts must match number of embeddings")
+        if metadatas is not None and len(metadatas) != len(texts):
+            raise IntegrationError(
+                "Number of metadatas must match number of texts")
         out_ids = [
             (ids[i] if ids and i < len(ids) and ids[i]
              else f"doc-{uuid.uuid4().hex}")
@@ -202,13 +205,23 @@ class SparkVectorStore:
                                   if k != self.config.content_key},
                         id=row["id"])
 
+    @staticmethod
+    def _json_scalar(v) -> str:
+        """get_json_object returns scalars in their JSON spelling
+        (true/false, bare numbers) — match that, not Python's str()."""
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, (int, float)):
+            return json.dumps(v)
+        return str(v)
+
     def _filter_column(self, filter: dict | None):
         if not filter:
             return None
         cond = F.lit(True)
         for k, v in filter.items():
             cond = cond & (F.get_json_object(F.col("metadata"), f"$.{k}")
-                           == F.lit(str(v)))
+                           == F.lit(self._json_scalar(v)))
         return cond
 
     def _search_df(self, query_embedding, k, filter=None):
@@ -271,7 +284,9 @@ class SparkVectorStore:
         res = batch_knn(
             self.collection.df(), qdf, k=k,
             metric=self.config.distance_function).collect()
-        docs = {r["id"]: r for r in self.collection.df().collect()}
+        hit_ids = list({r["id"] for r in res})
+        docs = {r["id"]: r for r in self.collection.df()
+                .filter(F.col("id").isin(hit_ids)).collect()}
         out: list[list[tuple[Document, float]]] = [
             [] for _ in query_embeddings]
         for r in res:

@@ -126,20 +126,32 @@ class MetricsRegistry:
         """Prometheus text exposition format — metrics.rs:588-597."""
         out: list[str] = []
 
+        def esc(v) -> str:
+            return (str(v).replace("\\", "\\\\")
+                    .replace('"', '\\"').replace("\n", "\\n"))
+
         def fmt_labels(label_items) -> str:
             if not label_items:
                 return ""
-            inner = ",".join(f'{k}="{v}"' for k, v in label_items)
+            inner = ",".join(f'{k}="{esc(v)}"' for k, v in label_items)
             return "{" + inner + "}"
 
+        typed: set[str] = set()
+
+        def type_line(name: str, kind: str) -> None:
+            # expfmt allows at most ONE TYPE line per metric name
+            if name not in typed:
+                typed.add(name)
+                out.append(f"# TYPE {name} {kind}")
+
         for (name, labels), v in sorted(self.counters.items()):
-            out.append(f"# TYPE {name} counter")
+            type_line(name, "counter")
             out.append(f"{name}{fmt_labels(labels)} {v:g}")
         for (name, labels), v in sorted(self.gauges.items()):
-            out.append(f"# TYPE {name} gauge")
+            type_line(name, "gauge")
             out.append(f"{name}{fmt_labels(labels)} {v:g}")
         for (name, labels), h in sorted(self.histograms.items()):
-            out.append(f"# TYPE {name} histogram")
+            type_line(name, "histogram")
             cum = 0
             for b, c in zip(h.buckets, h.counts):
                 cum += c
@@ -200,8 +212,11 @@ _PANELS = (
      "stat", (12, 8, 6, 8)),
     (5, "Memory Usage", "sum(needle_collection_memory_bytes)",
      "gauge", (18, 8, 6, 8)),
+    # Deviation from metrics.rs:967: the reference's panel queries
+    # needle_search_results_total, a series its own registry never
+    # emits; we point at the histogram that actually exists.
     (6, "Search Results per Query",
-     'rate(needle_search_results_total[5m]) / rate(needle_operations_total{operation="search"}[5m])',
+     "rate(needle_search_result_count_sum[5m]) / rate(needle_search_result_count_count[5m])",
      "timeseries", (0, 16, 12, 8)),
     (7, "HTTP Requests per Second", "rate(needle_http_requests_total[5m])",
      "timeseries", (12, 16, 12, 8)),
@@ -490,7 +505,7 @@ class ObservabilitySuite:
         own trigger signal)."""
         entry = collection._entry(collection.version)
         segs = len(entry.get("segments", []) or [])
-        dels = len(entry.get("deletes", []) or [])
+        dels = len(entry.get("tombstones", []) or [])
         frag = (segs + dels - 1) / (segs + dels) if segs + dels > 1 else 0.0
         h = IndexHealthMetrics(
             fragmentation_ratio=frag,

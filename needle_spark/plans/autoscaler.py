@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import time
 from collections import deque
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 NONE = "none"
 SCALE_UP = "scale_up"
@@ -108,11 +108,16 @@ class LoadPredictor:
     ALPHA = 0.3
     BETA = 0.1
 
-    def __init__(self, max_history: int = 60,
-                 seasonality_period: int = 86400):
+    def __init__(self, max_history: int = 4320,
+                 seasonality_period: int = 86400,
+                 prediction_window: int = 60):
+        # history holds up to 3 days of minute samples so seasonality
+        # (which needs 2 periods) is reachable; Holt smoothing only
+        # consumes the last `prediction_window` points
         self.history: deque[MetricPoint] = deque()
-        self.max_history = max_history
+        self.max_history = max(max_history, 2 * seasonality_period // 60)
         self.seasonality_period = seasonality_period
+        self.prediction_window = prediction_window
 
     def add_point(self, point: MetricPoint) -> None:
         if len(self.history) >= self.max_history:
@@ -132,7 +137,7 @@ class LoadPredictor:
         steps; cpu/mem clamped to [0,1], latency/qps floored at 0."""
         if len(self.history) < 3:
             return None
-        pts = list(self.history)
+        pts = list(self.history)[-self.prediction_window:]
         steps = max(horizon_seconds // 60, 1)
         s_cpu, t_cpu = self._holt([p.cpu_utilization for p in pts])
         s_mem, t_mem = self._holt([p.memory_utilization for p in pts])
@@ -214,7 +219,8 @@ class AutoScaler:
 
     def __init__(self, config: ScalingConfig | None = None):
         self.config = config or ScalingConfig()
-        self.predictor = LoadPredictor(self.config.prediction_window)
+        self.predictor = LoadPredictor(
+            prediction_window=self.config.prediction_window)
         self.access_tracker = AccessTracker(
             retention_period=self.config.metrics_retention_seconds * 24)
         self.current = MetricPoint()
@@ -228,7 +234,9 @@ class AutoScaler:
 
     def record_metrics(self, metrics: MetricPoint) -> None:
         self.current = metrics
-        self.predictor.add_point(metrics)
+        # history keeps its own copy: the record_* setters below mutate
+        # self.current in place and must not rewrite stored samples
+        self.predictor.add_point(replace(metrics))
 
     def record_query_latency(self, latency_ms: float) -> None:
         self.current.query_latency_ms = latency_ms

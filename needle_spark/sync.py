@@ -224,10 +224,17 @@ class SyncEngine:
         log-only replication) and re-enter the log for onward
         propagation."""
         known = self.clock.get(delta.source_node)
-        remote_seen = self.clock.get(delta.source_node)
+        # Deviation from sync_engine.rs:458-475 (which compares OUR op
+        # timestamps against our count of the REMOTE's ops — counters
+        # from different nodes): the causally correct frontier is the
+        # remote's view of US.  A local op is concurrent with the delta
+        # iff the sender had not seen it when the delta was cut, i.e.
+        # its timestamp exceeds source_clock[self].  The reference's
+        # form flags causally-dominated local ops as conflicts and can
+        # diverge replicas under LOCAL_WINS/REJECT.
+        remote_seen = delta.source_clock.get(self.node_id)
 
         # newest local op per id that the remote could NOT have seen
-        # (detect_conflict, sync_engine.rs:458-475)
         local_latest = (
             self._ops
             .filter((F.col("node_id") == self.node_id)
@@ -288,12 +295,14 @@ class SyncEngine:
                     final.filter("op = 'delete'").select("id").collect()]
             if dels:
                 collection.delete(ids=dels)
+            final.unpersist()
         self._ops = self._ops.unionByName(applied)
         self._op_count += result.applied
         self._note_union()
         self.clock.merge(delta.source_clock)
         self.peer_clocks[delta.source_node] = delta.source_clock.copy()
         self._trim_log()
+        classified.unpersist()
         return result
 
     def _note_union(self) -> None:

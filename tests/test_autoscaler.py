@@ -156,3 +156,25 @@ def test_rebalance_and_tiering_paths():
     sc3.record_access("v-old", now=0)
     d = sc3.recommend(now=7200)
     assert d.action == DEMOTE_TO_COLD and d.amount == 1
+
+
+def test_history_immune_to_setter_mutation():
+    # record_* setters mutate self.current; stored history samples must
+    # keep their original values (code-review finding)
+    sc = AutoScaler(ScalingConfig())
+    sc.record_metrics(mp(0, cpu=0.2))
+    sc.record_cpu_usage(0.99)
+    assert sc.predictor.history[-1].cpu_utilization == 0.2
+    assert sc.current.cpu_utilization == 0.99
+
+
+def test_seasonality_reachable_with_defaults():
+    # the default AutoScaler predictor must retain >= 2 days of minute
+    # samples so detect_seasonality can ever fire
+    sc = AutoScaler(ScalingConfig())
+    assert sc.predictor.max_history >= 2880
+    for i in range(2880):
+        sc.record_metrics(mp(i * 60, qps=500.0 if (i * 60 % 86400) //
+                             3600 == 9 else 50.0))
+    s = sc.predictor.detect_seasonality()
+    assert s is not None and s.peak_hour == 9

@@ -239,3 +239,21 @@ def test_vercel_ai_store(spark, tmp_path):
     assert got[0].content == "first doc" and got[0].metadata == {"tag": "x"}
     assert store.delete_document("a") is True
     assert len(store) == 2
+
+
+def test_filter_matches_json_scalars(store):
+    store.add_texts(["p", "q"], [EMB["ml"], EMB["cooking"]],
+                    metadatas=[{"published": True, "stars": 5},
+                               {"published": False, "stars": 4}],
+                    ids=["p1", "p2"])
+    got = store.similarity_search(EMB["ml"], k=2,
+                                  filter={"published": True})
+    assert [d.id for d, _ in got] == ["p1"]
+    got = store.similarity_search(EMB["ml"], k=2, filter={"stars": 4})
+    assert [d.id for d, _ in got] == ["p2"]
+
+
+def test_metadatas_length_validated(store):
+    with pytest.raises(IntegrationError, match="metadatas"):
+        store.add_texts(["a", "b"], [EMB["ml"], EMB["dl"]],
+                        metadatas=[{"k": 1}])

@@ -200,3 +200,31 @@ def test_health_from_real_collection(spark, tmp_path):
     assert h.vector_count == 3
     assert h.fragmentation_ratio > 0.0  # multiple delta segments
     assert coll.path in s.index_health
+
+
+def test_export_single_type_line_and_escaping():
+    m = MetricsRegistry()
+    m.inc("needle_operations_total", {"collection": "a", "operation": "x"})
+    m.inc("needle_operations_total", {"collection": "b", "operation": "x"})
+    m.inc("needle_operations_total", {"collection": 'we"ird\\nm'})
+    text = m.export()
+    assert text.count("# TYPE needle_operations_total counter") == 1
+    assert 'we\\"ird' in text  # quotes escaped
+
+
+def test_fragmentation_counts_tombstones(spark, tmp_path):
+    from needle_spark.observe import ObservabilitySuite
+    coll = Collection.create(spark, str(tmp_path / "tf"), dims=2)
+    coll.insert(spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])],
+        "id string, vector array<float>"))
+    coll.compact()
+    coll.delete(ids=["a"])  # tombstone-only mutation
+    h = ObservabilitySuite().health_from_collection(coll)
+    assert h.fragmentation_ratio > 0.0  # delete churn is visible
+
+
+def test_dashboard_queries_reference_real_series():
+    out = generate_grafana_dashboard()
+    assert "needle_search_results_total" not in out  # never-emitted series
+    assert "needle_search_result_count_sum" in out

@@ -171,3 +171,24 @@ def test_bad_policy_and_op_rejected(spark):
             spark.createDataFrame([("v", None, None)],
                                   "id string, vector array<float>, metadata string"),
             "truncate")
+
+
+def test_causally_dominated_ops_are_not_conflicts(spark):
+    # the code-review scenario: B pulls all of A's ops on x, then B
+    # writes x; applying B's delta at A must NOT flag A's old
+    # (causally dominated) ops as conflicts
+    from needle_spark.sync import SyncConfig, LOCAL_WINS
+    a = SyncEngine(spark, "node-a", SyncConfig(conflict_policy=LOCAL_WINS))
+    b = SyncEngine(spark, "node-b", SyncConfig(conflict_policy=LOCAL_WINS))
+    for i in range(3):
+        a.record_update("x", [float(i)], now_ms=i)
+    b.apply_delta(a.generate_delta(b.vector_clock()))  # B has seen all
+    b.record_update("x", [99.0], now_ms=10)            # newer write at B
+    res = a.apply_delta(b.generate_delta(a.vector_clock()))
+    assert res.conflicts == []          # dominated, not concurrent
+    assert res.applied == 1             # B's newer write lands at A
+    # truly concurrent writes still conflict
+    a.record_update("x", [1.0], now_ms=20)
+    b.record_update("x", [2.0], now_ms=21)
+    res2 = a.apply_delta(b.generate_delta(a.vector_clock()))
+    assert len(res2.conflicts) == 1
