@@ -187,6 +187,9 @@ def __getattr__(name):
         "VectorEncryptor": ("needle_spark.operators.encryption",
                             "VectorEncryptor"),
         "KeyManager": ("needle_spark.operators.encryption", "KeyManager"),
+        "LifecyclePolicy": ("needle_spark.lifecycle", "LifecyclePolicy"),
+        "LifecyclePolicyEngine": ("needle_spark.lifecycle",
+                                  "LifecyclePolicyEngine"),
     }
     if name in _lazy:
         import importlib
@@ -217,5 +220,6 @@ __all__ = [
     "TxOperation", "TenantManager", "TenantConfig", "SparkVectorStore",
     "VectorStoreConfig", "WorkflowEngine", "AutoScaler", "WebhookService",
     "ObservabilitySuite", "VectorEncryptor", "KeyManager",
+    "LifecyclePolicy", "LifecyclePolicyEngine",
     "__version__",
 ]
