@@ -98,6 +98,7 @@ class Collection:
             os.path.join(path, "seg-0")
         )
         manifest = {
+            "format_version": [1, 0],  # see needle_spark/fsck.py spec_doc
             "version": 0,
             "cdc_seq": 0,
             "obj_seq": 1,  # next seg-/del- object number

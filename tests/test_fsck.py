@@ -59,8 +59,19 @@ def test_healthy_collection_validates(spark, coll):
     assert rep.stats["retained_versions"] >= 3
     assert rep.stats["cdc_events"] == 3  # 2 inserts + 1 delete
     assert rep.stats["sampled_rows"] == 1
-    # pre-format_version manifests validate with a migration warning
-    assert any("format_version" in w for w in rep.warnings)
+    # freshly created collections carry an explicit format_version
+    assert not any("format_version" in w for w in rep.warnings)
+    # legacy manifests (no format_version) validate with a migration
+    # warning instead of failing
+    mpath = os.path.join(coll.path, "manifest.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    del m["format_version"]
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    legacy = validate_collection(spark, coll.path)
+    assert legacy.valid
+    assert any("format_version" in w for w in legacy.warnings)
 
 
 def test_missing_segment_detected(spark, coll):
