@@ -590,3 +590,131 @@ class ObservabilitySuite:
         for a in self.alerts:
             if a["alert_id"] == alert_id:
                 a["acknowledged"] = True
+
+
+# ------------------------------------------------- embedded dashboard
+
+
+@dataclass
+class DashboardConfig:
+    """observe/dashboard.rs:37-55."""
+
+    window_size: int = 10_000
+    slow_query_threshold_us: int = 50_000
+    max_slow_queries: int = 100
+    aggregation_interval_secs: int = 5
+    enable_query_explain: bool = True
+
+
+class MetricsAggregator:
+    """Rolling-window metrics for the embedded dashboard —
+    observe/dashboard.rs:191-382: record_query with bounded window +
+    slow-query capture, insert/delete counters, exact window
+    percentiles (sorted index, reference's formulas), QPS over the
+    last aggregation interval, bounded explain log, snapshot."""
+
+    def __init__(self, config: DashboardConfig | None = None):
+        self.config = config or DashboardConfig()
+        self._latencies: deque[tuple[float, str, int, str]] = deque()
+        self.slow_queries: deque[dict] = deque()
+        self.explains: deque[dict] = deque()
+        self.query_count = 0
+        self.insert_count = 0
+        self.delete_count = 0
+
+    def record_query(self, collection: str, latency_us: int,
+                     result_count: int = 0,
+                     *, now: float | None = None) -> None:
+        ts = time.monotonic() if now is None else now
+        self._latencies.append((ts, "search", latency_us, collection))
+        while len(self._latencies) > self.config.window_size:
+            self._latencies.popleft()
+        self.query_count += 1
+        if latency_us > self.config.slow_query_threshold_us:
+            self.slow_queries.append({
+                "timestamp": ts, "collection": collection,
+                "duration_us": latency_us, "result_count": result_count,
+            })
+            while len(self.slow_queries) > self.config.max_slow_queries:
+                self.slow_queries.popleft()
+
+    def record_insert(self, collection: str) -> None:
+        self.insert_count += 1
+
+    def record_delete(self, collection: str) -> None:
+        self.delete_count += 1
+
+    def record_explain(self, explain: dict) -> None:
+        if self.config.enable_query_explain:
+            self.explains.append(explain)
+            while len(self.explains) > 50:
+                self.explains.popleft()
+
+    def latency_percentiles(self) -> dict:
+        """observe/dashboard.rs:279-310 — exact over the window."""
+        vals = sorted(v for _, _, v, _ in self._latencies)
+        if not vals:
+            return {k: 0 for k in ("min_us", "p50_us", "p90_us", "p95_us",
+                                   "p99_us", "max_us", "avg_us", "count")}
+        n = len(vals)
+        return {
+            "min_us": vals[0],
+            "p50_us": vals[n // 2],
+            "p90_us": vals[int(n * 0.9)] if int(n * 0.9) < n else vals[-1],
+            "p95_us": vals[int(n * 0.95)] if int(n * 0.95) < n else vals[-1],
+            "p99_us": vals[min(int(n * 0.99), n - 1)],
+            "max_us": vals[-1],
+            "avg_us": sum(vals) // n,
+            "count": n,
+        }
+
+    def current_qps(self, *, now: float | None = None) -> dict:
+        """observe/dashboard.rs:313-340 — searches in the last
+        aggregation interval / interval length."""
+        ts = time.monotonic() if now is None else now
+        window = float(self.config.aggregation_interval_secs)
+        recent = sum(1 for t, op, _, _ in self._latencies
+                     if t >= ts - window and op == "search")
+        return {"timestamp": ts, "qps": recent / window,
+                "insert_rate": self.insert_count / window,
+                "delete_rate": self.delete_count / window}
+
+    def snapshot(self, *, now: float | None = None) -> dict:
+        return {
+            "latency": self.latency_percentiles(),
+            "qps": self.current_qps(now=now),
+            "slow_queries": list(self.slow_queries),
+            "explains": list(self.explains),
+            "totals": {"queries": self.query_count,
+                       "inserts": self.insert_count,
+                       "deletes": self.delete_count},
+        }
+
+
+def generate_dashboard_html(snapshot: dict) -> str:
+    """Self-contained single-page dashboard (no external CDN) —
+    observe/dashboard.rs:385+."""
+    lat = snapshot["latency"]
+    qps = snapshot["qps"]
+    rows = "".join(
+        f"<tr><td>{q['collection']}</td><td>{q['duration_us']}</td>"
+        f"<td>{q['result_count']}</td></tr>"
+        for q in snapshot["slow_queries"][-20:])
+    return f"""<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>needle-spark dashboard</title>
+<style>
+body{{font-family:system-ui,sans-serif;margin:2rem;background:#fafafa}}
+.card{{display:inline-block;margin:.5rem;padding:1rem 1.5rem;
+background:#fff;border:1px solid #ddd;border-radius:8px}}
+.metric{{font-size:1.6rem;font-weight:600}}
+table{{border-collapse:collapse;background:#fff}}
+td,th{{border:1px solid #ddd;padding:.3rem .8rem;font-size:.9rem}}
+</style></head><body>
+<h1>needle-spark</h1>
+<div class="card"><div>QPS</div><div class="metric">{qps['qps']:.1f}</div></div>
+<div class="card"><div>p50 &micro;s</div><div class="metric">{lat['p50_us']}</div></div>
+<div class="card"><div>p99 &micro;s</div><div class="metric">{lat['p99_us']}</div></div>
+<div class="card"><div>queries</div><div class="metric">{snapshot['totals']['queries']}</div></div>
+<h2>Slow queries</h2>
+<table><tr><th>collection</th><th>&micro;s</th><th>results</th></tr>{rows}</table>
+</body></html>"""

@@ -228,3 +228,46 @@ def test_dashboard_queries_reference_real_series():
     out = generate_grafana_dashboard()
     assert "needle_search_results_total" not in out  # never-emitted series
     assert "needle_search_result_count_sum" in out
+
+
+# ------------------------------------------------- embedded dashboard
+
+
+def test_metrics_aggregator_window_and_slow_log():
+    from needle_spark.observe import DashboardConfig, MetricsAggregator
+    agg = MetricsAggregator(DashboardConfig(
+        window_size=3, slow_query_threshold_us=1000, max_slow_queries=2))
+    for i, us in enumerate((100, 200, 5000, 9000, 7000)):
+        agg.record_query("docs", us, result_count=i, now=float(i))
+    assert len(agg._latencies) == 3  # bounded window
+    assert agg.query_count == 5
+    # slow log bounded to 2, oldest dropped
+    assert [q["duration_us"] for q in agg.slow_queries] == [9000, 7000]
+    p = agg.latency_percentiles()
+    assert p["count"] == 3 and p["min_us"] == 5000 and p["max_us"] == 9000
+
+
+def test_qps_over_interval():
+    from needle_spark.observe import DashboardConfig, MetricsAggregator
+    agg = MetricsAggregator(DashboardConfig(aggregation_interval_secs=5))
+    for t in (0.0, 1.0, 2.0, 100.0, 101.0):
+        agg.record_query("c", 10, now=t)
+    agg.record_insert("c")
+    q = agg.current_qps(now=102.0)
+    assert q["qps"] == pytest.approx(2 / 5)  # only the last two in window
+    assert q["insert_rate"] == pytest.approx(1 / 5)
+
+
+def test_snapshot_and_html():
+    from needle_spark.observe import (
+        DashboardConfig, MetricsAggregator, generate_dashboard_html)
+    agg = MetricsAggregator(DashboardConfig(slow_query_threshold_us=50))
+    agg.record_query("docs", 90_000, result_count=7, now=1.0)
+    agg.record_explain({"stage": "scan"})
+    snap = agg.snapshot(now=2.0)
+    assert snap["totals"]["queries"] == 1
+    assert snap["explains"] == [{"stage": "scan"}]
+    html = generate_dashboard_html(snap)
+    assert html.startswith("<!DOCTYPE html>")
+    assert "needle-spark" in html and "90000" in html
+    assert "http://" not in html and "https://" not in html  # no CDN
