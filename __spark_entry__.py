@@ -3232,6 +3232,36 @@ def _acl_rowlevel_sql() -> str:
     )
 
 
+_LIFECYCLE_NOW_MS = 1706745600000  # 2024-02-01T00:00Z, after the events span
+
+
+def _lifecycle_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifecycle rule ladder (persistence/lifecycle.rs:75-155) compiled
+    to ONE when-cascade scan expression: compress@7d / archive@14d /
+    delete@25d on event age, last-match-wins."""
+    from needle_spark.lifecycle import LifecyclePolicy
+    ev = _t(spark, sf_dir, "events")
+    pol = LifecyclePolicy.tiered("ladder", 7, 14, 25)
+    df = ev.withColumn(
+        "inserted_at", (F.col("ts") / F.lit(1_000_000)).cast("long"))
+    return (df.withColumn("lifecycle_action",
+                          pol.action_column(_LIFECYCLE_NOW_MS))
+            .select("event_id", "lifecycle_action").orderBy("event_id"))
+
+
+_LIFECYCLE_CLASSIFY_SQL = f"""
+SELECT event_id,
+       CASE WHEN age_s >= 25 * 86400 THEN 'delete'
+            WHEN age_s >= 14 * 86400 THEN 'archive'
+            WHEN age_s >= 7 * 86400 THEN 'compress'
+            ELSE 'none' END AS lifecycle_action
+FROM (SELECT event_id,
+             ({_LIFECYCLE_NOW_MS} - epoch_ns(ts) // 1000000) / 1000.0 AS age_s
+      FROM events)
+ORDER BY event_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": _mk_knn("cosine"),
@@ -3330,6 +3360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tuner_arm_rewards": _tuner_arm_rewards,
         "encrypted_knn": _encrypted_knn,
         "acl_rowlevel": _acl_rowlevel,
+        "lifecycle_classify": _lifecycle_classify,
     }
 
 
@@ -3454,4 +3485,5 @@ def oracle_sql() -> dict[str, str]:
         "tuner_arm_rewards": _TUNER_ARM_REWARDS_SQL,
         "encrypted_knn": _encrypted_knn_sql(),
         "acl_rowlevel": _acl_rowlevel_sql(),
+        "lifecycle_classify": _LIFECYCLE_CLASSIFY_SQL,
     }
