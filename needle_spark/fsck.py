@@ -195,9 +195,13 @@ def validate_collection(spark: SparkSession, path: str,
             if agg["n"] != agg["uniq"]:
                 rep.error("duplicate CDC sequences")
             expected = m["cdc_seq"] - 1
-            if agg["n"] and agg["max_seq"] != expected:
-                rep.error(f"CDC max sequence {agg['max_seq']} != "
-                          f"manifest cdc_seq-1 ({expected})")
+            if agg["n"]:
+                if agg["max_seq"] != expected:
+                    rep.error(f"CDC max sequence {agg['max_seq']} != "
+                              f"manifest cdc_seq-1 ({expected})")
+            elif m["cdc_seq"] > 0:
+                rep.error(f"manifest records {m['cdc_seq']} CDC events "
+                          f"but the _cdc log is empty")
         except Exception as e:
             rep.error(f"CDC log unreadable: {e}")
     elif m["cdc_seq"] > 0:

@@ -221,6 +221,11 @@ class LifecyclePolicyEngine:
         are RETURNED in the counts and left to plans/tiering.py
         demotion (the serving-representation change).  Returns counts
         per action."""
+        # resolve `now` ONCE: classification, the archive snapshot,
+        # and the purge predicates must all see the same instant, or a
+        # row crossing a threshold mid-job could be tombstoned without
+        # having been archived
+        now_ms = int(time.time() * 1000) if now_ms is None else now_ms
         classified = self.classify(collection, now_ms=now_ms,
                                    name=name).cache()
         try:
@@ -231,7 +236,7 @@ class LifecyclePolicyEngine:
             }
             cname = name or collection.path.rstrip("/").rsplit("/", 1)[-1]
             policy = self.policy_for(cname)
-            ts = int(time.time() * 1000) if now_ms is None else now_ms
+            ts = now_ms
             native_age = "inserted_at" in collection.df().columns
 
             def _purge(which: str) -> None:

@@ -187,7 +187,18 @@ class MigrationManager:
                 if m.version > self.current_version]
 
     def applied(self) -> list[MigrationRecord]:
-        return [r for r in self.history if r.direction == "up"]
+        """Net history: an 'up' record cancelled by a later 'down' for
+        the same id is no longer applied."""
+        net: list[MigrationRecord] = []
+        for r in self.history:
+            if r.direction == "up":
+                net.append(r)
+            else:
+                for i in range(len(net) - 1, -1, -1):
+                    if net[i].id == r.id:
+                        del net[i]
+                        break
+        return net
 
     @property
     def has_pending(self) -> bool:
@@ -251,12 +262,12 @@ class MigrationManager:
                 result.applied.append(m.id)
                 result.operations.extend(ctx.operations)
                 if not dry_run:
-                    later = [x.version for x in self.migrations
-                             if x.version < m.version]
-                    self.current_version = max(later) if later else target
-            if not dry_run:
-                self.current_version = max(self.current_version, target) \
-                    if not downs else self.current_version
+                    # floor: the largest registered version at or below
+                    # the target, else the pristine 0.0.0 schema
+                    below = [x.version for x in self.migrations
+                             if x.version <= target]
+                    self.current_version = (max(below) if below
+                                            else SchemaVersion(0, 0, 0))
         return result
 
     def rollback(self, *, now: float | None = None) -> MigrationResult:
@@ -266,7 +277,12 @@ class MigrationManager:
         if not ups:
             raise MigrationError("nothing to roll back")
         last = ups[-1]
-        migration = next(m for m in self.migrations if m.id == last.id)
+        migration = next(
+            (m for m in self.migrations if m.id == last.id), None)
+        if migration is None:
+            raise MigrationError(
+                f"applied migration {last.id!r} is not registered; "
+                f"cannot roll back")
         prev = [m.version for m in self.migrations
                 if m.version < migration.version]
         target = max(prev) if prev else SchemaVersion(0, 0, 0)
@@ -294,7 +310,9 @@ class MigrationManager:
 
     def validate(self) -> list[str]:
         """migrations.rs:858-918 — duplicate versions, destructive ops
-        without the flag, irreversible migrations flagged."""
+        without the flag, irreversible migrations flagged.  Walks EVERY
+        registered migration (the reference audits the full registry,
+        not just the pending tail)."""
         issues = []
         seen: dict[SchemaVersion, str] = {}
         for m in self.migrations:
@@ -303,15 +321,18 @@ class MigrationManager:
                     f"duplicate version {m.version}: {seen[m.version]} "
                     f"and {m.id}")
             seen[m.version] = m.id
-        for p in self.preview():
-            bad = sorted({o["op"] for o in p["operations"]
+        for m in self.migrations:
+            ctx = MigrationContext(self.current_version, m.version,
+                                   dry_run=True)
+            m.up(ctx)
+            bad = sorted({o["op"] for o in ctx.operations
                           if o["op"] in DESTRUCTIVE_OPS})
             if bad and not self.allow_destructive:
                 issues.append(
-                    f"{p['id']} contains destructive operations {bad} "
+                    f"{m.id} contains destructive operations {bad} "
                     f"but allow_destructive is off")
-            if not p["reversible"]:
-                issues.append(f"{p['id']} is irreversible (one-way)")
+            if not m.reversible:
+                issues.append(f"{m.id} is irreversible (one-way)")
         return issues
 
 

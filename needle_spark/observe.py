@@ -616,6 +616,10 @@ class MetricsAggregator:
     def __init__(self, config: DashboardConfig | None = None):
         self.config = config or DashboardConfig()
         self._latencies: deque[tuple[float, str, int, str]] = deque()
+        # timestamped so rates are computed over the interval, not as
+        # lifetime totals; bounded like the latency window
+        self._inserts: deque[float] = deque()
+        self._deletes: deque[float] = deque()
         self.slow_queries: deque[dict] = deque()
         self.explains: deque[dict] = deque()
         self.query_count = 0
@@ -638,11 +642,19 @@ class MetricsAggregator:
             while len(self.slow_queries) > self.config.max_slow_queries:
                 self.slow_queries.popleft()
 
-    def record_insert(self, collection: str) -> None:
+    def record_insert(self, collection: str,
+                      *, now: float | None = None) -> None:
         self.insert_count += 1
+        self._inserts.append(time.monotonic() if now is None else now)
+        while len(self._inserts) > self.config.window_size:
+            self._inserts.popleft()
 
-    def record_delete(self, collection: str) -> None:
+    def record_delete(self, collection: str,
+                      *, now: float | None = None) -> None:
         self.delete_count += 1
+        self._deletes.append(time.monotonic() if now is None else now)
+        while len(self._deletes) > self.config.window_size:
+            self._deletes.popleft()
 
     def record_explain(self, explain: dict) -> None:
         if self.config.enable_query_explain:
@@ -675,9 +687,11 @@ class MetricsAggregator:
         window = float(self.config.aggregation_interval_secs)
         recent = sum(1 for t, op, _, _ in self._latencies
                      if t >= ts - window and op == "search")
+        ins = sum(1 for t in self._inserts if t >= ts - window)
+        dels = sum(1 for t in self._deletes if t >= ts - window)
         return {"timestamp": ts, "qps": recent / window,
-                "insert_rate": self.insert_count / window,
-                "delete_rate": self.delete_count / window}
+                "insert_rate": ins / window,
+                "delete_rate": dels / window}
 
     def snapshot(self, *, now: float | None = None) -> dict:
         return {
@@ -694,11 +708,14 @@ class MetricsAggregator:
 def generate_dashboard_html(snapshot: dict) -> str:
     """Self-contained single-page dashboard (no external CDN) —
     observe/dashboard.rs:385+."""
+    import html as _html
+
     lat = snapshot["latency"]
     qps = snapshot["qps"]
     rows = "".join(
-        f"<tr><td>{q['collection']}</td><td>{q['duration_us']}</td>"
-        f"<td>{q['result_count']}</td></tr>"
+        f"<tr><td>{_html.escape(str(q['collection']))}</td>"
+        f"<td>{int(q['duration_us'])}</td>"
+        f"<td>{int(q['result_count'])}</td></tr>"
         for q in snapshot["slow_queries"][-20:])
     return f"""<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>needle-spark dashboard</title>

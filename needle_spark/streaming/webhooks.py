@@ -206,7 +206,12 @@ class WebhookService:
         with attempt+1 until max_retries, then dead-letter —
         webhook_delivery.rs:259-330."""
         stats = DeliveryStats()
-        for _ in range(self.config.max_concurrent):
+        # one attempt per queued event per call: re-queued failures go
+        # to the back and are NOT re-popped in the same call, so a
+        # transient outage gets one retry per process_queue invocation
+        # (the caller schedules the backoff between calls)
+        budget = min(self.config.max_concurrent, len(self.queue))
+        for _ in range(budget):
             if not self.queue:
                 break
             event, sub_id = self.queue.popleft()
@@ -237,13 +242,16 @@ class WebhookService:
                 self.queue.append((event, sub_id))
                 stats.retried += 1
             else:
-                if len(self.dlq) < self.config.max_dlq_size:
-                    self.dlq.append({
-                        "event": event, "subscription_id": sub_id,
-                        "last_error": err if err else "Max retries exceeded",
-                        "failed_at": int((time.time() if now is None
-                                          else now) * 1000),
-                    })
+                # bounded: evict the STALEST entry so recent,
+                # actionable failures are retained
+                if len(self.dlq) >= self.config.max_dlq_size:
+                    self.dlq.popleft()
+                self.dlq.append({
+                    "event": event, "subscription_id": sub_id,
+                    "last_error": err if err else "Max retries exceeded",
+                    "failed_at": int((time.time() if now is None
+                                      else now) * 1000),
+                })
                 self.total_failed += 1
                 stats.failed += 1
         return stats

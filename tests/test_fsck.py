@@ -147,3 +147,21 @@ def test_gc_refuses_invalid_collection(spark, coll):
     shutil.rmtree(os.path.join(coll.path, seg))
     with pytest.raises(ValueError, match="refusing"):
         gc_orphans(spark, coll.path, dry_run=False)
+
+
+def test_empty_cdc_log_with_claimed_events(spark, coll):
+    # review finding: a present-but-empty _cdc log must fail when the
+    # manifest claims events
+    import glob
+    cdc = os.path.join(coll.path, "_cdc")
+    for f in glob.glob(os.path.join(cdc, "*.parquet")) + \
+            glob.glob(os.path.join(cdc, "*/*.parquet")):
+        os.remove(f)
+    # rewrite an empty parquet dir with the right schema
+    spark.createDataFrame(
+        [], "sequence long, timestamp_ms long, event_type string, "
+            "vector_id string, metadata string"
+    ).write.mode("overwrite").parquet(cdc)
+    rep = validate_collection(spark, coll.path, check_data=False)
+    assert not rep.valid
+    assert any("empty" in e for e in rep.errors)

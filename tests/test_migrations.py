@@ -150,3 +150,50 @@ def test_catalog_bridge(spark, tmp_path):
     # unsupported ops are returned, not silently dropped
     assert leftover == [{"op": "update_config", "collection": "documents",
                          "key": "metric", "value": "cosine"}]
+
+
+def test_repeated_rollback_walks_the_stack():
+    # review finding: rollback must revert m2 THEN m1, and applied()
+    # must drop rolled-back records.  allow_destructive because m1's
+    # down-migration drops the collection it created (the gate applies
+    # to both directions).
+    mgr = mk_manager(allow_destructive=True)
+    mgr.migrate_up(now=1.0)
+    r1 = mgr.rollback(now=2.0)
+    assert r1.applied == ["m2"]
+    assert [r.id for r in mgr.applied()] == ["m1"]
+    r2 = mgr.rollback(now=3.0)
+    assert r2.applied == ["m1"]
+    assert mgr.current_version == v("0.0.0")
+    assert mgr.applied() == []
+    # and migrate_up re-applies cleanly afterwards
+    assert mgr.migrate_up(now=4.0).applied == ["m1", "m2"]
+
+
+def test_rollback_unregistered_migration_raises_cleanly():
+    from needle_spark.migrations import MigrationRecord
+    mgr = MigrationManager(current=v("1.0.0"))
+    mgr.load_history([MigrationRecord("ghost", v("1.0.0"), 1.0, "up")])
+    with pytest.raises(MigrationError, match="not registered"):
+        mgr.rollback()
+
+
+def test_validate_covers_non_pending_migrations():
+    # review finding: a destructive migration BELOW current_version must
+    # still be flagged
+    mgr = MigrationManager(current=v("1.1.0"))
+    mgr.register(Migration.one_way(
+        "old-drop", v("1.0.0"), "drops",
+        lambda ctx: ctx.drop_collection("x")))
+    issues = mgr.validate()
+    assert any("destructive" in i for i in issues)
+
+
+def test_migrate_down_past_all_floors_at_zero():
+    mgr = MigrationManager()
+    mgr.register(Migration("m", v("1.0.0"), "d",
+                           lambda c: c.execute("u"),
+                           lambda c: c.execute("d")))
+    mgr.migrate_up(now=1.0)
+    mgr.migrate_to(v("0.5.0"), now=2.0)
+    assert mgr.current_version == v("0.0.0")  # not the fictitious 0.5.0

@@ -271,3 +271,23 @@ def test_snapshot_and_html():
     assert html.startswith("<!DOCTYPE html>")
     assert "needle-spark" in html and "90000" in html
     assert "http://" not in html and "https://" not in html  # no CDN
+
+
+def test_rates_are_windowed_not_lifetime():
+    from needle_spark.observe import DashboardConfig, MetricsAggregator
+    agg = MetricsAggregator(DashboardConfig(aggregation_interval_secs=5))
+    for t in range(100):  # long steady history
+        agg.record_insert("c", now=float(t))
+    q = agg.current_qps(now=100.0)
+    assert q["insert_rate"] == pytest.approx(5 / 5)  # ~1/s, not 20/s
+    assert agg.insert_count == 100  # lifetime total still tracked
+
+
+def test_dashboard_html_escapes_names():
+    from needle_spark.observe import (
+        DashboardConfig, MetricsAggregator, generate_dashboard_html)
+    agg = MetricsAggregator(DashboardConfig(slow_query_threshold_us=1))
+    agg.record_query("<script>evil()</script>", 999, now=1.0)
+    html = generate_dashboard_html(agg.snapshot(now=2.0))
+    assert "<script>evil" not in html
+    assert "&lt;script&gt;" in html

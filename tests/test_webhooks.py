@@ -135,3 +135,29 @@ def test_cdc_bridge_watermark(spark, tmp_path):
     assert kinds == ["insert", "insert", "delete"]
     ids = [json.loads(p)["vector_id"] for _, p, _ in t.calls]
     assert set(ids[:2]) == {"a", "b"} and ids[2] == "a"
+
+
+def test_one_attempt_per_event_per_call():
+    # review finding: with a big max_concurrent budget, a failing event
+    # must NOT burn all retries inside one process_queue call
+    t = MockTransport(fail_urls={"http://down"})
+    svc = WebhookService(WebhookConfig(max_retries=5, max_concurrent=10),
+                         transport=t)
+    svc.subscribe(WebhookSubscription("http://down"))
+    svc.enqueue("docs", "insert", "v1", now_ms=1)
+    s = svc.process_queue(now=1.0)
+    assert s.retried == 1 and s.failed == 0 and svc.dlq_size == 0
+    assert len(t.calls) == 1  # exactly one delivery attempt
+
+
+def test_dlq_evicts_oldest_when_full():
+    t = MockTransport(fail_urls={"http://down"})
+    svc = WebhookService(WebhookConfig(max_retries=1, max_concurrent=10,
+                                       max_dlq_size=2), transport=t)
+    svc.subscribe(WebhookSubscription("http://down"))
+    for i in range(4):
+        svc.enqueue("docs", "insert", f"v{i}", now_ms=i)
+        svc.process_queue(now=float(i))
+    assert svc.dlq_size == 2
+    kept = [e["event"].vector_id for e in svc.dlq]
+    assert kept == ["v2", "v3"]  # newest failures retained
