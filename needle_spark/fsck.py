@@ -146,9 +146,12 @@ def validate_collection(spark: SparkSession, path: str,
     nums = sorted(int(v) for v in versions)
     if str(m["version"]) not in versions:
         rep.error(f"current version {m['version']} not in versions map")
-    # retained versions must be contiguous (compaction prunes a prefix)
-    if nums and nums != list(range(nums[0], nums[0] + len(nums))):
-        rep.error(f"retained versions not contiguous: {nums}")
+    # retention may be non-contiguous: compact(keep_versions=N) keeps
+    # the recent tail PLUS every snapshot-pinned version, so gaps are
+    # legal — but nothing may be retained beyond the current version
+    if nums and nums[-1] > int(m["version"]):
+        rep.error(f"retained version {nums[-1]} is newer than the "
+                  f"current version {m['version']}")
 
     # every referenced object exists and parses
     referenced: set[str] = set()
