@@ -218,11 +218,14 @@ def impact_analysis(edges: DataFrame, source_id,
 
 
 def lineage_path(edges: DataFrame, from_id, to_id,
-                 max_depth: int = 20) -> list[str] | None:
+                 max_depth: int = 20,
+                 max_frontier: int = 100_000) -> list[str] | None:
     """Shortest derived-from path from_id -> to_id (explorer
     path_between :1025-1067): BFS over descendants carrying
-    predecessor pointers; the path reconstructs driver-side from the
-    bounded (node, predecessor) set."""
+    predecessor pointers.  Each hop collects at most `max_frontier`
+    (child, parent) rows — a high-fanout node cannot pull an unbounded
+    set onto the driver; hitting the cap raises rather than silently
+    truncating the search."""
     frm, to = str(from_id), str(to_id)
     if frm == to:
         return [frm]
@@ -231,14 +234,26 @@ def lineage_path(edges: DataFrame, from_id, to_id,
     preds: dict[str, str] = {}
     seen = {frm}
     for _ in range(max_depth):
-        step = (
+        step_df = (
             edges.join(
                 F.broadcast(frontier.withColumnRenamed("vector_id", "parent")),
                 "parent")
             .select(F.col("child"), F.col("parent"))
             .dropDuplicates(["child"])
-            .collect()
         )
+        # early exit: the target reached this hop needs only its row
+        hit = step_df.filter(F.col("child") == to).take(1)
+        if hit:
+            preds[to] = hit[0]["parent"]
+            path = [to]
+            while path[-1] != frm:
+                path.append(preds[path[-1]])
+            return list(reversed(path))
+        step = step_df.limit(max_frontier + 1).collect()
+        if len(step) > max_frontier:
+            raise ValueError(
+                f"lineage frontier exceeds max_frontier={max_frontier}; "
+                f"raise the cap or prune the edge set")
         nxt = []
         for r in step:
             if r["child"] not in seen:

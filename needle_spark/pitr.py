@@ -145,6 +145,27 @@ class PitrService:
     def list_restore_points(self) -> list[RestorePoint]:
         return [RestorePoint(**d) for d in self._load_index()]
 
+
+    def _collection_or_recreate(self, name: str, bundle: str):
+        """Open the live collection, or recreate a DROPPED one from the
+        bundle's manifest (dims/metric/schema) so recovery of deleted
+        collections works — the canonical PITR scenario."""
+        import json as _json
+
+        from needle_spark.catalog import Collection, CollectionError
+
+        try:
+            return self.db.collection(name)
+        except CollectionError:
+            with open(os.path.join(bundle, "manifest.json")) as f:
+                m = _json.load(f)
+            return Collection.create(
+                self.db.spark, os.path.join(self.db.root, name),
+                dims=m["dims"], metric=m.get("metric", "cosine"),
+                id_col=m.get("id_col", "id"),
+                vector_col=m.get("vector_col", "vector"),
+                schema=m.get("schema"))
+
     def _resolve_target(self, target) -> RestorePoint:
         """RecoveryTarget (:134): a label, 'latest', or a timestamp —
         timestamps resolve to the newest point at or before them."""
@@ -182,6 +203,8 @@ class PitrService:
         database-state recovery matching the reference's semantics."""
         if extra_collections not in ("keep", "clear"):
             raise PitrError(f"unknown extra_collections policy: {extra_collections!r}")
+        # NB: collections dropped AFTER the snapshot are recreated from
+        # the bundled manifest — the canonical reason to run PITR
         t0 = time.perf_counter()
         point = self._resolve_target(target)
         verified = self.verify_snapshot(point.id) if self.config.enable_checksums else False
@@ -191,7 +214,7 @@ class PitrService:
         for name in point.collections:
             bundle = os.path.join(self._point_dir(point.id), name)
             data = self.db.spark.read.parquet(os.path.join(bundle, "data"))
-            coll = self.db.collection(name)
+            coll = self._collection_or_recreate(name, bundle)
             seg = coll._new_obj("seg")
             data.write.mode("overwrite").parquet(os.path.join(coll.path, seg))
             coll._commit(
@@ -414,9 +437,15 @@ class IncrementalBackupService:
         return point
 
     def verify(self, point_id: str) -> bool:
+        """True when intact; a point with NO recorded checksum (chain
+        created with enable_checksums=False) verifies trivially — it
+        cannot be proven corrupt, and recover() must not reject healthy
+        checksum-less chains (PitrService.verify_snapshot parity)."""
         p = next((x for x in self.points() if x.id == point_id), None)
-        if p is None or p.checksum is None:
+        if p is None:
             return False
+        if p.checksum is None:
+            return True
         return _hash_dir(os.path.join(self.backup_dir, point_id)) == p.checksum
 
     # ---------------------------------------------------- recovery --
@@ -448,7 +477,18 @@ class IncrementalBackupService:
 
                 assembled = Collection(self.db.spark, src_path)
                 data = assembled.df()
-                coll = self.db.collection(name)
+                from needle_spark.catalog import CollectionError
+                try:
+                    coll = self.db.collection(name)
+                except CollectionError:
+                    with open(os.path.join(src_path, "manifest.json")) as f:
+                        am = json.load(f)
+                    coll = Collection.create(
+                        self.db.spark, os.path.join(self.db.root, name),
+                        dims=am["dims"], metric=am.get("metric", "cosine"),
+                        id_col=am.get("id_col", "id"),
+                        vector_col=am.get("vector_col", "vector"),
+                        schema=am.get("schema"))
                 seg = coll._new_obj("seg")
                 data.write.mode("overwrite").parquet(
                     os.path.join(coll.path, seg))

@@ -369,6 +369,13 @@ class IvfBatchKnnIndex:
         self._delta: DataFrame | None = None
         self._delta_rows = 0
         self._tombstones: set = set()
+        # ids whose MAIN row is stale because a newer row lives in the
+        # delta (delete-then-add, or upsert-style re-add): masked on the
+        # main scan only, still served from the delta
+        self._superseded: set = set()
+        # every add() persists its encoded batch; merge_delta must
+        # unpersist each child (the union frame itself is never cached)
+        self._delta_parts: list = []
 
     # -- encode ---------------------------------------------------------
     def _encode(self, docs: DataFrame) -> DataFrame:
@@ -519,7 +526,10 @@ class IvfBatchKnnIndex:
 
         os.makedirs(seg_dir, exist_ok=True)
         rows = self.codes.mapInArrow(write_part, "pid int, n long").collect()
-        self._segments = (seg_dir, n_parts)
+        # every partition writes a file set (even empty ones), so the
+        # serving kernel can treat a missing file as a REAL failure
+        # (lost/unshared segment dir) instead of silently skipping
+        self._segments = (seg_dir, n_parts, {int(r["pid"]) for r in rows})
         return int(sum(r["n"] for r in rows))
 
     def _partial_segments(self, q_ids, Q, qid_type, cell2q, k: int) -> DataFrame:
@@ -529,7 +539,7 @@ class IvfBatchKnnIndex:
         import pyarrow as pa
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        seg_dir, n_parts = self._segments  # type: ignore[misc]
+        seg_dir, n_parts, written = self._segments  # type: ignore[misc]
         metric, dim, kk = self.metric, self.dim, k
         SQ = np.ascontiguousarray((self.step[:, None] * Q.T), dtype=np.float32)
         base = np.ascontiguousarray(
@@ -551,6 +561,16 @@ class IvfBatchKnnIndex:
                     try:
                         cells = np.load(f"{seg_dir}/cells_{pid}.npy")
                     except FileNotFoundError:
+                        if pid in written:
+                            # pinned at build time but unreadable now:
+                            # the segment dir is not visible to this
+                            # executor (local tmp on another node, or
+                            # cleaned up) — partial silent results
+                            # would masquerade as "no neighbors"
+                            raise FileNotFoundError(
+                                f"pinned segment {seg_dir}/cells_{pid}.npy "
+                                f"is missing on this executor; pin to "
+                                f"shared storage for multi-node serving")
                         continue
                     if cells.size == 0:
                         continue
@@ -725,13 +745,18 @@ class IvfBatchKnnIndex:
         else:
             partial = self._partial(q_ids, Q, qid_type, cell2q, fetch,
                                     source=self._pruned_source(source, probes))
-        if source is None and self._delta is not None:
-            partial = partial.unionByName(self._partial(
-                q_ids, Q, qid_type, cell2q, fetch,
-                source=self._pruned_source(self._delta, probes)))
-        if self._tombstones:
+        main_mask = self._tombstones | self._superseded
+        if main_mask:
             partial = partial.filter(
-                ~F.col(self.id_col).isin(sorted(self._tombstones)))
+                ~F.col(self.id_col).isin(sorted(main_mask)))
+        if source is None and self._delta is not None:
+            dpart = self._partial(
+                q_ids, Q, qid_type, cell2q, fetch,
+                source=self._pruned_source(self._delta, probes))
+            if self._tombstones:
+                dpart = dpart.filter(
+                    ~F.col(self.id_col).isin(sorted(self._tombstones)))
+            partial = partial.unionByName(dpart)
         return _merge_topk(partial, k, "query_id", self.id_col, "distance", "rank")
 
     def search_local(self, queries, k: int = 10, nprobe: int = 16,
@@ -749,13 +774,16 @@ class IvfBatchKnnIndex:
             partial = self._partial(q_ids, Q, qid_type, cell2q, fetch,
                                     source=self._pruned_source(source, probes))
         pdf = partial.toPandas()
+        main_mask = self._tombstones | self._superseded
+        if main_mask:
+            pdf = pdf[~pdf[self.id_col].isin(main_mask)]
         if source is None and self._delta is not None:
             dpdf = self._partial(
                 q_ids, Q, qid_type, cell2q, fetch,
                 source=self._pruned_source(self._delta, probes)).toPandas()
+            if self._tombstones:
+                dpdf = dpdf[~dpdf[self.id_col].isin(self._tombstones)]
             pdf = pd.concat([pdf, dpdf], ignore_index=True)
-        if self._tombstones:
-            pdf = pdf[~pdf[self.id_col].isin(self._tombstones)]
         pdf = pdf.sort_values(["query_id", "distance", self.id_col],
                               kind="mergesort", ignore_index=True)
         pdf = pdf.groupby("query_id", sort=False).head(k).reset_index(drop=True)
@@ -773,7 +801,7 @@ class IvfBatchKnnIndex:
         """Over-fetch per partition so tombstone filtering cannot
         under-fill the final top-k; bounded — a large delete backlog
         should merge_delta() instead (needs_optimization flags it)."""
-        return k + min(len(self._tombstones), 64)
+        return k + min(len(self._tombstones) + len(self._superseded), 64)
 
     def add(self, rows: DataFrame) -> int:
         """Insert without rebuilding (incremental.rs:331 insert): encode
@@ -782,11 +810,19 @@ class IvfBatchKnnIndex:
         refit — like the reference, drifted data degrades recall until
         merge/rebuild, which stats() makes visible."""
         enc = self._encode(rows).persist()
+        self._delta_parts.append(enc)
         n = enc.count()
-        if self._tombstones:
-            # re-inserting a tombstoned id revives it
-            new_ids = {r[0] for r in enc.select(self.id_col).collect()}
-            self._tombstones -= new_ids
+        new_ids = {r[0] for r in enc.select(self.id_col).collect()}
+        # a re-added tombstoned id must NOT unmask its stale main row:
+        # the main copy stays masked (superseded) and the delta serves
+        # the new row.  Ids re-added over an existing delta row replace
+        # it (upsert semantics) rather than duplicating.
+        revived = self._tombstones & new_ids
+        self._tombstones -= revived
+        self._superseded |= revived
+        if self._delta is not None and new_ids:
+            self._delta = self._delta.filter(
+                ~F.col(self.id_col).isin(sorted(new_ids)))
         self._delta = enc if self._delta is None \
             else self._delta.unionByName(enc)
         self._delta_rows += n
@@ -800,6 +836,7 @@ class IvfBatchKnnIndex:
             self._delta = self._delta.filter(
                 ~F.col(self.id_col).isin(sorted(ids)))
         self._tombstones |= ids
+        self._superseded -= ids  # fully deleted again, not superseded
         return len(ids)
 
     def merge_delta(self) -> dict:
@@ -808,12 +845,18 @@ class IvfBatchKnnIndex:
         cell-contiguous layout; re-pins mmap segments if they were
         pinned.  At rest this is a partition-localized rewrite — only
         cells that received delta rows change files."""
-        merged = self.codes
+        main = self.codes
+        main_mask = self._tombstones | self._superseded
+        if main_mask:
+            main = main.filter(
+                ~F.col(self.id_col).isin(sorted(main_mask)))
+        merged = main
         if self._delta is not None:
-            merged = merged.unionByName(self._delta)
-        if self._tombstones:
-            merged = merged.filter(
-                ~F.col(self.id_col).isin(sorted(self._tombstones)))
+            delta = self._delta
+            if self._tombstones:
+                delta = delta.filter(
+                    ~F.col(self.id_col).isin(sorted(self._tombstones)))
+            merged = merged.unionByName(delta)
         n_parts = merged.sparkSession.sparkContext.defaultParallelism
         new_codes = (merged.repartition(n_parts, F.col("centroid_id"))
                      .sortWithinPartitions("centroid_id"))
@@ -826,11 +869,13 @@ class IvfBatchKnnIndex:
         self.codes = new_codes
         if self._persisted:
             old.unpersist()
-        if self._delta is not None:
-            self._delta.unpersist()
+        for part in self._delta_parts:
+            part.unpersist()
+        self._delta_parts = []
         deleted = len(self._tombstones)
         merged_rows = self._delta_rows
         self._delta, self._delta_rows, self._tombstones = None, 0, set()
+        self._superseded = set()
         was_pinned = self._segments is not None
         if was_pinned:
             import shutil

@@ -174,6 +174,10 @@ class SchemaRegistry:
             # reads silently stop reshaping old segments (and migrate()
             # would rewrite un-adapted vectors under the new dims)
             "dim_change": dict(cur["dim_change"]) if cur["dim_change"] else None,
+            # carried with the marker: reads of pre-migration manifest
+            # versions still gate on it after later schema changes
+            "migrated_at_manifest_version": cur.get(
+                "migrated_at_manifest_version"),
             "created_ms": _now_ms(),
             "description": None,
             "parent_version": cur["version"],
@@ -225,7 +229,11 @@ class SchemaRegistry:
             new["description"] = f"Required field '{name}'"
         elif kind == "change_dimension":
             to, strategy = int(change["to"]), change["strategy"]
-            if cur["dim_change"] is not None:
+            # a dim_change consumed by migrate() (migrated_at set) no
+            # longer blocks: the data is physically at the target dims
+            pending = (cur["dim_change"] is not None
+                       and cur.get("migrated_at_manifest_version") is None)
+            if pending:
                 raise CollectionError(
                     "a dimension change is already pending; migrate() "
                     "before changing dimensions again (stacked lazy "
@@ -251,6 +259,7 @@ class SchemaRegistry:
                         f"pca_project needs a {to}x{cur['dims']} matrix")
                 dim_change["matrix"] = [[float(x) for x in r] for r in matrix]
             new["dims"] = to
+            new["migrated_at_manifest_version"] = None
             new["dim_change"] = dim_change
             new["description"] = f"Changed dimensions {cur['dims']} -> {to}"
         elif kind == "change_distance":
@@ -291,15 +300,18 @@ class SchemaRegistry:
             rows = dim_change["matrix"]
         return F.array(*[_dot_expr(vec, r).cast("float") for r in rows])
 
-    def adapt_expr_columns(self, df: DataFrame) -> list[Column]:
+    def adapt_expr_columns(self, df: DataFrame,
+                           skip_dim_change: bool = False) -> list[Column]:
         """Projection adapting a frame written under ANY older schema to
         the CURRENT schema (adapt_metadata + adapt_dimensions, lazily —
         the dual-read of schema_evolution.rs:659-680, where 'migrated'
-        data is whatever already matches).  Pure scan expressions."""
+        data is whatever already matches).  Pure scan expressions.
+        `skip_dim_change` is set for reads of manifest versions written
+        at/after a migrate() rewrite (already at target dims)."""
         cur = self.current_schema()
         cols: list[Column] = [F.col(self.coll.id_col)]
         vec = F.col(self.coll.vector_col)
-        dc = cur["dim_change"]
+        dc = None if skip_dim_change else cur["dim_change"]
         if dc is not None and dc["from"] != dc["to"]:
             vec = F.when(F.size(F.col(self.coll.vector_col)) == dc["to"],
                          F.col(self.coll.vector_col)
@@ -328,9 +340,17 @@ class SchemaRegistry:
     def adapted_df(self, version: int | None = None,
                    now: int | None = None) -> DataFrame:
         """The collection's merge-on-read view, adapted to the current
-        schema — old segments are reshaped on the fly."""
+        schema — old segments are reshaped on the fly.  Time-travel
+        reads (version=...) reshape iff that manifest version predates
+        the migrate() rewrite; data written under ANY retained version
+        stays readable at the declared dims."""
         base = self.coll.df(version=version, now=now)
-        return base.select(*self.adapt_expr_columns(base))
+        cur = self.current_schema()
+        migrated_at = cur.get("migrated_at_manifest_version")
+        skip_dim = (migrated_at is not None
+                    and (version is None or version >= migrated_at))
+        return base.select(
+            *self.adapt_expr_columns(base, skip_dim_change=skip_dim))
 
     # ------------------------------------------------------- migrate --
     def migrate(self) -> MigrationReport:
@@ -357,12 +377,13 @@ class SchemaRegistry:
             os.path.join(self.coll.path, name))
         m["schema"] = ", ".join(f"{n} {t}" for n, t in written.dtypes)
         m["schema_migrated_version"] = cur["version"]
-        # every row is now physically at the target dims — the pending
-        # lazy-adaptation marker is consumed (a later change_dimension
-        # starts a fresh one)
-        for s in m["schema_evolution"]["versions"]:
-            if s["version"] == cur["version"]:
-                s["dim_change"] = None
+        # every row is now physically at the target dims FROM THIS
+        # manifest version on; the dim_change stays recorded (gated by
+        # migrated_at_manifest_version) so time-travel reads of
+        # pre-migration manifest versions still reshape old rows
+        for sv in m["schema_evolution"]["versions"]:
+            if sv["version"] == cur["version"]:
+                sv["migrated_at_manifest_version"] = m["version"]
         self.coll._write_manifest_static(self.coll.path, m)
         return MigrationReport(
             from_version=from_v, to_version=cur["version"],
@@ -390,6 +411,10 @@ class SchemaRegistry:
             dc["matrix"] = change["matrix"]
         base = self.coll.df()
         ic, vc = self.coll.id_col, self.coll.vector_col
+        # rank under the collection's OWN serving metric — a projection
+        # that preserves cosine neighborhoods can still destroy
+        # euclidean ones (norm information)
+        metric = self.coll._manifest.get("metric", "cosine")
         proj = base.select(
             F.col(ic), self._dim_expr(F.col(vc), dc).alias(vc))
         qrows = base.select(ic, vc).limit(int(sample_queries)).collect()
@@ -397,12 +422,12 @@ class SchemaRegistry:
         distortion = 0.0
         for r in qrows:
             qv = [float(x) for x in r[vc]]
-            a = knn(base, qv, k=k, metric="cosine", vector_col=vc, id_col=ic)
+            a = knn(base, qv, k=k, metric=metric, vector_col=vc, id_col=ic)
             got_a = {x[ic]: x["distance"] for x in a.collect()}
             # project the query vector DRIVER-side (pure function of
             # qv + the strategy) — no per-query table scan
             pqv = _project_local(qv, dc)
-            b = knn(proj, pqv, k=k, metric="cosine", vector_col=vc, id_col=ic)
+            b = knn(proj, pqv, k=k, metric=metric, vector_col=vc, id_col=ic)
             got_b = {x[ic]: x["distance"] for x in b.collect()}
             hits += len(set(got_a) & set(got_b))
             trials += k

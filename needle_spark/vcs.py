@@ -87,10 +87,13 @@ def snapshot_diff(
     j = side(base, "b").join(side(target, "t"), "vector_id", "full_outer")
     in_b = F.col("__present_b").isNotNull()
     in_t = F.col("__present_t").isNotNull()
+    differs = F.lit(False)
     if compare_cols:
-        differs = ~(F.col("__row_b").eqNullSafe(F.col("__row_t")))
-    else:
-        differs = F.lit(False)
+        differs = differs | ~(F.col("__row_b").eqNullSafe(F.col("__row_t")))
+    if has_vec:
+        # a vector change is a modification even when the compared
+        # metadata is identical (the documented contract)
+        differs = differs | ~(F.col("__vec_b").eqNullSafe(F.col("__vec_t")))
     change = (
         F.when(~in_b, F.lit("added"))
         .when(~in_t, F.lit("deleted"))
@@ -240,13 +243,22 @@ class CollectionVcs:
         coll = self._collection(branch)
         cdc_lo = coll._manifest.get("cdc_seq", 0)
         ts = _utcnow_ms()
-        for op in self._staging:
-            if op.kind == "insert":
-                coll.insert(op.rows, now_ms=ts)
-            elif op.kind == "upsert":
-                coll.upsert(op.rows, now_ms=ts)
-            else:
-                coll.delete(flt=op.flt, ids=op.ids, now_ms=ts)
+        pre_version = coll.version
+        try:
+            for op in self._staging:
+                if op.kind == "insert":
+                    coll.insert(op.rows, now_ms=ts)
+                elif op.kind == "upsert":
+                    coll.upsert(op.rows, now_ms=ts)
+                else:
+                    coll.delete(flt=op.flt, ids=op.ids, now_ms=ts)
+        except Exception:
+            # atomic: a failed op rolls the collection back to its
+            # pre-commit version; staging is kept so the user can fix
+            # the bad op and retry WITHOUT re-applying the earlier ones
+            if coll.version != pre_version:
+                coll.restore(pre_version, now_ms=ts)
+            raise
         self._staging = []
 
         parent = st["heads"][branch]

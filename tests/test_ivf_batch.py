@@ -278,3 +278,58 @@ def test_needs_optimization_thresholds(spark, clustered):
                                       delta_threshold=10) is False
     finally:
         idx.unpersist()
+
+
+def test_delete_then_readd_serves_only_new_row(spark, clustered):
+    # review finding: removing the tombstone on re-add must NOT unmask
+    # the stale main row — the delta's new vector is the only copy that
+    # serves, and merge_delta must not persist a duplicate id
+    import pandas as pd
+
+    df, pts, queries = clustered
+    idx = IvfBatchKnnIndex(df, nlist=N_CLUSTERS, vector_col="vector",
+                           id_col="id", metric="cosine", seed=3)
+    victim = 0
+    old_vec = pts[victim]
+    idx.delete([victim])
+    # re-add id 0 with a vector near cluster 5 (far from its old home)
+    new_vec = pts[5 * PER_CLUSTER] * 0.99
+    idx.add(spark.createDataFrame(
+        [(victim, [float(x) for x in new_vec])],
+        "id long, vector array<float>"))
+    res = idx.search_local(([0], np.asarray([old_vec])), k=10,
+                           nprobe=N_CLUSTERS)
+    ids = list(res["id"])
+    assert ids.count(victim) <= 1  # never the stale AND the new copy
+    # searching near the NEW location finds the re-added row
+    res2 = idx.search_local(([0], np.asarray([new_vec])), k=3,
+                            nprobe=N_CLUSTERS)
+    assert victim in set(res2["id"])
+    # searching near the OLD location must NOT surface the stale row
+    res3 = idx.search_local(([0], np.asarray([old_vec])), k=3,
+                            nprobe=2)
+    assert victim not in set(res3["id"])
+    # the merge keeps exactly one copy
+    stats = idx.merge_delta()
+    dup = (idx.codes.groupBy("id").count().filter("count > 1").count())
+    assert dup == 0
+    assert stats["main_rows"] == N_CLUSTERS * PER_CLUSTER
+    res4 = idx.search_local(([0], np.asarray([new_vec])), k=3,
+                            nprobe=N_CLUSTERS)
+    assert victim in set(res4["id"])
+    idx.unpersist()
+
+
+def test_repeated_add_is_upsert(spark, clustered):
+    df, pts, _ = clustered
+    idx = IvfBatchKnnIndex(df, nlist=N_CLUSTERS, vector_col="vector",
+                           id_col="id", metric="cosine", seed=3)
+    nid = 10_000  # brand-new id, added twice with different vectors
+    for scale in (1.0, 0.5):
+        idx.add(spark.createDataFrame(
+            [(nid, [float(x * scale) for x in pts[0]])],
+            "id long, vector array<float>"))
+    assert idx._delta.filter(F.col("id") == nid).count() == 1
+    idx.merge_delta()
+    assert idx.codes.filter(F.col("id") == nid).count() == 1
+    idx.unpersist()

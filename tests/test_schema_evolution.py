@@ -220,3 +220,36 @@ def test_change_distance_validated_and_normalized(spark, coll):
         reg.apply_change({"kind": "change_distance", "to": "cosin"})
     reg.apply_change({"kind": "change_distance", "to": "L2"})
     assert reg.current_schema()["metric"] == "euclidean"
+
+
+def test_time_travel_reads_reshape_after_migrate(spark, coll):
+    # review finding: migrate() must not clear the lazy-adaptation
+    # marker — adapted_df(version=<pre-migration>) still reshapes rows
+    # written at the old dims
+    reg = coll.schema_registry()
+    reg.apply_change({"kind": "change_dimension", "to": 4,
+                      "strategy": "zero_pad"})
+    v_pre = coll.version  # manifest version holding 2-dim rows
+    reg.migrate()
+    # current read: physically 4-dim
+    assert {len(r["vector"]) for r in reg.adapted_df().collect()} == {4}
+    # time-travel read of the pre-migration version: reshaped on the fly
+    old = reg.adapted_df(version=v_pre).collect()
+    assert {len(r["vector"]) for r in old} == {4}
+    # raw time-travel (no adaptation) really is 2-dim underneath
+    assert {len(r["vector"]) for r in
+            coll.df(version=v_pre).collect()} == {2}
+
+
+def test_recall_validation_uses_collection_metric(spark, tmp_path):
+    from needle_spark.catalog import Database
+    db = Database(spark, str(tmp_path / "metdb"))
+    c = db.create_collection("euc", dims=4, metric="euclidean")
+    rows = [(f"v{i}", [float(i), 0.0, 0.0, 0.0]) for i in range(20)]
+    c.insert(spark.createDataFrame(rows, "id string, vector array<float>"),
+             now_ms=1)
+    rep = c.schema_registry().validate_dimension_recall(
+        {"kind": "change_dimension", "to": 2, "strategy": "truncate"},
+        sample_queries=3, k=3)
+    # truncating trailing zeros preserves euclidean neighborhoods exactly
+    assert rep["recall_at_k"] == pytest.approx(1.0)
