@@ -52,6 +52,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from needle_spark.filters import compile_filter
+from needle_spark.functions.sequence import (
+    SEQ_PARALLEL_THRESHOLD,
+    distributed_row_number,
+)
 
 CDC_SCHEMA = (
     "sequence long, timestamp_ms long, event_type string, "
@@ -153,50 +157,27 @@ class Collection:
 
     # batches under this size sequence with one tiny window; above it
     # the parallel partition-offset scheme kicks in (no global sort)
-    _SEQ_PARALLEL_THRESHOLD = 65536
+    _SEQ_PARALLEL_THRESHOLD = SEQ_PARALLEL_THRESHOLD
 
     def _sequence_events(self, ev: DataFrame, cnt: int, base: int, ts: int):
-        """Assign sequences [base, base+cnt) to one op's event batch.
-
-        Returns (sequenced_df, cached_df_or_None); the caller unpersists
-        the cache AFTER the write job runs.  Small batches: one window
-        (a single-partition sort of <=64k rows is cheaper than extra
-        jobs).  Large batches: persist to pin the partitioning, count
-        rows per partition (one cheap job over the cache), then rank =
-        partition cumulative offset + partition-local row_number — every
-        partition ranks independently, nothing funnels through one task."""
+        """Assign sequences [base, base+cnt) to one op's event batch via
+        the shared partition-offset sequencer (functions/sequence.py):
+        small batches rank in one tiny window, large batches rank
+        per-partition with broadcast prefix offsets — nothing funnels
+        through a single task.  Returns (sequenced_df,
+        cached_df_or_None); the caller unpersists the cache AFTER the
+        write job runs."""
         stamp = [
             F.lit(ts).cast("long").alias("timestamp_ms"),
             F.col("event_type"),
             F.col("vector_id"),
             F.col("metadata"),
         ]
-        if cnt <= self._SEQ_PARALLEL_THRESHOLD:
-            w = Window.orderBy(F.col("vector_id").asc())
-            seq = (F.lit(base) - 1 + F.row_number().over(w)).cast("long")
-            return ev.select(seq.alias("sequence"), *stamp), None
-        # freeze the source partition id as data BEFORE caching —
-        # spark_partition_id() re-evaluates after any exchange, so the
-        # window below would otherwise rank over the WRONG partitions
-        cached = ev.withColumn("__pid", F.spark_partition_id()).persist()
-        per_part = {
-            r["__pid"]: r["count"]
-            for r in cached.groupBy("__pid").count().collect()
-        }
-        offsets, acc = {}, 0
-        for p in sorted(per_part):
-            offsets[p] = acc
-            acc += per_part[p]
-        off_map = F.create_map(*[
-            F.lit(x) for p in sorted(offsets) for x in (p, offsets[p])
-        ])
-        w = Window.partitionBy(F.col("__pid")).orderBy(F.col("vector_id").asc())
-        seq = (
-            F.lit(base)
-            + F.element_at(off_map, F.col("__pid"))
-            + F.row_number().over(w) - 1
-        ).cast("long")
-        return cached.select(seq.alias("sequence"), *stamp), cached
+        numbered, cached = distributed_row_number(
+            ev, [F.col("vector_id").asc()], cnt,
+            threshold=self._SEQ_PARALLEL_THRESHOLD)
+        seq = (F.lit(base) - 1 + F.col("__rn")).cast("long")
+        return numbered.select(seq.alias("sequence"), *stamp), cached
 
     def _literal_event(self, event_type: str, vector_id: str) -> DataFrame:
         return self.spark.createDataFrame(

