@@ -371,17 +371,39 @@ class MigrationEngine:
         """mark_rolled_back — live_migration_service.rs:379-381.
         `restore`: zero-copy catalog restore to the pre-migration
         version (exact when the migration owned the collection).
-        `delete`: live path — remove exactly the ids the migration's
-        CDC range touched (safe under concurrent writers to OTHER
-        ids)."""
+        `delete`: live path — undo exactly what the migration's CDC
+        range touched (safe under concurrent writers to OTHER ids):
+        ids that did NOT exist before the migration are deleted; ids
+        the migration merely upserted OVER are restored to their
+        pre-migration values from the version snapshot (ADVICE r4 —
+        a blanket delete would erase pre-existing rows)."""
         if strategy == "restore":
             if self._pre_version is None:
                 raise MigrationError("no completed migration to roll back")
             collection.restore(self._pre_version)
         elif strategy == "delete":
-            ids = [r[0] for r in self._imported_ids(collection).collect()]
-            if ids:
-                collection.delete(ids=ids)
+            if self._pre_version is None:
+                raise MigrationError("no completed migration to roll back")
+            ic = collection.id_col
+            imported = self._imported_ids(collection).select(
+                F.col("vector_id").cast("string").alias(ic))
+            pre = collection.df(version=self._pre_version)
+            # pre-existing rows the migration overwrote -> restore
+            # their prior values (distributed semi-join + upsert)
+            overwritten = pre.join(
+                imported.hint("broadcast"),
+                pre[ic].cast("string") == imported[ic], "leftsemi")
+            n_over = overwritten.count()
+            # truly-new ids -> delete
+            new_ids = [
+                r[0] for r in imported.join(
+                    pre.select(F.col(ic).cast("string").alias(ic)),
+                    on=ic, how="leftanti").collect()
+            ]
+            if new_ids:
+                collection.delete(ids=new_ids)
+            if n_over:
+                collection.upsert(overwritten)
         else:
             raise MigrationError("strategy must be restore|delete")
         self.progress.status = ROLLED_BACK

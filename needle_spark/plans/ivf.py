@@ -376,6 +376,11 @@ class IvfBatchKnnIndex:
         # every add() persists its encoded batch; merge_delta must
         # unpersist each child (the union frame itself is never cached)
         self._delta_parts: list = []
+        # bumped on every add/delete/merge so driver-side serving
+        # caches (search_one) know when to refresh
+        self._mut_ver = 0
+        self._drv = None
+        self._drv_delta = None
 
     # -- encode ---------------------------------------------------------
     def _encode(self, docs: DataFrame) -> DataFrame:
@@ -796,6 +801,138 @@ class IvfBatchKnnIndex:
         _, _, _, _, probes = self._prep_queries(queries, nprobe)
         return sorted({int(c) for c in probes.ravel()})
 
+    # -- single-query online serving (no Spark job) ----------------------
+    def _driver_cache(self):
+        """mmap every pinned segment on the DRIVER once and build the
+        cell -> (segment, start, end) directory — the reference's
+        in-process index shape (src/indexing/ivf.rs inverted lists).
+        Requires pin_segments() on storage the driver can read (true in
+        local mode and for shared/NFS/object-store segment dirs).  The
+        arrays are mmap'd, so 'loading' costs page faults on first
+        touch only; the directory is O(nlist)."""
+        if self._segments is None:
+            raise ValueError("call pin_segments() before search_one()")
+        seg_dir, n_parts, written = self._segments
+        if getattr(self, "_drv", None) is not None \
+                and self._drv[0] == seg_dir:
+            return self._drv[1], self._drv[2]
+        segs, cell_dir = [], {}
+        for pid in sorted(written):
+            cells = np.load(f"{seg_dir}/cells_{pid}.npy")
+            if cells.size == 0:
+                continue
+            starts = np.load(f"{seg_dir}/starts_{pid}.npy")
+            seg = (np.load(f"{seg_dir}/ids_{pid}.npy", mmap_mode="r"),
+                   np.load(f"{seg_dir}/nsq_{pid}.npy", mmap_mode="r"),
+                   np.load(f"{seg_dir}/codes_{pid}.npy", mmap_mode="r"))
+            si = len(segs)
+            segs.append(seg)
+            for ci, cell in enumerate(cells):
+                cell_dir[int(cell)] = (si, int(starts[ci]),
+                                       int(starts[ci + 1]))
+        self._drv = (seg_dir, segs, cell_dir)
+        return segs, cell_dir
+
+    def _driver_delta(self):
+        """Bounded driver mirror of the delta frame (adds since the
+        last merge), refreshed only when the incremental state
+        changes."""
+        ver = getattr(self, "_mut_ver", 0)
+        cached = getattr(self, "_drv_delta", None)
+        if cached is not None and cached[0] == ver:
+            return cached[1]
+        if self._delta is None:
+            out = None
+        else:
+            import pandas as pd  # noqa: F401
+
+            pdf = self._delta.select(
+                self.id_col, "centroid_id", "norm_sq", self.CODE_COL
+            ).toPandas()
+            if len(pdf) == 0:
+                out = None
+            else:
+                out = (
+                    pdf[self.id_col].to_numpy(),
+                    pdf["centroid_id"].to_numpy(dtype=np.int64),
+                    pdf["norm_sq"].to_numpy(dtype=np.float32),
+                    np.asarray([np.frombuffer(b, dtype=np.uint8)
+                                for b in pdf[self.CODE_COL]]),
+                )
+        self._drv_delta = (ver, out)
+        return out
+
+    def search_one(self, query_vector, k: int = 10, nprobe: int = 16):
+        """Millisecond single-query serving over the pinned segments —
+        the reference's online path (README.md:78-82, 3.2 ms p50): no
+        Spark job, no collect; probe-cell selection, per-cell SQ8
+        scoring, and the top-k merge all run in-process against the
+        mmap'd (page-cache-resident) segment arrays.  Results equal the
+        distributed search at the same nprobe (asserted by
+        tests/test_ivf_batch.py).  Cluster posture: run this inside a
+        serving process colocated with shared segment storage; the
+        DataFrame `search` path remains the cluster-wide variant.
+
+        Returns [(id, distance), ...] sorted ascending, length <= k."""
+        segs, cell_dir = self._driver_cache()
+        q = np.asarray(query_vector, dtype=np.float64).reshape(1, -1)
+        if self.metric == "cosine":
+            q = _l2_normalize(q)
+        dq = (((q * q).sum()) - 2.0 * (q @ self.centroids.T)
+              + (self.centroids * self.centroids).sum(axis=1)[None, :])
+        nprobe = min(nprobe, self.nlist)
+        probes = np.argpartition(dq[0], nprobe - 1)[:nprobe]
+        SQ = np.ascontiguousarray(self.step[:, None] * q.T, dtype=np.float32)
+        base = np.ascontiguousarray(
+            (self.centroids @ q.T) + (self.mn @ q.T)[None, :],
+            dtype=np.float32)
+        qsq = (q * q).sum(axis=1).astype(np.float32)
+        qidx = np.array([0])
+        fetch = self._fetch_k(k)
+        cand_d, cand_i = [], []
+        for cell in probes:
+            hit = cell_dir.get(int(cell))
+            if hit is None:
+                continue
+            si, s, e = hit
+            ids, nsq, codes = segs[si]
+            Dk, Ik = _score_cell_block(
+                np.asarray(codes[s:e]), ids[s:e], nsq[s:e],
+                qidx, SQ, base[int(cell)], qsq, self.metric, fetch)
+            cand_d.append(Dk[:, 0])
+            cand_i.append(Ik[:, 0])
+        main_mask = self._tombstones | self._superseded
+        if cand_d and main_mask:
+            di = np.concatenate(cand_d)
+            ii = np.concatenate(cand_i)
+            keep = ~np.isin(ii, list(main_mask))
+            cand_d, cand_i = [di[keep]], [ii[keep]]
+        delta = self._driver_delta()
+        if delta is not None:
+            d_ids, d_cent, d_nsq, d_codes = delta
+            sel = np.isin(d_cent, probes)
+            if self._tombstones:
+                sel &= ~np.isin(d_ids, list(self._tombstones))
+            if sel.any():
+                # delta rows scored per their own cell's base term
+                for cell in np.unique(d_cent[sel]):
+                    m = sel & (d_cent == cell)
+                    Dk, Ik = _score_cell_block(
+                        d_codes[m], d_ids[m], d_nsq[m],
+                        qidx, SQ, base[int(cell)], qsq, self.metric,
+                        fetch)
+                    cand_d.append(Dk[:, 0])
+                    cand_i.append(Ik[:, 0])
+        if not cand_d:
+            return []
+        D = np.concatenate(cand_d)
+        I = np.concatenate(cand_i)
+        if len(D) > k:
+            sel = np.argpartition(D, k - 1)[:k]
+            D, I = D[sel], I[sel]
+        order = np.lexsort((I, D))
+        return [(I[j].item(), float(D[j])) for j in order[:k]]
+
     # -- incremental maintenance (incremental.rs IncrementalIndex) ------
     def _fetch_k(self, k: int) -> int:
         """Over-fetch per partition so tombstone filtering cannot
@@ -820,12 +957,25 @@ class IvfBatchKnnIndex:
         revived = self._tombstones & new_ids
         self._tombstones -= revived
         self._superseded |= revived
+        # adds over LIVE main rows are upserts too (ADVICE r4): mask the
+        # stale main copy, or search serves the id twice and merge_delta
+        # persists the duplicate.  One pushdown-filtered probe of the
+        # (persisted) codes table per add batch, bounded by |new_ids|.
+        unresolved = new_ids - revived
+        if unresolved:
+            in_main = {
+                r[0] for r in self.codes.filter(
+                    F.col(self.id_col).isin(sorted(unresolved)))
+                .select(self.id_col).collect()
+            }
+            self._superseded |= in_main
         if self._delta is not None and new_ids:
             self._delta = self._delta.filter(
                 ~F.col(self.id_col).isin(sorted(new_ids)))
         self._delta = enc if self._delta is None \
             else self._delta.unionByName(enc)
         self._delta_rows += n
+        self._mut_ver += 1
         return n
 
     def delete(self, ids) -> int:
@@ -837,6 +987,7 @@ class IvfBatchKnnIndex:
                 ~F.col(self.id_col).isin(sorted(ids)))
         self._tombstones |= ids
         self._superseded -= ids  # fully deleted again, not superseded
+        self._mut_ver += 1
         return len(ids)
 
     def merge_delta(self) -> dict:
@@ -876,6 +1027,11 @@ class IvfBatchKnnIndex:
         merged_rows = self._delta_rows
         self._delta, self._delta_rows, self._tombstones = None, 0, set()
         self._superseded = set()
+        # drop driver-side serving caches: segments are re-pinned
+        # (possibly into the SAME dir) and the delta is folded in
+        self._mut_ver += 1
+        self._drv = None
+        self._drv_delta = None
         was_pinned = self._segments is not None
         if was_pinned:
             import shutil
@@ -915,6 +1071,8 @@ class IvfBatchKnnIndex:
             self.codes.unpersist()
         if self._delta is not None:
             self._delta.unpersist()
+        self._drv = None
+        self._drv_delta = None
         if self._segments is not None and self._seg_tmp:
             import shutil
 

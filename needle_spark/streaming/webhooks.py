@@ -164,23 +164,37 @@ class WebhookService:
                 n += 1
         return n
 
-    def enqueue_from_cdc(self, collection, name: str | None = None) -> int:
+    def enqueue_from_cdc(self, collection, name: str | None = None,
+                         *, page_size: int = 10_000,
+                         max_events: int | None = None) -> int:
         """Drain the collection's CDC log from this service's watermark
-        into the queue — ONE filtered scan of the event log, no write-
-        path instrumentation."""
+        into the queue, in BOUNDED pages (ADVICE r4: a first drain of a
+        large collection starts at watermark −1 — an unpaged collect
+        would materialize the whole event log driver-side).  Each page
+        is one filtered+limited scan; the watermark advances after
+        every page, so an interrupted drain resumes where it stopped.
+        `max_events` caps one call (None = drain to the log head)."""
         cname = name or collection.path.rstrip("/").rsplit("/", 1)[-1]
-        since = self._cdc_watermarks.get(cname, -1)
-        rows = (collection.cdc_events()
-                .filter(F.col("sequence") > since)
-                .select("sequence", "event_type", "vector_id",
-                        "timestamp_ms")
-                .orderBy("sequence")
-                .collect())
         n = 0
-        for r in rows:
-            n += self.enqueue(cname, r["event_type"], r["vector_id"],
-                              now_ms=r["timestamp_ms"])
-            self._cdc_watermarks[cname] = int(r["sequence"])
+        while max_events is None or n < max_events:
+            since = self._cdc_watermarks.get(cname, -1)
+            page = page_size if max_events is None \
+                else min(page_size, max_events - n)
+            rows = (collection.cdc_events()
+                    .filter(F.col("sequence") > since)
+                    .select("sequence", "event_type", "vector_id",
+                            "timestamp_ms")
+                    .orderBy("sequence")
+                    .limit(page)
+                    .collect())
+            if not rows:
+                break
+            for r in rows:
+                n += self.enqueue(cname, r["event_type"], r["vector_id"],
+                                  now_ms=r["timestamp_ms"])
+                self._cdc_watermarks[cname] = int(r["sequence"])
+            if len(rows) < page:
+                break
         return n
 
     # -- delivery --

@@ -27,6 +27,7 @@ from __future__ import annotations
 import hashlib
 import hmac
 import os
+import re
 import shutil
 import time
 from dataclasses import dataclass, field
@@ -65,6 +66,20 @@ class TenantError(ValueError):
 
 class QuotaExceeded(TenantError):
     pass
+
+
+_FS_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
+
+
+def _validate_fs_name(value: str, what: str) -> None:
+    """Tenant ids and collection names become directory components under
+    the database root; reject anything that could traverse out of it
+    ('..', separators, absolute paths) or hide as a dotfile."""
+    if (not isinstance(value, str) or not _FS_NAME_RE.fullmatch(value)
+            or ".." in value or len(value) > 255):
+        raise TenantError(
+            f"invalid {what} {value!r}: must match [A-Za-z0-9][A-Za-z0-9._-]*"
+            " with no '..'")
 
 
 @dataclass
@@ -114,6 +129,7 @@ class TenantManager:
     def create_tenant(self, tenant_id: str, name: str,
                       config: TenantConfig | None = None,
                       *, now: float | None = None) -> Tenant:
+        _validate_fs_name(tenant_id, "tenant_id")
         if tenant_id in self._tenants:
             raise TenantError(f"Tenant {tenant_id!r} already exists")
         ts = time.time() if now is None else now
@@ -216,7 +232,19 @@ class TenantManager:
     # -- catalog integration --
 
     def _tenant_path(self, tenant_id: str) -> str:
-        return os.path.join(self.database.root, tenant_id)
+        """Tenant namespace dir, guaranteed INSIDE the database root.
+
+        tenant_id is validated at create time, but this re-checks with a
+        realpath containment assertion (defense in depth: the module
+        whose job is tenant isolation must never hand out an escaped
+        path — gdpr_delete(purge=True) rmtree's it)."""
+        _validate_fs_name(tenant_id, "tenant_id")
+        root = os.path.realpath(self.database.root)
+        path = os.path.realpath(os.path.join(root, tenant_id))
+        if os.path.commonpath([root, path]) != root or path == root:
+            raise TenantError(
+                f"tenant_id {tenant_id!r} escapes the database root")
+        return path
 
     def create_collection(self, tenant_id: str, name: str, dims: int,
                           **kwargs):
@@ -232,6 +260,7 @@ class TenantManager:
                 f"Tenant {tenant_id!r} at collection limit "
                 f"({t.config.max_collections})")
         from needle_spark.catalog import Collection
+        _validate_fs_name(name, "collection name")
         path = os.path.join(self._tenant_path(tenant_id), name)
         coll = Collection.create(self.database.spark, path, dims=dims,
                                  **kwargs)

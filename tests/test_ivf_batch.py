@@ -333,3 +333,72 @@ def test_repeated_add_is_upsert(spark, clustered):
     idx.merge_delta()
     assert idx.codes.filter(F.col("id") == nid).count() == 1
     idx.unpersist()
+
+
+def test_add_over_live_main_id_is_upsert(spark, clustered):
+    """ADVICE r4: add() of an id already LIVE in the main codes (no
+    prior delete) must mask the stale main row — search may not serve
+    the id twice and merge_delta may not persist a duplicate."""
+    import numpy as np
+
+    df, pts, _ = clustered
+    idx = IvfBatchKnnIndex(df, nlist=N_CLUSTERS, vector_col="vector",
+                           id_col="id", metric="cosine", seed=3)
+    victim = 0
+    old_vec = [float(x) for x in pts[victim]]
+    new_vec = [float(-x) for x in pts[victim]]
+    idx.add(spark.createDataFrame([(victim, new_vec)],
+                                  "id long, vector array<float>"))
+    # stale main row masked: id appears at most once, at its NEW spot
+    res = idx.search_local(([0], np.asarray([old_vec])), k=10,
+                           nprobe=N_CLUSTERS)
+    assert list(res["id"]).count(victim) <= 1
+    res2 = idx.search_local(([0], np.asarray([new_vec])), k=3,
+                            nprobe=N_CLUSTERS)
+    assert victim in set(res2["id"])
+    idx.merge_delta()
+    assert idx.codes.filter(F.col("id") == victim).count() == 1
+    idx.unpersist()
+
+
+def test_search_one_matches_search_local(spark, clustered, tmp_path):
+    """Single-query driver-local serving (VERDICT r4 Missing #2): no
+    Spark job, same results as search_local at the same nprobe, and
+    incremental adds/deletes are visible immediately."""
+    import numpy as np
+
+    df, pts, queries = clustered
+    idx = IvfBatchKnnIndex(df, nlist=N_CLUSTERS, vector_col="vector",
+                           id_col="id", metric="cosine", seed=3)
+    idx.pin_segments(str(tmp_path / "segs"))
+    for qi in (0, 3, 7):
+        got = idx.search_one(queries[qi], k=10, nprobe=4)
+        want = idx.search_local(([qi], np.asarray([queries[qi]])),
+                                k=10, nprobe=4)
+        assert [i for i, _ in got] == list(want["id"])
+        assert np.allclose([d for _, d in got], want["distance"],
+                           atol=1e-9)
+    # no Spark job: the same answer arrives with the scheduler off
+    # (search_one never touches the session) — proxy: repeated calls
+    # are pure numpy, sub-10ms even on this tiny index
+    import time
+    t0 = time.perf_counter()
+    for _ in range(20):
+        idx.search_one(queries[0], k=10, nprobe=4)
+    assert (time.perf_counter() - t0) / 20 < 0.05
+    # incremental visibility: add a point right at query 0
+    new_vec = [float(x) for x in queries[0]]
+    idx.add(spark.createDataFrame([(777_000, new_vec)],
+                                  "id long, vector array<float>"))
+    got = idx.search_one(queries[0], k=3, nprobe=N_CLUSTERS)
+    assert 777_000 in [i for i, _ in got]
+    idx.delete([777_000])
+    got = idx.search_one(queries[0], k=3, nprobe=N_CLUSTERS)
+    assert 777_000 not in [i for i, _ in got]
+    # after merge_delta + re-pin the cache refreshes correctly
+    idx.merge_delta()
+    got = idx.search_one(queries[0], k=10, nprobe=4)
+    want = idx.search_local(([0], np.asarray([queries[0]])), k=10,
+                            nprobe=4)
+    assert [i for i, _ in got] == list(want["id"])
+    idx.unpersist()

@@ -197,3 +197,27 @@ def test_chroma_pinecone_milvus_parsers():
         "data": [{"pk": "z", "vector": [4.0], "color": "red"}]})
     assert rows[0] == {"id": "z", "vector": [4.0],
                        "metadata": {"color": "red"}}
+
+
+def test_rollback_delete_restores_overwritten_rows(spark, coll, source_df):
+    """ADVICE r4: rollback(delete) must not erase ids that existed
+    before the migration — upsert collisions are restored to their
+    pre-migration values, only truly-new ids are deleted."""
+    pre = spark.createDataFrame(
+        [("v5", [9.0, 9.0, 9.0, 9.0], "de"),
+         ("v9", [8.0, 8.0, 8.0, 8.0], "it")],
+        "id string, vector array<float>, lang string")
+    coll.insert(pre)
+    eng = MigrationEngine(MigrationConfig(source=JSON_FILE, source_url="x"))
+    # migration overwrites v5 and v9, adds v6
+    eng.migrate(coll, source_df.filter("id IN ('v5','v6','v9')"))
+    assert coll.count() == 3
+    assert coll.df().filter("id = 'v5'").first()["lang"] == "en"
+    eng.rollback(coll, strategy="delete")
+    rows = {r["id"]: (r["vector"], r["lang"])
+            for r in coll.df().collect()}
+    # v6 (new) gone; v5/v9 back to pre-migration values
+    assert sorted(rows) == ["v5", "v9"]
+    assert rows["v5"] == ([9.0, 9.0, 9.0, 9.0], "de")
+    assert rows["v9"] == ([8.0, 8.0, 8.0, 8.0], "it")
+    assert eng.progress.status == ROLLED_BACK

@@ -146,3 +146,23 @@ def test_gdpr_export_and_purge(db, spark, tmp_path):
     assert t.status == DELETED and t.current_vectors == 0
     assert not os.path.isdir(os.path.join(db.root, "acme"))
     assert mgr.get_audit_log("acme")[-1]["action"] == "gdpr_delete"
+
+
+def test_path_traversal_rejected(db, tmp_path):
+    """ADVICE r4 (medium): tenant_id / collection names are filesystem
+    components — traversal must be rejected at create time AND at path
+    resolution, so gdpr_delete(purge=True) can never rmtree outside
+    the database root."""
+    mgr = TenantManager(db)
+    for bad in ("../victim", "..", "a/b", "/abs", "a\\b", ".hidden", ""):
+        with pytest.raises(TenantError, match="invalid tenant_id"):
+            mgr.create_tenant(bad, "Evil")
+    mgr.create_tenant("acme", "Acme")
+    for bad in ("../other", "x/../..", "/etc", ".dot"):
+        with pytest.raises(TenantError, match="invalid collection name"):
+            mgr.create_collection("acme", bad, dims=2)
+    # defense in depth: even a tenant injected past create_tenant
+    # cannot resolve an escaped path
+    mgr._tenants["../victim"] = mgr._tenants["acme"]
+    with pytest.raises(TenantError):
+        mgr._tenant_path("../victim")

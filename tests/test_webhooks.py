@@ -161,3 +161,23 @@ def test_dlq_evicts_oldest_when_full():
     assert svc.dlq_size == 2
     kept = [e["event"].vector_id for e in svc.dlq]
     assert kept == ["v2", "v3"]  # newest failures retained
+
+
+def test_cdc_bridge_paged_drain(spark, tmp_path):
+    """ADVICE r4: the CDC drain pages instead of collecting the whole
+    backlog; the watermark advances per page, and max_events bounds
+    one call with exact resume."""
+    coll = Collection.create(spark, str(tmp_path / "paged"), dims=2)
+    svc = WebhookService(transport=MockTransport())
+    svc.subscribe(WebhookSubscription("http://sink"))
+    coll.insert(spark.createDataFrame(
+        [(f"id{i}", [float(i), 0.0]) for i in range(25)],
+        "id string, vector array<float>"))
+    # tiny pages exercise the loop; capped call stops mid-backlog
+    assert svc.enqueue_from_cdc(coll, page_size=4, max_events=10) == 10
+    assert len(svc.queue) == 10
+    # resume drains exactly the rest, no duplicates
+    assert svc.enqueue_from_cdc(coll, page_size=4) == 15
+    assert svc.enqueue_from_cdc(coll, page_size=4) == 0
+    seqs = sorted(int(e.vector_id[2:]) for e, _ in svc.queue)
+    assert seqs == list(range(25))
