@@ -9,10 +9,17 @@ with the driver's names), and compares:
   - order-insensitive canonical values (floats rounded to 1e-6)
 
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+       python scripts/check_oracle.py --json=OUT.json [sf_dir] [query ...]
+
+--json writes a per-query artifact in the driver's CORRECTNESS_r{N}
+shape (rows_match / schema_match / hash_match / spark_rows /
+oracle_rows / err) — the per-round full-oracle record the 50-slot
+driver harness cannot cover (VERDICT r4 next-round #4).
 """
 
 from __future__ import annotations
 
+import json
 import math
 import sys
 import time
@@ -54,8 +61,14 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from needle_spark import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    for a in list(args):
+        if a.startswith("--json="):
+            json_out = a.split("=", 1)[1]
+            args.remove(a)
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     spark = get_spark(app_name="oracle-check")
     con = duckdb.connect()
@@ -64,28 +77,37 @@ def main() -> int:
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = 0
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        rec = {"rows_match": None, "schema_match": None, "hash_match": None,
+               "spark_rows": None, "oracle_rows": None, "err": None}
+        report[name] = rec
         t0 = time.perf_counter()
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            rec["spark_rows"] = len(srows)
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            rec["err"] = f"spark error: {e}"
             failures += 1
             continue
         sql = oracles.get(name)
         if sql is None:
             print(f"SKIP {name}: no oracle (rows-only: {len(srows)} rows)")
+            rec["err"] = "no_oracle"
             continue
         try:
             res = con.execute(sql)
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
+            rec["oracle_rows"] = len(drows)
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            rec["err"] = f"duckdb error: {e}"
             failures += 1
             continue
         dt = time.perf_counter() - t0
@@ -106,12 +128,19 @@ def main() -> int:
                     f"    spark : {cs[diff] if diff is not None else '?'}\n"
                     f"    duckdb: {cd[diff] if diff is not None else '?'}"
                 )
+        rec["rows_match"] = len(srows) == len(drows)
+        rec["schema_match"] = sorted(scols) == sorted(dcols)
+        rec["hash_match"] = not problems
         if problems:
             failures += 1
             print(f"FAIL {name}: " + "; ".join(problems))
         else:
             print(f"OK   {name}  ({len(srows)} rows, {dt:.2f}s)")
 
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"wrote {json_out} ({len(report)} queries)")
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0
 
