@@ -354,6 +354,10 @@ class Collection:
         return self._manifest["version"]
 
     @property
+    def metric(self) -> str:
+        return self._manifest.get("metric", "cosine")
+
+    @property
     def dims(self) -> int:
         return self._manifest["dims"]
 

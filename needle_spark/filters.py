@@ -61,8 +61,12 @@ class FieldResolver:
     """Resolves dot-path field names to (Column, DataType|None).
 
     - top-level / nested struct fields -> typed column
-    - unknown fields with `meta_col` set -> element_at(meta, field)
+    - unknown fields with a MAP `meta_col` -> element_at(meta, field)
       (string-typed, dynamic comparisons)
+    - unknown fields with a STRING `meta_col` (raw JSON, the REST
+      shim's schemaless metadata) -> get_json_object(meta, '$.field')
+      — dot-paths reach nested objects, scalars come back unquoted
+      (string-typed, same dynamic comparisons)
     - unknown fields otherwise -> NULL literal (matches needle: a filter
       on a missing field simply never matches, it is not an error)
     """
@@ -70,12 +74,18 @@ class FieldResolver:
     def __init__(self, df: DataFrame | None = None, meta_col: str | None = None):
         self._schema = df.schema if df is not None else None
         self._meta_col = meta_col
+        self._meta_is_json = (
+            meta_col is not None
+            and isinstance(self._lookup_type(meta_col), T.StringType))
 
     def resolve(self, field: str) -> tuple[Column, T.DataType | None]:
         dt = self._lookup_type(field)
         if dt is not None:
             return F.col(field), dt
         if self._meta_col is not None:
+            if self._meta_is_json:
+                return (F.get_json_object(F.col(self._meta_col),
+                                          "$." + field), T.StringType())
             return F.element_at(F.col(self._meta_col), field), T.StringType()
         if self._schema is None:
             # no schema knowledge: trust the caller's column name

@@ -1,0 +1,181 @@
+"""End-to-end REST shim tests (needle_spark/server.py): real HTTP over
+an ephemeral port against a real Database — every handler is exercised
+through urllib, mirroring how a needle user would hit the reference's
+server routes (src/server/mod.rs:462-568)."""
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from needle_spark.catalog import Database
+from needle_spark.server import RestServer, distance_to_score
+
+
+@pytest.fixture(scope="module")
+def srv(spark, tmp_path_factory):
+    db = Database(spark, str(tmp_path_factory.mktemp("restdb")))
+    s = RestServer(db).start()
+    yield s
+    s.stop()
+
+
+def call(srv, method, path, body=None, expect=None):
+    req = urllib.request.Request(
+        srv.url + path,
+        data=None if body is None else json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+        method=method)
+    try:
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            status, payload = resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        status, payload = e.code, json.loads(e.read())
+    if expect is not None:
+        assert status == expect, (status, payload)
+    return payload
+
+
+def test_health_and_collection_lifecycle(srv):
+    assert call(srv, "GET", "/health", expect=200) == {"status": "ok"}
+    call(srv, "POST", "/collections",
+         {"name": "docs", "dimensions": 3}, expect=201)
+    assert "docs" in call(srv, "GET", "/collections")["collections"]
+    info = call(srv, "GET", "/collections/docs", expect=200)
+    assert info == {"name": "docs", "dimensions": 3, "count": 0}
+    # duplicate create -> 400; unknown collection -> 404
+    call(srv, "POST", "/collections",
+         {"name": "docs", "dimensions": 3}, expect=400)
+    call(srv, "GET", "/collections/nope", expect=404)
+    call(srv, "POST", "/collections", {"name": "x"}, expect=400)
+
+
+def test_vector_crud_and_search(srv):
+    call(srv, "POST", "/collections",
+         {"name": "vecs", "dimensions": 2}, expect=201)
+    call(srv, "POST", "/collections/vecs/vectors",
+         {"id": "a", "vector": [1.0, 0.0],
+          "metadata": {"lang": "en", "n": 1}}, expect=201)
+    call(srv, "POST", "/collections/vecs/vectors/batch",
+         {"vectors": [
+             {"id": "b", "vector": [0.9, 0.1], "metadata": {"lang": "en"}},
+             {"id": "c", "vector": [0.0, 1.0], "metadata": {"lang": "fr"}},
+             {"id": "d", "vector": [-1.0, 0.0]},
+         ]}, expect=201)
+    assert call(srv, "GET", "/collections/vecs")["count"] == 4
+
+    got = call(srv, "GET", "/collections/vecs/vectors/a", expect=200)
+    assert got["metadata"] == {"lang": "en", "n": 1}
+    call(srv, "GET", "/collections/vecs/vectors/zz", expect=404)
+
+    # search: nearest to [1, 0] is a, then b; scores follow the
+    # reference's distance_to_score mapping
+    res = call(srv, "POST", "/collections/vecs/search",
+               {"vector": [1.0, 0.0], "k": 2}, expect=200)
+    ids = [r["id"] for r in res["results"]]
+    assert ids == ["a", "b"]
+    for r in res["results"]:
+        assert r["score"] == pytest.approx(
+            distance_to_score(r["distance"], "cosine"))
+    # metadata filter narrows to lang=fr
+    res = call(srv, "POST", "/collections/vecs/search",
+               {"vector": [1.0, 0.0], "k": 10,
+                "filter": {"lang": "fr"}}, expect=200)
+    assert [r["id"] for r in res["results"]] == ["c"]
+    # cursor pagination: page 2 continues after page 1's last hit
+    p1 = call(srv, "POST", "/collections/vecs/search",
+              {"vector": [1.0, 0.0], "k": 2})
+    p2 = call(srv, "POST", "/collections/vecs/search",
+              {"vector": [1.0, 0.0], "k": 2,
+               "search_after": p1["next_cursor"]})
+    assert [r["id"] for r in p2["results"]] == ["c", "d"]
+
+    # batch search: one list of results per query, ranked
+    res = call(srv, "POST", "/collections/vecs/search/batch",
+               {"queries": [[1.0, 0.0], [0.0, 1.0]], "k": 1}, expect=200)
+    assert [[r["id"] for r in page] for page in res["results"]] == \
+        [["a"], ["c"]]
+
+    # radius search
+    res = call(srv, "POST", "/collections/vecs/search/radius",
+               {"vector": [1.0, 0.0], "radius": 0.02}, expect=200)
+    assert [r["id"] for r in res["results"]] == ["a", "b"]
+
+    # metadata query + count
+    res = call(srv, "POST", "/collections/vecs/query",
+               {"filter": {"lang": "en"}}, expect=200)
+    assert [r["id"] for r in res["results"]] == ["a", "b"]
+    assert call(srv, "POST", "/collections/vecs/count",
+                {"filter": {"lang": {"$exists": True}}})["count"] == 3
+    assert call(srv, "POST", "/collections/vecs/count", {})["count"] == 4
+
+    # recommend: positive a,b -> nearest non-example
+    res = call(srv, "POST", "/collections/vecs/recommend",
+               {"positive": ["a", "b"], "k": 1}, expect=200)
+    assert [r["id"] for r in res["results"]] == ["c"]
+
+    # delete by filter, then by id, then batch
+    assert call(srv, "DELETE", "/collections/vecs/vectors/filter",
+                {"filter": {"lang": "fr"}})["deleted"] == 1
+    assert call(srv, "DELETE", "/collections/vecs/vectors/a",
+                expect=200)["deleted"] == 1
+    call(srv, "DELETE", "/collections/vecs/vectors/a", expect=404)
+    assert call(srv, "POST", "/collections/vecs/vectors/delete-batch",
+                {"ids": ["b", "d"]})["deleted"] == 2
+    assert call(srv, "GET", "/collections/vecs")["count"] == 0
+
+
+def test_changes_snapshots_aliases(srv):
+    call(srv, "POST", "/collections",
+         {"name": "feed", "dimensions": 2}, expect=201)
+    call(srv, "POST", "/collections/feed/vectors/batch",
+         {"vectors": [{"id": f"v{i}", "vector": [float(i), 0.0]}
+                      for i in range(5)]}, expect=201)
+    ch = call(srv, "GET", "/collections/feed/changes?since=-1&limit=3",
+              expect=200)
+    assert len(ch["changes"]) == 3
+    assert [c["sequence"] for c in ch["changes"]] == [0, 1, 2]
+    ch2 = call(srv, "GET",
+               f"/collections/feed/changes?since={ch['next_since']}")
+    assert [c["sequence"] for c in ch2["changes"]] == [3, 4]
+    assert all(c["event_type"] == "insert" for c in ch2["changes"])
+
+    call(srv, "POST", "/collections/feed/snapshots",
+         {"name": "before"}, expect=200)
+    call(srv, "POST", "/collections/feed/vectors",
+         {"id": "extra", "vector": [9.0, 9.0]}, expect=201)
+    assert call(srv, "GET", "/collections/feed")["count"] == 6
+    call(srv, "POST", "/collections/feed/snapshots/before/restore",
+         expect=200)
+    assert call(srv, "GET", "/collections/feed")["count"] == 5
+    snaps = call(srv, "GET", "/collections/feed/snapshots")["snapshots"]
+    assert "before" in snaps
+
+    call(srv, "POST", "/aliases",
+         {"alias": "current", "target": "feed"}, expect=200)
+    assert call(srv, "GET", "/aliases")["aliases"] == {"current": "feed"}
+    assert call(srv, "GET", "/collections/current")["count"] == 5
+    call(srv, "DELETE", "/aliases/current", expect=200)
+    assert call(srv, "GET", "/aliases")["aliases"] == {}
+
+    # clear + drop
+    call(srv, "POST", "/collections/feed/clear", expect=200)
+    assert call(srv, "GET", "/collections/feed")["count"] == 0
+    call(srv, "DELETE", "/collections/feed", expect=200)
+    call(srv, "GET", "/collections/feed", expect=404)
+
+
+def test_bad_requests(srv):
+    call(srv, "POST", "/collections",
+         {"name": "errs", "dimensions": 2}, expect=201)
+    call(srv, "POST", "/collections/errs/search", {"k": 5}, expect=400)
+    call(srv, "POST", "/collections/errs/vectors",
+         {"vector": [1.0, 0.0]}, expect=400)
+    call(srv, "POST", "/collections/errs/vectors/delete-batch",
+         {"ids": []}, expect=400)
+    call(srv, "DELETE", "/collections/errs/vectors/filter", {}, expect=400)
+    call(srv, "GET", "/nope", expect=404)
+    # dimension mismatch surfaces as 400, not a hang/500
+    call(srv, "POST", "/collections/errs/vectors",
+         {"id": "x", "vector": [1.0, 0.0, 3.0]}, expect=400)
