@@ -18,7 +18,8 @@ variant (HLC + merkle anti-entropy) lives in needle_spark/crdt.py.
 
 Spark shape (100 TB posture): the op log is a DataFrame, not a Vec —
 `record_batch` stamps a whole DataFrame of mutations with contiguous
-clock ticks in one narrow transformation (row_number over the batch),
+clock ticks via the shared partition-offset sequencer
+(functions/sequence.py — bulk batches never sort on one task),
 `generate_delta` is a filter on the log (ships as Parquet/Arrow, never
 through the driver), and `apply_delta` classifies every incoming op in
 ONE join against the local log's per-id max-timestamp aggregate —
