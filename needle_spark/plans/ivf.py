@@ -217,7 +217,8 @@ def _score_cell_block(codes_u8, ids_cell, nsq_cell, qidx, SQ, base_row, qsq,
     dist decomposes over the SQ8 codes without decoding:
     dot(v, q) = c.q + mn.q + codes_f32 . (step*q); the uint8->float32
     cast plus one sgemm is the whole inner loop."""
-    Cf = codes_u8.astype(np.float32)
+    Cf = codes_u8 if codes_u8.dtype == np.float32 \
+        else codes_u8.astype(np.float32)
     dot = Cf @ SQ[:, qidx]  # (n_cell, n_probing)
     dot += base_row[qidx][None, :]
     if metric == "cosine":
@@ -381,6 +382,16 @@ class IvfBatchKnnIndex:
         self._mut_ver = 0
         self._drv = None
         self._drv_delta = None
+        # hot-cell float32 cache for search_one: probed cells keep
+        # their decoded codes in RAM (evicted under the budget),
+        # cutting the per-query mmap-copy + uint8->float32 cost (the
+        # profiled majority of single-query latency).  The default
+        # budget holds a fully-decoded 1M x 384 index (~1.5 GB) — the
+        # same residency class as the reference's in-process HNSW;
+        # shrink it for memory-constrained drivers.
+        self.serving_cache_mb: int = 2048
+        self._cellf32: dict = {}
+        self._cellf32_bytes = 0
 
     # -- encode ---------------------------------------------------------
     def _encode(self, docs: DataFrame) -> DataFrame:
@@ -831,6 +842,8 @@ class IvfBatchKnnIndex:
                 cell_dir[int(cell)] = (si, int(starts[ci]),
                                        int(starts[ci + 1]))
         self._drv = (seg_dir, segs, cell_dir)
+        self._cellf32 = {}
+        self._cellf32_bytes = 0
         return segs, cell_dir
 
     def _driver_delta(self):
@@ -896,8 +909,20 @@ class IvfBatchKnnIndex:
                 continue
             si, s, e = hit
             ids, nsq, codes = segs[si]
+            key = (si, s, e)
+            Cf = self._cellf32.get(key)
+            if Cf is None:
+                Cf = np.asarray(codes[s:e]).astype(np.float32)
+                budget = self.serving_cache_mb * 1024 * 1024
+                if Cf.nbytes <= budget:
+                    while self._cellf32_bytes + Cf.nbytes > budget \
+                            and self._cellf32:
+                        _, old = self._cellf32.popitem()
+                        self._cellf32_bytes -= old.nbytes
+                    self._cellf32[key] = Cf
+                    self._cellf32_bytes += Cf.nbytes
             Dk, Ik = _score_cell_block(
-                np.asarray(codes[s:e]), ids[s:e], nsq[s:e],
+                Cf, ids[s:e], nsq[s:e],
                 qidx, SQ, base[int(cell)], qsq, self.metric, fetch)
             cand_d.append(Dk[:, 0])
             cand_i.append(Ik[:, 0])
@@ -927,11 +952,14 @@ class IvfBatchKnnIndex:
             return []
         D = np.concatenate(cand_d)
         I = np.concatenate(cand_i)
+        if I.dtype == object:  # mixed mmap-unicode + delta str ids
+            I = np.asarray(I, dtype=str)
         if len(D) > k:
             sel = np.argpartition(D, k - 1)[:k]
             D, I = D[sel], I[sel]
         order = np.lexsort((I, D))
-        return [(I[j].item(), float(D[j])) for j in order[:k]]
+        return [(I[j].item() if hasattr(I[j], "item") else I[j],
+                 float(D[j])) for j in order[:k]]
 
     # -- incremental maintenance (incremental.rs IncrementalIndex) ------
     def _fetch_k(self, k: int) -> int:
@@ -1032,6 +1060,8 @@ class IvfBatchKnnIndex:
         self._mut_ver += 1
         self._drv = None
         self._drv_delta = None
+        self._cellf32 = {}
+        self._cellf32_bytes = 0
         was_pinned = self._segments is not None
         if was_pinned:
             import shutil
@@ -1073,6 +1103,8 @@ class IvfBatchKnnIndex:
             self._delta.unpersist()
         self._drv = None
         self._drv_delta = None
+        self._cellf32 = {}
+        self._cellf32_bytes = 0
         if self._segments is not None and self._seg_tmp:
             import shutil
 

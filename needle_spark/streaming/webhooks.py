@@ -175,26 +175,34 @@ class WebhookService:
         every page, so an interrupted drain resumes where it stopped.
         `max_events` caps one call (None = drain to the log head)."""
         cname = name or collection.path.rstrip("/").rsplit("/", 1)[-1]
+        # CDC sequences are contiguous integers (catalog._sequence_events
+        # assigns [base, base+n) per commit), so pages are RANGE
+        # predicates — each page is one pushdown-filtered scan, never a
+        # global sort+limit over the remaining backlog (which would make
+        # a full drain O(pages * n log n))
+        head_row = collection.cdc_events().agg(
+            F.max("sequence").alias("m")).first()
+        head = int(head_row["m"]) if head_row and head_row["m"] is not None \
+            else -1
         n = 0
         while max_events is None or n < max_events:
             since = self._cdc_watermarks.get(cname, -1)
+            if since >= head:
+                break
             page = page_size if max_events is None \
                 else min(page_size, max_events - n)
+            hi = min(since + page, head)
             rows = (collection.cdc_events()
-                    .filter(F.col("sequence") > since)
+                    .filter((F.col("sequence") > since)
+                            & (F.col("sequence") <= hi))
                     .select("sequence", "event_type", "vector_id",
                             "timestamp_ms")
-                    .orderBy("sequence")
-                    .limit(page)
                     .collect())
-            if not rows:
-                break
+            rows.sort(key=lambda r: r["sequence"])  # page-bounded
             for r in rows:
                 n += self.enqueue(cname, r["event_type"], r["vector_id"],
                                   now_ms=r["timestamp_ms"])
-                self._cdc_watermarks[cname] = int(r["sequence"])
-            if len(rows) < page:
-                break
+            self._cdc_watermarks[cname] = hi
         return n
 
     # -- delivery --

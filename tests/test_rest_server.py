@@ -179,3 +179,118 @@ def test_bad_requests(srv):
     # dimension mismatch surfaces as 400, not a hang/500
     call(srv, "POST", "/collections/errs/vectors",
          {"id": "x", "vector": [1.0, 0.0, 3.0]}, expect=400)
+
+
+def test_text_routes_and_stats(srv):
+    call(srv, "POST", "/collections",
+         {"name": "texts", "dimensions": 8}, expect=201)
+    call(srv, "POST", "/collections/texts/texts",
+         {"id": "t1", "text": "the quick brown fox",
+          "metadata": {"lang": "en"}}, expect=201)
+    call(srv, "POST", "/collections/texts/texts/batch",
+         {"texts": [{"id": "t2", "text": "jumps over the lazy dog"},
+                    {"id": "t3", "text": "the quick brown foxes"}]},
+         expect=201)
+    # text search: identical text embeds identically -> distance 0 hit
+    res = call(srv, "POST", "/collections/texts/texts/search",
+               {"text": "the quick brown fox", "k": 2}, expect=200)
+    assert res["results"][0]["id"] == "t1"
+    assert res["results"][0]["distance"] == pytest.approx(0.0, abs=1e-6)
+    # stored text rides in metadata
+    got = call(srv, "GET", "/collections/texts/vectors/t1")
+    assert got["metadata"]["text"] == "the quick brown fox"
+    assert got["metadata"]["lang"] == "en"
+
+    stats = call(srv, "GET", "/collections/texts/stats/fields", expect=200)
+    assert stats["count"] == 3
+    assert stats["fields"]["text"] == 3 and stats["fields"]["lang"] == 1
+
+    exp = call(srv, "GET", "/collections/texts/export?limit=2", expect=200)
+    assert exp["count"] == 2 and len(exp["vectors"][0]["vector"]) == 8
+
+    ttl = call(srv, "GET", "/collections/texts/ttl-stats", expect=200)
+    assert ttl == {"total": 3, "with_ttl": 0, "expired": 0}
+    assert call(srv, "POST", "/collections/texts/expire",
+                {})["expired"] == 0
+
+    # near-dup scan finds no pairs at tiny threshold, then the
+    # duplicate pair when we insert an exact copy
+    call(srv, "POST", "/collections/texts/texts",
+         {"id": "t1copy", "text": "the quick brown fox"}, expect=201)
+    pairs = call(srv, "POST", "/collections/texts/dedup/scan",
+                 {"threshold": 1e-6}, expect=200)["pairs"]
+    assert [(p["id1"], p["id2"]) for p in pairs] == [("t1", "t1copy")]
+
+    audit = call(srv, "GET", "/collections/texts/audit-log", expect=200)
+    ins = [b for b in audit["buckets"] if b["event_type"] == "insert"]
+    assert sum(b["n_events"] for b in ins) == 4
+
+
+def test_serving_index_lifecycle(srv):
+    import math
+    call(srv, "POST", "/collections",
+         {"name": "idx", "dimensions": 4}, expect=201)
+    vecs = [{"id": f"p{i}",
+             "vector": [math.cos(i * 0.37), math.sin(i * 0.37),
+                        math.cos(i * 0.11), math.sin(i * 0.11)]}
+            for i in range(60)]
+    call(srv, "POST", "/collections/idx/vectors/batch",
+         {"vectors": vecs}, expect=201)
+    assert call(srv, "GET", "/collections/idx/index/status") == \
+        {"indexed": False}
+    built = call(srv, "POST", "/collections/idx/index",
+                 {"nprobe": 4}, expect=200)
+    assert built["rows"] == 60
+    st = call(srv, "GET", "/collections/idx/index/status")
+    assert st["indexed"] and st["main_rows"] == 60
+
+    # indexed search serves driver-local and agrees with the exact
+    # path at full probe
+    qv = vecs[7]["vector"]
+    fast = call(srv, "POST", "/collections/idx/search",
+                {"vector": qv, "k": 5, "nprobe": built["nlist"]})
+    assert fast.get("served_by") == "index"
+    assert fast["results"][0]["id"] == "p7"
+    # a filtered search bypasses the index (exact path)
+    slow = call(srv, "POST", "/collections/idx/search",
+                {"vector": qv, "k": 5, "filter": {"id": {"$exists": False}}})
+    assert "served_by" not in slow
+
+    # incremental: REST writes flow into the index
+    call(srv, "POST", "/collections/idx/vectors",
+         {"id": "new", "vector": qv}, expect=201)
+    fast = call(srv, "POST", "/collections/idx/search",
+                {"vector": qv, "k": 2, "nprobe": built["nlist"]})
+    assert {r["id"] for r in fast["results"]} == {"p7", "new"}
+    call(srv, "DELETE", "/collections/idx/vectors/new", expect=200)
+    fast = call(srv, "POST", "/collections/idx/search",
+                {"vector": qv, "k": 2, "nprobe": built["nlist"]})
+    assert "new" not in {r["id"] for r in fast["results"]}
+    st = call(srv, "GET", "/collections/idx/index/status")
+    assert st["delta_rows"] >= 1
+
+    # bulk rewrite invalidates; drop removes
+    call(srv, "POST", "/collections/idx/clear", expect=200)
+    assert call(srv, "GET", "/collections/idx/index/status") == \
+        {"indexed": False}
+    assert call(srv, "DELETE", "/collections/idx/index")["dropped"] is False
+
+
+def test_ql_route(srv):
+    call(srv, "POST", "/ql",
+         {"ql": "CREATE COLLECTION qldocs (dims=2)"}, expect=200)
+    call(srv, "POST", "/collections/qldocs/vectors/batch",
+         {"vectors": [
+             {"id": "a", "vector": [1.0, 0.0], "metadata": {"lang": "en"}},
+             {"id": "b", "vector": [0.0, 1.0], "metadata": {"lang": "fr"}},
+         ]}, expect=201)
+    res = call(srv, "POST", "/ql",
+               {"ql": "SELECT id, distance FROM qldocs "
+                      "WHERE vector SIMILAR TO $q LIMIT 1",
+                "params": {"q": [1.0, 0.0]}}, expect=200)
+    assert [r["id"] for r in res["rows"]] == ["a"]
+    shown = call(srv, "POST", "/ql", {"ql": "SHOW COLLECTIONS"})
+    assert "qldocs" in shown["collections"]
+    call(srv, "POST", "/ql", {"ql": "DROP COLLECTION qldocs"}, expect=200)
+    call(srv, "POST", "/ql", {"ql": "SELECT * FRO"}, expect=400)
+    call(srv, "POST", "/ql", {}, expect=400)
