@@ -139,13 +139,22 @@ class RestServer:
         r("POST", r"/collections/([^/]+)/query$", self.metadata_query)
         r("POST", r"/collections/([^/]+)/count$", self.filtered_count)
         r("POST", r"/collections/([^/]+)/recommend$", self.recommend)
-        # :510 change feed
+        # :510-511 change feed (JSON page + SSE stream)
         r("GET", r"/collections/([^/]+)/changes$", self.changes)
+        self._sse_pattern = re.compile(
+            r"/collections/([^/]+)/changes/stream$")
         # :561-563 snapshots
         r("GET", r"/collections/([^/]+)/snapshots$", self.list_snapshots)
         r("POST", r"/collections/([^/]+)/snapshots$", self.create_snapshot)
         r("POST", r"/collections/([^/]+)/snapshots/([^/]+)/restore$",
           self.restore_snapshot)
+        # :516 cost estimate; :514 in-process benchmark; :543 save
+        r("POST", r"/collections/([^/]+)/search/estimate$",
+          self.cost_estimate)
+        r("POST", r"/collections/([^/]+)/benchmark$", self.benchmark)
+        r("POST", r"/save$", lambda m, b, q: {
+            "saved": True,  # manifests are write-through; nothing buffered
+            "collections": len(self.db.list_collections())})
         # NeedleQL over HTTP (the CLI/TUI/MCP query language surface,
         # src/query/*; extension route — the reference exposes QL via
         # its CLI and MCP rather than a REST path)
@@ -489,6 +498,54 @@ class RestServer:
         return {"results": [self._result_row(r, metric, False)
                             for r in res.collect()]}
 
+    # -- estimate / benchmark --
+
+    def cost_estimate(self, m, b, q) -> dict:
+        """Pre-execution cost estimate (cost_estimate_handler): which
+        path would serve this search and how many candidates it scans."""
+        name = m.group(1)
+        c = self._coll(name)
+        rows = c.count()
+        entry = self._indexes.get(name)
+        filtered = bool(b.get("filter") or b.get("post_filter"))
+        if entry is not None and not filtered \
+                and b.get("search_after") is None:
+            idx, nprobe = entry
+            nprobe = int(b.get("nprobe", nprobe))
+            cand = int(rows * min(nprobe, idx.nlist) / idx.nlist)
+            return {"strategy": "ivf_index", "rows": rows,
+                    "estimated_candidates": cand,
+                    "nprobe": nprobe, "nlist": idx.nlist,
+                    "estimated_ms": max(1, cand // 5000)}
+        return {"strategy": "exact_scan", "rows": rows,
+                "estimated_candidates": rows,
+                "filtered": filtered,
+                "estimated_ms": 200 + rows // 2000}
+
+    def benchmark(self, m, b, q) -> dict:
+        """In-process latency probe (benchmark_handler): run n searches
+        with vectors sampled from the collection, report percentiles."""
+        import time as _time
+
+        c = self._coll(m.group(1))
+        n = min(int(b.get("queries", 10)), 100)
+        k = int(b.get("k", DEFAULT_K))
+        sample = [list(r[c.vector_col])
+                  for r in c.df().limit(n).collect()]
+        if not sample:
+            raise _bad("collection is empty")
+        lat = []
+        for vec in sample:
+            t0 = _time.perf_counter()
+            self.search(m, {"vector": vec, "k": k}, {})
+            lat.append((_time.perf_counter() - t0) * 1000.0)
+        lat.sort()
+        return {"queries": len(lat), "k": k,
+                "p50_ms": round(lat[len(lat) // 2], 3),
+                "p95_ms": round(lat[min(len(lat) - 1,
+                                        int(len(lat) * 0.95))], 3),
+                "mean_ms": round(sum(lat) / len(lat), 3)}
+
     # -- NeedleQL --
 
     def run_ql(self, m, b, q) -> dict:
@@ -721,6 +778,51 @@ class RestServer:
             for r in rows
         ], "next_since": int(rows[-1]["sequence"]) if rows else since}
 
+    def stream_changes(self, handler, name: str, q: dict) -> None:
+        """SSE change stream (server/mod.rs:511): tails the CDC log
+        from `since`, emitting one `data:` frame per event.  `timeout`
+        (seconds, default 10) bounds the connection; `poll` sets the
+        idle re-check interval.  Pages by sequence range like
+        enqueue_from_cdc — no sort, no unbounded collect."""
+        import time as _time
+
+        coll = self._coll(name)
+        since = int(q.get("since", -1))
+        timeout_s = min(float(q.get("timeout", 10)), 3600.0)
+        poll = max(float(q.get("poll", 0.5)), 0.05)
+        handler.send_response(200)
+        handler.send_header("Content-Type", "text/event-stream")
+        handler.send_header("Cache-Control", "no-cache")
+        handler.send_header("Connection", "close")
+        handler.end_headers()
+        deadline = _time.time() + timeout_s
+        while _time.time() < deadline:
+            head_row = coll.cdc_events().agg(
+                F.max("sequence").alias("m")).first()
+            head = int(head_row["m"]) if head_row and head_row["m"] is not None \
+                else -1
+            if head > since:
+                hi = min(head, since + 1000)
+                rows = (coll.cdc_events()
+                        .filter((F.col("sequence") > since)
+                                & (F.col("sequence") <= hi))
+                        .select("sequence", "event_type", "vector_id",
+                                "timestamp_ms").collect())
+                rows.sort(key=lambda r: r["sequence"])
+                for r in rows:
+                    frame = json.dumps({
+                        "sequence": int(r["sequence"]),
+                        "event_type": r["event_type"],
+                        "vector_id": r["vector_id"],
+                        "timestamp_ms": int(r["timestamp_ms"]),
+                    })
+                    handler.wfile.write(
+                        f"data: {frame}\n\n".encode())
+                handler.wfile.flush()
+                since = hi
+                continue
+            _time.sleep(poll)
+
     def list_snapshots(self, m, b, q) -> dict:
         return {"snapshots": self._coll(m.group(1)).list_snapshots()}
 
@@ -780,6 +882,18 @@ class RestServer:
                     if "=" in part:
                         k, v = part.split("=", 1)
                         query[k] = v
+                if method == "GET":
+                    sse = server._sse_pattern.match(path)
+                    if sse:
+                        try:
+                            server.stream_changes(self, sse.group(1),
+                                                  query)
+                        except (BrokenPipeError,
+                                ConnectionResetError):
+                            pass  # client hung up mid-stream
+                        except CollectionError as e:
+                            self._respond(404, {"error": str(e)})
+                        return
                 body = None
                 length = int(self.headers.get("Content-Length") or 0)
                 if length:

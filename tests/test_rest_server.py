@@ -294,3 +294,57 @@ def test_ql_route(srv):
     call(srv, "POST", "/ql", {"ql": "DROP COLLECTION qldocs"}, expect=200)
     call(srv, "POST", "/ql", {"ql": "SELECT * FRO"}, expect=400)
     call(srv, "POST", "/ql", {}, expect=400)
+
+
+def test_sse_change_stream(srv):
+    call(srv, "POST", "/collections",
+         {"name": "sse", "dimensions": 2}, expect=201)
+    call(srv, "POST", "/collections/sse/vectors/batch",
+         {"vectors": [{"id": f"e{i}", "vector": [float(i), 0.0]}
+                      for i in range(3)]}, expect=201)
+    req = urllib.request.Request(
+        srv.url + "/collections/sse/changes/stream?since=-1&timeout=2")
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        assert resp.headers["Content-Type"] == "text/event-stream"
+        body = resp.read().decode()
+    frames = [json.loads(line[len("data: "):])
+              for line in body.split("\n") if line.startswith("data: ")]
+    assert [f["sequence"] for f in frames] == [0, 1, 2]
+    assert all(f["event_type"] == "insert" for f in frames)
+    # unknown collection -> 404, not a hang
+    try:
+        urllib.request.urlopen(
+            srv.url + "/collections/nope/changes/stream?timeout=1",
+            timeout=30)
+        assert False, "expected 404"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+
+
+def test_estimate_benchmark_save(srv):
+    call(srv, "POST", "/collections",
+         {"name": "est", "dimensions": 2}, expect=201)
+    call(srv, "POST", "/collections/est/vectors/batch",
+         {"vectors": [{"id": f"x{i}", "vector": [float(i), 1.0]}
+                      for i in range(30)]}, expect=201)
+    est = call(srv, "POST", "/collections/est/search/estimate",
+               {"vector": [1.0, 1.0]}, expect=200)
+    assert est["strategy"] == "exact_scan" and est["rows"] == 30
+    call(srv, "POST", "/collections/est/index", {"nprobe": 2}, expect=200)
+    est = call(srv, "POST", "/collections/est/search/estimate",
+               {"vector": [1.0, 1.0]}, expect=200)
+    assert est["strategy"] == "ivf_index"
+    assert est["estimated_candidates"] < 30
+    # filtered searches fall back to the exact scan
+    est = call(srv, "POST", "/collections/est/search/estimate",
+               {"vector": [1.0, 1.0], "filter": {"id": "x1"}})
+    assert est["strategy"] == "exact_scan"
+
+    bm = call(srv, "POST", "/collections/est/benchmark",
+              {"queries": 5, "k": 3}, expect=200)
+    assert bm["queries"] == 5 and bm["p50_ms"] > 0
+    # indexed path served these: sub-100ms even on a cold JVM
+    assert bm["p50_ms"] < 1000
+
+    assert call(srv, "POST", "/save", {}, expect=200)["saved"] is True
+    call(srv, "DELETE", "/collections/est/index", expect=200)
