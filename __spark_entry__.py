@@ -775,6 +775,57 @@ def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_candidates(docs, id_col="doc_id", text_col="text", max_hamming=8)
 
 
+def _simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ORACLE-CHECKABLE simhash tier (round 5): identical banding/
+    hamming algorithm, md5-derived 64-bit token hash that DuckDB
+    reproduces bit-identically (('0x'||substr(md5,1,16))::UBIGINT).
+    Production default stays xxhash64 (simhash_candidates above)."""
+    from needle_spark.operators.dedup import simhash_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_candidates(docs, id_col="doc_id", text_col="text",
+                              max_hamming=8, impl="md5")
+
+
+_SIMHASH_MD5_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            t -> length(t) >= 2)) AS t
+  FROM documents
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS hv FROM tok
+),
+votes AS (
+  SELECT doc_id, b.b AS b,
+         SUM(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM h, (SELECT unnest(range(64)) AS b) b
+  GROUP BY doc_id, b.b
+),
+sim AS (
+  SELECT doc_id,
+         SUM(CASE WHEN vote > 0 THEN (1::UBIGINT << b)::HUGEINT
+                  ELSE 0::HUGEINT END)::UBIGINT AS s
+  FROM votes GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, s, band.band AS band,
+         (s >> (band.band * 16)) & 65535 AS block
+  FROM sim, (SELECT unnest(range(4)) AS band) band
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+         bit_count(xor(a.s, b.s)) AS hamming
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.block = b.block
+              AND a.doc_id < b.doc_id
+)
+SELECT id1, id2, CAST(hamming AS INT) AS hamming
+FROM pairs WHERE hamming <= 8
+"""
+
+
 def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from needle_spark.operators.dedup import embedding_neardup_pairs
 
@@ -3293,6 +3344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _ngram_jaccard,
         "minhash_lsh_dedup": _minhash_lsh,
         "simhash_candidates": _simhash,
+        "simhash_md5_pairs": _simhash_md5,
         "embedding_neardup": _embedding_neardup,
         "decontaminate": _decontaminate,
         "gopher_quality": _gopher_quality,
@@ -3408,7 +3460,10 @@ def oracle_sql() -> dict[str, str]:
         # exact pair set unless a banding miss occurs (p ~ 1e-22 at the
         # planted pairs' j~0.99) — same oracle.
         "minhash_lsh_dedup": _jaccard_oracle_sql(0.6),
-        # simhash_candidates: no oracle (xxhash64 has no DuckDB twin)
+        # simhash_candidates: no oracle (xxhash64 has no DuckDB twin);
+        # simhash_md5_pairs is the same algorithm over the md5 hash
+        # family, which DuckDB reproduces bit-identically
+        "simhash_md5_pairs": _SIMHASH_MD5_SQL,
         "embedding_neardup": _embedding_neardup_sql(),
         "decontaminate": __import__(
             "needle_spark.operators.llm_hygiene", fromlist=["decontaminate_sql"]

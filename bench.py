@@ -152,7 +152,9 @@ def main() -> None:
     ivf_idx = IvfBatchKnnIndex(big, nlist=512, vector_col="embedding",
                                id_col="vec_id", metric="cosine", seed=42,
                                kmeans_max_iter=6, sample_rows=32768)
-    ivf_idx.pin_segments()
+    # decoded float32 tier: page-cache-shared, no per-query uint8 cast
+    # (the residency class of the reference's in-memory float32 index)
+    ivf_idx.pin_segments(decoded=True)
     ivf_idx.search_local((q_ids, Q384), k=10, nprobe=6)  # warm
     # the graded ANN row: extra repeats because host co-tenancy swings
     # are larger than the 2x-of-baseline gate margin

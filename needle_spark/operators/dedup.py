@@ -471,12 +471,28 @@ def minhash_lsh_candidates(
 
 # ------------------------------------------------------------ simhash ---
 
-def simhash_bitcounts_expr(tokens: Column) -> Column:
+def _md5_hash64_expr(t: Column) -> Column:
+    """64-bit token hash from the first 16 hex chars of md5, signed
+    two's-complement — the cross-engine hash family: DuckDB computes
+    the identical value as ('0x' || substr(md5(t),1,16))::UBIGINT,
+    which is what makes the md5 simhash variant oracle-checkable
+    (xxhash64 has no DuckDB twin; CORRECTNESS r1-r4 `no_oracle`)."""
+    u = F.conv(F.substring(F.md5(t), 1, 16), 16, 10).cast("decimal(20,0)")
+    # literals exceed int64, so they ride as string-cast decimals
+    signed = F.when(
+        u >= F.lit("9223372036854775808").cast("decimal(20,0)"),
+        u - F.lit("18446744073709551616").cast("decimal(21,0)"),
+    ).otherwise(u)
+    return signed.cast("long")
+
+
+def simhash_bitcounts_expr(tokens: Column, hash: str = "xxhash64") -> Column:
     """Fold token hashes into a 64-long signed bit-count vector: element b
-    counts (+1/-1) votes for bit b across xxhash64(token) values.  Pure
-    JVM expressions — runs inside the scan."""
+    counts (+1/-1) votes for bit b across token-hash values.  Pure
+    JVM expressions — runs inside the scan.  hash='xxhash64' (default,
+    fastest) or 'md5' (slower; bit-identical twin exists in DuckDB)."""
     def bits_of(t: Column) -> Column:
-        h = F.xxhash64(t)
+        h = F.xxhash64(t) if hash == "xxhash64" else _md5_hash64_expr(t)
         return F.array(
             *[F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("long") for b in range(64)]
         )
@@ -567,13 +583,17 @@ def simhash_candidates(
     `bands-1` must share a block), verified by exact hamming distance.
 
     impl='arrow' hashes tokens in a numpy kernel; impl='expr' stays in
-    pure JVM expressions (xxhash64 family)."""
+    pure JVM expressions (xxhash64 family); impl='md5' uses the
+    md5-derived hash whose bit-identical twin exists in DuckDB (the
+    oracle-checkable tier — same algorithm, slower hash)."""
     if impl == "arrow":
         s = _simhash_arrow(df, id_col, text_col)
     else:
         toks = tokenize_expr(text_col, stop_words=None)
         s = (
-            df.select(F.col(id_col), simhash_bitcounts_expr(toks).alias("__cnt"))
+            df.select(F.col(id_col), simhash_bitcounts_expr(
+                toks, hash="md5" if impl == "md5" else "xxhash64",
+            ).alias("__cnt"))
             .withColumn("__sim", simhash_from_bitcounts_expr(F.col("__cnt")))
             .drop("__cnt")
         )

@@ -462,7 +462,8 @@ class IvfBatchKnnIndex:
         self.codes.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
     # -- pinned serving segments ----------------------------------------
-    def pin_segments(self, seg_dir: str | None = None) -> int:
+    def pin_segments(self, seg_dir: str | None = None,
+                     decoded: bool = False) -> int:
         """Write the clustered codes once as mmap-able segment files and
         serve from them: the Spark analogue of the reference's prebuilt
         in-memory/mmap'd index (its 1.8 ms/query batch number queries an
@@ -485,7 +486,16 @@ class IvfBatchKnnIndex:
         shared or executor-local storage (this is exactly the
         partitionBy(centroid_id) at-rest layout, stripped to raw
         arrays); the DataFrame `search` path remains the shuffle-free
-        cluster-wide variant.  Returns the number of rows pinned."""
+        cluster-wide variant.  Returns the number of rows pinned.
+
+        decoded=True additionally writes each partition's codes as
+        float32 (`codes32_<pid>.npy`, 4x the uint8 bytes on disk).
+        Serving kernels then mmap the decoded tier and skip the
+        per-query uint8->float32 cast — profiling shows that cast is
+        ~half of query latency — and the OS page cache shares ONE copy
+        across the driver and every worker (unlike per-process RAM
+        caches).  This is the residency class of the reference's
+        in-process float32 HNSW, spelled as files."""
         import tempfile
 
         if seg_dir is None:
@@ -532,6 +542,9 @@ class IvfBatchKnnIndex:
             np.save(f"{seg_dir}/ids_{pid}.npy", ids)
             np.save(f"{seg_dir}/nsq_{pid}.npy", nsq)
             np.save(f"{seg_dir}/codes_{pid}.npy", np.ascontiguousarray(codes))
+            if decoded:
+                np.save(f"{seg_dir}/codes32_{pid}.npy",
+                        np.ascontiguousarray(codes, dtype=np.float32))
             np.save(f"{seg_dir}/cells_{pid}.npy", cells)
             np.save(f"{seg_dir}/starts_{pid}.npy", starts)
             yield pa.RecordBatch.from_arrays(
@@ -546,6 +559,7 @@ class IvfBatchKnnIndex:
         # serving kernel can treat a missing file as a REAL failure
         # (lost/unshared segment dir) instead of silently skipping
         self._segments = (seg_dir, n_parts, {int(r["pid"]) for r in rows})
+        self._seg_decoded = decoded
         return int(sum(r["n"] for r in rows))
 
     def _partial_segments(self, q_ids, Q, qid_type, cell2q, k: int) -> DataFrame:
@@ -593,7 +607,17 @@ class IvfBatchKnnIndex:
                     starts = np.load(f"{seg_dir}/starts_{pid}.npy")
                     ids = np.load(f"{seg_dir}/ids_{pid}.npy", mmap_mode="r")
                     nsq = np.load(f"{seg_dir}/nsq_{pid}.npy", mmap_mode="r")
-                    codes = np.load(f"{seg_dir}/codes_{pid}.npy", mmap_mode="r")
+                    try:
+                        # decoded float32 tier: BLAS reads the mmap
+                        # directly, no per-query uint8 cast; page cache
+                        # shares one copy across every worker
+                        codes = np.load(f"{seg_dir}/codes32_{pid}.npy",
+                                        mmap_mode="r")
+                        pre_decoded = True
+                    except FileNotFoundError:
+                        codes = np.load(f"{seg_dir}/codes_{pid}.npy",
+                                        mmap_mode="r")
+                        pre_decoded = False
                     acc_d: list[list[np.ndarray]] = [[] for _ in range(nq)]
                     acc_i: list[list[np.ndarray]] = [[] for _ in range(nq)]
                     for ci, cell in enumerate(cells):
@@ -601,8 +625,10 @@ class IvfBatchKnnIndex:
                         if qidx is None or len(qidx) == 0:
                             continue
                         s, e = int(starts[ci]), int(starts[ci + 1])
+                        block = codes[s:e] if pre_decoded \
+                            else np.asarray(codes[s:e])
                         Dk, Ik = _score_cell_block(
-                            np.asarray(codes[s:e]), ids[s:e], nsq[s:e],
+                            block, ids[s:e], nsq[s:e],
                             qidx, SQ, base[int(cell)], qsq, metric, kk)
                         for j, qi in enumerate(qidx):
                             acc_d[qi].append(Dk[:, j])
@@ -833,9 +859,15 @@ class IvfBatchKnnIndex:
             if cells.size == 0:
                 continue
             starts = np.load(f"{seg_dir}/starts_{pid}.npy")
+            try:
+                codes = np.load(f"{seg_dir}/codes32_{pid}.npy",
+                                mmap_mode="r")  # decoded tier
+            except FileNotFoundError:
+                codes = np.load(f"{seg_dir}/codes_{pid}.npy",
+                                mmap_mode="r")
             seg = (np.load(f"{seg_dir}/ids_{pid}.npy", mmap_mode="r"),
                    np.load(f"{seg_dir}/nsq_{pid}.npy", mmap_mode="r"),
-                   np.load(f"{seg_dir}/codes_{pid}.npy", mmap_mode="r"))
+                   codes)
             si = len(segs)
             segs.append(seg)
             for ci, cell in enumerate(cells):
@@ -909,18 +941,23 @@ class IvfBatchKnnIndex:
                 continue
             si, s, e = hit
             ids, nsq, codes = segs[si]
-            key = (si, s, e)
-            Cf = self._cellf32.get(key)
-            if Cf is None:
-                Cf = np.asarray(codes[s:e]).astype(np.float32)
-                budget = self.serving_cache_mb * 1024 * 1024
-                if Cf.nbytes <= budget:
-                    while self._cellf32_bytes + Cf.nbytes > budget \
-                            and self._cellf32:
-                        _, old = self._cellf32.popitem()
-                        self._cellf32_bytes -= old.nbytes
-                    self._cellf32[key] = Cf
-                    self._cellf32_bytes += Cf.nbytes
+            if codes.dtype == np.float32:
+                # decoded segment tier (pin_segments(decoded=True)):
+                # BLAS reads the page-cached mmap directly
+                Cf = codes[s:e]
+            else:
+                key = (si, s, e)
+                Cf = self._cellf32.get(key)
+                if Cf is None:
+                    Cf = np.asarray(codes[s:e]).astype(np.float32)
+                    budget = self.serving_cache_mb * 1024 * 1024
+                    if Cf.nbytes <= budget:
+                        while self._cellf32_bytes + Cf.nbytes > budget \
+                                and self._cellf32:
+                            _, old = self._cellf32.popitem()
+                            self._cellf32_bytes -= old.nbytes
+                        self._cellf32[key] = Cf
+                        self._cellf32_bytes += Cf.nbytes
             Dk, Ik = _score_cell_block(
                 Cf, ids[s:e], nsq[s:e],
                 qidx, SQ, base[int(cell)], qsq, self.metric, fetch)
@@ -1068,11 +1105,13 @@ class IvfBatchKnnIndex:
 
             old_dir = self._segments[0]
             was_tmp = self._seg_tmp
+            was_decoded = getattr(self, "_seg_decoded", False)
             self._segments = None
             self._seg_tmp = False
             # wipe stale segment files (partition count may shrink)
             shutil.rmtree(old_dir, ignore_errors=True)
-            self.pin_segments(None if was_tmp else old_dir)
+            self.pin_segments(None if was_tmp else old_dir,
+                              decoded=was_decoded)
         self.n_main = n
         return {"merged_rows": merged_rows, "deleted": deleted,
                 "main_rows": n, "repinned_segments": was_pinned}

@@ -601,7 +601,7 @@ class RestServer:
             idx = IvfBatchKnnIndex(
                 c.df(), nlist=nlist, vector_col=c.vector_col,
                 id_col=c.id_col, metric=metric)
-            idx.pin_segments()
+            idx.pin_segments(decoded=bool(b.get("decoded", True)))
             self._indexes[name] = (idx, nprobe)
         return {"built": name, "nlist": idx.nlist, "nprobe": nprobe,
                 "rows": n, "metric": metric}

@@ -326,3 +326,15 @@ def test_embedding_neardup_is_distributed(spark, embeddings):
     # never the full table
     assert all(s <= 8 for s in sizes)
     assert plan.count() > 0  # and the lazy plan still executes
+
+
+def test_simhash_md5_impl_same_semantics(spark, docs):
+    """The oracle-checkable md5 tier (round 5) runs the identical
+    banding/hamming algorithm over a different hash family: invariants
+    (identical text -> hamming 0; unrelated text absent) hold, and the
+    near-duplicate paragraph pair survives the hash swap."""
+    pairs = {(r["id1"], r["id2"]): r["hamming"] for r in
+             simhash_candidates(docs, id_col="id", max_hamming=10,
+                                impl="md5").collect()}
+    assert pairs[(1, 4)] == 0
+    assert (3, 5) not in pairs

@@ -402,3 +402,31 @@ def test_search_one_matches_search_local(spark, clustered, tmp_path):
                             nprobe=4)
     assert [i for i, _ in got] == list(want["id"])
     idx.unpersist()
+
+
+def test_decoded_segment_tier_identical(spark, clustered, tmp_path):
+    """pin_segments(decoded=True) writes a float32 tier; both the
+    distributed batch path and search_one serve from it with results
+    identical to the uint8 tier."""
+    import numpy as np
+
+    df, _, queries = clustered
+    q_ids = list(range(len(queries)))
+    a = IvfBatchKnnIndex(df, nlist=N_CLUSTERS, vector_col="vector",
+                         id_col="id", metric="cosine", seed=3)
+    a.pin_segments(str(tmp_path / "u8"))
+    b = IvfBatchKnnIndex(df, nlist=N_CLUSTERS, vector_col="vector",
+                         id_col="id", metric="cosine", seed=3)
+    b.pin_segments(str(tmp_path / "f32"), decoded=True)
+    import os
+    assert any(f.startswith("codes32_")
+               for f in os.listdir(tmp_path / "f32"))
+    ra = a.search_local((q_ids, queries), k=10, nprobe=4)
+    rb = b.search_local((q_ids, queries), k=10, nprobe=4)
+    assert list(ra["id"]) == list(rb["id"])
+    assert np.allclose(ra["distance"], rb["distance"], atol=1e-9)
+    for qi in (0, 5):
+        ga = a.search_one(queries[qi], k=10, nprobe=4)
+        gb = b.search_one(queries[qi], k=10, nprobe=4)
+        assert ga == gb
+    a.unpersist(); b.unpersist()
