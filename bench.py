@@ -168,6 +168,15 @@ def main() -> None:
         ivf_recall += len(e & a) / 10.0
     ivf_recall = round(ivf_recall / len(q_ids), 4)
 
+    # driver-local batch serving (search_many_local): the whole batch
+    # answered in-process over the pinned decoded segments — the
+    # apples-to-apples shape for the reference's in-process batch
+    # number.  Result-identical to search_local (pytest-pinned).
+    ivf_idx.search_many_local((q_ids, Q384), k=10, nprobe=6)  # warm
+    run("batch_knn_1M384_ivf_local_100q",
+        lambda: ivf_idx.search_many_local((q_ids, Q384), k=10, nprobe=6),
+        repeats=5)
+
     # single-query ONLINE serving (the reference's 3.2 ms p50 row,
     # README.md:78-82): search_one answers one query driver-local over
     # the pinned mmap segments — no Spark job in the loop.  Timed as
@@ -264,6 +273,8 @@ def main() -> None:
             timings["batch_knn_1M384_100q"] * 10.0, 2),
         "batch_knn_1M384_ivf_ms_per_query": round(
             timings["batch_knn_1M384_ivf_100q"] * 10.0, 2),
+        "batch_knn_1M384_ivf_local_ms_per_query": round(
+            timings["batch_knn_1M384_ivf_local_100q"] * 10.0, 3),
         "batch_knn_1M384_ivf_recall_at_10": ivf_recall,
         "knn_single_1M384_ms_per_query": round(
             timings["knn_single_1M384_local_100q"] * 10.0, 3),

@@ -907,6 +907,100 @@ class IvfBatchKnnIndex:
         self._drv_delta = (ver, out)
         return out
 
+    def search_many_local(self, queries, k: int = 10, nprobe: int = 16):
+        """Driver-local BATCH serving over the pinned segments: the
+        whole query batch is answered in-process — per-cell query
+        grouping (one sgemm per probed cell against the queries that
+        probe it), no Spark job, no per-query loop.  This is the
+        apples-to-apples shape for the reference's in-process batch
+        number (its HNSW answers batches from process memory too); the
+        distributed `search`/`search_local` paths remain the
+        cluster-wide variants for corpora that outgrow one node's
+        storage bandwidth.  Returns a pandas DataFrame
+        (query_id, id, distance, rank) like search_local."""
+        import pandas as pd
+
+        segs, cell_dir = self._driver_cache()
+        q_ids, Q, _, cell2q, probes = self._prep_queries(queries, nprobe)
+        SQ = np.ascontiguousarray(self.step[:, None] * Q.T,
+                                  dtype=np.float32)
+        base = np.ascontiguousarray(
+            (self.centroids @ Q.T) + (self.mn @ Q.T)[None, :],
+            dtype=np.float32)
+        qsq = (Q * Q).sum(axis=1).astype(np.float32)
+        q_arr = np.asarray(q_ids)
+        nq = len(q_ids)
+        fetch = self._fetch_k(k)
+
+        def run(cell_iter, acc_d, acc_i):
+            for block, ids_cell, nsq_cell, cell, qidx in cell_iter:
+                Dk, Ik = _score_cell_block(
+                    block, ids_cell, nsq_cell, qidx, SQ,
+                    base[int(cell)], qsq, self.metric, fetch)
+                for j, qi in enumerate(qidx):
+                    acc_d[qi].append(Dk[:, j])
+                    acc_i[qi].append(Ik[:, j])
+
+        def main_cells():
+            for cell in np.unique(probes.ravel()):
+                qidx = cell2q[int(cell)]
+                hit = cell_dir.get(int(cell))
+                if qidx is None or len(qidx) == 0 or hit is None:
+                    continue
+                si, s, e = hit
+                ids, nsq, codes = segs[si]
+                block = codes[s:e] if codes.dtype == np.float32 \
+                    else np.asarray(codes[s:e])
+                yield block, ids[s:e], nsq[s:e], cell, qidx
+
+        acc_d: list[list] = [[] for _ in range(nq)]
+        acc_i: list[list] = [[] for _ in range(nq)]
+        run(main_cells(), acc_d, acc_i)
+        reduced = _partition_topk(acc_d, acc_i, q_arr, fetch)
+        frames = []
+        if reduced is not None:
+            main_pdf = pd.DataFrame({"query_id": reduced[0],
+                                     self.id_col: reduced[1],
+                                     "distance": reduced[2]})
+            # the MAIN scan masks tombstones AND superseded ids (the
+            # delta holds the only live copy of a superseded id)
+            main_mask = self._tombstones | self._superseded
+            if main_mask:
+                main_pdf = main_pdf[
+                    ~main_pdf[self.id_col].isin(main_mask)]
+            frames.append(main_pdf)
+        delta = self._driver_delta()
+        if delta is not None:
+            d_ids, d_cent, d_nsq, d_codes = delta
+            sel = np.isin(d_cent, probes.ravel())
+            if self._tombstones:
+                sel &= ~np.isin(d_ids, list(self._tombstones))
+            dacc_d: list[list] = [[] for _ in range(nq)]
+            dacc_i: list[list] = [[] for _ in range(nq)]
+            run(((d_codes[m], d_ids[m], d_nsq[m], cell,
+                  cell2q[int(cell)])
+                 for cell in np.unique(d_cent[sel])
+                 if cell2q[int(cell)] is not None
+                 and len(cell2q[int(cell)]) > 0
+                 for m in [sel & (d_cent == cell)]),
+                dacc_d, dacc_i)
+            dreduced = _partition_topk(dacc_d, dacc_i, q_arr, fetch)
+            if dreduced is not None:
+                frames.append(pd.DataFrame(
+                    {"query_id": dreduced[0], self.id_col: dreduced[1],
+                     "distance": dreduced[2]}))
+        if not frames:
+            return pd.DataFrame(
+                {"query_id": [], self.id_col: [], "distance": [],
+                 "rank": []})
+        pdf = pd.concat(frames, ignore_index=True)
+        pdf = pdf.sort_values(["query_id", "distance", self.id_col],
+                              kind="mergesort", ignore_index=True)
+        pdf = pdf.groupby("query_id", sort=False).head(k) \
+                 .reset_index(drop=True)
+        pdf["rank"] = pdf.groupby("query_id", sort=False).cumcount() + 1
+        return pdf
+
     def search_one(self, query_vector, k: int = 10, nprobe: int = 16):
         """Millisecond single-query serving over the pinned segments —
         the reference's online path (README.md:78-82, 3.2 ms p50): no

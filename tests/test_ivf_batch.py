@@ -430,3 +430,32 @@ def test_decoded_segment_tier_identical(spark, clustered, tmp_path):
         gb = b.search_one(queries[qi], k=10, nprobe=4)
         assert ga == gb
     a.unpersist(); b.unpersist()
+
+
+def test_search_many_local_matches_search_local(spark, clustered, tmp_path):
+    """Driver-local batch serving: identical results to the
+    distributed search_local at the same nprobe, incl. after
+    incremental add/delete (mask semantics preserved)."""
+    import numpy as np
+
+    df, pts, queries = clustered
+    q_ids = list(range(len(queries)))
+    idx = IvfBatchKnnIndex(df, nlist=N_CLUSTERS, vector_col="vector",
+                           id_col="id", metric="cosine", seed=3)
+    idx.pin_segments(str(tmp_path / "segs"), decoded=True)
+    a = idx.search_local((q_ids, queries), k=10, nprobe=4)
+    b = idx.search_many_local((q_ids, queries), k=10, nprobe=4)
+    assert list(a["id"]) == list(b["id"])
+    assert np.allclose(a["distance"], b["distance"], atol=1e-9)
+    # upsert over a live main id: the stale main copy must not appear
+    victim = 0
+    new_vec = [float(-x) for x in pts[victim]]
+    idx.add(spark.createDataFrame([(victim, new_vec)],
+                                  "id long, vector array<float>"))
+    idx.delete([1])
+    a = idx.search_local((q_ids, queries), k=10, nprobe=N_CLUSTERS)
+    b = idx.search_many_local((q_ids, queries), k=10, nprobe=N_CLUSTERS)
+    assert list(a["id"]) == list(b["id"])
+    assert np.allclose(a["distance"], b["distance"], atol=1e-9)
+    assert 1 not in set(b["id"])
+    idx.unpersist()
