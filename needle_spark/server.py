@@ -421,6 +421,23 @@ class RestServer:
             raise _bad("'queries' must be a non-empty list of vectors")
         k = int(b.get("k", DEFAULT_K))
         metric = (b.get("distance") or c.metric).lower()
+        entry = self._indexes.get(m.group(1))
+        if entry is not None and not b.get("filter") \
+                and entry[0].metric == metric:
+            idx, nprobe = entry
+            import numpy as np
+
+            pdf = idx.search_many_local(
+                (list(range(len(queries))),
+                 np.asarray(queries, dtype=np.float64)),
+                k=k, nprobe=int(b.get("nprobe", nprobe)))
+            pages: list[list] = [[] for _ in range(len(queries))]
+            for r in pdf.itertuples(index=False):
+                d = float(r.distance)
+                pages[int(r.query_id)].append(
+                    {"id": getattr(r, c.id_col), "distance": d,
+                     "score": distance_to_score(d, metric)})
+            return {"results": pages, "served_by": "index"}
         qdf = self.db.spark.createDataFrame(
             [(i, [float(x) for x in qv]) for i, qv in enumerate(queries)],
             "query_id int, vector array<float>")

@@ -348,3 +348,26 @@ def test_estimate_benchmark_save(srv):
 
     assert call(srv, "POST", "/save", {}, expect=200)["saved"] is True
     call(srv, "DELETE", "/collections/est/index", expect=200)
+
+
+def test_batch_search_served_by_index(srv):
+    import math
+    call(srv, "POST", "/collections",
+         {"name": "bidx", "dimensions": 3}, expect=201)
+    call(srv, "POST", "/collections/bidx/vectors/batch",
+         {"vectors": [{"id": f"v{i}",
+                       "vector": [math.cos(i), math.sin(i), 1.0]}
+                      for i in range(40)]}, expect=201)
+    slow = call(srv, "POST", "/collections/bidx/search/batch",
+                {"queries": [[math.cos(3), math.sin(3), 1.0],
+                             [math.cos(9), math.sin(9), 1.0]], "k": 2})
+    assert "served_by" not in slow
+    built = call(srv, "POST", "/collections/bidx/index", {}, expect=200)
+    fast = call(srv, "POST", "/collections/bidx/search/batch",
+                {"queries": [[math.cos(3), math.sin(3), 1.0],
+                             [math.cos(9), math.sin(9), 1.0]], "k": 2,
+                 "nprobe": built["nlist"]})
+    assert fast["served_by"] == "index"
+    assert [p[0]["id"] for p in fast["results"]] == \
+        [p[0]["id"] for p in slow["results"]]
+    call(srv, "DELETE", "/collections/bidx/index", expect=200)

@@ -139,3 +139,47 @@ def test_sync_record_batch_large_path(spark):
     ts = sorted(r["timestamp"] for r in eng._ops.collect())
     assert ts == list(range(1, 301))
     assert eng.clock.get("nodeA") == 300
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(n=st.integers(min_value=1, max_value=400),
+       parts=st.integers(min_value=1, max_value=16),
+       threshold=st.sampled_from([0, 37, 100_000]))
+def test_row_number_property(spark, n, parts, threshold):
+    """Contiguity + uniqueness hold for arbitrary sizes, partition
+    counts, and both code paths (threshold 0 forces partition-offset,
+    100k forces the single window)."""
+    df = spark.range(n).repartition(parts).selectExpr("string(id) AS id")
+    out, cache = distributed_row_number(
+        df, [F.col("id").asc()], n, threshold=threshold)
+    seqs = sorted(r["__rn"] for r in out.collect())
+    if cache is not None:
+        cache.unpersist()
+    assert seqs == list(range(1, n + 1))
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(st.integers(min_value=-50, max_value=50),
+                     min_size=1, max_size=200),
+       threshold=st.sampled_from([0, 100_000]))
+def test_cumsum_property(spark, vals, threshold):
+    """The distributed running total equals the sorted-prefix-sum
+    reference at every value boundary, on both code paths."""
+    df = spark.createDataFrame([(float(v), 1) for v in vals],
+                               "v double, w int").repartition(7)
+    out, cache = distributed_cumsum(df, "v", ["w"], len(vals),
+                                    threshold=threshold)
+    got = {r["v"]: r["m"] for r in
+           out.groupBy("v").agg(F.max("__cum_w").alias("m")).collect()}
+    if cache is not None:
+        cache.unpersist()
+    svals = sorted(vals)
+    import bisect
+    want = {float(v): bisect.bisect_right(svals, v) for v in set(vals)}
+    assert got == want
