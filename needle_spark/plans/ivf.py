@@ -305,6 +305,7 @@ class IvfBatchKnnIndex:
         sample_rows: int = 65536,
         persist: bool = True,
         cluster_partitions: int | None = None,
+        meta_cols: Sequence[str] = (),
     ):
         m = metric.lower()
         if m in ("l2",):
@@ -317,6 +318,11 @@ class IvfBatchKnnIndex:
         self.id_col = id_col
         self.nlist = nlist
         self.seed = seed
+        # metadata columns carried through encode + pinned next to the
+        # segments: the filtered-serving path (search_one/_many_local
+        # `where=`) evaluates predicates on these DURING the scan —
+        # the reference's filter-during-ANN-walk shape
+        self.meta_cols = tuple(meta_cols)
 
         # -- fit: centroids + residual quantizer params, on a bounded sample
         sample_df = docs.select(vector_col)
@@ -410,12 +416,15 @@ class IvfBatchKnnIndex:
         vector_col, id_col = self.vector_col, self.id_col
         dim = self.dim
 
+        meta_cols = self.meta_cols
         id_type = docs.schema[id_col].dataType
         out_schema = T.StructType([
             T.StructField(id_col, id_type),
             T.StructField("centroid_id", T.IntegerType()),
             T.StructField("norm_sq", T.FloatType()),
             T.StructField(self.CODE_COL, T.BinaryType()),
+            *[T.StructField(mc, docs.schema[mc].dataType)
+              for mc in meta_cols],
         ])
         from pyspark.sql.pandas.types import to_arrow_schema
         arrow_schema = to_arrow_schema(out_schema)
@@ -450,11 +459,14 @@ class IvfBatchKnnIndex:
                         pa.array(assign, type=pa.int32()),
                         pa.array(nsq.astype(np.float32), type=pa.float32()),
                         code_arr,
+                        *[batch.column(names.index(mc))
+                          for mc in meta_cols],
                     ],
                     schema=arrow_schema,
                 )
 
-        return docs.select(id_col, vector_col).mapInArrow(kernel, out_schema)
+        return docs.select(id_col, vector_col, *meta_cols).mapInArrow(
+            kernel, out_schema)
 
     def to_partitioned_parquet(self, path: str) -> None:
         """Lay the codes out partitioned by centroid_id: the at-rest form
@@ -504,6 +516,7 @@ class IvfBatchKnnIndex:
         n_parts = self.codes.rdd.getNumPartitions()
         dim = self.dim
         id_col, code_col = self.id_col, self.CODE_COL
+        meta_cols = self.meta_cols
 
         def write_part(batches) -> Iterator:
             import pyarrow as pa
@@ -511,6 +524,7 @@ class IvfBatchKnnIndex:
 
             pid = TaskContext.get().partitionId()
             ids_l, cent_l, nsq_l, code_l = [], [], [], []
+            meta_l: dict[str, list] = {mc: [] for mc in meta_cols}
             for batch in batches:
                 if batch.num_rows == 0:
                     continue
@@ -519,14 +533,19 @@ class IvfBatchKnnIndex:
                 cent_l.append(batch.column(names.index("centroid_id")).to_numpy(zero_copy_only=False))
                 nsq_l.append(batch.column(names.index("norm_sq")).to_numpy(zero_copy_only=False))
                 code_l.append(_bytes_matrix_from_arrow(batch.column(names.index(code_col)), dim))
+                for mc in meta_cols:
+                    meta_l[mc].append(batch.column(names.index(mc))
+                                      .to_numpy(zero_copy_only=False))
             if ids_l:
                 ids = np.concatenate(ids_l)
                 cent = np.concatenate(cent_l).astype(np.int64)
                 nsq = np.concatenate(nsq_l).astype(np.float32)
                 codes = np.concatenate(code_l, axis=0) if len(code_l) > 1 else code_l[0]
+                metas = {mc: np.concatenate(meta_l[mc]) for mc in meta_cols}
                 if not (np.diff(cent) >= 0).all():
                     order = np.argsort(cent, kind="stable")
                     ids, cent, nsq, codes = ids[order], cent[order], nsq[order], codes[order]
+                    metas = {mc: v[order] for mc, v in metas.items()}
                 if ids.dtype == object:  # string ids -> fixed-width unicode (mmap-able)
                     ids = np.asarray(ids, dtype=str)
                 cells, starts = np.unique(cent, return_index=True)
@@ -538,6 +557,7 @@ class IvfBatchKnnIndex:
                 codes = np.empty((0, dim), dtype=np.uint8)
                 cells = np.empty(0, dtype=np.int64)
                 starts = np.zeros(1, dtype=np.int64)
+                metas = {mc: np.empty(0) for mc in meta_cols}
                 n = 0
             np.save(f"{seg_dir}/ids_{pid}.npy", ids)
             np.save(f"{seg_dir}/nsq_{pid}.npy", nsq)
@@ -547,6 +567,10 @@ class IvfBatchKnnIndex:
                         np.ascontiguousarray(codes, dtype=np.float32))
             np.save(f"{seg_dir}/cells_{pid}.npy", cells)
             np.save(f"{seg_dir}/starts_{pid}.npy", starts)
+            for mc, v in metas.items():
+                if v.dtype == object:  # strings -> fixed-width unicode
+                    v = np.asarray(v, dtype=str)
+                np.save(f"{seg_dir}/meta_{mc}_{pid}.npy", v)
             yield pa.RecordBatch.from_arrays(
                 [pa.array([pid], type=pa.int32()), pa.array([n], type=pa.int64())],
                 names=["pid", "n"])
@@ -865,9 +889,14 @@ class IvfBatchKnnIndex:
             except FileNotFoundError:
                 codes = np.load(f"{seg_dir}/codes_{pid}.npy",
                                 mmap_mode="r")
+            metas = {
+                mc: np.load(f"{seg_dir}/meta_{mc}_{pid}.npy",
+                            mmap_mode="r")
+                for mc in self.meta_cols
+            }
             seg = (np.load(f"{seg_dir}/ids_{pid}.npy", mmap_mode="r"),
                    np.load(f"{seg_dir}/nsq_{pid}.npy", mmap_mode="r"),
-                   codes)
+                   codes, metas)
             si = len(segs)
             segs.append(seg)
             for ci, cell in enumerate(cells):
@@ -892,7 +921,8 @@ class IvfBatchKnnIndex:
             import pandas as pd  # noqa: F401
 
             pdf = self._delta.select(
-                self.id_col, "centroid_id", "norm_sq", self.CODE_COL
+                self.id_col, "centroid_id", "norm_sq", self.CODE_COL,
+                *self.meta_cols,
             ).toPandas()
             if len(pdf) == 0:
                 out = None
@@ -903,11 +933,49 @@ class IvfBatchKnnIndex:
                     pdf["norm_sq"].to_numpy(dtype=np.float32),
                     np.asarray([np.frombuffer(b, dtype=np.uint8)
                                 for b in pdf[self.CODE_COL]]),
+                    {mc: pdf[mc].to_numpy() for mc in self.meta_cols},
                 )
         self._drv_delta = (ver, out)
         return out
 
-    def search_many_local(self, queries, k: int = 10, nprobe: int = 16):
+    @staticmethod
+    def _where_mask(metas: dict, where: dict, s: int = None,
+                    e: int = None):
+        """Evaluate a conjunctive predicate over pinned metadata
+        arrays (sliced [s:e] when given).  Per column: bare value or
+        {"$eq"}, {"$in"}, {"$gt"/"$gte"/"$lt"/"$lte"} — the shapes the
+        reference's filtered ANN search evaluates during its walk."""
+        mask = None
+        for col, spec in where.items():
+            if col not in metas:
+                raise ValueError(
+                    f"column {col!r} is not pinned; build the index "
+                    f"with meta_cols=[{col!r}] for filtered serving")
+            vals = np.asarray(metas[col] if s is None else metas[col][s:e])
+            if not isinstance(spec, dict):
+                m = vals == spec
+            else:
+                m = np.ones(len(vals), dtype=bool)
+                for op, arg in spec.items():
+                    if op == "$eq":
+                        m &= vals == arg
+                    elif op == "$in":
+                        m &= np.isin(vals, list(arg))
+                    elif op == "$gte":
+                        m &= vals >= arg
+                    elif op == "$lte":
+                        m &= vals <= arg
+                    elif op == "$gt":
+                        m &= vals > arg
+                    elif op == "$lt":
+                        m &= vals < arg
+                    else:
+                        raise ValueError(f"unsupported where op {op!r}")
+            mask = m if mask is None else (mask & m)
+        return mask
+
+    def search_many_local(self, queries, k: int = 10, nprobe: int = 16,
+                          where: dict | None = None):
         """Driver-local BATCH serving over the pinned segments: the
         whole query batch is answered in-process — per-cell query
         grouping (one sgemm per probed cell against the queries that
@@ -948,10 +1016,25 @@ class IvfBatchKnnIndex:
                 if qidx is None or len(qidx) == 0 or hit is None:
                     continue
                 si, s, e = hit
-                ids, nsq, codes = segs[si]
+                ids, nsq, codes, metas = segs[si]
+                ids_c, nsq_c = ids[s:e], nsq[s:e]
+                if where:
+                    # filter DURING the scan: only matching rows are
+                    # decoded/scored (10% selectivity -> ~10% of the
+                    # sgemm), the reference's filtered-ANN shape
+                    wm = self._where_mask(metas, where, s, e)
+                    if wm is not None and not wm.all():
+                        if not wm.any():
+                            continue
+                        block = np.asarray(codes[s:e])[wm]
+                        if block.dtype != np.float32:
+                            block = block.astype(np.float32)
+                        yield block, np.asarray(ids_c)[wm], \
+                            np.asarray(nsq_c)[wm], cell, qidx
+                        continue
                 block = codes[s:e] if codes.dtype == np.float32 \
                     else np.asarray(codes[s:e])
-                yield block, ids[s:e], nsq[s:e], cell, qidx
+                yield block, ids_c, nsq_c, cell, qidx
 
         acc_d: list[list] = [[] for _ in range(nq)]
         acc_i: list[list] = [[] for _ in range(nq)]
@@ -971,10 +1054,14 @@ class IvfBatchKnnIndex:
             frames.append(main_pdf)
         delta = self._driver_delta()
         if delta is not None:
-            d_ids, d_cent, d_nsq, d_codes = delta
+            d_ids, d_cent, d_nsq, d_codes, d_metas = delta
             sel = np.isin(d_cent, probes.ravel())
             if self._tombstones:
                 sel &= ~np.isin(d_ids, list(self._tombstones))
+            if where:
+                wm = self._where_mask(d_metas, where)
+                if wm is not None:
+                    sel &= wm
             dacc_d: list[list] = [[] for _ in range(nq)]
             dacc_i: list[list] = [[] for _ in range(nq)]
             run(((d_codes[m], d_ids[m], d_nsq[m], cell,
@@ -1001,7 +1088,8 @@ class IvfBatchKnnIndex:
         pdf["rank"] = pdf.groupby("query_id", sort=False).cumcount() + 1
         return pdf
 
-    def search_one(self, query_vector, k: int = 10, nprobe: int = 16):
+    def search_one(self, query_vector, k: int = 10, nprobe: int = 16,
+                   where: dict | None = None):
         """Millisecond single-query serving over the pinned segments —
         the reference's online path (README.md:78-82, 3.2 ms p50): no
         Spark job, no collect; probe-cell selection, per-cell SQ8
@@ -1013,6 +1101,15 @@ class IvfBatchKnnIndex:
         DataFrame `search` path remains the cluster-wide variant.
 
         Returns [(id, distance), ...] sorted ascending, length <= k."""
+        if where:
+            # filtered serving shares the batch path's during-scan
+            # predicate evaluation over the pinned metadata arrays
+            pdf = self.search_many_local(
+                ([0], np.asarray(query_vector, dtype=np.float64)
+                 .reshape(1, -1)), k=k, nprobe=nprobe, where=where)
+            return [(i if not hasattr(i, "item") else i.item(),
+                     float(d))
+                    for i, d in zip(pdf[self.id_col], pdf["distance"])]
         segs, cell_dir = self._driver_cache()
         q = np.asarray(query_vector, dtype=np.float64).reshape(1, -1)
         if self.metric == "cosine":
@@ -1034,7 +1131,7 @@ class IvfBatchKnnIndex:
             if hit is None:
                 continue
             si, s, e = hit
-            ids, nsq, codes = segs[si]
+            ids, nsq, codes, _metas = segs[si]
             if codes.dtype == np.float32:
                 # decoded segment tier (pin_segments(decoded=True)):
                 # BLAS reads the page-cached mmap directly
@@ -1065,7 +1162,7 @@ class IvfBatchKnnIndex:
             cand_d, cand_i = [di[keep]], [ii[keep]]
         delta = self._driver_delta()
         if delta is not None:
-            d_ids, d_cent, d_nsq, d_codes = delta
+            d_ids, d_cent, d_nsq, d_codes, _d_metas = delta
             sel = np.isin(d_cent, probes)
             if self._tombstones:
                 sel &= ~np.isin(d_ids, list(self._tombstones))

@@ -459,3 +459,53 @@ def test_search_many_local_matches_search_local(spark, clustered, tmp_path):
     assert np.allclose(a["distance"], b["distance"], atol=1e-9)
     assert 1 not in set(b["id"])
     idx.unpersist()
+
+
+def test_filtered_serving_where(spark, clustered, tmp_path):
+    """Filtered serving (the reference's filter-during-ANN shape):
+    predicates over pinned metadata columns evaluate during the scan,
+    every hit satisfies the filter, and full-probe results match the
+    numpy brute-force filtered top-k (SQ8-level agreement)."""
+    import numpy as np
+
+    df, pts, queries = clustered
+    labeled = df.withColumn("label", (F.col("id") % 10).cast("int"))
+    idx = IvfBatchKnnIndex(labeled, nlist=N_CLUSTERS, vector_col="vector",
+                           id_col="id", metric="cosine", seed=3,
+                           meta_cols=["label"])
+    idx.pin_segments(str(tmp_path / "segs"), decoded=True)
+    q = queries[0]
+    got = idx.search_one(q, k=10, nprobe=N_CLUSTERS,
+                         where={"label": {"$in": [3, 4]}})
+    assert len(got) == 10
+    assert all(i % 10 in (3, 4) for i, _ in got)
+    # numpy brute force over the filtered subset (cosine)
+    P = pts.astype(np.float32).astype(np.float64)
+    P = P / np.linalg.norm(P, axis=1, keepdims=True)
+    qn = np.asarray(q) / np.linalg.norm(q)
+    d = 1.0 - P @ qn
+    allowed = np.array([i % 10 in (3, 4) for i in range(len(P))])
+    true10 = set(np.argsort(np.where(allowed, d, np.inf),
+                            kind="stable")[:10].tolist())
+    assert len(true10 & {i for i, _ in got}) >= 9  # SQ8-only error
+    # range predicate + batch path agree with per-query calls
+    pdf = idx.search_many_local(([0, 1], queries[:2]), k=5,
+                                nprobe=N_CLUSTERS,
+                                where={"label": {"$gte": 5}})
+    assert set(pdf["id"] % 10) <= {5, 6, 7, 8, 9}
+    one = idx.search_one(queries[1], k=5, nprobe=N_CLUSTERS,
+                         where={"label": {"$gte": 5}})
+    assert [i for i, _ in one] == list(pdf[pdf.query_id == 1]["id"])
+    # delta rows respect the filter too
+    idx.add(spark.createDataFrame(
+        [(50_003, [float(x) for x in q], 3),
+         (50_007, [float(x) for x in q], 7)],
+        "id long, vector array<float>, label int"))
+    got = idx.search_one(q, k=3, nprobe=N_CLUSTERS,
+                         where={"label": 3})
+    assert 50_003 in [i for i, _ in got]
+    assert 50_007 not in [i for i, _ in got]
+    # unpinned column -> loud error
+    with pytest.raises(ValueError, match="not pinned"):
+        idx.search_one(q, k=3, where={"missing": 1})
+    idx.unpersist()
