@@ -210,12 +210,23 @@ def main() -> None:
     # recall measured against the same exact top-10.
     ivf_idx.search_one(Q384[0], k=10, nprobe=6)  # warm the driver cache
     single_best = float("inf")
+    best_lat: list[float] = []
     for _ in range(3):
+        lat = []
         t0 = time.perf_counter()
         for qi in range(len(q_ids)):
+            tq = time.perf_counter()
             ivf_idx.search_one(Q384[qi], k=10, nprobe=6)
-        single_best = min(single_best, time.perf_counter() - t0)
+            lat.append(time.perf_counter() - tq)
+        elapsed = time.perf_counter() - t0
+        if elapsed < single_best:
+            single_best, best_lat = elapsed, lat
     timings["knn_single_1M384_local_100q"] = round(single_best, 4)
+    best_lat.sort()
+    single_p50 = round(best_lat[len(best_lat) // 2] * 1000.0, 3)
+    single_p99 = round(
+        best_lat[min(len(best_lat) - 1, int(len(best_lat) * 0.99))]
+        * 1000.0, 3)
     single_recall = 0.0
     for qi, qid in enumerate(q_ids):
         e = set(exact_1m[exact_1m.query_id == qid].vec_id)
@@ -307,6 +318,8 @@ def main() -> None:
         "batch_knn_1M384_ivf_recall_at_10": ivf_recall,
         "knn_single_1M384_ms_per_query": round(
             timings["knn_single_1M384_local_100q"] * 10.0, 3),
+        "knn_single_1M384_p50_ms": single_p50,
+        "knn_single_1M384_p99_ms": single_p99,
         "knn_single_1M384_recall_at_10": single_recall,
         "knn_filtered_1M384_ms_per_query": round(
             timings["knn_filtered_1M384_local_100q"] * 10.0, 3),

@@ -81,6 +81,7 @@ class RestServer:
         # name -> (IvfBatchKnnIndex, default_nprobe): serving indexes
         # maintained incrementally by the REST write path
         self._indexes: dict[str, tuple[Any, int]] = {}
+        self._index_fields: dict[str, list[str]] = {}
         self._ql_executor = None
         self._routes: list[tuple[str, re.Pattern, Callable]] = []
         self._register_routes()
@@ -378,13 +379,20 @@ class RestServer:
         # POST .../index answers unfiltered searches in milliseconds
         # (search_one over pinned segments, incremental delta merged)
         entry = self._indexes.get(m.group(1))
+        flt = b.get("filter")
+        where = self._index_where(m.group(1), flt) if entry else None
         if (entry is not None and cursor is None
-                and not b.get("filter") and not b.get("post_filter")
+                and (not flt or where is not None)
+                and not b.get("post_filter")
                 and not b.get("include_vectors")
                 and entry[0].metric == metric):
             idx, nprobe = entry
+            # filtered searches probe wider: matching rows are sparse
+            # in each cell, so coverage needs more cells (bench-tuned)
+            default_np = nprobe * 8 if where else nprobe
             hits = idx.search_one(vec, k=k,
-                                  nprobe=int(b.get("nprobe", nprobe)))
+                                  nprobe=int(b.get("nprobe", default_np)),
+                                  where=where)
             return {"results": [
                 {"id": i, "distance": float(d),
                  "score": distance_to_score(float(d), metric)}
@@ -611,17 +619,26 @@ class RestServer:
         nlist = int(b.get("nlist") or max(1, min(256, int(n ** 0.5))))
         nprobe = int(b.get("nprobe", 8))
         metric = (b.get("distance") or c.metric).lower()
+        # meta_fields: metadata JSON fields pinned next to the segments
+        # (string-typed) so tag filters ($eq/$in) serve during the scan
+        fields = [str(f) for f in (b.get("meta_fields") or [])]
+        src = c.df()
+        for f in fields:
+            src = src.withColumn(
+                f"__mf_{f}", F.get_json_object("metadata", "$." + f))
         with self._mutate:
             old = self._indexes.pop(name, None)
             if old is not None:
                 old[0].unpersist()
             idx = IvfBatchKnnIndex(
-                c.df(), nlist=nlist, vector_col=c.vector_col,
-                id_col=c.id_col, metric=metric)
+                src, nlist=nlist, vector_col=c.vector_col,
+                id_col=c.id_col, metric=metric,
+                meta_cols=[f"__mf_{f}" for f in fields])
             idx.pin_segments(decoded=bool(b.get("decoded", True)))
             self._indexes[name] = (idx, nprobe)
+            self._index_fields[name] = fields
         return {"built": name, "nlist": idx.nlist, "nprobe": nprobe,
-                "rows": n, "metric": metric}
+                "rows": n, "metric": metric, "meta_fields": fields}
 
     def index_status(self, m, b, q) -> dict:
         name = m.group(1)
@@ -645,8 +662,11 @@ class RestServer:
     def _index_add(self, name: str, rows_df) -> None:
         entry = self._indexes.get(name)
         if entry is not None:
-            entry[0].add(rows_df.select(
-                F.col("id"), F.col("vector")))
+            for f in self._index_fields.get(name, []):
+                rows_df = rows_df.withColumn(
+                    f"__mf_{f}",
+                    F.get_json_object("metadata", "$." + f))
+            entry[0].add(rows_df)
 
     def _index_delete(self, name: str, ids: list) -> None:
         entry = self._indexes.get(name)
@@ -658,8 +678,33 @@ class RestServer:
         serving index rather than guess at its delta — status shows
         indexed:false and the client rebuilds."""
         entry = self._indexes.pop(name, None)
+        self._index_fields.pop(name, None)
         if entry is not None:
             entry[0].unpersist()
+
+    def _index_where(self, name: str, flt: dict | None) -> dict | None:
+        """Translate a metadata filter into a pinned-column `where`
+        when EVERY clause is a tag predicate ($eq / bare value / $in
+        with string args) on an indexed meta field; otherwise None (the
+        exact Spark path serves it).  Pinned values are strings
+        (get_json_object), so only string comparisons route here."""
+        if not flt:
+            return None
+        fields = set(self._index_fields.get(name, []))
+        out = {}
+        for key, spec in flt.items():
+            if key not in fields:
+                return None
+            if isinstance(spec, str):
+                out[f"__mf_{key}"] = {"$eq": spec}
+            elif (isinstance(spec, dict) and set(spec) <= {"$eq", "$in"}
+                  and all(isinstance(v, str) for v in
+                          ([spec.get("$eq")] if "$eq" in spec else [])
+                          + list(spec.get("$in") or []))):
+                out[f"__mf_{key}"] = spec
+            else:
+                return None
+        return out
 
     # -- text routes (built-in hash embeddings, auto_embed.rs parity) --
 

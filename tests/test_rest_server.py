@@ -371,3 +371,49 @@ def test_batch_search_served_by_index(srv):
     assert [p[0]["id"] for p in fast["results"]] == \
         [p[0]["id"] for p in slow["results"]]
     call(srv, "DELETE", "/collections/bidx/index", expect=200)
+
+
+def test_filtered_search_served_by_index(srv):
+    import math
+    call(srv, "POST", "/collections",
+         {"name": "fidx", "dimensions": 3}, expect=201)
+    call(srv, "POST", "/collections/fidx/vectors/batch",
+         {"vectors": [{"id": f"w{i}",
+                       "vector": [math.cos(i * .31), math.sin(i * .31), 1.0],
+                       "metadata": {"lang": "en" if i % 2 else "fr"}}
+                      for i in range(50)]}, expect=201)
+    built = call(srv, "POST", "/collections/fidx/index",
+                 {"meta_fields": ["lang"]}, expect=200)
+    assert built["meta_fields"] == ["lang"]
+    qv = [math.cos(7 * .31), math.sin(7 * .31), 1.0]
+    # tag filter routes through the index and only matching docs return
+    fast = call(srv, "POST", "/collections/fidx/search",
+                {"vector": qv, "k": 5, "filter": {"lang": "en"},
+                 "nprobe": built["nlist"]}, expect=200)
+    assert fast.get("served_by") == "index"
+    ids = [r["id"] for r in fast["results"]]
+    assert ids[0] == "w7" and all(int(i[1:]) % 2 for i in ids)
+    # agreement with the exact Spark path on the same filter
+    slow = call(srv, "POST", "/collections/fidx/search",
+                {"vector": qv, "k": 5, "filter": {"lang": "en"},
+                 "post_filter_factor": 1, "post_filter": None,
+                 "include_vectors": True})  # include_vectors forces exact
+    assert "served_by" not in slow
+    assert [r["id"] for r in slow["results"]] == ids
+    # unindexed field or non-tag spec falls back to the exact path
+    other = call(srv, "POST", "/collections/fidx/search",
+                 {"vector": qv, "k": 5, "filter": {"missing": "x"}})
+    assert "served_by" not in other
+    # incremental adds are filter-visible
+    call(srv, "POST", "/collections/fidx/vectors",
+         {"id": "new_en", "vector": qv, "metadata": {"lang": "en"}},
+         expect=201)
+    fast = call(srv, "POST", "/collections/fidx/search",
+                {"vector": qv, "k": 2, "filter": {"lang": "en"},
+                 "nprobe": built["nlist"]})
+    assert "new_en" in [r["id"] for r in fast["results"]]
+    fr = call(srv, "POST", "/collections/fidx/search",
+              {"vector": qv, "k": 50, "filter": {"lang": "fr"},
+               "nprobe": built["nlist"]})
+    assert "new_en" not in [r["id"] for r in fr["results"]]
+    call(srv, "DELETE", "/collections/fidx/index", expect=200)
