@@ -215,6 +215,58 @@ class Collection:
         _SEQ_PARALLEL_THRESHOLD keep the one-window plan (fewer jobs
         beats parallelism at that size).
         """
+        with self._commit_lock():
+            # adopt the latest on-disk manifest: another instance may
+            # have committed since this one was constructed.  The
+            # staged ops' DataFrames are self-contained (they carry
+            # their own rows / victim ids); tombstone positions are
+            # re-derived against the refreshed segment list inside
+            # _commit_locked, so they mask every earlier segment
+            # including concurrently-added ones.
+            self._manifest = self._read_manifest()
+            entry = self._commit_locked(ops, events, n_events, now_ms,
+                                        new_entry, event_counts)
+        # outside the lock: auto-compaction re-enters it via compact()
+        self._maybe_auto_compact(entry, manifest_only=new_entry is not None)
+
+    def _commit_lock(self):
+        """Cross-instance commit serialization: an exclusive flock on
+        <path>/.commit.lock.  Multiple Collection instances (one per
+        REST request, concurrent notebooks, ...) may target the same
+        collection; without this, two writers that both read obj_seq=K
+        would BOTH write seg-K (mode=overwrite clobbers the first — an
+        in-flight reader then hits FAILED_READ_FILE and the first
+        commit's rows are lost).  The reference is an embedded engine
+        whose RwLock gives this for free; flock is the cross-process
+        spelling.  Holders also re-read the manifest (see
+        _commit_locked), so version/obj_seq/cdc_seq allocation is
+        always against the latest committed state."""
+        import fcntl
+        from contextlib import contextmanager
+
+        @contextmanager
+        def lock():
+            with open(os.path.join(self.path, ".commit.lock"), "w") as f:
+                fcntl.flock(f, fcntl.LOCK_EX)
+                try:
+                    yield
+                finally:
+                    fcntl.flock(f, fcntl.LOCK_UN)
+
+        return lock()
+
+    def _commit_locked(
+        self,
+        ops: list[tuple[str, DataFrame]],
+        events: list[DataFrame],
+        n_events: int,
+        now_ms: int | None,
+        new_entry: dict | None = None,
+        event_counts: list[int] | None = None,
+    ) -> None:
+        # callers hold _commit_lock and have already adopted the
+        # freshest manifest (a refresh HERE would clobber object names
+        # allocated under the same lock hold by compact()/clear())
         m = self._manifest
         cur = dict(m["versions"][str(m["version"])])
         segments = list(cur["segments"])
@@ -264,7 +316,7 @@ class Collection:
         m["versions"][str(new_v)] = entry
         m["version"] = new_v
         self._write_manifest_static(self.path, m)
-        self._maybe_auto_compact(entry, manifest_only=new_entry is not None)
+        return entry
 
     # -------------------------------------------------- auto-compaction --
     def set_auto_compact(
@@ -571,14 +623,18 @@ class Collection:
         return n
 
     def clear(self, now_ms: int | None = None) -> None:
-        """Manifest-only truncate: the new version references no data."""
-        empty = self._new_obj("seg")
-        self.df().limit(0).write.mode("overwrite").parquet(
-            os.path.join(self.path, empty))
-        self._commit(
-            [], [self._literal_event("clear", "*")], 1, now_ms,
-            new_entry={"segments": [empty], "tombstones": []},
-        )
+        """Manifest-only truncate: the new version references no data.
+        The empty segment's name allocates INSIDE the commit lock —
+        a stale obj_seq would overwrite another writer's segment."""
+        with self._commit_lock():
+            self._manifest = self._read_manifest()
+            empty = self._new_obj("seg")
+            self.df().limit(0).write.mode("overwrite").parquet(
+                os.path.join(self.path, empty))
+            self._commit_locked(
+                [], [self._literal_event("clear", "*")], 1, now_ms,
+                new_entry={"segments": [empty], "tombstones": []},
+            )
 
     # ------------------------------------------------------ CDC / time --
     def cdc_events(self) -> DataFrame:
@@ -703,12 +759,14 @@ class Collection:
         CURRENT version under `name` — manifest-only, zero data copied
         (versions are immutable manifests here, so a snapshot is just a
         name -> version binding)."""
-        snaps = self._manifest.setdefault("snapshots", {})
-        if name in snaps:
-            raise CollectionError(f"snapshot already exists: {name}")
-        snaps[name] = self._manifest["version"]
-        self._write_manifest_static(self.path, self._manifest)
-        return snaps[name]
+        with self._commit_lock():
+            self._manifest = self._read_manifest()
+            snaps = self._manifest.setdefault("snapshots", {})
+            if name in snaps:
+                raise CollectionError(f"snapshot already exists: {name}")
+            snaps[name] = self._manifest["version"]
+            self._write_manifest_static(self.path, self._manifest)
+            return snaps[name]
 
     def list_snapshots(self) -> dict[str, int]:
         """snapshots.rs:56 — name -> version."""
@@ -723,11 +781,13 @@ class Collection:
         self.restore(snaps[name], now_ms=now_ms)
 
     def drop_snapshot(self, name: str) -> None:
-        snaps = self._manifest.get("snapshots", {})
-        if name not in snaps:
-            raise CollectionError(f"no such snapshot: {name}")
-        del snaps[name]
-        self._write_manifest_static(self.path, self._manifest)
+        with self._commit_lock():
+            self._manifest = self._read_manifest()
+            snaps = self._manifest.get("snapshots", {})
+            if name not in snaps:
+                raise CollectionError(f"no such snapshot: {name}")
+            del snaps[name]
+            self._write_manifest_static(self.path, self._manifest)
 
     def restore(self, version: int, now_ms: int | None = None) -> None:
         """Roll the collection back to an earlier snapshot as a NEW
@@ -787,17 +847,26 @@ class Collection:
         — replayed consumers would diverge from the compacted state.
         Expiry removal stays sweep_expired()'s job; lazy TTL filtering
         keeps hiding expired rows from reads either way."""
-        cur = self.df(include_expired=True)
-        if target_partitions:
-            cur = cur.coalesce(target_partitions)
-        name = self._new_obj("seg")
-        cur.write.mode("overwrite").parquet(os.path.join(self.path, name))
-        self._compacting = True
-        try:
-            self._commit([], [], 0, None,
-                         new_entry={"segments": [name], "tombstones": []})
-        finally:
-            self._compacting = False
+        with self._commit_lock():
+            # refresh first: the folded view must include every commit
+            # that landed since this instance was constructed, and the
+            # new segment's name must come from the current obj_seq
+            self._manifest = self._read_manifest()
+            cur = self.df(include_expired=True)
+            if target_partitions:
+                cur = cur.coalesce(target_partitions)
+            name = self._new_obj("seg")
+            cur.write.mode("overwrite").parquet(os.path.join(self.path, name))
+            self._compacting = True
+            try:
+                self._commit_locked(
+                    [], [], 0, None,
+                    new_entry={"segments": [name], "tombstones": []})
+            finally:
+                self._compacting = False
+            self._gc_locked(keep_versions)
+
+    def _gc_locked(self, keep_versions: int) -> None:
         m = self._manifest
         keep = set(sorted(int(v) for v in m["versions"])[-(keep_versions + 1):])
         keep.update(m.get("snapshots", {}).values())  # named snapshots survive GC

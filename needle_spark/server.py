@@ -115,6 +115,12 @@ class RestServer:
         r = self._route
         # server/mod.rs:462-469 collection CRUD
         r("GET", r"/health$", lambda m, b, q: {"status": "ok"})
+        r("GET", r"/$", lambda m, b, q: {
+            "name": "needle-spark", "status": "ok"})
+        r("GET", r"/info$", lambda m, b, q: {
+            "name": "needle-spark",
+            "collections": len(self.db.list_collections()),
+            "spark": self.db.spark.version})
         r("GET", r"/collections$", self.list_collections)
         r("POST", r"/collections$", self.create_collection)
         r("GET", r"/collections/([^/]+)$", self.get_collection)
@@ -123,7 +129,10 @@ class RestServer:
         r("POST", r"/collections/([^/]+)/compact$", self.compact_collection)
         r("POST", r"/collections/([^/]+)/clear$", self.clear_collection)
         # :471-478 vector CRUD
+        r("GET", r"/collections/([^/]+)/vectors$", self.list_vectors)
         r("POST", r"/collections/([^/]+)/vectors$", self.insert_vector)
+        r("POST", r"/collections/([^/]+)/vectors/([^/]+)/metadata$",
+          self.update_vector_metadata)
         r("POST", r"/collections/([^/]+)/vectors/batch$", self.batch_insert)
         r("POST", r"/collections/([^/]+)/vectors/delete-batch$",
           self.batch_delete)
@@ -339,6 +348,37 @@ class RestServer:
             if n:
                 self._index_invalidate(m.group(1))
         return {"deleted": n}
+
+    def list_vectors(self, m, b, q) -> dict:
+        """Paged id listing (list_vectors, server/mod.rs:471):
+        ?limit=&offset= over the id order."""
+        c = self._coll(m.group(1))
+        limit = min(int(q.get("limit", 100)), 10_000)
+        offset = int(q.get("offset", 0))
+        rows = (c.df().select(c.id_col).orderBy(c.id_col)
+                .offset(offset).limit(limit).collect())
+        return {"ids": [r[0] for r in rows], "count": c.count(),
+                "offset": offset}
+
+    def update_vector_metadata(self, m, b, q) -> dict:
+        """Merge-patch one vector's metadata (update_metadata,
+        server_tests.rs:977-1018: body wraps the patch in 'metadata';
+        existing keys survive unless overwritten)."""
+        patch = b.get("metadata")
+        if not isinstance(patch, dict):
+            raise _bad("'metadata' object required")
+        c = self._coll(m.group(1))
+        row = c.get(m.group(2))
+        if row is None:
+            raise _not_found(f"no vector {m.group(2)!r}")
+        meta = row["metadata"] if "metadata" in row.__fields__ else None
+        merged = dict(json.loads(meta) if meta else {})
+        merged.update(patch)
+        with self._mutate:
+            n = c.update_metadata(
+                {c.id_col: m.group(2)},
+                {"metadata": json.dumps(merged, sort_keys=True)})
+        return {"updated": n, "id": m.group(2)}
 
     def get_vector(self, m, b, q) -> dict:
         c = self._coll(m.group(1))

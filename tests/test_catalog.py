@@ -328,3 +328,36 @@ def test_version_at_timestamp_clamps_to_retained(spark, coll):
     assert oldest > 0  # version 0 really was pruned
     assert coll.version_at_timestamp(10) == oldest
     assert coll.get_at("a", ts_ms=10) is not None  # no 'unknown version 0'
+
+
+def test_cross_instance_commits_never_clobber(spark, tmp_path):
+    """Two Collection instances over the same path (the REST server's
+    one-instance-per-request shape, or two notebooks): commits
+    serialize behind the flock and adopt the latest manifest, so a
+    stale obj_seq can never overwrite another writer's segment and no
+    commit is lost."""
+    from needle_spark.catalog import Collection
+
+    path = str(tmp_path / "shared")
+    a = Collection.create(
+        spark, path, dims=2,
+        schema="id string, vector array<float>, category string")
+    b = Collection(spark, path)  # stale snapshot of the same manifest
+    a.insert(mk_rows(spark, [("a1", [1.0, 0.0], "x")]))
+    # b's in-memory manifest predates a's commit; its insert must NOT
+    # reuse a's segment number or lose a's version
+    b.insert(mk_rows(spark, [("b1", [0.0, 1.0], "y")]))
+    fresh = Collection(spark, path)
+    assert {r["id"] for r in fresh.df().collect()} == {"a1", "b1"}
+    assert fresh.version == 2
+    # interleaved deletes from both instances converge too
+    a2 = Collection(spark, path)
+    b2 = Collection(spark, path)
+    a2.delete(ids=["a1"])
+    b2.delete(ids=["b1"])
+    assert Collection(spark, path).count() == 0
+    # CDC sequences are unique and contiguous across instances
+    seqs = sorted(
+        r["sequence"]
+        for r in Collection(spark, path).cdc_events().collect())
+    assert seqs == list(range(len(seqs)))

@@ -417,3 +417,105 @@ def test_filtered_search_served_by_index(srv):
                "nprobe": built["nlist"]})
     assert "new_en" not in [r["id"] for r in fr["results"]]
     call(srv, "DELETE", "/collections/fidx/index", expect=200)
+
+
+def test_server_matrix_parity(srv):
+    """Mirrors the reference's server test matrix
+    (tests/server_tests.rs): info/root endpoints, duplicate-id insert
+    rejection, list_vectors paging, metadata merge-patch, empty-
+    collection search, nonexistent-collection search, compact."""
+    assert call(srv, "GET", "/", expect=200)["status"] == "ok"
+    info = call(srv, "GET", "/info", expect=200)
+    assert info["name"] == "needle-spark" and "collections" in info
+
+    call(srv, "POST", "/collections",
+         {"name": "matrix", "dimensions": 4}, expect=201)
+    # search over an empty collection returns empty, not an error
+    res = call(srv, "POST", "/collections/matrix/search",
+               {"vector": [1.0, 0.0, 0.0, 0.0]}, expect=200)
+    assert res["results"] == []
+    call(srv, "POST", "/collections/ghost/search",
+         {"vector": [1.0]}, expect=404)
+
+    call(srv, "POST", "/collections/matrix/vectors",
+         {"id": "vec1", "vector": [0.1, 0.2, 0.3, 0.4],
+          "metadata": {"version": 1}}, expect=201)
+    # duplicate id rejected (server_tests.rs:345)
+    call(srv, "POST", "/collections/matrix/vectors",
+         {"id": "vec1", "vector": [0.5, 0.5, 0.5, 0.5]}, expect=400)
+    call(srv, "POST", "/collections/matrix/vectors/batch",
+         {"vectors": [{"id": f"v{i:02d}",
+                       "vector": [float(i), 0.0, 0.0, 1.0]}
+                      for i in range(15)]}, expect=201)
+
+    # list_vectors pages in id order
+    page = call(srv, "GET",
+                "/collections/matrix/vectors?limit=5&offset=2",
+                expect=200)
+    assert page["count"] == 16 and len(page["ids"]) == 5
+    assert page["ids"] == ["v02", "v03", "v04", "v05", "v06"]
+
+    # metadata merge-patch: new keys merge in, old keys survive
+    call(srv, "POST", "/collections/matrix/vectors/vec1/metadata",
+         {"metadata": {"version": 2, "updated": True}}, expect=200)
+    got = call(srv, "GET", "/collections/matrix/vectors/vec1")
+    assert got["metadata"] == {"version": 2, "updated": True}
+    call(srv, "POST", "/collections/matrix/vectors/nope/metadata",
+         {"metadata": {"a": 1}}, expect=404)
+
+    # upsert updates in place (server_tests.rs:821)
+    call(srv, "POST", "/collections/matrix/vectors/upsert",
+         {"id": "vec1", "vector": [9.0, 0.0, 0.0, 0.0]}, expect=201)
+    assert call(srv, "GET",
+                "/collections/matrix/vectors/vec1")["vector"][0] == 9.0
+    assert call(srv, "GET", "/collections/matrix")["count"] == 16
+
+    call(srv, "POST", "/collections/matrix/compact", expect=200)
+    assert call(srv, "GET", "/collections/matrix")["count"] == 16
+
+
+def test_concurrent_readers_and_writers(srv):
+    """Mirrors tests/concurrent_tests.rs (readers, mixed read/write,
+    delete-during-search): parallel HTTP clients never see errors or
+    torn state — searches return consistent top-k while inserts and
+    deletes commit, and the final count is exact."""
+    import threading
+
+    call(srv, "POST", "/collections",
+         {"name": "conc", "dimensions": 2}, expect=201)
+    call(srv, "POST", "/collections/conc/vectors/batch",
+         {"vectors": [{"id": f"base{i}", "vector": [float(i), 1.0]}
+                      for i in range(20)]}, expect=201)
+    errors: list = []
+
+    def reader():
+        for _ in range(8):
+            try:
+                res = call(srv, "POST", "/collections/conc/search",
+                           {"vector": [3.0, 1.0], "k": 5})
+                assert 1 <= len(res["results"]) <= 5
+                assert all("id" in r and "distance" in r
+                           for r in res["results"])
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+    def writer(wid):
+        try:
+            call(srv, "POST", "/collections/conc/vectors/batch",
+                 {"vectors": [{"id": f"w{wid}_{j}",
+                               "vector": [float(j), 2.0]}
+                              for j in range(5)]}, expect=201)
+            call(srv, "POST", "/collections/conc/vectors/delete-batch",
+                 {"ids": [f"w{wid}_0"]}, expect=200)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=reader) for _ in range(4)] + \
+              [threading.Thread(target=writer, args=(w,)) for w in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert errors == []
+    # 20 base + 3 writers x (5 - 1 deleted)
+    assert call(srv, "GET", "/collections/conc")["count"] == 32
