@@ -622,6 +622,31 @@ class Collection:
         )
         return n
 
+    def set_ttl(self, vector_id: Any, ttl_seconds: int | None,
+                now: int | None = None, now_ms: int | None = None) -> int:
+        """Set or clear one vector's expiry (ttl.rs set_ttl; REST
+        PUT /collections/:c/vectors/:id/ttl).  `ttl_seconds=None`
+        removes the TTL.  Requires the collection to carry an
+        `expires_at` column (created with `default_ttl_seconds` or an
+        explicit schema).  Returns rows touched (0 = no such id)."""
+        cur = self.df()
+        if "expires_at" not in cur.columns:
+            raise CollectionError(
+                "collection has no TTL column; create it with "
+                "default_ttl_seconds or an expires_at field")
+        exp = None if ttl_seconds is None else int(
+            (time.time() if now is None else now) + ttl_seconds)
+        patched = (cur.filter(F.col(self.id_col) == vector_id)
+                   .withColumn("expires_at", F.lit(exp).cast("long")))
+        n = patched.count()
+        if n == 0:
+            return 0
+        self._commit(
+            [("del", patched.select(self.id_col)), ("add", patched)],
+            [self._event_df(patched.select(self.id_col), "update")],
+            n, now_ms)
+        return n
+
     def clear(self, now_ms: int | None = None) -> None:
         """Manifest-only truncate: the new version references no data.
         The empty segment's name allocates INSIDE the commit lock —

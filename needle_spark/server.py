@@ -44,6 +44,41 @@ DEFAULT_K = 10  # server/types.rs:222 default_k
 
 META_SCHEMA = "id string, vector array<float>, metadata string"
 
+# operation classes for the central dispatch observability
+_QUERY_OPS = frozenset({
+    "search", "batch_search", "search_text", "radius", "metadata_query",
+    "recommend", "recall", "search_matryoshka", "search_time_travel",
+    "search_graph", "search_multimodal"})
+_INSERT_OPS = frozenset({
+    "insert_vector", "batch_insert", "upsert_vector", "insert_text",
+    "batch_insert_text", "insert_auto_text", "ingest", "remember"})
+_DELETE_OPS = frozenset({
+    "delete_vector", "batch_delete", "delete_by_filter", "forget"})
+
+_PLAYGROUND_HTML = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>needle-spark playground</title>
+<style>
+body{font-family:system-ui,sans-serif;margin:2rem;background:#fafafa}
+textarea{width:100%;height:6rem;font-family:monospace}
+pre{background:#fff;border:1px solid #ddd;padding:1rem;border-radius:8px;
+overflow:auto;max-height:28rem}
+button{padding:.4rem 1.2rem;margin:.5rem 0}
+</style></head><body>
+<h1>needle-spark playground</h1>
+<p>Run a NeedleQL statement against this server (POST /ql):</p>
+<textarea id="ql">SHOW COLLECTIONS</textarea><br>
+<button onclick="run()">Run</button>
+<pre id="out">(results appear here)</pre>
+<script>
+async function run(){
+  const r = await fetch('/ql', {method:'POST',
+    headers:{'Content-Type':'application/json'},
+    body: JSON.stringify({ql: document.getElementById('ql').value})});
+  document.getElementById('out').textContent =
+    JSON.stringify(await r.json(), null, 2);
+}
+</script></body></html>"""
+
 
 def distance_to_score(distance: float, metric: str) -> float:
     """framework_common.rs:103-109."""
@@ -60,6 +95,14 @@ class ApiError(Exception):
         super().__init__(message)
         self.status = status
         self.message = message
+
+
+class Raw:
+    """Non-JSON handler payload (metrics text, dashboard HTML)."""
+
+    def __init__(self, body: str, content_type: str):
+        self.body = body
+        self.content_type = content_type
 
 
 def _bad(msg: str) -> ApiError:
@@ -83,7 +126,17 @@ class RestServer:
         self._indexes: dict[str, tuple[Any, int]] = {}
         self._index_fields: dict[str, list[str]] = {}
         self._ql_executor = None
+        # name -> LlmCache: per-collection semantic response caches
+        # (cache/lookup + cache/store; state is server-held, unlike the
+        # reference's per-request preview)
+        self._caches: dict[str, Any] = {}
+        self._webhook_service = None  # lazy WebhookService
+        self._dash = None             # lazy MetricsAggregator
+        self._metrics = None          # lazy MetricsRegistry
+        self._mcp_registry = None     # lazy ToolRegistry (MCP tools)
+        self._mem_seq = 0             # memory-id uniqueness counter
         self._routes: list[tuple[str, re.Pattern, Callable]] = []
+        self._created: set[Callable] = set()
         self._register_routes()
         handler = self._make_handler()
         self._httpd = ThreadingHTTPServer((host, port), handler)
@@ -190,6 +243,79 @@ class RestServer:
         r("GET", r"/collections/([^/]+)/export$", self.export_rows)
         r("POST", r"/collections/([^/]+)/dedup/scan$", self.dedup_scan)
         r("GET", r"/collections/([^/]+)/audit-log$", self.audit_log)
+        # :489-492 search variants (matryoshka / time-travel / graph /
+        # multimodal), handlers/search.rs:518-940
+        r("POST", r"/collections/([^/]+)/search/matryoshka$",
+          self.search_matryoshka)
+        r("POST", r"/collections/([^/]+)/search/time-travel$",
+          self.search_time_travel)
+        r("POST", r"/collections/([^/]+)/search/graph$", self.search_graph)
+        r("POST", r"/collections/([^/]+)/search/multimodal$",
+          self.search_multimodal)
+        # :493-494 semantic response cache (server-held, real state)
+        r("POST", r"/collections/([^/]+)/cache/lookup$", self.cache_lookup)
+        r("POST", r"/collections/([^/]+)/cache/store$", self.cache_store)
+        # :495 streaming ingest (per-row error capture + backpressure)
+        r("POST", r"/collections/([^/]+)/ingest$", self.ingest)
+        # :483 auto-embedded text insert
+        r("POST", r"/collections/([^/]+)/texts/auto$", self.insert_auto_text)
+        # :497 snapshot diff (real, via immutable version manifests);
+        # :502 cross-collection vector diff
+        r("POST", r"/collections/([^/]+)/snapshots/diff$",
+          self.snapshot_diff)
+        r("POST", r"/collections/([^/]+)/diff$", self.vector_diff)
+        # :498-500 agentic memory (remember / recall / forget),
+        # handlers/admin.rs:806-935
+        r("POST", r"/collections/([^/]+)/memory/remember$", self.remember)
+        r("POST", r"/collections/([^/]+)/memory/recall$", self.recall)
+        r("DELETE", r"/collections/([^/]+)/memory/([^/]+)/forget$",
+          self.forget)
+        # :505 index advisor; :506 sync delta
+        r("GET", r"/collections/([^/]+)/advise$", self.advise)
+        r("GET", r"/sync/delta$", self.sync_delta)
+        # :531-533 webhooks (real WebhookService state + CDC drain)
+        r("POST", r"/webhooks$", self.create_webhook)
+        r("GET", r"/webhooks$", self.list_webhooks)
+        r("DELETE", r"/webhooks/([^/]+)$", self.delete_webhook)
+        r("POST", r"/webhooks/drain$", self.drain_webhooks)
+        # :535 embedding router status; :527-529 cluster/grpc/tracing
+        r("GET", r"/embeddings/router/status$",
+          self.embedding_router_status)
+        r("GET", r"/cluster/status$", self.cluster_status)
+        r("GET", r"/grpc/schema$", self.grpc_schema)
+        r("GET", r"/tracing/status$", self.tracing_status)
+        # :544 admin audit log (real: aggregated CDC across collections)
+        r("GET", r"/admin/audit-log$", self.admin_audit_log)
+        # :550-552 alias get / update
+        r("GET", r"/aliases/([^/]+)$", self.get_alias)
+        r("PUT", r"/aliases/([^/]+)$", self.update_alias)
+        # :556-557 per-vector TTL
+        r("GET", r"/collections/([^/]+)/vectors/([^/]+)/ttl$",
+          self.get_vector_ttl)
+        r("PUT", r"/collections/([^/]+)/vectors/([^/]+)/ttl$",
+          self.set_vector_ttl)
+        # :559 memory usage stats
+        r("GET", r"/collections/([^/]+)/stats/memory$", self.stats_memory)
+        # :565-566 MCP over HTTP (JSON-RPC 2.0 onto ToolRegistry)
+        r("POST", r"/mcp$", self.mcp)
+        r("GET", r"/mcp/config$", self.mcp_config)
+        # :567-568 plugin registry (WASM runtime is out of scope —
+        # SURVEY §2.11 — so the registry is present but empty)
+        r("GET", r"/plugins$", self.list_plugins)
+        r("GET", r"/plugins/([^/]+)$", self.get_plugin)
+        # :571-573 probes; :574-577 spec/dashboard/playground/metrics
+        r("GET", r"/health/live$", lambda m, b, q: {"status": "alive"})
+        r("GET", r"/health/ready$", self.health_ready)
+        r("GET", r"/openapi.json$", self.openapi_spec)
+        r("GET", r"/dashboard$", self.dashboard)
+        r("GET", r"/playground$", self.playground)
+        r("GET", r"/metrics$", self.prometheus_metrics)
+        # handlers returning 201 Created on POST
+        self._created = {
+            self.create_collection, self.insert_vector, self.batch_insert,
+            self.upsert_vector, self.insert_text, self.batch_insert_text,
+            self.insert_auto_text, self.remember, self.create_webhook,
+        }
 
     def _route(self, method: str, pattern: str, fn: Callable) -> None:
         self._routes.append((method, re.compile(pattern), fn))
@@ -202,15 +328,9 @@ class RestServer:
             match = pat.match(path)
             if match:
                 try:
-                    out = fn(match, body or {}, query)
+                    out = self._observed(fn, match, body or {}, query)
                     return (201 if method == "POST"
-                            and fn in (self.create_collection,
-                                       self.insert_vector,
-                                       self.batch_insert,
-                                       self.upsert_vector,
-                                       self.insert_text,
-                                       self.batch_insert_text) else 200,
-                            out)
+                            and fn in self._created else 200, out)
                 except ApiError as e:
                     return e.status, {"error": e.message}
                 except CollectionError as e:
@@ -220,6 +340,47 @@ class RestServer:
                 except (ValueError, KeyError, TypeError) as e:
                     return 400, {"error": str(e)}
         return 404, {"error": f"no route: {method} {path}"}
+
+    def _observed(self, fn: Callable, m, b, q):
+        """Central observability: every dispatched handler is timed
+        into the embedded dashboard aggregator + Prometheus registry
+        (middleware.rs metrics_middleware analogue, but per-operation
+        rather than per-route-string)."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        out = fn(m, b, q)
+        us = int((_time.perf_counter() - t0) * 1e6)
+        try:
+            name = fn.__name__ if hasattr(fn, "__name__") else "op"
+            coll = m.group(1) if m.groups() else "_db"
+            dash, metrics = self._observe_state()
+            if name in _QUERY_OPS:
+                n = len(out.get("results", ())) if isinstance(out, dict) \
+                    else 0
+                dash.record_query(coll, us, n)
+                metrics.record_search_results(coll, n)
+            elif name in _INSERT_OPS:
+                dash.record_insert(coll)
+            elif name in _DELETE_OPS:
+                dash.record_delete(coll)
+            metrics.inc("needle_operations_total",
+                        {"collection": coll, "operation": name})
+            metrics.observe("needle_operation_duration_seconds",
+                            {"collection": coll, "operation": name},
+                            us / 1e6)
+        except Exception:  # noqa: BLE001 — observability must not 500
+            pass
+        return out
+
+    def _observe_state(self):
+        if self._dash is None:
+            from needle_spark.observe import (MetricsAggregator,
+                                             MetricsRegistry)
+
+            self._dash = MetricsAggregator()
+            self._metrics = MetricsRegistry()
+        return self._dash, self._metrics
 
     # -- helpers --
 
@@ -956,6 +1117,804 @@ class RestServer:
         self.db.drop_alias(m.group(1))
         return {"deleted": m.group(1)}
 
+    # -- search variants (handlers/search.rs:518-940) --
+
+    def search_matryoshka(self, m, b, q) -> dict:
+        """Coarse-at-reduced-dims then exact rescore
+        (matryoshka_search_handler, handlers/search.rs:518-570)."""
+        from needle_spark.operators.matryoshka import coarse_to_fine_search
+
+        c = self._coll(m.group(1))
+        vec, k, metric = self._search_args(b, c)
+        coarse = int(b.get("coarse_dims", 64))
+        if not 1 <= coarse <= len(vec):
+            raise _bad("coarse_dims must be between 1 and the vector "
+                       "dimension")
+        oversample = int(b.get("oversample", 4))
+        if not 1 <= oversample <= 100:
+            raise _bad("oversample must be between 1 and 100")
+        rows = coarse_to_fine_search(
+            c.df(), vec, k=k, coarse_dim=coarse,
+            candidate_multiplier=oversample, metric=metric,
+            vector_col=c.vector_col, id_col=c.id_col).collect()
+        extras = self._rows_by_id(c, [r[c.id_col] for r in rows],
+                                  vectors=bool(b.get("include_vectors")))
+        results = []
+        for r in rows:
+            d = float(r["distance"])
+            entry = {"id": r[c.id_col], "distance": d,
+                     "score": distance_to_score(d, metric),
+                     "coarse_distance": float(r["coarse_distance"])}
+            entry.update(extras.get(r[c.id_col], {}))
+            results.append(entry)
+        return {"results": results, "count": len(results),
+                "coarse_dims": coarse, "oversample": oversample}
+
+    def _rows_by_id(self, c: Collection, ids: list,
+                    vectors: bool = False) -> dict:
+        """Metadata (and optionally vectors) for a k-bounded id set in
+        one filtered job."""
+        if not ids:
+            return {}
+        rows = c.df().filter(F.col(c.id_col).isin(ids)).collect()
+        out = {}
+        for r in rows:
+            entry: dict[str, Any] = {}
+            meta = r["metadata"] if "metadata" in r.__fields__ else None
+            if meta is not None:
+                entry["metadata"] = json.loads(meta)
+            if vectors:
+                entry["vector"] = list(r[c.vector_col])
+            out[r[c.id_col]] = entry
+        return out
+
+    @staticmethod
+    def _parse_time_expression(expr: str) -> int:
+        """`now` or `now-<n><s|m|h|d>` -> epoch ms (a bounded subset of
+        the reference's TimeExpression::parse grammar)."""
+        import time as _time
+
+        t = expr.strip().lower().replace(" ", "")
+        now_ms = int(_time.time() * 1000)
+        if t == "now":
+            return now_ms
+        mt = re.fullmatch(r"now-(\d+)([smhd])", t)
+        if not mt:
+            raise _bad(f"unsupported time expression {expr!r}; use "
+                       "'now' or 'now-<n><s|m|h|d>' or as_of_timestamp")
+        mult = {"s": 1_000, "m": 60_000, "h": 3_600_000,
+                "d": 86_400_000}[mt.group(2)]
+        return now_ms - int(mt.group(1)) * mult
+
+    def search_time_travel(self, m, b, q) -> dict:
+        """Historical search (time_travel_search_handler,
+        handlers/search.rs:578-692).  Unlike the reference (which
+        searches current state for snapshot/expression modes), every
+        mode here searches the REAL historical version — versions are
+        immutable manifests, so `df(version)` is exact time travel."""
+        c = self._coll(m.group(1))
+        vec, k, metric = self._search_args(b, c)
+        extra: dict[str, Any]
+        if b.get("as_of_timestamp") is not None:
+            ts = int(b["as_of_timestamp"])
+            version = c.version_at_timestamp(ts)
+            extra = {"as_of_timestamp": ts, "version": version}
+        elif b.get("as_of_version") is not None:
+            version = int(b["as_of_version"])
+            extra = {"version": version}
+        elif b.get("as_of_expression"):
+            ts = self._parse_time_expression(str(b["as_of_expression"]))
+            version = c.version_at_timestamp(ts)
+            extra = {"as_of_expression": b["as_of_expression"],
+                     "resolved_timestamp": ts, "version": version}
+        elif b.get("snapshot"):
+            snaps = c.list_snapshots()
+            name = str(b["snapshot"])
+            if name not in snaps:
+                raise _not_found(f"Snapshot {name!r} not found; "
+                                 f"available: {sorted(snaps)}")
+            version = snaps[name]
+            extra = {"snapshot": name, "version": version}
+        else:
+            raise _bad("Must provide one of: snapshot, as_of_timestamp, "
+                       "as_of_version, or as_of_expression")
+        rows = c.search_at(vec, k=k, version=version).collect()
+        results = [self._result_row(r, metric, False) for r in rows]
+        out = {"results": results, "count": len(results)}
+        out.update(extra)
+        return out
+
+    MAX_GRAPH_VECTORS = 100_000
+
+    def search_graph(self, m, b, q) -> dict:
+        """GraphRAG search (graph_search_handler,
+        handlers/search.rs:695-780): vector seeds + BFS expansion over
+        edges declared in each row's metadata `links` array."""
+        from needle_spark.operators.graphrag import graphrag_search
+
+        c = self._coll(m.group(1))
+        vec, k, metric = self._search_args(b, c)
+        n = c.count()
+        if n > self.MAX_GRAPH_VECTORS:
+            raise ApiError(413, f"Collection has {n} vectors, exceeding "
+                           f"graph search limit of "
+                           f"{self.MAX_GRAPH_VECTORS}")
+        max_hops = min(int(b.get("max_hops", 2)), 5)
+        df = c.df()
+        if "metadata" in df.columns:
+            edges = (df.select(
+                F.col(c.id_col).cast("string").alias("src"),
+                F.explode_outer(F.from_json(
+                    F.get_json_object("metadata", "$.links"),
+                    "array<string>")).alias("dst"))
+                .filter(F.col("dst").isNotNull()))
+        else:
+            edges = self.db.spark.createDataFrame(
+                [], "src string, dst string")
+        rows = graphrag_search(
+            df, edges, vec, k=k, max_hops=max_hops, metric=metric,
+            id_col=c.id_col, vector_col=c.vector_col).collect()
+        extras = self._rows_by_id(c, [r["id"] for r in rows])
+        results = []
+        for r in rows:
+            meta = extras.get(r["id"], {}).get("metadata") or {}
+            results.append({
+                "id": r["id"],
+                "name": meta.get("name") or meta.get("title") or r["id"],
+                "vector_score": float(r["vector_score"]),
+                "graph_score": float(r["graph_score"]),
+                "combined_score": float(r["combined_score"]),
+                "hop_count": int(r["hop_count"]),
+                "path": list(r["path"]),
+                "properties": meta,
+            })
+        return {"results": results, "count": len(results)}
+
+    def search_multimodal(self, m, b, q) -> dict:
+        """Weighted RRF over per-modality query vectors
+        (multimodal_search_handler, handlers/search.rs:856-960): each
+        modality searches the collection independently (over-fetch
+        3k), ranks fuse as weight/(60+rank+1)."""
+        from needle_spark.operators.knn import knn
+
+        c = self._coll(m.group(1))
+        k = int(b.get("k", DEFAULT_K))
+        if not 1 <= k <= 1000:
+            raise _bad("k must be between 1 and 1000")
+        queries = b.get("queries")
+        if not isinstance(queries, dict) or not queries:
+            raise _bad("Missing 'queries' object with modality vectors")
+        weights = b.get("weights") or {}
+        metric = (b.get("distance") or c.metric).lower()
+        fused: dict[str, float] = {}
+        modalities = 0
+        for modality, qv in queries.items():
+            if not isinstance(qv, list) or not qv:
+                continue
+            w = float(weights.get(modality, 1.0))
+            rows = knn(c.df(), [float(x) for x in qv], k=k * 3,
+                       metric=metric, id_col=c.id_col,
+                       vector_col=c.vector_col).collect()
+            for rank, r in enumerate(rows):
+                rid = r[c.id_col]
+                fused[rid] = fused.get(rid, 0.0) + w / (60.0 + rank + 1.0)
+            modalities += 1
+        if modalities == 0:
+            raise _bad("No valid modality queries provided")
+        top = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return {"results": [{"id": i, "fused_score": s} for i, s in top],
+                "count": len(top), "modalities": modalities,
+                "fusion_strategy": b.get("fusion_strategy", "late")}
+
+    # -- semantic response cache (handlers/search.rs:788-855; real
+    #    server-held state where the reference ships a preview stub) --
+
+    def _cache_for(self, name: str, dims: int):
+        from needle_spark.operators.llm_response_cache import (
+            LlmCache, LlmCacheConfig)
+
+        cache = self._caches.get(name)
+        if cache is None:
+            cache = LlmCache(LlmCacheConfig(dimensions=dims))
+            self._caches[name] = cache
+        return cache
+
+    def _cache_embedding(self, c: Collection, b: dict) -> list[float]:
+        emb = b.get("embedding")
+        if isinstance(emb, list) and emb:
+            return [float(x) for x in emb]
+        from needle_spark.operators.auto_embed import mock_embedding
+
+        query = b.get("query")
+        if not query:
+            raise _bad("'query' required")
+        return mock_embedding(str(query), c.dims)
+
+    def cache_lookup(self, m, b, q) -> dict:
+        c = self._coll(m.group(1))
+        cache = self._cache_for(m.group(1), c.dims)
+        query = str(b.get("query") or "")
+        if not query:
+            raise _bad("'query' required")
+        threshold = b.get("threshold")
+        if threshold is not None:
+            cache.config.similarity_threshold = float(threshold)
+        hit = cache.get_exact(query) or cache.get_semantic(
+            query, self._cache_embedding(c, b))
+        out: dict[str, Any] = {"hit": hit is not None}
+        if hit is not None:
+            out.update({"response": hit.response,
+                        "cached_query": hit.cached_query,
+                        "similarity": hit.similarity,
+                        "age_seconds": hit.age_seconds})
+        s = cache.stats
+        out["stats"] = {"total_entries": len(cache._entries),
+                        "hits": s.hits, "misses": s.misses,
+                        "hit_rate": s.hit_rate}
+        return out
+
+    def cache_store(self, m, b, q) -> dict:
+        c = self._coll(m.group(1))
+        cache = self._cache_for(m.group(1), c.dims)
+        query, response = b.get("query"), b.get("response")
+        if not query or response is None:
+            raise _bad("'query' and 'response' required")
+        if b.get("ttl_seconds") is not None:
+            cache.config.ttl_seconds = float(b["ttl_seconds"])
+        cache.put(str(query), self._cache_embedding(c, b), str(response),
+                  metadata=b.get("metadata"))
+        return {"stored": True, "collection": m.group(1),
+                "model": b.get("model", "default"),
+                "response_length": len(str(response)),
+                "ttl_seconds": b.get("ttl_seconds")}
+
+    # -- streaming ingest / auto text (handlers/vectors.rs:314-625) --
+
+    def ingest(self, m, b, q) -> dict:
+        """Bulk ingest with per-row error capture (streaming_insert_
+        handler): invalid rows are reported, valid rows land in ONE
+        batched insert (not the reference's per-row loop)."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        c = self._coll(m.group(1))
+        vectors = b.get("vectors")
+        if not isinstance(vectors, list) or not vectors:
+            raise _bad("'vectors' must be a non-empty list")
+        good, errors = [], []
+        for v in vectors:
+            if not isinstance(v, dict) or "id" not in v \
+                    or "vector" not in v:
+                errors.append({"id": (v or {}).get("id"),
+                               "error": "needs 'id' and 'vector'"})
+            elif len(v["vector"]) != c.dims:
+                errors.append({"id": v["id"],
+                               "error": f"dimension mismatch: "
+                                        f"{len(v['vector'])} != {c.dims}"})
+            else:
+                good.append(v)
+        inserted = 0
+        if good:
+            rows = self._rows_df(c, good)
+            with self._mutate:
+                inserted = c.upsert(rows)
+                self._index_add(m.group(1), rows)
+        size = c.count()
+        return {"accepted": inserted, "total": len(vectors),
+                "errors": errors, "sequence_id": b.get("sequence_id"),
+                "flushed": bool(b.get("flush")),
+                "latency_ms": (_time.perf_counter() - t0) * 1000.0,
+                "backpressure": size > 1_000_000,
+                "collection_size": size}
+
+    def insert_auto_text(self, m, b, q) -> dict:
+        """insert_auto_text (handlers/vectors.rs:611-625): embed text
+        through the built-in deterministic embedder and insert."""
+        c = self._coll(m.group(1))
+        if not b.get("id") or not b.get("text"):
+            raise _bad("'id' and 'text' required")
+        with self._mutate:
+            rows = self._rows_df(c, self._text_rows(c, [b]))
+            c.insert(rows)
+            self._index_add(m.group(1), rows)
+        return {"inserted": str(b["id"])}
+
+    # -- diffs (handlers/admin.rs:323-344, 414-480) --
+
+    def snapshot_diff(self, m, b, q) -> dict:
+        """Real snapshot diff (snapshot_diff_handler): versions are
+        immutable manifests, so added/removed/modified come from two
+        anti-joins + one value-compare join — no materialization."""
+        c = self._coll(m.group(1))
+        snaps = c.list_snapshots()
+        frm, to = b.get("from"), b.get("to")
+        if frm not in snaps or to not in snaps:
+            raise _not_found(
+                f"unknown snapshot(s); available: {sorted(snaps)}")
+        limit = min(int(b.get("limit", 1000)), 10_000)
+        old = c.df(snaps[frm]).select(
+            F.col(c.id_col).alias("id"), F.col(c.vector_col).alias("v"))
+        new = c.df(snaps[to]).select(
+            F.col(c.id_col).alias("id"), F.col(c.vector_col).alias("v"))
+        added = [r["id"] for r in
+                 new.join(old, "id", "left_anti").select("id")
+                 .orderBy("id").limit(limit).collect()]
+        removed = [r["id"] for r in
+                   old.join(new, "id", "left_anti").select("id")
+                   .orderBy("id").limit(limit).collect()]
+        both = old.alias("o").join(new.alias("n"), "id")
+        modified = [r["id"] for r in
+                    both.filter(F.col("o.v") != F.col("n.v"))
+                    .select("id").orderBy("id").limit(limit).collect()]
+        return {"collection": m.group(1), "from": frm, "to": to,
+                "added": added, "removed": removed, "modified": modified,
+                "available_snapshots": sorted(snaps),
+                "summary": {"added": len(added), "removed": len(removed),
+                            "modified": len(modified)}}
+
+    MAX_DIFF_VECTORS = 100_000
+
+    def vector_diff(self, m, b, q) -> dict:
+        """Cross-collection diff (vector_diff_handler): id membership
+        via anti-joins, modified via one value-compare join with an L2
+        distance expression — all JVM-side, ids collected bounded."""
+        c = self._coll(m.group(1))
+        other_name = b.get("other_collection")
+        if not other_name:
+            raise _bad("'other_collection' required")
+        other = self._coll(str(other_name))
+        na, nb = c.count(), other.count()
+        if na > self.MAX_DIFF_VECTORS or nb > self.MAX_DIFF_VECTORS:
+            raise ApiError(413, f"Collection size exceeds diff limit of "
+                           f"{self.MAX_DIFF_VECTORS}. Source: {na}, "
+                           f"Target: {nb}")
+        limit = min(int(b.get("limit", 100)), 10_000)
+        a = c.df().select(F.col(c.id_col).alias("id"),
+                          F.col(c.vector_col).alias("v"))
+        bb = other.df().select(F.col(other.id_col).alias("id"),
+                               F.col(other.vector_col).alias("v"))
+        only_a = [r["id"] for r in a.join(bb, "id", "left_anti")
+                  .select("id").orderBy("id").limit(limit).collect()]
+        only_b = [r["id"] for r in bb.join(a, "id", "left_anti")
+                  .select("id").orderBy("id").limit(limit).collect()]
+        joined = (a.alias("a").join(bb.alias("b"), "id")
+                  .select("id", F.sqrt(F.aggregate(
+                      F.zip_with("a.v", "b.v",
+                                 lambda x, y: (x - y) * (x - y)),
+                      F.lit(0.0).cast("double"),
+                      lambda acc, x: acc + x)).alias("l2")))
+        shared = joined.count()
+        modified = [{"id": r["id"], "l2_distance": float(r["l2"])}
+                    for r in joined.filter(F.col("l2") > 1e-6)
+                    .orderBy("id").limit(limit).collect()]
+        return {"source": m.group(1), "target": other_name,
+                "source_count": na, "target_count": nb,
+                "only_in_source": only_a, "only_in_target": only_b,
+                "modified": modified, "shared_count": shared,
+                "summary": {"added": len(only_b),
+                            "removed": len(only_a),
+                            "modified": len(modified),
+                            "unchanged": shared - len(modified)}}
+
+    # -- agentic memory (handlers/admin.rs:806-935) --
+
+    def remember(self, m, b, q) -> dict:
+        import time as _time
+
+        c = self._coll(m.group(1))
+        content, vec = b.get("content"), b.get("vector")
+        if content is None or not isinstance(vec, list) or not vec:
+            raise _bad("'content' and 'vector' required")
+        self._mem_seq += 1
+        memory_id = f"mem_{int(_time.time() * 1000)}_{self._mem_seq}"
+        tier = str(b.get("tier", "long_term"))
+        importance = float(b.get("importance", 0.5))
+        meta = dict(b.get("metadata") or {})
+        meta["_memory_content"] = str(content)
+        meta["_memory_tier"] = tier
+        meta["_memory_importance"] = importance
+        meta["_memory_timestamp"] = int(_time.time() * 1000)
+        if b.get("session_id"):
+            meta["_memory_session"] = str(b["session_id"])
+        rows = self._rows_df(c, [{"id": memory_id, "vector": vec,
+                                  "metadata": meta}])
+        with self._mutate:
+            c.insert(rows)
+            self._index_add(m.group(1), rows)
+        return {"stored": True, "memory_id": memory_id, "tier": tier,
+                "importance": importance}
+
+    def recall(self, m, b, q) -> dict:
+        from needle_spark.operators.knn import knn
+
+        c = self._coll(m.group(1))
+        vec = b.get("vector")
+        if not isinstance(vec, list) or not vec:
+            raise _bad("'vector' required")
+        k = int(b.get("k", 5))
+        conds: list[dict] = []
+        if b.get("tier"):
+            conds.append({"_memory_tier": {"$eq": str(b["tier"])}})
+        if b.get("session_id"):
+            conds.append({"_memory_session": {"$eq":
+                                              str(b["session_id"])}})
+        if b.get("min_importance") is not None:
+            conds.append({"_memory_importance":
+                          {"$gte": float(b["min_importance"])}})
+        flt = None if not conds else conds[0] if len(conds) == 1 \
+            else {"$and": conds}
+        rows = knn(c.df(), [float(x) for x in vec], k=k,
+                   metric=c.metric, filter=flt, meta_col="metadata",
+                   id_col=c.id_col, vector_col=c.vector_col).collect()
+        memories = []
+        for r in rows:
+            meta = json.loads(r["metadata"]) if r["metadata"] else {}
+            d = float(r["distance"])
+            memories.append({
+                "memory_id": r[c.id_col], "distance": d,
+                "relevance_score": 1.0 / (1.0 + d),
+                "content": meta.get("_memory_content"),
+                "tier": meta.get("_memory_tier"),
+                "importance": meta.get("_memory_importance"),
+                "timestamp": meta.get("_memory_timestamp"),
+                "session_id": meta.get("_memory_session"),
+            })
+        return {"memories": memories, "count": len(memories)}
+
+    def forget(self, m, b, q) -> dict:
+        with self._mutate:
+            n = self._coll(m.group(1)).delete(ids=[m.group(2)])
+            if n:
+                self._index_delete(m.group(1), [m.group(2)])
+        if n == 0:
+            raise _not_found(f"no memory {m.group(2)!r}")
+        return {"forgotten": True, "memory_id": m.group(2)}
+
+    # -- advisor / sync (collections.rs:555, admin.rs:1044) --
+
+    def advise(self, m, b, q) -> dict:
+        from dataclasses import asdict
+
+        from needle_spark.plans.tuning import what_if_analysis
+
+        c = self._coll(m.group(1))
+        n = c.count()
+        if n == 0:
+            raise _bad("Collection is empty. Insert vectors first.")
+        previews = what_if_analysis(n, c.dims)
+        return {"collection": m.group(1), "vectors": n,
+                "dimensions": c.dims,
+                "previews": [asdict(p) for p in previews]}
+
+    def sync_delta(self, m, b, q) -> dict:
+        """Incremental sync feed (sync_delta_handler): CDC entries
+        across all collections above the client's LSN, bounded."""
+        from_lsn = int(q.get("from", 0))
+        limit = min(int(q.get("limit", 10_000)), 10_000)
+        entries = []
+        for name in self.db.list_collections():
+            coll = self.db.collection(name)
+            rows = (coll.cdc_events()
+                    .filter(F.col("sequence") > from_lsn)
+                    .orderBy("sequence").limit(limit).collect())
+            entries.extend({
+                "collection": name, "sequence": int(r["sequence"]),
+                "event_type": r["event_type"],
+                "vector_id": r["vector_id"],
+                "timestamp_ms": int(r["timestamp_ms"]),
+            } for r in rows)
+        return {"replica_id": q.get("replica_id", "anonymous"),
+                "from_lsn": from_lsn, "entry_count": len(entries),
+                "entries": entries}
+
+    # -- webhooks (admin.rs:938-1014; real WebhookService state) --
+
+    def _webhooks(self):
+        if self._webhook_service is None:
+            from needle_spark.streaming.webhooks import WebhookService
+
+            self._webhook_service = WebhookService()
+        return self._webhook_service
+
+    def create_webhook(self, m, b, q) -> dict:
+        from needle_spark.streaming.webhooks import (EventFilter,
+                                                     WebhookSubscription)
+
+        url = b.get("url")
+        if not url or not str(url).startswith(("http://", "https://")):
+            raise _bad("'url' must be an http(s) URL")
+        sub = WebhookSubscription(
+            url=str(url),
+            filter=EventFilter(
+                event_types=tuple(b.get("event_types") or ()),
+                collections=tuple(b.get("collections") or ())),
+            secret=b.get("secret"))
+        sub_id = self._webhooks().subscribe(sub)
+        return {"id": sub_id, "url": str(url), "active": True}
+
+    def list_webhooks(self, m, b, q) -> dict:
+        return {"webhooks": [
+            {"id": s.id, "url": s.url, "active": s.active,
+             "event_types": list(s.filter.event_types),
+             "collections": list(s.filter.collections)}
+            for s in self._webhooks().list_subscriptions()]}
+
+    def delete_webhook(self, m, b, q) -> dict:
+        return {"deleted": self._webhooks().unsubscribe(m.group(1)),
+                "id": m.group(1)}
+
+    def drain_webhooks(self, m, b, q) -> dict:
+        """Extension route: bridge collection CDC logs into the
+        delivery queue (bounded pages) and optionally process it —
+        the wiring the reference leaves to 'server start'."""
+        svc = self._webhooks()
+        names = [b["collection"]] if b.get("collection") \
+            else self.db.list_collections()
+        queued = sum(
+            svc.enqueue_from_cdc(self.db.collection(n), name=n)
+            for n in names)
+        out: dict[str, Any] = {"queued": queued, "collections": names}
+        if b.get("process"):
+            stats = svc.process_queue()
+            out["delivered"] = stats.delivered
+            out["retried"] = stats.retried
+            out["failed"] = stats.failed
+            out["dlq_size"] = svc.dlq_size()
+        return out
+
+    # -- status surfaces (admin.rs:598-804, 1016-1042) --
+
+    def embedding_router_status(self, m, b, q) -> dict:
+        from needle_spark.operators.embedding_router import STRATEGIES
+
+        return {"router": {
+                    "strategy": "priority_chain",
+                    "available_strategies": sorted(STRATEGIES)},
+                "providers": [], "collection_pins": {},
+                "note": "Configure providers via "
+                        "needle_spark.operators.embedding_router; "
+                        "/collections/:name/texts auto-embeds with the "
+                        "built-in deterministic embedder."}
+
+    def cluster_status(self, m, b, q) -> dict:
+        names = self.db.list_collections()
+        shards = [{"collection": n, "shard_id": i, "node": "local",
+                   "vectors": self.db.collection(n).count(),
+                   "status": "active"}
+                  for i, n in enumerate(names)]
+        return {"cluster": {"node_id": "local-0", "role": "standalone",
+                            "status": "healthy",
+                            "nodes": [{"id": "local-0",
+                                       "address": "127.0.0.1",
+                                       "role": "leader",
+                                       "status": "active"}]},
+                "shards": shards, "total_collections": len(names),
+                "replication_factor": 1,
+                "note": "Horizontal scale comes from the Spark cluster "
+                        "manager, not node-level consensus."}
+
+    def grpc_schema(self, m, b, q) -> dict:
+        return {"schema_version": "1.0", "services": [
+            {"name": "NeedleService", "methods": [
+                {"name": n, "request": f"{n}Request",
+                 "response": f"{n}Response", "streaming": s}
+                for n, s in (("CreateCollection", False),
+                             ("Insert", False), ("BatchInsert", True),
+                             ("Search", False), ("Get", False),
+                             ("Delete", False),
+                             ("ListCollections", False))]},
+            {"name": "MemoryService", "methods": [
+                {"name": n, "request": f"{n}Request",
+                 "response": f"{n}Response", "streaming": False}
+                for n in ("Remember", "Recall", "Forget")]}],
+            "hint": "Use these definitions to generate typed gRPC "
+                    "clients; the REST surface carries the same "
+                    "operations."}
+
+    def tracing_status(self, m, b, q) -> dict:
+        import os as _os
+
+        endpoint = _os.environ.get("OTEL_EXPORTER_OTLP_ENDPOINT",
+                                   "not configured")
+        return {"tracing": {
+                    "enabled": endpoint != "not configured",
+                    "exporter": "otlp", "endpoint": endpoint,
+                    "service_name": _os.environ.get("OTEL_SERVICE_NAME",
+                                                    "needle-spark")},
+                "instrumented_operations": sorted(
+                    _QUERY_OPS | _INSERT_OPS | _DELETE_OPS),
+                "configuration": {
+                    "OTEL_EXPORTER_OTLP_ENDPOINT":
+                        "Set to enable tracing",
+                    "OTEL_SERVICE_NAME":
+                        "Service name for spans (default: "
+                        "needle-spark)"}}
+
+    def admin_audit_log(self, m, b, q) -> dict:
+        """DB-wide audit export (audit_log_export, admin.rs:1086): the
+        CDC logs ARE the audit trail, so this aggregates them for real
+        where the reference returns a placeholder."""
+        limit = min(int(q.get("limit", 100)), 10_000)
+        since = int(q.get("since", 0))
+        action = q.get("action")
+        events = []
+        for name in self.db.list_collections():
+            ev = (self.db.collection(name).cdc_events()
+                  .filter(F.col("timestamp_ms") >= since))
+            if action:
+                ev = ev.filter(F.col("event_type") == action)
+            events.extend({
+                "collection": name, "sequence": int(r["sequence"]),
+                "action": r["event_type"], "vector_id": r["vector_id"],
+                "timestamp_ms": int(r["timestamp_ms"]),
+            } for r in ev.orderBy(F.col("sequence").desc())
+                .limit(limit).collect())
+        events.sort(key=lambda e: -e["timestamp_ms"])
+        return {"events": events[:limit],
+                "filters": {"since": since, "action": action,
+                            "limit": limit}}
+
+    # -- aliases get/update (mod.rs:550-552) --
+
+    def get_alias(self, m, b, q) -> dict:
+        aliases = self.db._aliases()
+        if m.group(1) not in aliases:
+            raise _not_found(f"no alias {m.group(1)!r}")
+        return {"alias": m.group(1), "target": aliases[m.group(1)]}
+
+    def update_alias(self, m, b, q) -> dict:
+        target = b.get("target")
+        if not target:
+            raise _bad("'target' required")
+        if m.group(1) not in self.db._aliases():
+            raise _not_found(f"no alias {m.group(1)!r}")
+        self.db.drop_alias(m.group(1))
+        self.db.create_alias(m.group(1), str(target))
+        return {"alias": m.group(1), "target": str(target)}
+
+    # -- per-vector TTL (collections.rs:507-550) --
+
+    def get_vector_ttl(self, m, b, q) -> dict:
+        c = self._coll(m.group(1))
+        row = c.get(m.group(2))
+        if row is None:
+            raise _not_found(f"no vector {m.group(2)!r}")
+        exp = row["expires_at"] if "expires_at" in row.__fields__ \
+            else None
+        return {"id": m.group(2), "collection": m.group(1),
+                "expiration_timestamp": exp}
+
+    def set_vector_ttl(self, m, b, q) -> dict:
+        ttl = b.get("ttl_seconds")
+        with self._mutate:
+            n = self._coll(m.group(1)).set_ttl(
+                m.group(2), None if ttl is None else int(ttl))
+        if n == 0:
+            raise _not_found(f"no vector {m.group(2)!r}")
+        return {"id": m.group(2), "collection": m.group(1),
+                "ttl_seconds": ttl, "status": "updated"}
+
+    # -- memory usage (collections.rs:627) --
+
+    def stats_memory(self, m, b, q) -> dict:
+        c = self._coll(m.group(1))
+        df = c.df()
+        agg = [F.count(F.lit(1)).alias("n")]
+        if "metadata" in df.columns:
+            agg.append(F.coalesce(F.sum(F.length("metadata")),
+                                  F.lit(0)).alias("meta"))
+        row = df.agg(*agg).first()
+        n = int(row["n"])
+        meta_bytes = int(row["meta"]) if "metadata" in df.columns else 0
+        vec_bytes = n * c.dims * 4
+        idx_bytes = vec_bytes if m.group(1) in self._indexes else 0
+        return {"collection": m.group(1), "vector_count": n,
+                "dimensions": c.dims, "vectors_bytes": vec_bytes,
+                "metadata_bytes": meta_bytes, "index_bytes": idx_bytes,
+                "total_bytes": vec_bytes + meta_bytes + idx_bytes}
+
+    # -- MCP over HTTP (admin.rs:291-316; JSON-RPC 2.0 onto the
+    #    function-calling ToolRegistry) --
+
+    def _mcp(self):
+        if self._mcp_registry is None:
+            from needle_spark.operators.llm_tools import ToolRegistry
+
+            self._mcp_registry = ToolRegistry(self.db)
+        return self._mcp_registry
+
+    def mcp(self, m, b, q) -> dict:
+        rid = b.get("id")
+        method = b.get("method")
+
+        def ok(result):
+            return {"jsonrpc": "2.0", "id": rid, "result": result}
+
+        if method == "initialize":
+            return ok({"protocolVersion": "2024-11-05",
+                       "serverInfo": {"name": "needle-spark",
+                                      "version": "1.0"},
+                       "capabilities": {"tools": {}}})
+        if method in ("ping", "notifications/initialized"):
+            return ok({})
+        if method == "tools/list":
+            return ok({"tools": [
+                {"name": t.name, "description": t.description,
+                 "inputSchema": t.parameters}
+                for t in self._mcp().schemas()]})
+        if method == "tools/call":
+            params = b.get("params") or {}
+            res = self._mcp().execute(params.get("name", ""),
+                                      params.get("arguments") or {})
+            if res.success:
+                return ok({"content": [
+                    {"type": "text",
+                     "text": json.dumps(res.result, default=str)}],
+                    "isError": False})
+            return ok({"content": [{"type": "text", "text": res.error}],
+                       "isError": True})
+        return {"jsonrpc": "2.0", "id": rid,
+                "error": {"code": -32601,
+                          "message": f"method not found: {method}"}}
+
+    def mcp_config(self, m, b, q) -> dict:
+        return {"mcpServers": {"needle-spark": {
+            "type": "http", "url": self.url + "/mcp"}}}
+
+    # -- plugins (plugins.rs; WASM runtime out of scope) --
+
+    def list_plugins(self, m, b, q) -> dict:
+        return {"plugins": [], "count": 0,
+                "note": "WASM plugin runtime is out of scope "
+                        "(SURVEY §2.11); extend via Python operators."}
+
+    def get_plugin(self, m, b, q) -> dict:
+        raise _not_found(f"Plugin {m.group(1)!r} not found")
+
+    # -- probes / spec / dashboard / metrics (admin.rs:29-230) --
+
+    def health_ready(self, m, b, q) -> dict:
+        names = self.db.list_collections()
+        return {"status": "ready", "collections": len(names),
+                "total_vectors": sum(self.db.collection(n).count()
+                                     for n in names)}
+
+    def openapi_spec(self, m, b, q) -> dict:
+        """OpenAPI 3.0 spec generated from the live route table."""
+        paths: dict[str, dict] = {}
+        for method, pat, fn in self._routes:
+            p = pat.pattern.rstrip("$")
+            names = iter(("collection", "id", "x") if
+                         p.startswith("/collections") else ("name", "id"))
+            while "([^/]+)" in p:
+                p = p.replace("([^/]+)", "{%s}" % next(names), 1)
+            op = getattr(fn, "__name__", "op")
+            paths.setdefault(p, {})[method.lower()] = {
+                "operationId": f"{method.lower()}_"
+                               f"{op if op != '<lambda>' else 'static'}",
+                "responses": {"200": {"description": "OK"}}}
+        return {"openapi": "3.0.3",
+                "info": {"title": "needle-spark REST API",
+                         "version": "1.0"},
+                "paths": paths}
+
+    def dashboard(self, m, b, q) -> Raw:
+        from needle_spark.observe import generate_dashboard_html
+
+        dash, _ = self._observe_state()
+        return Raw(generate_dashboard_html(dash.snapshot()),
+                   "text/html; charset=utf-8")
+
+    def playground(self, m, b, q) -> Raw:
+        return Raw(_PLAYGROUND_HTML, "text/html; charset=utf-8")
+
+    def prometheus_metrics(self, m, b, q) -> Raw:
+        _, metrics = self._observe_state()
+        for name in self.db.list_collections():
+            metrics.update_from_collection(self.db.collection(name))
+        return Raw(metrics.export(),
+                   "text/plain; version=0.0.4; charset=utf-8")
+
     # -- http plumbing --
 
     def _make_handler(self):
@@ -967,12 +1926,17 @@ class RestServer:
             def log_message(self, *a):  # quiet by default
                 pass
 
-            def _respond(self, status: int, payload: dict) -> None:
-                # default=str: timestamps/decimals in QL results render
-                # as strings rather than failing the whole response
-                data = json.dumps(payload, default=str).encode()
+            def _respond(self, status: int, payload) -> None:
+                if isinstance(payload, Raw):
+                    data = payload.body.encode()
+                    ctype = payload.content_type
+                else:
+                    # default=str: timestamps/decimals in QL results
+                    # render as strings rather than failing the response
+                    data = json.dumps(payload, default=str).encode()
+                    ctype = "application/json"
                 self.send_response(status)
-                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(data)))
                 self.end_headers()
                 self.wfile.write(data)

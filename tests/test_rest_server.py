@@ -519,3 +519,316 @@ def test_concurrent_readers_and_writers(srv):
     assert errors == []
     # 20 base + 3 writers x (5 - 1 deleted)
     assert call(srv, "GET", "/collections/conc")["count"] == 32
+
+
+# ---------------------------------------------------------------------------
+# round-5 server-matrix parity: search variants, cache, memory, diffs,
+# webhooks, MCP, status surfaces (server/mod.rs:483-577)
+
+
+def raw_call(srv, path, expect=200):
+    """GET a non-JSON route (metrics text / dashboard HTML)."""
+    req = urllib.request.Request(srv.url + path, method="GET")
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        assert resp.status == expect
+        return resp.headers.get("Content-Type", ""), resp.read().decode()
+
+
+@pytest.fixture(scope="module")
+def seeded(srv):
+    """A 4-dim collection with links metadata, used across variants."""
+    call(srv, "POST", "/collections",
+         {"name": "var", "dimensions": 4}, expect=201)
+    call(srv, "POST", "/collections/var/vectors/batch", {"vectors": [
+        {"id": "a", "vector": [1, 0, 0, 0],
+         "metadata": {"name": "A", "links": ["b", "c"]}},
+        {"id": "b", "vector": [0.9, 0.1, 0, 0], "metadata": {"name": "B"}},
+        {"id": "c", "vector": [0, 0, 1, 0], "metadata": {"name": "C"}},
+        {"id": "d", "vector": [0, 0, 0, 1]}]}, expect=201)
+    return "var"
+
+
+def test_search_matryoshka(srv, seeded):
+    out = call(srv, "POST", f"/collections/{seeded}/search/matryoshka",
+               {"vector": [1, 0, 0, 0], "k": 2, "coarse_dims": 2},
+               expect=200)
+    assert out["count"] == 2 and out["coarse_dims"] == 2
+    assert out["results"][0]["id"] == "a"
+    assert "coarse_distance" in out["results"][0]
+    assert out["results"][0]["metadata"]["name"] == "A"
+    call(srv, "POST", f"/collections/{seeded}/search/matryoshka",
+         {"vector": [1, 0, 0, 0], "coarse_dims": 99}, expect=400)
+
+
+def test_search_graph(srv, seeded):
+    out = call(srv, "POST", f"/collections/{seeded}/search/graph",
+               {"vector": [1, 0, 0, 0], "k": 2, "max_hops": 2},
+               expect=200)
+    ids = {r["id"]: r for r in out["results"]}
+    assert "a" in ids and ids["a"]["hop_count"] == 0
+    assert ids["a"]["name"] == "A" and ids["a"]["path"] == ["a"]
+
+
+def test_search_multimodal(srv, seeded):
+    out = call(srv, "POST", f"/collections/{seeded}/search/multimodal",
+               {"queries": {"text": [1, 0, 0, 0], "image": [0, 0, 1, 0]},
+                "weights": {"text": 3.0}, "k": 2}, expect=200)
+    assert out["modalities"] == 2 and out["count"] == 2
+    # text weight 3x -> its top hit outranks image's
+    assert out["results"][0]["id"] == "a"
+    call(srv, "POST", f"/collections/{seeded}/search/multimodal",
+         {"queries": {}}, expect=400)
+
+
+def test_search_time_travel(srv):
+    call(srv, "POST", "/collections",
+         {"name": "tt", "dimensions": 2}, expect=201)
+    call(srv, "POST", "/collections/tt/vectors/batch", {"vectors": [
+        {"id": "x", "vector": [1, 0]}, {"id": "y", "vector": [0, 1]}]},
+        expect=201)
+    call(srv, "POST", "/collections/tt/snapshots", {"name": "before"},
+         expect=200)
+    call(srv, "DELETE", "/collections/tt/vectors/y", expect=200)
+    # snapshot mode sees the deleted vector; "now" does not
+    old = call(srv, "POST", "/collections/tt/search/time-travel",
+               {"vector": [0, 1], "k": 1, "snapshot": "before"},
+               expect=200)
+    assert old["results"][0]["id"] == "y" and old["snapshot"] == "before"
+    now = call(srv, "POST", "/collections/tt/search/time-travel",
+               {"vector": [0, 1], "k": 1, "as_of_expression": "now"},
+               expect=200)
+    assert now["results"][0]["id"] == "x"
+    call(srv, "POST", "/collections/tt/search/time-travel",
+         {"vector": [0, 1], "k": 1, "snapshot": "nope"}, expect=404)
+    call(srv, "POST", "/collections/tt/search/time-travel",
+         {"vector": [0, 1], "k": 1}, expect=400)
+
+
+def test_cache_store_and_lookup(srv, seeded):
+    call(srv, "POST", f"/collections/{seeded}/cache/store",
+         {"query": "what is needle", "response": "a vector db"},
+         expect=200)
+    hit = call(srv, "POST", f"/collections/{seeded}/cache/lookup",
+               {"query": "what is needle"}, expect=200)
+    assert hit["hit"] and hit["response"] == "a vector db"
+    assert hit["similarity"] == 1.0
+    miss = call(srv, "POST", f"/collections/{seeded}/cache/lookup",
+                {"query": "entirely unrelated zq"}, expect=200)
+    assert not miss["hit"]
+    assert miss["stats"]["total_entries"] == 1
+
+
+def test_ingest_and_auto_text(srv, seeded):
+    out = call(srv, "POST", f"/collections/{seeded}/ingest",
+               {"vectors": [{"id": "e", "vector": [1, 1, 1, 1]},
+                            {"id": "bad", "vector": [1]},
+                            {"vector": [2, 2, 2, 2]}],
+                "sequence_id": 7}, expect=200)
+    assert out["accepted"] == 1 and out["total"] == 3
+    assert len(out["errors"]) == 2 and out["sequence_id"] == 7
+    assert out["collection_size"] >= 5 and not out["backpressure"]
+    call(srv, "POST", f"/collections/{seeded}/texts/auto",
+         {"id": "t1", "text": "hello auto"}, expect=201)
+    got = call(srv, "GET", f"/collections/{seeded}/vectors/t1",
+               expect=200)
+    assert got["metadata"]["text"] == "hello auto"
+
+
+def test_snapshot_diff_and_vector_diff(srv):
+    call(srv, "POST", "/collections",
+         {"name": "dl", "dimensions": 2}, expect=201)
+    call(srv, "POST", "/collections/dl/vectors/batch", {"vectors": [
+        {"id": "p", "vector": [1, 0]}, {"id": "q", "vector": [0, 1]}]},
+        expect=201)
+    call(srv, "POST", "/collections/dl/snapshots", {"name": "v1"},
+         expect=200)
+    call(srv, "DELETE", "/collections/dl/vectors/q", expect=200)
+    call(srv, "POST", "/collections/dl/vectors/upsert",
+         {"id": "p", "vector": [0.5, 0.5]}, expect=201)
+    call(srv, "POST", "/collections/dl/vectors",
+         {"id": "r", "vector": [1, 1]}, expect=201)
+    call(srv, "POST", "/collections/dl/snapshots", {"name": "v2"},
+         expect=200)
+    out = call(srv, "POST", "/collections/dl/snapshots/diff",
+               {"from": "v1", "to": "v2"}, expect=200)
+    assert out["summary"] == {"added": 1, "removed": 1, "modified": 1}
+    assert out["added"] == ["r"] and out["removed"] == ["q"] \
+        and out["modified"] == ["p"]
+    call(srv, "POST", "/collections/dl/snapshots/diff",
+         {"from": "v1", "to": "zz"}, expect=404)
+    # cross-collection diff: dl vs a copy with one drift
+    call(srv, "POST", "/collections",
+         {"name": "dr", "dimensions": 2}, expect=201)
+    call(srv, "POST", "/collections/dr/vectors/batch", {"vectors": [
+        {"id": "p", "vector": [0.5, 0.5]}, {"id": "s", "vector": [2, 2]}]},
+        expect=201)
+    out = call(srv, "POST", "/collections/dl/diff",
+               {"other_collection": "dr"}, expect=200)
+    assert out["only_in_source"] == ["r"]
+    assert out["only_in_target"] == ["s"]
+    assert out["summary"]["modified"] == 0 and out["shared_count"] == 1
+
+
+def test_memory_lifecycle(srv):
+    call(srv, "POST", "/collections",
+         {"name": "mem", "dimensions": 2}, expect=201)
+    st = call(srv, "POST", "/collections/mem/memory/remember",
+              {"content": "likes spark", "vector": [1, 0],
+               "tier": "long_term", "importance": 0.9,
+               "session_id": "s1"}, expect=201)
+    assert st["stored"] and st["memory_id"].startswith("mem_")
+    call(srv, "POST", "/collections/mem/memory/remember",
+         {"content": "scratch note", "vector": [0, 1],
+          "tier": "short_term", "importance": 0.1}, expect=201)
+    rec = call(srv, "POST", "/collections/mem/memory/recall",
+               {"vector": [1, 0], "k": 5, "tier": "long_term",
+                "min_importance": 0.5}, expect=200)
+    assert rec["count"] == 1
+    assert rec["memories"][0]["content"] == "likes spark"
+    assert rec["memories"][0]["session_id"] == "s1"
+    call(srv, "DELETE",
+         f"/collections/mem/memory/{st['memory_id']}/forget",
+         expect=200)
+    rec = call(srv, "POST", "/collections/mem/memory/recall",
+               {"vector": [1, 0], "k": 5, "tier": "long_term"},
+               expect=200)
+    assert rec["count"] == 0
+    call(srv, "DELETE", "/collections/mem/memory/ghost/forget",
+         expect=404)
+
+
+def test_advise_sync_delta_admin_audit(srv, seeded):
+    adv = call(srv, "GET", f"/collections/{seeded}/advise", expect=200)
+    assert adv["dimensions"] == 4
+    strategies = {p["strategy"] for p in adv["previews"]}
+    assert "exact_scan" in strategies and "ivf" in strategies
+    delta = call(srv, "GET", "/sync/delta?from=0&replica_id=r1",
+                 expect=200)
+    assert delta["replica_id"] == "r1"
+    assert delta["entry_count"] == len(delta["entries"]) > 0
+    assert {"collection", "sequence", "event_type", "vector_id",
+            "timestamp_ms"} <= set(delta["entries"][0])
+    audit = call(srv, "GET", "/admin/audit-log?limit=10", expect=200)
+    assert 0 < len(audit["events"]) <= 10
+    only_ins = call(srv, "GET", "/admin/audit-log?action=insert",
+                    expect=200)
+    assert all(e["action"] == "insert" for e in only_ins["events"])
+
+
+def test_webhook_routes(srv):
+    wh = call(srv, "POST", "/webhooks",
+              {"url": "http://example.invalid/hook",
+               "event_types": ["insert"], "secret": "s3"}, expect=201)
+    assert wh["active"]
+    lst = call(srv, "GET", "/webhooks", expect=200)["webhooks"]
+    assert any(w["id"] == wh["id"] and w["event_types"] == ["insert"]
+               for w in lst)
+    call(srv, "POST", "/webhooks", {"url": "ftp://nope"}, expect=400)
+    out = call(srv, "DELETE", f"/webhooks/{wh['id']}", expect=200)
+    assert out["deleted"]
+    assert call(srv, "DELETE", f"/webhooks/{wh['id']}",
+                expect=200)["deleted"] is False
+
+
+def test_alias_get_and_update(srv, seeded):
+    call(srv, "POST", "/aliases",
+         {"alias": "prod", "target": seeded}, expect=200)
+    assert call(srv, "GET", "/aliases/prod",
+                expect=200)["target"] == seeded
+    call(srv, "PUT", "/aliases/prod", {"target": seeded}, expect=200)
+    call(srv, "GET", "/aliases/ghost", expect=404)
+    call(srv, "PUT", "/aliases/ghost", {"target": seeded}, expect=404)
+
+
+def test_vector_ttl_routes(srv):
+    call(srv, "POST", "/collections",
+         {"name": "ttlc", "dimensions": 2, "default_ttl_seconds": 3600},
+         expect=201)
+    call(srv, "POST", "/collections/ttlc/vectors",
+         {"id": "v", "vector": [1, 0]}, expect=201)
+    got = call(srv, "GET", "/collections/ttlc/vectors/v/ttl",
+               expect=200)
+    assert got["expiration_timestamp"] is not None
+    call(srv, "PUT", "/collections/ttlc/vectors/v/ttl",
+         {"ttl_seconds": 60}, expect=200)
+    # clearing: null ttl_seconds removes expiry
+    call(srv, "PUT", "/collections/ttlc/vectors/v/ttl",
+         {"ttl_seconds": None}, expect=200)
+    got = call(srv, "GET", "/collections/ttlc/vectors/v/ttl",
+               expect=200)
+    assert got["expiration_timestamp"] is None
+    call(srv, "PUT", "/collections/ttlc/vectors/ghost/ttl",
+         {"ttl_seconds": 60}, expect=404)
+    # collections without a TTL column reject the write cleanly
+    call(srv, "PUT", "/collections/var/vectors/a/ttl",
+         {"ttl_seconds": 60}, expect=400)
+
+
+def test_stats_memory(srv, seeded):
+    out = call(srv, "GET", f"/collections/{seeded}/stats/memory",
+               expect=200)
+    assert out["vector_count"] > 0 and out["dimensions"] == 4
+    assert out["vectors_bytes"] == out["vector_count"] * 4 * 4
+    assert out["total_bytes"] >= out["vectors_bytes"]
+
+
+def test_status_surfaces(srv, seeded):
+    assert call(srv, "GET", "/health/live",
+                expect=200) == {"status": "alive"}
+    ready = call(srv, "GET", "/health/ready", expect=200)
+    assert ready["status"] == "ready" and ready["total_vectors"] > 0
+    cl = call(srv, "GET", "/cluster/status", expect=200)
+    assert cl["cluster"]["role"] == "standalone"
+    assert any(s["collection"] == seeded for s in cl["shards"])
+    gr = call(srv, "GET", "/grpc/schema", expect=200)
+    assert {s["name"] for s in gr["services"]} == {"NeedleService",
+                                                   "MemoryService"}
+    tr = call(srv, "GET", "/tracing/status", expect=200)
+    assert "search" in tr["instrumented_operations"]
+    rt = call(srv, "GET", "/embeddings/router/status", expect=200)
+    assert "priority_chain" in rt["router"]["available_strategies"]
+    pl = call(srv, "GET", "/plugins", expect=200)
+    assert pl["plugins"] == []
+    call(srv, "GET", "/plugins/anything", expect=404)
+
+
+def test_mcp_jsonrpc(srv):
+    init = call(srv, "POST", "/mcp",
+                {"jsonrpc": "2.0", "id": 1, "method": "initialize"},
+                expect=200)
+    assert init["result"]["serverInfo"]["name"] == "needle-spark"
+    tools = call(srv, "POST", "/mcp",
+                 {"jsonrpc": "2.0", "id": 2, "method": "tools/list"},
+                 expect=200)["result"]["tools"]
+    names = {t["name"] for t in tools}
+    assert {"needle_create_collection", "needle_insert",
+            "needle_search"} <= names
+    out = call(srv, "POST", "/mcp",
+               {"jsonrpc": "2.0", "id": 3, "method": "tools/call",
+                "params": {"name": "needle_create_collection",
+                           "arguments": {"name": "mcp_made",
+                                         "dimensions": 16}}},
+               expect=200)["result"]
+    assert not out["isError"]
+    assert "mcp_made" in call(srv, "GET", "/collections")["collections"]
+    bad = call(srv, "POST", "/mcp",
+               {"jsonrpc": "2.0", "id": 4, "method": "nope"},
+               expect=200)
+    assert bad["error"]["code"] == -32601
+    cfg = call(srv, "GET", "/mcp/config", expect=200)
+    assert cfg["mcpServers"]["needle-spark"]["url"].endswith("/mcp")
+
+
+def test_openapi_and_raw_surfaces(srv, seeded):
+    spec = call(srv, "GET", "/openapi.json", expect=200)
+    assert spec["openapi"].startswith("3.")
+    assert "/collections/{collection}/search" in spec["paths"]
+    assert "post" in spec["paths"]["/collections/{collection}/search"]
+    ctype, text = raw_call(srv, "/metrics")
+    assert ctype.startswith("text/plain")
+    assert "needle_collection_vectors_total" in text
+    assert "needle_operations_total" in text
+    ctype, html = raw_call(srv, "/dashboard")
+    assert ctype.startswith("text/html") and "<html" in html
+    ctype, html = raw_call(srv, "/playground")
+    assert ctype.startswith("text/html") and "/ql" in html
