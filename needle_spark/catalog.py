@@ -222,8 +222,16 @@ class Collection:
             # their own rows / victim ids); tombstone positions are
             # re-derived against the refreshed segment list inside
             # _commit_locked, so they mask every earlier segment
-            # including concurrently-added ones.
-            self._manifest = self._read_manifest()
+            # including concurrently-added ones.  obj_seq merges with
+            # max(): a caller that allocated a name before entering
+            # _commit (against the in-lock-allocation rule) must not
+            # have its bump rolled back, or the next commit reuses and
+            # overwrites that segment.  Skipped names are harmless —
+            # object names only need uniqueness, not density.
+            fresh = self._read_manifest()
+            fresh["obj_seq"] = max(fresh["obj_seq"],
+                                   self._manifest.get("obj_seq", 0))
+            self._manifest = fresh
             entry = self._commit_locked(ops, events, n_events, now_ms,
                                         new_entry, event_counts)
         # outside the lock: auto-compaction re-enters it via compact()

@@ -215,12 +215,19 @@ class PitrService:
             bundle = os.path.join(self._point_dir(point.id), name)
             data = self.db.spark.read.parquet(os.path.join(bundle, "data"))
             coll = self._collection_or_recreate(name, bundle)
-            seg = coll._new_obj("seg")
-            data.write.mode("overwrite").parquet(os.path.join(coll.path, seg))
-            coll._commit(
-                [], [coll._literal_event("restore", point.id)], 1, now_ms,
-                new_entry={"segments": [seg], "tombstones": []},
-            )
+            # segment name allocates INSIDE the commit lock: _commit's
+            # manifest refresh would roll back an outside bump and the
+            # next commit would reuse — and overwrite — this segment
+            with coll._commit_lock():
+                coll._manifest = coll._read_manifest()
+                seg = coll._new_obj("seg")
+                data.write.mode("overwrite").parquet(
+                    os.path.join(coll.path, seg))
+                coll._commit_locked(
+                    [], [coll._literal_event("restore", point.id)], 1,
+                    now_ms,
+                    new_entry={"segments": [seg], "tombstones": []},
+                )
             restored += coll.count()
         cleared = []
         if extra_collections == "clear":
@@ -489,12 +496,16 @@ class IncrementalBackupService:
                         id_col=am.get("id_col", "id"),
                         vector_col=am.get("vector_col", "vector"),
                         schema=am.get("schema"))
-                seg = coll._new_obj("seg")
-                data.write.mode("overwrite").parquet(
-                    os.path.join(coll.path, seg))
-                coll._commit(
-                    [], [coll._literal_event("restore", point_id)], 1, now_ms,
-                    new_entry={"segments": [seg], "tombstones": []})
+                # in-lock allocation, same rule as restore() above
+                with coll._commit_lock():
+                    coll._manifest = coll._read_manifest()
+                    seg = coll._new_obj("seg")
+                    data.write.mode("overwrite").parquet(
+                        os.path.join(coll.path, seg))
+                    coll._commit_locked(
+                        [], [coll._literal_event("restore", point_id)],
+                        1, now_ms,
+                        new_entry={"segments": [seg], "tombstones": []})
                 restored[name] = coll.count()
             return {"point_id": point_id, "chain_length": len(chain),
                     "collections": restored}

@@ -365,26 +365,33 @@ class SchemaRegistry:
         from_v = self.coll._manifest.get("schema_migrated_version", 1)
         adapted = self.adapted_df()
         total = adapted.count()
-        name = self.coll._new_obj("seg")
-        adapted.write.mode("overwrite").parquet(
-            os.path.join(self.coll.path, name))
-        self.coll._commit([], [], 0, None,
-                          new_entry={"segments": [name], "tombstones": []})
-        m = self.coll._manifest
-        m["dims"] = cur["dims"]
-        m["metric"] = cur["metric"]
-        written = self.coll.spark.read.parquet(
-            os.path.join(self.coll.path, name))
-        m["schema"] = ", ".join(f"{n} {t}" for n, t in written.dtypes)
-        m["schema_migrated_version"] = cur["version"]
-        # every row is now physically at the target dims FROM THIS
-        # manifest version on; the dim_change stays recorded (gated by
-        # migrated_at_manifest_version) so time-travel reads of
-        # pre-migration manifest versions still reshape old rows
-        for sv in m["schema_evolution"]["versions"]:
-            if sv["version"] == cur["version"]:
-                sv["migrated_at_manifest_version"] = m["version"]
-        self.coll._write_manifest_static(self.coll.path, m)
+        # the segment name must allocate INSIDE the commit lock (the
+        # clear()/compact() rule): _commit refreshes the manifest from
+        # disk, which would roll back an outside-the-lock obj_seq bump
+        # and let the next commit reuse — and overwrite — this segment
+        with self.coll._commit_lock():
+            self.coll._manifest = self.coll._read_manifest()
+            name = self.coll._new_obj("seg")
+            adapted.write.mode("overwrite").parquet(
+                os.path.join(self.coll.path, name))
+            self.coll._commit_locked(
+                [], [], 0, None,
+                new_entry={"segments": [name], "tombstones": []})
+            m = self.coll._manifest
+            m["dims"] = cur["dims"]
+            m["metric"] = cur["metric"]
+            written = self.coll.spark.read.parquet(
+                os.path.join(self.coll.path, name))
+            m["schema"] = ", ".join(f"{n} {t}" for n, t in written.dtypes)
+            m["schema_migrated_version"] = cur["version"]
+            # every row is now physically at the target dims FROM THIS
+            # manifest version on; the dim_change stays recorded (gated
+            # by migrated_at_manifest_version) so time-travel reads of
+            # pre-migration manifest versions still reshape old rows
+            for sv in m["schema_evolution"]["versions"]:
+                if sv["version"] == cur["version"]:
+                    sv["migrated_at_manifest_version"] = m["version"]
+            self.coll._write_manifest_static(self.coll.path, m)
         return MigrationReport(
             from_version=from_v, to_version=cur["version"],
             total_migrated=int(total), duration_ms=_now_ms() - t0,
