@@ -218,3 +218,35 @@ def test_chain_verify_and_errors(spark, tmp_path):
     assert svc.verify(base.id) is False
     with pytest.raises(PitrError, match="checksum"):
         svc.recover(base.id)
+
+
+# ===================================================================
+# Regression: restore's in-lock segment allocation must survive the
+# NEXT commit's manifest refresh (outside-lock allocation let a later
+# insert reuse — and overwrite — the restored segment)
+# ===================================================================
+
+def test_insert_after_recover_keeps_restored_rows(spark, tmp_path, db):
+    svc = PitrService(db, PitrConfig(backup_dir=str(tmp_path / "b4")))
+    svc.create_snapshot("p", now_ms=10_000)
+    c = db.collection("docs")
+    c.clear(now_ms=11_000)
+    svc.recover_to("p", now_ms=12_000)
+    c = db.collection("docs")
+    c.insert(spark.createDataFrame([("c", [1.0, 1.0], "z")], SCHEMA),
+             now_ms=13_000)
+    ids = {r["id"] for r in db.collection("docs").df().select("id").collect()}
+    assert ids == {"a", "b", "c"}
+
+
+def test_insert_after_chain_recover_keeps_restored_rows(spark, tmp_path):
+    db, coll, svc = _ibs(spark, tmp_path, "ibdb4")
+    base = svc.create_base("b0", now_ms=1000)
+    coll.clear(now_ms=2000)
+    svc.recover(base.id, now_ms=3000)
+    c = db.collection("docs")
+    c.insert(spark.createDataFrame(
+        [("c", [0.5, 0.5])], "id string, vector array<float>"),
+        now_ms=4000)
+    ids = {r["id"] for r in c.df().select("id").collect()}
+    assert ids == {"a", "b", "c"}
