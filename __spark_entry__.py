@@ -3313,6 +3313,112 @@ ORDER BY event_id
 """
 
 
+def _anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical outliers: rows where ANY embedding dimension's
+    z-score (population std) exceeds 2.5 (anomaly.rs zscore_outliers
+    :571-589)."""
+    from needle_spark.operators.anomaly import zscore_outliers
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return zscore_outliers(emb, vector_col="embedding", threshold=2.5,
+                           id_col="vec_id").orderBy("vec_id")
+
+
+_ANOMALY_ZSCORE_SQL = """
+WITH ex AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+stats AS (
+  SELECT dim, avg(x) AS m, var_pop(x) AS v FROM ex GROUP BY dim
+)
+SELECT DISTINCT ex.vec_id
+FROM ex JOIN stats USING (dim)
+WHERE stats.v > 0 AND abs((ex.x - stats.m) / sqrt(stats.v)) > 2.5
+ORDER BY vec_id
+"""
+
+
+def _anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR-fence outliers: rows where any dimension leaves
+    [Q1 - 1.5*IQR, Q3 + 1.5*IQR], quartiles as the reference's
+    0-indexed order statistics values[n/4], values[3n/4]
+    (anomaly.rs iqr_outliers :591-606)."""
+    from needle_spark.operators.anomaly import iqr_outliers
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return iqr_outliers(emb, vector_col="embedding", multiplier=1.5,
+                        id_col="vec_id").orderBy("vec_id")
+
+
+# the Spark side interpolates F.percentile at fraction idx/(n-1),
+# which lands EXACTLY on the 0-indexed order statistic values[idx]
+# (h = p*(n-1) = idx is an integer) — so the twin selects the order
+# statistic directly via row_number, no interpolation needed
+_ANOMALY_IQR_SQL = """
+WITH ex AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+n AS (SELECT count(*) AS n FROM embeddings),
+ranked AS (
+  SELECT vec_id, dim, x,
+         row_number() OVER (PARTITION BY dim ORDER BY x) AS rn
+  FROM ex
+),
+q AS (
+  SELECT dim,
+         max(CASE WHEN rn = (SELECT n // 4 + 1 FROM n) THEN x END) AS q1,
+         max(CASE WHEN rn = (SELECT (3 * n) // 4 + 1 FROM n) THEN x END) AS q3
+  FROM ranked GROUP BY dim
+)
+SELECT DISTINCT ex.vec_id
+FROM ex JOIN q USING (dim)
+WHERE ex.x < q.q1 - 1.5 * (q.q3 - q.q1)
+   OR ex.x > q.q3 + 1.5 * (q.q3 - q.q1)
+ORDER BY vec_id
+"""
+
+
+def _sq8_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar quantization fidelity: encode embeddings to int8
+    codes (round((x-lo)/scale)-128 over the collection-global [lo,hi]),
+    dequantize, and report each vector's max absolute reconstruction
+    error (quantization.rs Scalar variant)."""
+    from needle_spark.plans.quantization import SQ8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sq = SQ8.fit(emb, vector_col="embedding")
+    enc = sq.encode(emb)
+    err = F.array_max(F.zip_with(
+        F.col("embedding").cast("array<double>"), sq.dequantize_expr(),
+        lambda x, d: F.abs(x - d)))
+    return (enc.select("vec_id", err.alias("max_abs_err"))
+            .orderBy("vec_id"))
+
+
+_SQ8_ROUNDTRIP_SQL = """
+WITH bounds AS (
+  SELECT CAST(min(list_min(embedding)) AS DOUBLE) AS lo,
+         (CAST(max(list_max(embedding)) AS DOUBLE)
+          - CAST(min(list_min(embedding)) AS DOUBLE)) / 255.0 AS s
+  FROM embeddings
+)
+SELECT vec_id,
+       list_max(list_transform(
+         embedding,
+         x -> abs(CAST(x AS DOUBLE)
+                  - ((round((CAST(x AS DOUBLE) - lo) / s) - 128 + 128.0)
+                     * s + lo)))) AS max_abs_err
+FROM embeddings, bounds
+ORDER BY vec_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": _mk_knn("cosine"),
@@ -3413,6 +3519,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encrypted_knn": _encrypted_knn,
         "acl_rowlevel": _acl_rowlevel,
         "lifecycle_classify": _lifecycle_classify,
+        "anomaly_zscore": _anomaly_zscore,
+        "anomaly_iqr": _anomaly_iqr,
+        "sq8_roundtrip": _sq8_roundtrip,
     }
 
 
@@ -3541,4 +3650,7 @@ def oracle_sql() -> dict[str, str]:
         "encrypted_knn": _encrypted_knn_sql(),
         "acl_rowlevel": _acl_rowlevel_sql(),
         "lifecycle_classify": _LIFECYCLE_CLASSIFY_SQL,
+        "anomaly_zscore": _ANOMALY_ZSCORE_SQL,
+        "anomaly_iqr": _ANOMALY_IQR_SQL,
+        "sq8_roundtrip": _SQ8_ROUNDTRIP_SQL,
     }

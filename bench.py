@@ -273,6 +273,44 @@ def main() -> None:
         repeats=2)
     docs_4x.unpersist()
 
+    # ANN semantic-dedup scaling point: embeddings replicated under
+    # per-replica Walsh SIGN patterns — orthogonal transforms, so every
+    # within-replica pair distance is preserved EXACTLY while replicas
+    # point in unrelated directions (max cross-replica cosine sim
+    # ~0.56 on this corpus).  The scale knob is the one production
+    # uses: num_cells grows with the corpus (8 -> 32) so cell SIZE
+    # stays constant — per-cell verification work is then linear in n
+    # and the time ratio reads ~4x; holding num_cells fixed would make
+    # the quadratic per-cell verify dominate (~16x) by design.
+    from needle_spark.operators.dedup import embedding_neardup_pairs
+
+    def _walsh_flip(r):
+        # flip sign where popcount(i & r) is odd (r in 1..3)
+        return F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(
+                ((i % 2) * (r & 1)
+                 + ((i / 2).cast("int") % 2) * ((r >> 1) & 1)) % 2 == 1,
+                -x).otherwise(x))
+
+    emb_base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    eparts = [emb_base]
+    for r in range(1, SCALE):
+        eparts.append(
+            emb_base.withColumn("vec_id", F.col("vec_id") + F.lit(r * 10_000_000))
+            .withColumn("embedding", _walsh_flip(r)))
+    emb_4x = eparts[0]
+    for p in eparts[1:]:
+        emb_4x = emb_4x.unionByName(p)
+    emb_4x = emb_4x.repartition(32).persist()
+    emb_4x.count()  # materialize outside the timed window
+    run("embedding_neardup_4x",
+        lambda: embedding_neardup_pairs(
+            emb_4x, threshold=0.6, metric="cosine", id_col="vec_id",
+            vector_col="embedding", num_cells=4 * 8).collect(),
+        repeats=2)
+    emb_4x.unpersist()
+
     # repeated-query BM25 throughput on a built index (10 queries)
     from needle_spark.operators.hybrid import Bm25Index
 
@@ -331,6 +369,8 @@ def main() -> None:
             timings["minhash_lsh_dedup_4x"] / timings["minhash_lsh_dedup"], 2),
         "decontaminate_4x_time_ratio": round(
             timings["decontaminate_4x"] / timings["decontaminate"], 2),
+        "embedding_neardup_4x_time_ratio": round(
+            timings["embedding_neardup_4x"] / timings["embedding_neardup"], 2),
         "dedup_scale_docs": n_docs_4x,
         "bulk_insert_rows_per_sec": round(li_rows / timings["bulk_insert_lineitem"]),
         "lineitem_agg_rows_per_sec": round(li_rows / timings["agg_lineitem"]),
