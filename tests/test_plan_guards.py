@@ -235,3 +235,37 @@ def test_centroids_ml_no_explode(spark, embeddings):
 
     assert "Generate" not in p  # the explode operator
     assert len(re.findall(r"\(\d+\) Exchange", p)) <= 1  # one agg exchange
+
+
+def test_zscore_outliers_single_scan_no_python(spark, embeddings):
+    """zscore_outliers = ONE stats aggregation job + ONE map-only flag
+    pass: the returned plan is a codegen'd filter over the scan (no
+    join, no Python, no exchange beyond the agg already executed)."""
+    from needle_spark.operators.anomaly import zscore_outliers
+
+    p = plan_of(zscore_outliers(embeddings, vector_col="embedding",
+                                threshold=2.5, id_col="vec_id"))
+    assert "BatchEvalPython" not in p and "FlatMapGroupsInPandas" not in p
+    assert "Join" not in p
+    assert "* Filter" in p  # the flag pass is whole-stage codegen'd
+
+
+def test_iqr_outliers_single_scan_no_python(spark, embeddings):
+    from needle_spark.operators.anomaly import iqr_outliers
+
+    p = plan_of(iqr_outliers(embeddings, vector_col="embedding",
+                             multiplier=1.5, id_col="vec_id"))
+    assert "BatchEvalPython" not in p and "FlatMapGroupsInPandas" not in p
+    assert "Join" not in p
+
+
+def test_sq8_roundtrip_is_scan_expression(spark, embeddings):
+    """encode + dequantize compile to array_transform scan expressions:
+    no Python, no shuffle — quantization rides the scan at any scale."""
+    from needle_spark.plans.quantization import SQ8
+
+    sq = SQ8.fit(embeddings, vector_col="embedding")
+    enc = sq.encode(embeddings).withColumn("deq", sq.dequantize_expr())
+    p = plan_of(enc)
+    assert "BatchEvalPython" not in p
+    assert "Exchange" not in p
