@@ -149,11 +149,12 @@ def main() -> None:
     # top-10 above and reported next to the latency.
     from needle_spark.plans.ivf import IvfBatchKnnIndex
 
-    big_labeled = big.withColumn("label", (F.col("vec_id") % 10).cast("int"))
+    big_labeled = (big.withColumn("label", (F.col("vec_id") % 10).cast("int"))
+                   .withColumn("bucket", (F.col("vec_id") % 100).cast("int")))
     ivf_idx = IvfBatchKnnIndex(big_labeled, nlist=512, vector_col="embedding",
                                id_col="vec_id", metric="cosine", seed=42,
                                kmeans_max_iter=6, sample_rows=32768,
-                               meta_cols=["label"])
+                               meta_cols=["label", "bucket"])
     # decoded float32 tier: page-cache-shared, no per-query uint8 cast
     # (the residency class of the reference's in-memory float32 index)
     ivf_idx.pin_segments(decoded=True)
@@ -202,6 +203,28 @@ def main() -> None:
         a = set(filt[filt.query_id == qid].vec_id)
         filt_recall += (len(e & a) / len(e)) if e else 1.0
     filt_recall = round(filt_recall / len(q_ids), 4)
+
+    # the reference's full filtered-search selectivity matrix
+    # (benches/search.rs:122-199: 1% eq, 20% range-ish, 40% OR,
+    # compound 10%): nprobe widens as selectivity tightens so each
+    # probed cell still yields enough candidates (1% keeps ~10
+    # rows/cell at 512 cells over 1M rows)
+    for name, where, nprobe in (
+        ("knn_filtered_sel1_1M384_local_100q",
+         {"bucket": {"$eq": 37}}, 256),
+        ("knn_filtered_sel20_1M384_local_100q",
+         {"label": {"$in": [3, 7]}}, 96),
+        ("knn_filtered_sel40_1M384_local_100q",
+         {"label": {"$in": [1, 3, 5, 7]}}, 64),
+        ("knn_filtered_compound10_1M384_local_100q",
+         {"label": {"$in": [3, 7]}, "bucket": {"$lt": 50}}, 128),
+    ):
+        ivf_idx.search_many_local((q_ids, Q384), k=10, nprobe=nprobe,
+                                  where=where)  # warm
+        run(name,
+            lambda w=where, np_=nprobe: ivf_idx.search_many_local(
+                (q_ids, Q384), k=10, nprobe=np_, where=w),
+            repeats=3)
 
     # single-query ONLINE serving (the reference's 3.2 ms p50 row,
     # README.md:78-82): search_one answers one query driver-local over
@@ -362,6 +385,15 @@ def main() -> None:
         "knn_filtered_1M384_ms_per_query": round(
             timings["knn_filtered_1M384_local_100q"] * 10.0, 3),
         "knn_filtered_1M384_recall_vs_fullprobe": filt_recall,
+        # reference selectivity matrix (benches/search.rs:122-199)
+        "knn_filtered_sel1_ms_per_query": round(
+            timings["knn_filtered_sel1_1M384_local_100q"] * 10.0, 3),
+        "knn_filtered_sel20_ms_per_query": round(
+            timings["knn_filtered_sel20_1M384_local_100q"] * 10.0, 3),
+        "knn_filtered_sel40_ms_per_query": round(
+            timings["knn_filtered_sel40_1M384_local_100q"] * 10.0, 3),
+        "knn_filtered_compound10_ms_per_query": round(
+            timings["knn_filtered_compound10_1M384_local_100q"] * 10.0, 3),
         "batch_knn_1M384_rows": big_n,
         "bm25_indexed_qps": round(10.0 / timings["bm25_indexed_10q"], 2),
         # linear operators stay near SCALE (=4); quadratic would be ~16
