@@ -256,6 +256,25 @@ def main() -> None:
         a = {i for i, _ in ivf_idx.search_one(Q384[qi], k=10, nprobe=6)}
         single_recall += len(e & a) / 10.0
     single_recall = round(single_recall / len(q_ids), 4)
+
+    # single-insert ONLINE serving latency (the reference's 0.8 ms p50
+    # / 2.1 ms p99 insert row, README.md:84 — its durability tier is a
+    # WAL too): add_local = in-process numpy encode + WAL append, no
+    # Spark job.  Runs AFTER every search row so the buffered rows
+    # don't perturb the search timings.
+    rng_ins = np.random.default_rng(9)
+    ins_vecs = rng_ins.standard_normal((200, 384)).astype(np.float32)
+    ins_lat = []
+    for j in range(200):
+        t0 = time.perf_counter()
+        ivf_idx.add_local(
+            [int(90_000_000 + j)], ins_vecs[j][None, :],
+            metas={"label": [int(j % 10)], "bucket": [int(j % 100)]})
+        ins_lat.append(time.perf_counter() - t0)
+    ins_lat.sort()
+    insert_p50 = round(ins_lat[len(ins_lat) // 2] * 1000.0, 3)
+    insert_p99 = round(ins_lat[int(len(ins_lat) * 0.99) - 1] * 1000.0, 3)
+    timings["insert_single_local_200"] = round(sum(ins_lat), 4)
     ivf_idx.unpersist()
 
     # dedup-family scaling point: the same operators on a 4x corpus
@@ -382,6 +401,8 @@ def main() -> None:
         "knn_single_1M384_p50_ms": single_p50,
         "knn_single_1M384_p99_ms": single_p99,
         "knn_single_1M384_recall_at_10": single_recall,
+        "insert_single_local_p50_ms": insert_p50,
+        "insert_single_local_p99_ms": insert_p99,
         "knn_filtered_1M384_ms_per_query": round(
             timings["knn_filtered_1M384_local_100q"] * 10.0, 3),
         "knn_filtered_1M384_recall_vs_fullprobe": filt_recall,

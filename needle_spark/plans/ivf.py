@@ -398,6 +398,14 @@ class IvfBatchKnnIndex:
         self.serving_cache_mb: int = 2048
         self._cellf32: dict = {}
         self._cellf32_bytes = 0
+        # driver-local write buffer (add_local): encoded rows held
+        # in-process for sub-ms single-insert serving latency (the
+        # reference's 0.8 ms p50 insert path is in-memory too), made
+        # durable by a WAL in the segment dir and folded into the
+        # distributed delta by flush_local()
+        self._local_buf: list = []
+        self._local_n = 0
+        self._main_ids_sorted = None
 
     # -- encode ---------------------------------------------------------
     def _encode(self, docs: DataFrame) -> DataFrame:
@@ -584,6 +592,10 @@ class IvfBatchKnnIndex:
         # (lost/unshared segment dir) instead of silently skipping
         self._segments = (seg_dir, n_parts, {int(r["pid"]) for r in rows})
         self._seg_decoded = decoded
+        self._main_ids_sorted = None
+        # crash recovery: local adds WAL'd against this segment dir by
+        # a previous process replay into the buffer (masking included)
+        self._replay_wal()
         return int(sum(r["n"] for r in rows))
 
     def _partial_segments(self, q_ids, Q, qid_type, cell2q, k: int) -> DataFrame:
@@ -804,6 +816,8 @@ class IvfBatchKnnIndex:
         partition pruning on disk."""
         from needle_spark.operators.knn_arrow import _merge_topk
 
+        if self._local_buf:
+            self.flush_local()  # distributed scans read the Spark delta
         q_ids, Q, qid_type, cell2q, probes = self._prep_queries(queries, nprobe)
         fetch = self._fetch_k(k)
         if source is None and self._segments is not None:
@@ -832,6 +846,8 @@ class IvfBatchKnnIndex:
         mirrors BatchKnnIndex.search_local."""
         import pandas as pd
 
+        if self._local_buf:
+            self.flush_local()  # distributed scans read the Spark delta
         q_ids, Q, qid_type, cell2q, probes = self._prep_queries(queries, nprobe)
         fetch = self._fetch_k(k)
         if source is None and self._segments is not None:
@@ -935,6 +951,28 @@ class IvfBatchKnnIndex:
                                 for b in pdf[self.CODE_COL]]),
                     {mc: pdf[mc].to_numpy() for mc in self.meta_cols},
                 )
+        # merge the driver-local write buffer (add_local); local rows
+        # win on id collisions (add_local already filtered the Spark
+        # delta, the isin here only defends stale lineage)
+        local = self._local_delta_arrays()
+        if local is not None:
+            if out is not None:
+                keep = ~np.isin(out[0], local[0])
+                if not keep.any():
+                    out = local
+                else:
+                    out = (
+                        np.concatenate([out[0][keep], local[0]]),
+                        np.concatenate([out[1][keep], local[1]]),
+                        np.concatenate([out[2][keep], local[2]]),
+                        np.concatenate([np.asarray(out[3])[keep],
+                                        local[3]]),
+                        {mc: np.concatenate([out[4][mc][keep],
+                                             local[4][mc]])
+                         for mc in self.meta_cols},
+                    )
+            else:
+                out = local
         self._drv_delta = (ver, out)
         return out
 
@@ -1234,6 +1272,204 @@ class IvfBatchKnnIndex:
         self._mut_ver += 1
         return n
 
+    # -- driver-local write path (online single-insert serving) ---------
+
+    def _encode_np(self, V: "np.ndarray"):
+        """Numpy mirror of _encode's Arrow kernel — bit-identical math
+        (same normalize, argmin assignment, rint residual codes)."""
+        C32 = np.ascontiguousarray(self.centroids, dtype=np.float32)
+        V = np.ascontiguousarray(np.atleast_2d(V), dtype=np.float32)
+        nsq = (V * V).sum(axis=1)
+        if self.metric == "cosine":
+            norms = np.sqrt(nsq)
+            V = V / np.where(norms == 0.0, 1.0, norms)[:, None]
+            nsq = np.ones_like(nsq)
+        d = ((V * V).sum(axis=1, keepdims=True)
+             - 2.0 * (V @ C32.T) + (C32 * C32).sum(axis=1)[None, :])
+        assign = d.argmin(axis=1).astype(np.int32)
+        res = V - C32[assign]
+        codes = np.clip(
+            np.rint((res - self.mn.astype(np.float32))
+                    * (1.0 / self.step).astype(np.float32)),
+            0.0, 255.0).astype(np.uint8)
+        return assign, nsq.astype(np.float32), codes
+
+    def _main_id_index(self):
+        """Sorted pinned-main ids for O(log n) driver-side membership
+        probes (the upsert mask check without a Spark job)."""
+        if self._main_ids_sorted is None:
+            segs, _ = self._driver_cache()
+            parts = [np.asarray(s[0]) for s in segs if len(s[0])]
+            self._main_ids_sorted = (np.sort(np.concatenate(parts))
+                                     if parts else np.array([]))
+        return self._main_ids_sorted
+
+    def _wal_path(self) -> str | None:
+        if self._segments is None:
+            return None
+        return f"{self._segments[0]}/local_wal.pkl"
+
+    def add_local(self, ids, vectors, metas: dict | None = None,
+                  durable: bool = True) -> int:
+        """Driver-local insert for online serving (the reference's
+        in-process insert path, README.md:84 0.8 ms p50 — its
+        durability is a WAL too, persistence/wal.rs): encode with the
+        frozen centroids/quantizer IN-PROCESS, append to the local
+        buffer that search_one/search_many_local merge in immediately,
+        and append a WAL record under the pinned segment dir for crash
+        recovery.  No Spark job.  flush_local() folds the buffer into
+        the distributed delta; the distributed search paths call it
+        automatically.  Upsert semantics match add(): stale main/delta
+        copies are masked, a re-added tombstone revives from the
+        buffer."""
+        import pickle
+
+        if self._segments is None:
+            raise ValueError("add_local() serves over pinned segments; "
+                             "call pin_segments() first (use add() for "
+                             "the distributed path)")
+        ids = np.asarray(ids).reshape(-1)
+        assign, nsq, codes = self._encode_np(vectors)
+        if len(ids) != len(codes):
+            raise ValueError("ids and vectors length mismatch")
+        metas = metas or {}
+        missing = [mc for mc in self.meta_cols if mc not in metas]
+        if missing:
+            raise ValueError(f"meta_cols {missing} required by this "
+                             "index are missing from metas=")
+        marr = {mc: np.asarray(metas[mc]).reshape(-1)
+                for mc in self.meta_cols}
+        new_ids = set(ids.tolist())
+        # same masking ladder as add()
+        revived = self._tombstones & new_ids
+        self._tombstones -= revived
+        self._superseded |= revived
+        unresolved = new_ids - revived
+        if unresolved:
+            main_ids = self._main_id_index()
+            if main_ids.size:
+                probe = np.asarray(sorted(unresolved))
+                pos = np.searchsorted(main_ids, probe)
+                pos = np.clip(pos, 0, main_ids.size - 1)
+                hit = probe[main_ids[pos] == probe]
+                self._superseded |= set(hit.tolist())
+        # a local re-add replaces any older buffered copy...
+        if self._local_buf and any(
+                new_ids & set(np.asarray(t[0]).tolist())
+                for t in self._local_buf):
+            self._drop_from_local(new_ids)
+        # ...and masks same-id rows already in the Spark delta
+        if self._delta is not None:
+            self._delta = self._delta.filter(
+                ~F.col(self.id_col).isin(sorted(new_ids)))
+        rec = (ids, assign, nsq, codes, marr)
+        self._local_buf.append(rec)
+        self._local_n += len(ids)
+        self._mut_ver += 1
+        if durable:
+            with open(self._wal_path(), "ab") as f:
+                pickle.dump(rec, f, protocol=4)
+        return len(ids)
+
+    def _drop_from_local(self, drop_ids: set) -> None:
+        buf = []
+        for t in self._local_buf:
+            keep = ~np.isin(np.asarray(t[0]), list(drop_ids))
+            if keep.all():
+                buf.append(t)
+            elif keep.any():
+                buf.append((t[0][keep], t[1][keep], t[2][keep],
+                            t[3][keep],
+                            {mc: t[4][mc][keep] for mc in self.meta_cols}))
+        self._local_buf = buf
+        self._local_n = sum(len(t[0]) for t in buf)
+
+    def _local_delta_arrays(self):
+        if not self._local_buf:
+            return None
+        ids = np.concatenate([np.asarray(t[0]) for t in self._local_buf])
+        cent = np.concatenate([t[1] for t in self._local_buf])
+        nsq = np.concatenate([t[2] for t in self._local_buf])
+        codes = np.concatenate([t[3] for t in self._local_buf])
+        metas = {mc: np.concatenate([t[4][mc] for t in self._local_buf])
+                 for mc in self.meta_cols}
+        return ids, cent.astype(np.int64), nsq, codes, metas
+
+    def _replay_wal(self) -> int:
+        """Recover local adds WAL'd by a previous process against this
+        segment dir (crash between add_local and flush_local)."""
+        import os
+        import pickle
+
+        path = self._wal_path()
+        if not path or not os.path.exists(path) or self._local_buf:
+            return 0
+        n = 0
+        with open(path, "rb") as f:
+            while True:
+                try:
+                    ids, assign, nsq, codes, marr = pickle.load(f)
+                except EOFError:
+                    break
+                # re-run the masking ladder, then buffer directly (the
+                # record is already encoded)
+                new_ids = set(np.asarray(ids).tolist())
+                revived = self._tombstones & new_ids
+                self._tombstones -= revived
+                self._superseded |= revived
+                unresolved = new_ids - revived
+                if unresolved:
+                    main_ids = self._main_id_index()
+                    if main_ids.size:
+                        probe = np.asarray(sorted(unresolved))
+                        pos = np.clip(np.searchsorted(main_ids, probe),
+                                      0, main_ids.size - 1)
+                        hit = probe[main_ids[pos] == probe]
+                        self._superseded |= set(hit.tolist())
+                if self._local_buf:
+                    self._drop_from_local(new_ids)
+                self._local_buf.append((ids, assign, nsq, codes, marr))
+                n += len(np.asarray(ids))
+        self._local_n = sum(len(t[0]) for t in self._local_buf)
+        if n:
+            self._mut_ver += 1
+        return n
+
+    def flush_local(self) -> int:
+        """Fold the driver-local buffer into the distributed delta (one
+        createDataFrame of already-encoded rows — no re-encode) and
+        truncate the WAL.  Distributed search paths call this
+        automatically so every tier serves the same rows."""
+        import os
+
+        import pandas as pd
+
+        local = self._local_delta_arrays()
+        if local is None:
+            return 0
+        ids, cent, nsq, codes, metas = local
+        pdf = pd.DataFrame({
+            self.id_col: ids,
+            "centroid_id": cent.astype(np.int32),
+            "norm_sq": nsq,
+            self.CODE_COL: [c.tobytes() for c in codes],
+            **{mc: metas[mc] for mc in self.meta_cols},
+        })
+        enc = self.codes.sparkSession.createDataFrame(
+            pdf, schema=self.codes.schema).persist()
+        n = enc.count()
+        self._delta_parts.append(enc)
+        self._delta = enc if self._delta is None \
+            else self._delta.unionByName(enc)
+        self._delta_rows += n
+        self._local_buf = []
+        self._local_n = 0
+        self._mut_ver += 1
+        path = self._wal_path()
+        if path and os.path.exists(path):
+            os.unlink(path)
+        return int(n)
+
     def delete(self, ids) -> int:
         """Tombstone ids (incremental.rs:513): delta rows drop
         immediately, main rows are masked at search until merge_delta."""
@@ -1241,6 +1477,8 @@ class IvfBatchKnnIndex:
         if self._delta is not None and ids:
             self._delta = self._delta.filter(
                 ~F.col(self.id_col).isin(sorted(ids)))
+        if self._local_buf and ids:
+            self._drop_from_local(ids)
         self._tombstones |= ids
         self._superseded -= ids  # fully deleted again, not superseded
         self._mut_ver += 1
@@ -1252,6 +1490,8 @@ class IvfBatchKnnIndex:
         cell-contiguous layout; re-pins mmap segments if they were
         pinned.  At rest this is a partition-localized rewrite — only
         cells that received delta rows change files."""
+        if self._local_buf:
+            self.flush_local()
         main = self.codes
         main_mask = self._tombstones | self._superseded
         if main_mask:
@@ -1288,6 +1528,7 @@ class IvfBatchKnnIndex:
         self._mut_ver += 1
         self._drv = None
         self._drv_delta = None
+        self._main_ids_sorted = None
         self._cellf32 = {}
         self._cellf32_bytes = 0
         was_pinned = self._segments is not None
@@ -1310,10 +1551,11 @@ class IvfBatchKnnIndex:
     def incremental_stats(self) -> dict:
         """incremental.rs:207 IncrementalStats."""
         main = self.n_main if self.n_main is not None else self.codes.count()
-        total = main + self._delta_rows
+        total = main + self._delta_rows + self._local_n
         return {
             "main_rows": main,
             "delta_rows": self._delta_rows,
+            "local_pending_rows": self._local_n,
             "deleted_pending": len(self._tombstones),
             "fragmentation": len(self._tombstones) / total if total else 0.0,
         }

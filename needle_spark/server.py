@@ -467,7 +467,7 @@ class RestServer:
         rows = self._rows_df(c, [b])
         with self._mutate:
             n = c.insert(rows)
-            self._index_add(m.group(1), rows)
+            self._index_add(m.group(1), rows, payload=[b])
         return {"inserted": n, "id": str(b.get("id"))}
 
     def batch_insert(self, m, b, q) -> dict:
@@ -478,7 +478,7 @@ class RestServer:
         rows = self._rows_df(c, vectors)
         with self._mutate:
             n = c.insert(rows)
-            self._index_add(m.group(1), rows)
+            self._index_add(m.group(1), rows, payload=vectors)
         return {"inserted": n}
 
     def upsert_vector(self, m, b, q) -> dict:
@@ -486,7 +486,8 @@ class RestServer:
         rows = self._rows_df(c, [b])
         with self._mutate:
             n = c.upsert(rows)
-            self._index_add(m.group(1), rows)  # add() masks stale copies
+            # add()/add_local() mask stale copies (upsert semantics)
+            self._index_add(m.group(1), rows, payload=[b])
         return {"upserted": n, "id": str(b.get("id"))}
 
     def batch_delete(self, m, b, q) -> dict:
@@ -860,14 +861,33 @@ class RestServer:
                 entry[0].unpersist()
         return {"dropped": entry is not None}
 
-    def _index_add(self, name: str, rows_df) -> None:
+    def _index_add(self, name: str, rows_df, payload: list | None = None) -> None:
         entry = self._indexes.get(name)
-        if entry is not None:
-            for f in self._index_fields.get(name, []):
-                rows_df = rows_df.withColumn(
-                    f"__mf_{f}",
-                    F.get_json_object("metadata", "$." + f))
-            entry[0].add(rows_df)
+        if entry is None:
+            return
+        idx = entry[0]
+        fields = self._index_fields.get(name, [])
+        # driver-local fast path: the request body already carries the
+        # raw vectors, so the serving index ingests them in-process
+        # (numpy encode + WAL append — no per-request Spark encode
+        # job).  Pinned meta fields fall back to the DataFrame path so
+        # their values go through the same get_json_object extraction
+        # the index was built with.
+        if (payload is not None and not fields
+                and idx._segments is not None
+                and all(isinstance(p.get("vector"), list) for p in payload)):
+            import numpy as np
+
+            ids = [str(p.get("id")) for p in payload]
+            V = np.asarray([p["vector"] for p in payload],
+                           dtype=np.float32)
+            idx.add_local(ids, V)
+            return
+        for f in fields:
+            rows_df = rows_df.withColumn(
+                f"__mf_{f}",
+                F.get_json_object("metadata", "$." + f))
+        idx.add(rows_df)
 
     def _index_delete(self, name: str, ids: list) -> None:
         entry = self._indexes.get(name)
@@ -1398,7 +1418,7 @@ class RestServer:
             rows = self._rows_df(c, good)
             with self._mutate:
                 inserted = c.upsert(rows)
-                self._index_add(m.group(1), rows)
+                self._index_add(m.group(1), rows, payload=good)
         size = c.count()
         return {"accepted": inserted, "total": len(vectors),
                 "errors": errors, "sequence_id": b.get("sequence_id"),

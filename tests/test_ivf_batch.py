@@ -509,3 +509,135 @@ def test_filtered_serving_where(spark, clustered, tmp_path):
     with pytest.raises(ValueError, match="not pinned"):
         idx.search_one(q, k=3, where={"missing": 1})
     idx.unpersist()
+
+
+def test_add_local_serves_immediately_and_flushes(spark, clustered, tmp_path):
+    """Driver-local insert (add_local): visible to search_one /
+    search_many_local with NO Spark job, sub-ms per insert; the
+    distributed paths auto-flush the buffer and serve the same rows."""
+    import time
+
+    df, pts, queries = clustered
+    idx = IvfBatchKnnIndex(df, nlist=N_CLUSTERS, vector_col="vector",
+                           id_col="id", metric="cosine", seed=5)
+    idx.pin_segments(str(tmp_path / "segs_al"))
+    try:
+        q0 = queries[0]
+        n = idx.add_local([888_000], q0[None, :])
+        assert n == 1
+        assert idx.incremental_stats()["local_pending_rows"] == 1
+        got = idx.search_one(q0, k=3, nprobe=N_CLUSTERS)
+        assert 888_000 in [i for i, _ in got]
+        pdf = idx.search_many_local(([0], q0[None, :]), k=3,
+                                    nprobe=N_CLUSTERS)
+        assert 888_000 in set(pdf["id"])
+        # insert latency: pure numpy + one WAL append
+        t0 = time.perf_counter()
+        for j in range(20):
+            idx.add_local([888_100 + j], q0[None, :])
+        assert (time.perf_counter() - t0) / 20 < 0.05
+        # the distributed path flushes the buffer and agrees
+        dist = idx.search_local(([0], q0[None, :]), k=3,
+                                nprobe=N_CLUSTERS)
+        assert 888_000 in set(dist["id"])
+        assert idx.incremental_stats()["local_pending_rows"] == 0
+        assert idx.incremental_stats()["delta_rows"] == 21
+        # ...and post-flush local serving still sees the rows
+        got = idx.search_one(q0, k=3, nprobe=N_CLUSTERS)
+        assert 888_000 in [i for i, _ in got]
+    finally:
+        idx.unpersist()
+
+
+def test_add_local_upsert_and_delete_semantics(spark, clustered, tmp_path):
+    df, pts, queries = clustered
+    idx = IvfBatchKnnIndex(df, nlist=N_CLUSTERS, vector_col="vector",
+                           id_col="id", metric="cosine", seed=5)
+    idx.pin_segments(str(tmp_path / "segs_ups"))
+    try:
+        q0, q1 = queries[0], queries[1]
+        # move an EXISTING main id (0) onto query 1's location: the
+        # main copy must be masked, the local row served
+        n_before = len(idx.search_many_local(
+            ([0], q1[None, :]), k=2000, nprobe=N_CLUSTERS))
+        idx.add_local([0], q1[None, :])
+        pdf = idx.search_many_local(([0], q1[None, :]), k=3,
+                                    nprobe=N_CLUSTERS)
+        assert pdf.iloc[0]["id"] == 0  # moved row wins at its new home
+        far = idx.search_many_local(([0], q0[None, :]), k=2000,
+                                    nprobe=N_CLUSTERS)
+        assert list(far[far["id"] == 0]["distance"]) != []  # served once
+        assert (far["id"] == 0).sum() <= 1  # never twice
+        # re-add over the local copy replaces it (still once)
+        idx.add_local([0], q1[None, :])
+        pdf = idx.search_many_local(([0], q1[None, :]), k=2000,
+                                    nprobe=N_CLUSTERS)
+        assert (pdf["id"] == 0).sum() == 1
+        assert len(pdf) == n_before  # no duplicate rows appeared
+        # delete drops the buffered copy immediately
+        idx.delete([0])
+        pdf = idx.search_many_local(([0], q1[None, :]), k=2000,
+                                    nprobe=N_CLUSTERS)
+        assert 0 not in set(pdf["id"])
+    finally:
+        idx.unpersist()
+
+
+def test_add_local_wal_replay_after_crash(spark, clustered, tmp_path):
+    """Durability: a second index over the same corpus re-pinning the
+    same segment dir replays the WAL — add_local rows survive a
+    process crash that happened before flush_local."""
+    df, pts, queries = clustered
+    seg_dir = str(tmp_path / "segs_wal")
+    q0 = queries[0]
+    idx = IvfBatchKnnIndex(df, nlist=N_CLUSTERS, vector_col="vector",
+                           id_col="id", metric="cosine", seed=5)
+    idx.pin_segments(seg_dir)
+    idx.add_local([999_500], q0[None, :])
+    # simulate a crash: no flush_local, the object is dropped
+    idx.unpersist()
+    del idx
+
+    idx2 = IvfBatchKnnIndex(df, nlist=N_CLUSTERS, vector_col="vector",
+                            id_col="id", metric="cosine", seed=5)
+    idx2.pin_segments(seg_dir)
+    try:
+        assert idx2.incremental_stats()["local_pending_rows"] == 1
+        got = idx2.search_one(q0, k=3, nprobe=N_CLUSTERS)
+        assert 999_500 in [i for i, _ in got]
+        # flush folds the replayed rows and truncates the WAL
+        idx2.flush_local()
+        import os
+        assert not os.path.exists(os.path.join(seg_dir, "local_wal.pkl"))
+        got = idx2.search_one(q0, k=3, nprobe=N_CLUSTERS)
+        assert 999_500 in [i for i, _ in got]
+    finally:
+        idx2.unpersist()
+
+
+def test_add_local_matches_distributed_encoding(spark, clustered, tmp_path):
+    """The numpy encoder must be bit-identical to the Arrow kernel:
+    the same vector added via add() and add_local() lands in the same
+    cell with the same codes -> identical serving distances."""
+    df, pts, queries = clustered
+    rng = np.random.default_rng(23)
+    vecs = rng.standard_normal((5, DIM)).astype(np.float32)
+    ids_a = [910_000 + i for i in range(5)]
+    ids_b = [920_000 + i for i in range(5)]
+
+    idx = IvfBatchKnnIndex(df, nlist=N_CLUSTERS, vector_col="vector",
+                           id_col="id", metric="cosine", seed=5)
+    idx.pin_segments(str(tmp_path / "segs_enc"))
+    try:
+        idx.add(spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in zip(ids_a, vecs)],
+            "id long, vector array<float>"))
+        idx.add_local(ids_b, vecs)
+        for qi in (0, 4):
+            pdf = idx.search_many_local(
+                ([0], vecs[qi][None, :]), k=4000, nprobe=N_CLUSTERS)
+            da = float(pdf[pdf["id"] == ids_a[qi]]["distance"].iloc[0])
+            db = float(pdf[pdf["id"] == ids_b[qi]]["distance"].iloc[0])
+            assert da == db  # identical codes => identical distance
+    finally:
+        idx.unpersist()

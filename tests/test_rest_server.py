@@ -259,6 +259,10 @@ def test_serving_index_lifecycle(srv):
     # incremental: REST writes flow into the index
     call(srv, "POST", "/collections/idx/vectors",
          {"id": "new", "vector": qv}, expect=201)
+    st = call(srv, "GET", "/collections/idx/index/status")
+    # REST single inserts take the driver-local write path (add_local)
+    # and sit in the local buffer until a distributed path flushes them
+    assert st["delta_rows"] + st["local_pending_rows"] >= 1
     fast = call(srv, "POST", "/collections/idx/search",
                 {"vector": qv, "k": 2, "nprobe": built["nlist"]})
     assert {r["id"] for r in fast["results"]} == {"p7", "new"}
@@ -267,7 +271,7 @@ def test_serving_index_lifecycle(srv):
                 {"vector": qv, "k": 2, "nprobe": built["nlist"]})
     assert "new" not in {r["id"] for r in fast["results"]}
     st = call(srv, "GET", "/collections/idx/index/status")
-    assert st["delta_rows"] >= 1
+    assert st["deleted_pending"] >= 1
 
     # bulk rewrite invalidates; drop removes
     call(srv, "POST", "/collections/idx/clear", expect=200)
