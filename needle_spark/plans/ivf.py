@@ -1310,7 +1310,7 @@ class IvfBatchKnnIndex:
         return f"{self._segments[0]}/local_wal.pkl"
 
     def add_local(self, ids, vectors, metas: dict | None = None,
-                  durable: bool = True) -> int:
+                  durable: bool = True, fsync: bool = False) -> int:
         """Driver-local insert for online serving (the reference's
         in-process insert path, README.md:84 0.8 ms p50 — its
         durability is a WAL too, persistence/wal.rs): encode with the
@@ -1321,7 +1321,15 @@ class IvfBatchKnnIndex:
         the distributed delta; the distributed search paths call it
         automatically.  Upsert semantics match add(): stale main/delta
         copies are masked, a re-added tombstone revives from the
-        buffer."""
+        buffer.
+
+        Durability tiers: durable=True (default) appends the WAL record
+        at call time — the row survives a PROCESS crash (replayed on
+        re-pin).  fsync=True additionally fsyncs the append so the row
+        survives a HOST crash, at ~1 ms extra per call; leave it off
+        and call flush_local() at checkpoints if host-crash loss of the
+        in-flight buffer is acceptable (the reference's WAL has the
+        same buffered-vs-synced split)."""
         import pickle
 
         if self._segments is None:
@@ -1367,8 +1375,13 @@ class IvfBatchKnnIndex:
         self._local_n += len(ids)
         self._mut_ver += 1
         if durable:
+            import os
+
             with open(self._wal_path(), "ab") as f:
                 pickle.dump(rec, f, protocol=4)
+                if fsync:
+                    f.flush()
+                    os.fsync(f.fileno())
         return len(ids)
 
     def _drop_from_local(self, drop_ids: set) -> None:
