@@ -641,3 +641,30 @@ def test_add_local_matches_distributed_encoding(spark, clustered, tmp_path):
             assert da == db  # identical codes => identical distance
     finally:
         idx.unpersist()
+
+
+def test_add_local_decoded_tier_and_filtered_serving(spark, clustered, tmp_path):
+    """Local adds serve correctly when the main tier is decoded
+    float32 (mixed-dtype delta) and under metadata filters evaluated
+    on the local buffer's meta arrays."""
+    df, pts, queries = clustered
+    src = df.withColumn("tag", (F.col("id") % 3).cast("int"))
+    idx = IvfBatchKnnIndex(src, nlist=N_CLUSTERS, vector_col="vector",
+                           id_col="id", metric="cosine", seed=5,
+                           meta_cols=["tag"])
+    idx.pin_segments(str(tmp_path / "segs_dec"), decoded=True)
+    try:
+        q0 = queries[0]
+        idx.add_local([777_700], q0[None, :], metas={"tag": [2]})
+        hit = idx.search_many_local(([0], q0[None, :]), k=3,
+                                    nprobe=N_CLUSTERS,
+                                    where={"tag": {"$eq": 2}})
+        assert 777_700 in set(hit["id"])
+        miss = idx.search_many_local(([0], q0[None, :]), k=3,
+                                     nprobe=N_CLUSTERS,
+                                     where={"tag": {"$eq": 1}})
+        assert 777_700 not in set(miss["id"])
+        got = idx.search_one(q0, k=3, nprobe=N_CLUSTERS)
+        assert 777_700 in [i for i, _ in got]
+    finally:
+        idx.unpersist()
