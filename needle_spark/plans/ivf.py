@@ -1337,7 +1337,11 @@ class IvfBatchKnnIndex:
                              "call pin_segments() first (use add() for "
                              "the distributed path)")
         ids = np.asarray(ids).reshape(-1)
-        assign, nsq, codes = self._encode_np(vectors)
+        V = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
+        if V.shape[1] != self.dim:
+            raise ValueError(f"vector dims {V.shape[1]} != index "
+                             f"dims {self.dim}")
+        assign, nsq, codes = self._encode_np(V)
         if len(ids) != len(codes):
             raise ValueError("ids and vectors length mismatch")
         metas = metas or {}
