@@ -1381,11 +1381,16 @@ class IvfBatchKnnIndex:
         if durable:
             import os
 
-            with open(self._wal_path(), "ab") as f:
+            path = self._wal_path()
+            with open(path, "ab") as f:
                 pickle.dump(rec, f, protocol=4)
                 if fsync:
                     f.flush()
                     os.fsync(f.fileno())
+            # flush_local unlinks the file actually written, even if
+            # segments were re-pinned into a different dir meanwhile
+            # (a stale WAL would double-add on a later replay there)
+            self._wal_written = path
         return len(ids)
 
     def _drop_from_local(self, drop_ids: set) -> None:
@@ -1482,9 +1487,10 @@ class IvfBatchKnnIndex:
         self._local_buf = []
         self._local_n = 0
         self._mut_ver += 1
-        path = self._wal_path()
-        if path and os.path.exists(path):
-            os.unlink(path)
+        for path in {self._wal_path(), getattr(self, "_wal_written", None)}:
+            if path and os.path.exists(path):
+                os.unlink(path)
+        self._wal_written = None
         return int(n)
 
     def delete(self, ids) -> int:
