@@ -3419,6 +3419,41 @@ ORDER BY vec_id
 """
 
 
+def _binq_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary quantization coarse search (quantization.rs Binary
+    variant): sign bits packed into bigint words JVM-side, Hamming =
+    sum(bit_count(word XOR query_word)) — the 32x-compressed sketch
+    tier.  The oracle computes the same count as per-dim sign
+    mismatches (packing is an encoding detail, not semantics)."""
+    from needle_spark.plans.quantization import BinaryQuantizer
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    bq = BinaryQuantizer(vector_col="embedding")
+    enc = bq.encode(emb)
+    return (enc.withColumn("hamming", bq.hamming_expr(qv))
+            .select("vec_id", "hamming")
+            .orderBy(F.col("hamming").asc(), F.col("vec_id").asc())
+            .limit(50))
+
+
+_BINQ_HAMMING_SQL = f"""
+WITH q AS (SELECT ({_Q_SQL})::DOUBLE[] AS qv),
+ex AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+)
+SELECT vec_id,
+       SUM(CASE WHEN (x > 0) <> (qv[i] > 0) THEN 1 ELSE 0 END)::BIGINT
+         AS hamming
+FROM ex, q
+GROUP BY vec_id
+ORDER BY hamming ASC, vec_id ASC LIMIT 50
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": _mk_knn("cosine"),
@@ -3522,7 +3557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_zscore": _anomaly_zscore,
         "anomaly_iqr": _anomaly_iqr,
         "sq8_roundtrip": _sq8_roundtrip,
-    }
+        "binq_hamming": _binq_hamming,
+}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3653,4 +3689,5 @@ def oracle_sql() -> dict[str, str]:
         "anomaly_zscore": _ANOMALY_ZSCORE_SQL,
         "anomaly_iqr": _ANOMALY_IQR_SQL,
         "sq8_roundtrip": _SQ8_ROUNDTRIP_SQL,
+        "binq_hamming": _BINQ_HAMMING_SQL,
     }
