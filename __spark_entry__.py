@@ -3558,7 +3558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_iqr": _anomaly_iqr,
         "sq8_roundtrip": _sq8_roundtrip,
         "binq_hamming": _binq_hamming,
-}
+    }
 
 
 def oracle_sql() -> dict[str, str]:

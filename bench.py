@@ -264,17 +264,27 @@ def main() -> None:
     # don't perturb the search timings.
     rng_ins = np.random.default_rng(9)
     ins_vecs = rng_ins.standard_normal((200, 384)).astype(np.float32)
-    ins_lat = []
-    for j in range(200):
-        t0 = time.perf_counter()
-        ivf_idx.add_local(
-            [int(90_000_000 + j)], ins_vecs[j][None, :],
-            metas={"label": [int(j % 10)], "bucket": [int(j % 100)]})
-        ins_lat.append(time.perf_counter() - t0)
-    ins_lat.sort()
-    insert_p50 = round(ins_lat[len(ins_lat) // 2] * 1000.0, 3)
-    insert_p99 = round(ins_lat[int(len(ins_lat) * 0.99) - 1] * 1000.0, 3)
-    timings["insert_single_local_200"] = round(sum(ins_lat), 4)
+    insert_p50 = insert_p99 = float("inf")
+    ins_total = float("inf")
+    # best-of-3 sweeps (unique ids each) like every other serving row:
+    # one co-tenant spike in a single sweep has previously inflated the
+    # recorded p99 by >5x
+    for rep in range(3):
+        ins_lat = []
+        for j in range(200):
+            t0 = time.perf_counter()
+            ivf_idx.add_local(
+                [int(90_000_000 + rep * 1000 + j)], ins_vecs[j][None, :],
+                metas={"label": [int(j % 10)], "bucket": [int(j % 100)]})
+            ins_lat.append(time.perf_counter() - t0)
+        ins_lat.sort()
+        p50 = round(ins_lat[len(ins_lat) // 2] * 1000.0, 3)
+        if p50 < insert_p50:
+            insert_p50 = p50
+            insert_p99 = round(
+                ins_lat[int(len(ins_lat) * 0.99) - 1] * 1000.0, 3)
+            ins_total = round(sum(ins_lat), 4)
+    timings["insert_single_local_200"] = ins_total
     ivf_idx.unpersist()
 
     # dedup-family scaling point: the same operators on a 4x corpus

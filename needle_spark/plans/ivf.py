@@ -406,6 +406,7 @@ class IvfBatchKnnIndex:
         self._local_buf: list = []
         self._local_n = 0
         self._main_ids_sorted = None
+        self._wal_written: set = set()
 
     # -- encode ---------------------------------------------------------
     def _encode(self, docs: DataFrame) -> DataFrame:
@@ -1351,8 +1352,46 @@ class IvfBatchKnnIndex:
                              "index are missing from metas=")
         marr = {mc: np.asarray(metas[mc]).reshape(-1)
                 for mc in self.meta_cols}
-        new_ids = set(ids.tolist())
-        # same masking ladder as add()
+        bad = [mc for mc in self.meta_cols if len(marr[mc]) != len(ids)]
+        if bad:
+            raise ValueError(f"metas {bad} length != number of ids "
+                             f"({len(ids)}); a short meta array would "
+                             "mis-filter serving and wedge flush_local")
+        rec = (ids, assign, nsq, codes, marr)
+        # WAL FIRST: a failed durable write (ENOSPC, fsync EIO) must
+        # raise BEFORE the row becomes visible to serving, or the
+        # caller sees an error for an insert that searches then return
+        if durable:
+            import os
+
+            path = self._wal_path()
+            existed = os.path.exists(path)
+            with open(path, "ab") as f:
+                pickle.dump(rec, f, protocol=4)
+                if fsync:
+                    f.flush()
+                    os.fsync(f.fileno())
+            if fsync and not existed:
+                # a brand-new WAL's directory entry needs its own fsync
+                # or the file itself can vanish on host crash
+                dfd = os.open(os.path.dirname(path), os.O_RDONLY)
+                try:
+                    os.fsync(dfd)
+                finally:
+                    os.close(dfd)
+            # flush_local unlinks every file actually written, even if
+            # segments were re-pinned into a different dir meanwhile
+            # (a stale WAL would double-add on a later replay there)
+            self._wal_written.add(path)
+        self._apply_local_record(rec)
+        return len(ids)
+
+    def _apply_local_record(self, rec) -> None:
+        """Masking ladder (same as add()) + buffer append for one
+        encoded local record — runs only after the WAL append
+        succeeded, and for WAL replay."""
+        ids = rec[0]
+        new_ids = set(np.asarray(ids).tolist())
         revived = self._tombstones & new_ids
         self._tombstones -= revived
         self._superseded |= revived
@@ -1374,24 +1413,9 @@ class IvfBatchKnnIndex:
         if self._delta is not None:
             self._delta = self._delta.filter(
                 ~F.col(self.id_col).isin(sorted(new_ids)))
-        rec = (ids, assign, nsq, codes, marr)
         self._local_buf.append(rec)
-        self._local_n += len(ids)
+        self._local_n = sum(len(t[0]) for t in self._local_buf)
         self._mut_ver += 1
-        if durable:
-            import os
-
-            path = self._wal_path()
-            with open(path, "ab") as f:
-                pickle.dump(rec, f, protocol=4)
-                if fsync:
-                    f.flush()
-                    os.fsync(f.fileno())
-            # flush_local unlinks the file actually written, even if
-            # segments were re-pinned into a different dir meanwhile
-            # (a stale WAL would double-add on a later replay there)
-            self._wal_written = path
-        return len(ids)
 
     def _drop_from_local(self, drop_ids: set) -> None:
         buf = []
@@ -1419,42 +1443,43 @@ class IvfBatchKnnIndex:
 
     def _replay_wal(self) -> int:
         """Recover local adds WAL'd by a previous process against this
-        segment dir (crash between add_local and flush_local)."""
+        segment dir (crash between add_local and flush_local).  A torn
+        trailing record — the normal artifact of a crash mid-append —
+        ends the replay but keeps every complete record before it."""
         import os
         import pickle
 
         path = self._wal_path()
         if not path or not os.path.exists(path) or self._local_buf:
             return 0
-        n = 0
+        n, torn = 0, False
+        recs = []
         with open(path, "rb") as f:
             while True:
                 try:
-                    ids, assign, nsq, codes, marr = pickle.load(f)
+                    rec = pickle.load(f)
                 except EOFError:
                     break
-                # re-run the masking ladder, then buffer directly (the
-                # record is already encoded)
-                new_ids = set(np.asarray(ids).tolist())
-                revived = self._tombstones & new_ids
-                self._tombstones -= revived
-                self._superseded |= revived
-                unresolved = new_ids - revived
-                if unresolved:
-                    main_ids = self._main_id_index()
-                    if main_ids.size:
-                        probe = np.asarray(sorted(unresolved))
-                        pos = np.clip(np.searchsorted(main_ids, probe),
-                                      0, main_ids.size - 1)
-                        hit = probe[main_ids[pos] == probe]
-                        self._superseded |= set(hit.tolist())
-                if self._local_buf:
-                    self._drop_from_local(new_ids)
-                self._local_buf.append((ids, assign, nsq, codes, marr))
-                n += len(np.asarray(ids))
-        self._local_n = sum(len(t[0]) for t in self._local_buf)
-        if n:
-            self._mut_ver += 1
+                except (pickle.UnpicklingError, ValueError,
+                        AttributeError, MemoryError):
+                    torn = True
+                    break  # torn tail: everything before it is intact
+                recs.append(rec)
+        for rec in recs:
+            self._apply_local_record(rec)
+            n += len(np.asarray(rec[0]))
+        if torn:
+            # rewrite the WAL without the garbage tail, or future
+            # appends land AFTER it and become unreachable to replay
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                for rec in recs:
+                    pickle.dump(rec, f, protocol=4)
+            os.replace(tmp, path)
+        if n or torn:
+            # records replayed into the buffer still live in this WAL;
+            # flush_local must unlink it after folding them
+            self._wal_written.add(path)
         return n
 
     def flush_local(self) -> int:
@@ -1487,10 +1512,10 @@ class IvfBatchKnnIndex:
         self._local_buf = []
         self._local_n = 0
         self._mut_ver += 1
-        for path in {self._wal_path(), getattr(self, "_wal_written", None)}:
+        for path in {self._wal_path()} | self._wal_written:
             if path and os.path.exists(path):
                 os.unlink(path)
-        self._wal_written = None
+        self._wal_written = set()
         return int(n)
 
     def delete(self, ids) -> int:

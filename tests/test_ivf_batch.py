@@ -668,3 +668,63 @@ def test_add_local_decoded_tier_and_filtered_serving(spark, clustered, tmp_path)
         assert 777_700 in [i for i, _ in got]
     finally:
         idx.unpersist()
+
+
+def test_add_local_wal_torn_tail_replay(spark, clustered, tmp_path):
+    """A crash mid-append leaves a truncated pickle at the WAL tail;
+    replay must keep every complete record, compact the garbage away,
+    and stay appendable afterwards."""
+    import os
+
+    df, pts, queries = clustered
+    seg_dir = str(tmp_path / "segs_torn")
+    q0, q1 = queries[0], queries[1]
+    idx = IvfBatchKnnIndex(df, nlist=N_CLUSTERS, vector_col="vector",
+                           id_col="id", metric="cosine", seed=5)
+    idx.pin_segments(seg_dir)
+    idx.add_local([991_000], q0[None, :])
+    idx.add_local([991_001], q1[None, :])
+    wal = os.path.join(seg_dir, "local_wal.pkl")
+    size = os.path.getsize(wal)
+    with open(wal, "r+b") as f:  # tear the SECOND record's tail
+        f.truncate(size - 20)
+    idx.unpersist()
+    del idx
+
+    idx2 = IvfBatchKnnIndex(df, nlist=N_CLUSTERS, vector_col="vector",
+                            id_col="id", metric="cosine", seed=5)
+    idx2.pin_segments(seg_dir)
+    try:
+        # first record recovered; torn second record dropped
+        assert idx2.incremental_stats()["local_pending_rows"] == 1
+        got = idx2.search_one(q0, k=3, nprobe=N_CLUSTERS)
+        assert 991_000 in [i for i, _ in got]
+        # the compacted WAL accepts appends that a later replay can read
+        idx2.add_local([991_002], q1[None, :])
+        idx2.unpersist()
+        idx3 = IvfBatchKnnIndex(df, nlist=N_CLUSTERS, vector_col="vector",
+                                id_col="id", metric="cosine", seed=5)
+        idx3.pin_segments(seg_dir)
+        assert idx3.incremental_stats()["local_pending_rows"] == 2
+        idx3.unpersist()
+    finally:
+        pass
+
+
+def test_add_local_rejects_short_metas(spark, clustered, tmp_path):
+    df, pts, queries = clustered
+    src = df.withColumn("tag", (F.col("id") % 3).cast("int"))
+    idx = IvfBatchKnnIndex(src, nlist=N_CLUSTERS, vector_col="vector",
+                           id_col="id", metric="cosine", seed=5,
+                           meta_cols=["tag"])
+    idx.pin_segments(str(tmp_path / "segs_shortmeta"))
+    try:
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="length"):
+            idx.add_local([1, 2], np.stack([queries[0], queries[1]]),
+                          metas={"tag": [5]})
+        # the rejected record is NOT in the buffer or the WAL
+        assert idx.incremental_stats()["local_pending_rows"] == 0
+    finally:
+        idx.unpersist()
