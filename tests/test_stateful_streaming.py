@@ -170,3 +170,62 @@ def test_streaming_centroids_running_mean(spark, stream_src):
         assert rows and rows[0]["centroid"] == [3.0, 2.0]
     finally:
         q.stop()
+
+
+def test_streaming_sessionize_matches_batch_windows(spark, tmp_path, sf_dir):
+    """Parity: the stateful streaming sessionizer over the real events
+    table (split into two micro-batches) emits exactly the sessions the
+    batch lag/cumsum window computation finds (the oracle-checked
+    events_sessionize shape)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .selectExpr("user_id",
+                      "CAST(CAST(ts AS TIMESTAMP) AS DOUBLE) AS ts_s"))
+    gap_s = 1800.0
+
+    # ---- batch ground truth: per-session (start, end, n) ----
+    w = Window.partitionBy("user_id").orderBy("ts_s")
+    truth = (
+        ev.withColumn("__prev", F.lag("ts_s").over(w))
+        .withColumn("__new", (F.col("__prev").isNull() |
+                              ((F.col("ts_s") - F.col("__prev")) > gap_s))
+                    .cast("int"))
+        .withColumn("sid", F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts_s").alias("session_start"),
+             F.max("ts_s").alias("session_end"),
+             F.count(F.lit(1)).alias("n_events"))
+    )
+    want = {(str(r["user_id"]), round(r["session_start"], 4),
+             round(r["session_end"], 4), r["n_events"])
+            for r in truth.collect()}
+
+    # ---- streaming: same rows, split across two files/micro-batches ----
+    pdf = ev.toPandas().sort_values("ts_s").reset_index(drop=True)
+    src = str(tmp_path / "sess_in")
+    os.makedirs(src, exist_ok=True)
+    half = len(pdf) // 2
+    for name, chunk in (("b1.json", pdf.iloc[:half]),
+                        ("b2.json", pdf.iloc[half:])):
+        drop_file(src, name, [
+            {"user_id": int(r.user_id), "ts": float(r.ts_s)}
+            for r in chunk.itertuples()])
+
+    events = spark.readStream.schema("user_id string, ts double").json(src)
+    sessions = sessionize(events, key_col="user_id", ts_col="ts",
+                          gap_seconds=gap_s, idle_flush_ms=1_500)
+    q = start_query(sessions, "sess_parity", "append")
+    try:
+        # every session eventually closes: gap evidence + idle flush
+        got_n = wait_rows(spark, "sess_parity", len(want), timeout=120)
+        rows = spark.sql("SELECT * FROM sess_parity").collect()
+    finally:
+        q.stop()
+    got = {(r["key"], round(r["session_start"], 4),
+            round(r["session_end"], 4), r["n_events"]) for r in rows}
+    assert got == want, (
+        f"streaming={len(got)} batch={len(want)} "
+        f"missing={list(want - got)[:3]} extra={list(got - want)[:3]}")
