@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 from functools import reduce
@@ -976,6 +977,24 @@ class Transaction:
         self._open = False
 
 
+_FS_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
+
+
+def _safe_name(name: str, what: str = "collection name") -> str:
+    """Collection and alias names become directory components under the
+    database root; reject anything that could traverse out of it
+    ('..', separators, absolute paths) or hide as a dotfile.  Same
+    policy as tenancy._validate_fs_name — enforced HERE so every
+    caller (REST server, QL executor, migrations) is covered."""
+    if (not isinstance(name, str) or not _FS_NAME_RE.fullmatch(name)
+            or ".." in name or len(name) > 255
+            or name == "aliases.json"):
+        raise CollectionError(
+            f"invalid {what} {name!r}: must match "
+            "[A-Za-z0-9][A-Za-z0-9._-]* with no '..'")
+    return name
+
+
 class Database:
     """Named set of collections in one root directory
     (database/mod.rs:185), with aliases (database/aliases.rs)."""
@@ -997,11 +1016,12 @@ class Database:
 
     def create_collection(self, name: str, dims: int, **kwargs) -> Collection:
         return Collection.create(
-            self.spark, os.path.join(self.root, name), dims, **kwargs
+            self.spark, os.path.join(self.root, _safe_name(name)), dims,
+            **kwargs
         )
 
     def collection(self, name: str) -> Collection:
-        path = os.path.join(self.root, self._resolve(name))
+        path = os.path.join(self.root, _safe_name(self._resolve(name)))
         if not os.path.exists(os.path.join(path, "manifest.json")):
             raise CollectionError(f"no such collection: {name}")
         return Collection(self.spark, path)
@@ -1013,21 +1033,21 @@ class Database:
         )
 
     def drop_collection(self, name: str) -> None:
-        path = os.path.join(self.root, self._resolve(name))
+        path = os.path.join(self.root, _safe_name(self._resolve(name)))
         if not os.path.exists(path):
             raise CollectionError(f"no such collection: {name}")
         shutil.rmtree(path)
 
     def rename_collection(self, old: str, new: str) -> None:
-        src = os.path.join(self.root, old)
-        dst = os.path.join(self.root, new)
+        src = os.path.join(self.root, _safe_name(old))
+        dst = os.path.join(self.root, _safe_name(new))
         if os.path.exists(dst):
             raise CollectionError(f"target exists: {new}")
         os.rename(src, dst)
 
     def create_alias(self, alias: str, target: str) -> None:
         a = self._aliases()
-        a[alias] = target
+        a[_safe_name(alias, "alias")] = _safe_name(target)
         with open(self._aliases_path, "w") as f:
             json.dump(a, f)
 

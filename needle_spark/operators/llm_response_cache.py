@@ -113,6 +113,7 @@ class _Entry:
     created_at: float
     access_count: int = 0
     last_accessed: float = 0.0
+    ttl_seconds: float | None = None  # per-entry override of config.ttl_seconds
 
 
 # ---------------------------------------------------------------------------
@@ -145,7 +146,8 @@ class LlmCache:
         raise ValueError(f"unsupported cache metric {self.config.metric!r}")
 
     def put(self, query: str, embedding: Sequence[float], response: str,
-            metadata: Any = None, now_s: float | None = None) -> None:
+            metadata: Any = None, now_s: float | None = None,
+            ttl_seconds: float | None = None) -> None:
         emb = np.asarray(embedding, dtype=np.float32)
         if emb.shape != (self.config.dimensions,):
             raise ValueError(
@@ -157,16 +159,20 @@ class LlmCache:
             e = self._entries[key]
             e.response, e.embedding, e.metadata = response, emb, metadata
             e.created_at = now
+            e.ttl_seconds = ttl_seconds
             return
         while len(self._entries) >= self.config.max_entries and self._lru:
             evict = self._lru.pop(0)
             self._entries.pop(evict, None)
             self.stats.evictions += 1
-        self._entries[key] = _Entry(key, emb, response, metadata, now, 0, now)
+        self._entries[key] = _Entry(key, emb, response, metadata, now, 0, now,
+                                    ttl_seconds)
         self._lru.append(key)
 
     def _fresh(self, e: _Entry, now: float) -> bool:
-        return (now - e.created_at) <= self.config.ttl_seconds
+        ttl = e.ttl_seconds if e.ttl_seconds is not None \
+            else self.config.ttl_seconds
+        return (now - e.created_at) <= ttl
 
     def _touch(self, e: _Entry, now: float) -> None:
         e.access_count += 1

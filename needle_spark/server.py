@@ -438,6 +438,9 @@ class RestServer:
         with self._mutate:
             self.db.drop_collection(m.group(1))
             self._index_invalidate(m.group(1))
+            # a recreated collection must not inherit the dropped
+            # one's semantic cache (possibly built at other dims)
+            self._caches.pop(m.group(1), None)
         return {"deleted": m.group(1)}
 
     def rename_collection(self, m, b, q) -> dict:
@@ -447,6 +450,7 @@ class RestServer:
         with self._mutate:
             self.db.rename_collection(m.group(1), new)
             self._index_invalidate(m.group(1))
+            self._caches.pop(m.group(1), None)
         return {"name": new}
 
     def compact_collection(self, m, b, q) -> dict:
@@ -458,6 +462,7 @@ class RestServer:
         with self._mutate:
             self._coll(m.group(1)).clear()
             self._index_invalidate(m.group(1))
+            self._caches.pop(m.group(1), None)
         return {"cleared": m.group(1)}
 
     # -- vector handlers --
@@ -530,16 +535,25 @@ class RestServer:
         if not isinstance(patch, dict):
             raise _bad("'metadata' object required")
         c = self._coll(m.group(1))
-        row = c.get(m.group(2))
-        if row is None:
-            raise _not_found(f"no vector {m.group(2)!r}")
-        meta = row["metadata"] if "metadata" in row.__fields__ else None
-        merged = dict(json.loads(meta) if meta else {})
-        merged.update(patch)
         with self._mutate:
+            # read-merge-write under ONE lock hold: two concurrent
+            # patches must compose, not lose the first writer's keys
+            row = c.get(m.group(2))
+            if row is None:
+                raise _not_found(f"no vector {m.group(2)!r}")
+            meta = row["metadata"] if "metadata" in row.__fields__ else None
+            merged = dict(json.loads(meta) if meta else {})
+            merged.update(patch)
             n = c.update_metadata(
                 {c.id_col: m.group(2)},
                 {"metadata": json.dumps(merged, sort_keys=True)})
+            if n and self._index_fields.get(m.group(1)):
+                # pinned meta fields now disagree with the collection:
+                # re-add the row so the serving index upserts the fresh
+                # values (add() masks the stale copy)
+                self._index_add(m.group(1), self._rows_df(c, [{
+                    "id": m.group(2), "vector": list(row["vector"]),
+                    "metadata": merged}]))
         return {"updated": n, "id": m.group(2)}
 
     def get_vector(self, m, b, q) -> dict:
@@ -945,8 +959,11 @@ class RestServer:
 
     def insert_text(self, m, b, q) -> dict:
         c = self._coll(m.group(1))
+        trows = self._text_rows(c, [b])
+        rows = self._rows_df(c, trows)
         with self._mutate:
-            n = c.insert(self._rows_df(c, self._text_rows(c, [b])))
+            n = c.insert(rows)
+            self._index_add(m.group(1), rows, payload=trows)
         return {"inserted": n, "id": str(b.get("id"))}
 
     def batch_insert_text(self, m, b, q) -> dict:
@@ -954,8 +971,11 @@ class RestServer:
         texts = b.get("texts")
         if not isinstance(texts, list) or not texts:
             raise _bad("'texts' must be a non-empty list")
+        trows = self._text_rows(c, texts)
+        rows = self._rows_df(c, trows)
         with self._mutate:
-            n = c.insert(self._rows_df(c, self._text_rows(c, texts)))
+            n = c.insert(rows)
+            self._index_add(m.group(1), rows, payload=trows)
         return {"inserted": n}
 
     def search_text(self, m, b, q) -> dict:
@@ -975,6 +995,11 @@ class RestServer:
         with self._mutate:
             n = self._coll(m.group(1)).sweep_expired(
                 now=b.get("now") if isinstance(b, dict) else None)
+            if n:
+                # the sweep doesn't report WHICH ids it removed, so the
+                # serving index can't tombstone them — drop it rather
+                # than keep returning expired vectors from its segments
+                self._index_invalidate(m.group(1))
         return {"expired": n}
 
     def ttl_stats(self, m, b, q) -> dict:
@@ -1356,11 +1381,12 @@ class RestServer:
         query = str(b.get("query") or "")
         if not query:
             raise _bad("'query' required")
+        # per-request threshold stays per-request (never mutates the
+        # shared config another client's lookup would inherit)
         threshold = b.get("threshold")
-        if threshold is not None:
-            cache.config.similarity_threshold = float(threshold)
         hit = cache.get_exact(query) or cache.get_semantic(
-            query, self._cache_embedding(c, b))
+            query, self._cache_embedding(c, b),
+            threshold=None if threshold is None else float(threshold))
         out: dict[str, Any] = {"hit": hit is not None}
         if hit is not None:
             out.update({"response": hit.response,
@@ -1379,10 +1405,10 @@ class RestServer:
         query, response = b.get("query"), b.get("response")
         if not query or response is None:
             raise _bad("'query' and 'response' required")
-        if b.get("ttl_seconds") is not None:
-            cache.config.ttl_seconds = float(b["ttl_seconds"])
+        ttl = b.get("ttl_seconds")
         cache.put(str(query), self._cache_embedding(c, b), str(response),
-                  metadata=b.get("metadata"))
+                  metadata=b.get("metadata"),
+                  ttl_seconds=None if ttl is None else float(ttl))
         return {"stored": True, "collection": m.group(1),
                 "model": b.get("model", "default"),
                 "response_length": len(str(response)),
@@ -1405,8 +1431,13 @@ class RestServer:
         for v in vectors:
             if not isinstance(v, dict) or "id" not in v \
                     or "vector" not in v:
-                errors.append({"id": (v or {}).get("id"),
+                errors.append({"id": v.get("id")
+                               if isinstance(v, dict) else None,
                                "error": "needs 'id' and 'vector'"})
+            elif not isinstance(v["vector"], (list, tuple)):
+                # a scalar 'vector' must fail THIS row, not 400 the batch
+                errors.append({"id": v["id"],
+                               "error": "'vector' must be a list"})
             elif len(v["vector"]) != c.dims:
                 errors.append({"id": v["id"],
                                "error": f"dimension mismatch: "
@@ -1525,8 +1556,10 @@ class RestServer:
         content, vec = b.get("content"), b.get("vector")
         if content is None or not isinstance(vec, list) or not vec:
             raise _bad("'content' and 'vector' required")
-        self._mem_seq += 1
-        memory_id = f"mem_{int(_time.time() * 1000)}_{self._mem_seq}"
+        with self._mutate:  # += is not atomic; a race mints duplicate ids
+            self._mem_seq += 1
+            seq = self._mem_seq
+        memory_id = f"mem_{int(_time.time() * 1000)}_{seq}"
         tier = str(b.get("tier", "long_term"))
         importance = float(b.get("importance", 0.5))
         meta = dict(b.get("metadata") or {})
@@ -1962,12 +1995,19 @@ class RestServer:
                 self.wfile.write(data)
 
             def _handle(self, method: str) -> None:
-                path, _, qs = self.path.partition("?")
+                from urllib.parse import unquote
+
+                raw_path, _, qs = self.path.partition("?")
+                # percent-decode ids/names ('a%20b' must resolve the
+                # vector 'a b'); ids containing a literal '/' are
+                # unsupported (an encoded one still splits the route)
+                path = "/".join(unquote(seg)
+                                for seg in raw_path.split("/"))
                 query = {}
                 for part in qs.split("&"):
                     if "=" in part:
                         k, v = part.split("=", 1)
-                        query[k] = v
+                        query[unquote(k)] = unquote(v.replace("+", " "))
                 if method == "GET":
                     sse = server._sse_pattern.match(path)
                     if sse:
