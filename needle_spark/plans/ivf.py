@@ -176,12 +176,20 @@ def _kmeans_fit(X: np.ndarray, nlist: int, seed: int, max_iter: int) -> np.ndarr
         d = xsq - 2.0 * (Xf @ C.T) + (C * C).sum(axis=1)[None, :]
         assign = d.argmin(axis=1)
         newC = C.copy()
+        empty = []
         for c in range(k):
             members = Xf[assign == c]
             if len(members):
                 newC[c] = members.mean(axis=0)
-            else:  # re-seed empty cells from the farthest points
-                newC[c] = Xf[int(d.min(axis=1).argmax())]
+            else:
+                empty.append(c)
+        if empty:
+            # re-seed empty cells from DISTINCT farthest points: one
+            # shared argmax would plant duplicate centroids that
+            # permanently collapse cells (argmin ties pick one index)
+            far = np.argsort(d.min(axis=1))[::-1]
+            for j, c in enumerate(empty):
+                newC[c] = Xf[int(far[j % len(far)])]
         if np.allclose(newC, C, atol=1e-7):
             C = newC
             break
@@ -358,6 +366,9 @@ class IvfBatchKnnIndex:
         # partitions' Arrow transfer.  One build-time shuffle; the same
         # layout `partitionBy("centroid_id")` gives on disk.
         n_parts = cluster_partitions or docs.sparkSession.sparkContext.defaultParallelism
+        # remembered so merge_delta() rewrites into the SAME layout the
+        # caller tuned, not defaultParallelism
+        self._cluster_partitions = cluster_partitions
         self.codes = (
             self._encode(docs)
             .repartition(n_parts, F.col("centroid_id"))
@@ -374,7 +385,7 @@ class IvfBatchKnnIndex:
         # new rows encode with the FROZEN centroids/quantizer into a delta
         # frame that search merges in; deletes tombstone until merge_delta
         self._delta: DataFrame | None = None
-        self._delta_rows = 0
+        self._delta_ids: set = set()  # live delta ids (upsert/delete-accurate)
         self._tombstones: set = set()
         # ids whose MAIN row is stale because a newer row lives in the
         # delta (delete-then-add, or upsert-style re-add): masked on the
@@ -518,6 +529,15 @@ class IvfBatchKnnIndex:
         caches).  This is the residency class of the reference's
         in-process float32 HNSW, spelled as files."""
         import tempfile
+
+        # re-pinning truncates the very files any live driver cache
+        # mmaps (np.save opens 'wb'): drop every driver-side handle
+        # BEFORE writing, or search_one serves stale/corrupt pages and
+        # never sees a newly added decoded tier
+        self._drv = None
+        self._cellf32 = {}
+        self._cellf32_bytes = 0
+        self._main_ids_sorted = None
 
         if seg_dir is None:
             seg_dir = tempfile.mkdtemp(prefix="ivf_segments_")
@@ -1178,14 +1198,20 @@ class IvfBatchKnnIndex:
             else:
                 key = (si, s, e)
                 Cf = self._cellf32.get(key)
-                if Cf is None:
+                if Cf is not None:
+                    # LRU touch: re-insert so insertion order == recency
+                    self._cellf32[key] = self._cellf32.pop(key)
+                else:
                     Cf = np.asarray(codes[s:e]).astype(np.float32)
                     budget = self.serving_cache_mb * 1024 * 1024
                     if Cf.nbytes <= budget:
                         while self._cellf32_bytes + Cf.nbytes > budget \
                                 and self._cellf32:
-                            _, old = self._cellf32.popitem()
-                            self._cellf32_bytes -= old.nbytes
+                            # evict LEAST-recently-used (front of the
+                            # insertion order), not the newest entry
+                            lru = next(iter(self._cellf32))
+                            self._cellf32_bytes -= \
+                                self._cellf32.pop(lru).nbytes
                         self._cellf32[key] = Cf
                         self._cellf32_bytes += Cf.nbytes
             Dk, Ik = _score_cell_block(
@@ -1243,8 +1269,10 @@ class IvfBatchKnnIndex:
         merge/rebuild, which stats() makes visible."""
         enc = self._encode(rows).persist()
         self._delta_parts.append(enc)
-        n = enc.count()
-        new_ids = {r[0] for r in enc.select(self.id_col).collect()}
+        # ONE job: the collected id column is also the row count
+        id_rows = enc.select(self.id_col).collect()
+        n = len(id_rows)
+        new_ids = {r[0] for r in id_rows}
         # a re-added tombstoned id must NOT unmask its stale main row:
         # the main copy stays masked (superseded) and the delta serves
         # the new row.  Ids re-added over an existing delta row replace
@@ -1269,7 +1297,7 @@ class IvfBatchKnnIndex:
                 ~F.col(self.id_col).isin(sorted(new_ids)))
         self._delta = enc if self._delta is None \
             else self._delta.unionByName(enc)
-        self._delta_rows += n
+        self._delta_ids |= new_ids
         self._mut_ver += 1
         return n
 
@@ -1309,6 +1337,30 @@ class IvfBatchKnnIndex:
         if self._segments is None:
             return None
         return f"{self._segments[0]}/local_wal.pkl"
+
+    def _rewrite_wal(self) -> None:
+        """Mirror the current local buffer into the WAL (atomic
+        replace).  Called when delete() drops buffered rows: the WAL
+        must forget them too, or a crash replay resurrects deleted
+        rows.  An empty buffer removes the WAL files outright."""
+        import os
+        import pickle
+
+        path = self._wal_path()
+        if path is None:
+            return
+        if not self._local_buf:
+            for p in {path} | self._wal_written:
+                if p and os.path.exists(p):
+                    os.unlink(p)
+            self._wal_written = set()
+            return
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            for rec in self._local_buf:
+                pickle.dump(rec, f, protocol=4)
+        os.replace(tmp, path)
+        self._wal_written.add(path)
 
     def add_local(self, ids, vectors, metas: dict | None = None,
                   durable: bool = True, fsync: bool = False) -> int:
@@ -1493,6 +1545,13 @@ class IvfBatchKnnIndex:
 
         local = self._local_delta_arrays()
         if local is None:
+            # delete() may have emptied the buffer AFTER records were
+            # WAL'd: drop those WAL files or a later replay resurrects
+            # the deleted rows
+            for path in self._wal_written:
+                if path and os.path.exists(path):
+                    os.unlink(path)
+            self._wal_written = set()
             return 0
         ids, cent, nsq, codes, metas = local
         pdf = pd.DataFrame({
@@ -1508,7 +1567,8 @@ class IvfBatchKnnIndex:
         self._delta_parts.append(enc)
         self._delta = enc if self._delta is None \
             else self._delta.unionByName(enc)
-        self._delta_rows += n
+        self._delta_ids |= {i.item() if hasattr(i, "item") else i
+                            for i in ids}
         self._local_buf = []
         self._local_n = 0
         self._mut_ver += 1
@@ -1525,8 +1585,12 @@ class IvfBatchKnnIndex:
         if self._delta is not None and ids:
             self._delta = self._delta.filter(
                 ~F.col(self.id_col).isin(sorted(ids)))
+        self._delta_ids -= ids
         if self._local_buf and ids:
             self._drop_from_local(ids)
+            # keep the WAL a mirror of the buffer: a crash replay must
+            # not resurrect rows deleted after their WAL append
+            self._rewrite_wal()
         self._tombstones |= ids
         self._superseded -= ids  # fully deleted again, not superseded
         self._mut_ver += 1
@@ -1552,7 +1616,8 @@ class IvfBatchKnnIndex:
                 delta = delta.filter(
                     ~F.col(self.id_col).isin(sorted(self._tombstones)))
             merged = merged.unionByName(delta)
-        n_parts = merged.sparkSession.sparkContext.defaultParallelism
+        n_parts = (self._cluster_partitions
+                   or merged.sparkSession.sparkContext.defaultParallelism)
         new_codes = (merged.repartition(n_parts, F.col("centroid_id"))
                      .sortWithinPartitions("centroid_id"))
         if self._persisted:
@@ -1568,8 +1633,8 @@ class IvfBatchKnnIndex:
             part.unpersist()
         self._delta_parts = []
         deleted = len(self._tombstones)
-        merged_rows = self._delta_rows
-        self._delta, self._delta_rows, self._tombstones = None, 0, set()
+        merged_rows = len(self._delta_ids)
+        self._delta, self._delta_ids, self._tombstones = None, set(), set()
         self._superseded = set()
         # drop driver-side serving caches: segments are re-pinned
         # (possibly into the SAME dir) and the delta is folded in
@@ -1599,10 +1664,10 @@ class IvfBatchKnnIndex:
     def incremental_stats(self) -> dict:
         """incremental.rs:207 IncrementalStats."""
         main = self.n_main if self.n_main is not None else self.codes.count()
-        total = main + self._delta_rows + self._local_n
+        total = main + len(self._delta_ids) + self._local_n
         return {
             "main_rows": main,
-            "delta_rows": self._delta_rows,
+            "delta_rows": len(self._delta_ids),
             "local_pending_rows": self._local_n,
             "deleted_pending": len(self._tombstones),
             "fragmentation": len(self._tombstones) / total if total else 0.0,
@@ -1619,6 +1684,9 @@ class IvfBatchKnnIndex:
     def unpersist(self) -> None:
         if self._persisted:
             self.codes.unpersist()
+        for part in self._delta_parts:  # the persisted delta blocks
+            part.unpersist()
+        self._delta_parts = []
         if self._delta is not None:
             self._delta.unpersist()
         self._drv = None

@@ -728,3 +728,127 @@ def test_add_local_rejects_short_metas(spark, clustered, tmp_path):
         assert idx.incremental_stats()["local_pending_rows"] == 0
     finally:
         idx.unpersist()
+
+
+def test_wal_forgets_deleted_local_adds(spark, clustered, tmp_path):
+    """delete() after add_local must reach the WAL: a crash replay
+    must NOT resurrect the deleted row, and a delete that empties the
+    buffer removes the WAL outright (no leak for the next process)."""
+    import os
+
+    df, pts, queries = clustered
+    seg_dir = str(tmp_path / "segs_waldel")
+    q0, q1 = queries[0], queries[1]
+    idx = IvfBatchKnnIndex(df, nlist=N_CLUSTERS, vector_col="vector",
+                           id_col="id", metric="cosine", seed=5)
+    idx.pin_segments(seg_dir)
+    idx.add_local([555_001], q0[None, :])
+    idx.add_local([555_002], q1[None, :])
+    idx.delete([555_001])
+    # crash before flush: replay must see ONLY the surviving row
+    idx.unpersist()
+    del idx
+
+    idx2 = IvfBatchKnnIndex(df, nlist=N_CLUSTERS, vector_col="vector",
+                            id_col="id", metric="cosine", seed=5)
+    idx2.pin_segments(seg_dir)
+    try:
+        assert idx2.incremental_stats()["local_pending_rows"] == 1
+        got = [i for i, _ in idx2.search_one(q0, k=5, nprobe=N_CLUSTERS)]
+        assert 555_001 not in got
+        got = [i for i, _ in idx2.search_one(q1, k=5, nprobe=N_CLUSTERS)]
+        assert 555_002 in got
+        # deleting the last buffered row unlinks the WAL immediately
+        idx2.delete([555_002])
+        assert not os.path.exists(os.path.join(seg_dir, "local_wal.pkl"))
+    finally:
+        idx2.unpersist()
+
+
+def test_delta_stats_track_upserts_and_deletes(spark, clustered):
+    """delta_rows reflects LIVE delta ids: re-upserting one id many
+    times or deleting delta rows must not inflate the count (an
+    inflated count falsely trips needs_optimization)."""
+    df, pts, queries = clustered
+    idx = IvfBatchKnnIndex(df, nlist=N_CLUSTERS, vector_col="vector",
+                           id_col="id", metric="cosine", seed=5)
+    try:
+        row = spark.createDataFrame(
+            [(700_700, [float(x) for x in queries[0]])],
+            "id long, vector array<float>")
+        for _ in range(3):
+            idx.add(row)
+        assert idx.incremental_stats()["delta_rows"] == 1
+        idx.delete([700_700])
+        assert idx.incremental_stats()["delta_rows"] == 0
+        assert not idx.needs_optimization(delta_threshold=2,
+                                          max_fragmentation=0.9)
+    finally:
+        idx.unpersist()
+
+
+def test_merge_delta_keeps_cluster_partitions(spark, clustered):
+    """merge_delta rewrites into the layout the caller tuned, not
+    defaultParallelism."""
+    df, pts, queries = clustered
+    idx = IvfBatchKnnIndex(df, nlist=N_CLUSTERS, vector_col="vector",
+                           id_col="id", metric="cosine", seed=5,
+                           cluster_partitions=3)
+    try:
+        assert idx.codes.rdd.getNumPartitions() == 3
+        idx.add(spark.createDataFrame(
+            [(700_800, [float(x) for x in queries[0]])],
+            "id long, vector array<float>"))
+        idx.merge_delta()
+        assert idx.codes.rdd.getNumPartitions() == 3
+    finally:
+        idx.unpersist()
+
+
+def test_unpersist_releases_delta_parts(spark, clustered):
+    """unpersist() must release the persisted per-add delta blocks,
+    not just the (uncached) union frame."""
+    df, pts, queries = clustered
+    idx = IvfBatchKnnIndex(df, nlist=N_CLUSTERS, vector_col="vector",
+                           id_col="id", metric="cosine", seed=5)
+    idx.add(spark.createDataFrame(
+        [(700_900, [float(x) for x in queries[0]])],
+        "id long, vector array<float>"))
+    parts = list(idx._delta_parts)
+    assert parts and all(p.storageLevel.useMemory for p in parts)
+    idx.unpersist()
+    assert all(not p.storageLevel.useMemory for p in parts)
+
+
+def test_kmeans_empty_cells_reseed_distinct():
+    """Empty-cell re-seeding must plant DISTINCT points: duplicate
+    centroids permanently collapse cells."""
+    from needle_spark.plans.ivf import _kmeans_fit
+
+    rng = np.random.default_rng(3)
+    # two tight blobs + k=8: most cells go empty on iteration 1
+    X = np.concatenate([rng.standard_normal((50, 4)) * 0.01,
+                        rng.standard_normal((50, 4)) * 0.01 + 10.0])
+    C = _kmeans_fit(X, nlist=8, seed=1, max_iter=10)
+    uniq = np.unique(np.round(C, 9), axis=0)
+    assert len(uniq) == len(C), "duplicate centroids after reseed"
+
+
+def test_repin_refreshes_driver_cache(spark, clustered, tmp_path):
+    """Re-pinning into the SAME dir (e.g. to add the decoded tier)
+    must drop the driver's mmap cache: stale handles point at
+    truncated inodes and the new tier would never be used."""
+    df, pts, queries = clustered
+    seg_dir = str(tmp_path / "segs_repin")
+    idx = IvfBatchKnnIndex(df, nlist=N_CLUSTERS, vector_col="vector",
+                           id_col="id", metric="cosine", seed=5)
+    try:
+        idx.pin_segments(seg_dir)
+        before = idx.search_one(queries[0], k=5, nprobe=N_CLUSTERS)
+        idx.pin_segments(seg_dir, decoded=True)
+        segs, _ = idx._driver_cache()
+        assert any(s[2].dtype == np.float32 for s in segs if len(s[0]))
+        after = idx.search_one(queries[0], k=5, nprobe=N_CLUSTERS)
+        assert [i for i, _ in before] == [i for i, _ in after]
+    finally:
+        idx.unpersist()
