@@ -12,7 +12,11 @@ here use the same two-pass partition-offset scheme instead:
    any exchange, so a later window would otherwise rank over the WRONG
    partitions;
 2. one cheap job counts/sums per partition; prefix-sums over the
-   pid-sorted totals become broadcast offsets;
+   pid-sorted totals become broadcast offsets — a literal map for
+   modest partition counts, a broadcast-joined offsets frame beyond
+   that (a create_map with 10^5+ literal pairs would blow Catalyst
+   tree build and codegen exactly on the inputs this module exists
+   to serve);
 3. every partition then ranks/accumulates independently under
    `Window.partitionBy("__pid")` and adds its offset — no task sees
    more than its own partition.
@@ -38,6 +42,11 @@ from pyspark.sql import functions as F
 # the extra count job + cache of the partition-offset scheme
 SEQ_PARALLEL_THRESHOLD = 65536
 
+# above this many partitions the literal create_map of offsets gives
+# way to a broadcast-joined offsets frame (expression-tree size and the
+# 64KB codegen method limit both degrade with O(partitions) literals)
+OFFSETS_LITERAL_LIMIT = 1024
+
 _PID = "__seq_pid"
 
 
@@ -45,15 +54,50 @@ def _freeze_pids(df: DataFrame) -> DataFrame:
     return df.withColumn(_PID, F.spark_partition_id())
 
 
-def _offsets_map(per_part: dict[int, list], idx: int) -> Column:
-    """Broadcastable pid -> prefix-sum-of-totals[idx] literal map."""
-    offsets, acc = {}, 0
-    for p in sorted(per_part):
-        offsets[p] = acc
-        acc += per_part[p][idx]
-    return F.create_map(*[
-        F.lit(x) for p in sorted(offsets) for x in (p, offsets[p])
-    ])
+def _prefix_offsets(per_part: dict[int, list], n_vals: int) -> dict[int, list]:
+    """pid -> [prefix-sum-of-totals per value index]."""
+    offs: dict[int, list] = {p: [] for p in per_part}
+    for i in range(n_vals):
+        acc = 0
+        for p in sorted(per_part):
+            offs[p].append(acc)
+            acc += per_part[p][i]
+    return offs
+
+
+def _attach_offsets(cached: DataFrame, per_part: dict[int, list],
+                    n_vals: int) -> DataFrame:
+    """Add `__seq_off_<i>` columns carrying each row's partition prefix
+    offset.  Literal map for modest partition counts; broadcast-joined
+    offsets frame when there are too many partitions for literal
+    expressions (the 100 TB case: 10^5-10^6 input partitions)."""
+    offs = _prefix_offsets(per_part, n_vals)
+    if len(offs) <= OFFSETS_LITERAL_LIMIT:
+        out = cached
+        for i in range(n_vals):
+            m = F.create_map(*[
+                F.lit(x) for p in sorted(offs) for x in (p, offs[p][i])
+            ])
+            out = out.withColumn(f"__seq_off_{i}",
+                                 F.element_at(m, F.col(_PID)))
+        return out
+    exact_int = [
+        all(isinstance(offs[p][i], int) for p in offs)
+        for i in range(n_vals)
+    ]
+    schema = ", ".join(
+        [f"{_PID} int"]
+        + [f"__seq_off_{i} {'long' if exact_int[i] else 'double'}"
+           for i in range(n_vals)])
+    odf = cached.sparkSession.createDataFrame(
+        [(p, *[int(v) if exact_int[i] else float(v)
+               for i, v in enumerate(offs[p])]) for p in sorted(offs)],
+        schema)
+    return cached.join(F.broadcast(odf), _PID)
+
+
+def _drop_offsets(df: DataFrame, n_vals: int) -> DataFrame:
+    return df.drop(_PID, *[f"__seq_off_{i}" for i in range(n_vals)])
 
 
 def distributed_row_number(
@@ -84,14 +128,12 @@ def distributed_row_number(
         r[_PID]: [r["count"]]
         for r in cached.groupBy(_PID).count().collect()
     }
-    off = _offsets_map(per_part, 0)
     w = Window.partitionBy(F.col(_PID)).orderBy(*order_cols)
-    out = cached.withColumn(
+    out = _attach_offsets(cached, per_part, 1).withColumn(
         out_col,
-        (F.element_at(off, F.col(_PID))
-         + F.row_number().over(w)).cast("long"),
-    ).drop(_PID)
-    return out, cached
+        (F.col("__seq_off_0") + F.row_number().over(w)).cast("long"),
+    )
+    return _drop_offsets(out, 1), cached
 
 
 def distributed_cumsum(
@@ -108,6 +150,12 @@ def distributed_cumsum(
     emitted as `<prefix><col>` — the building block for distributed
     CDFs (drift KS) and rank statistics.
 
+    `order_col` must be orderable by a RANGE window frame (numeric /
+    date / timestamp).  Ties are handled deterministically: every row
+    sharing an `order_col` value receives the total THROUGH the whole
+    tie group (CDF semantics) — a rows frame would split tied rows
+    into arbitrary, recomputation-unstable partial sums.
+
     Large inputs range-partition by `order_col` first, so partition p's
     keys all precede partition p+1's; each partition then accumulates
     locally and adds the broadcast sum of all earlier partitions.
@@ -118,7 +166,7 @@ def distributed_cumsum(
     """
     if count <= (SEQ_PARALLEL_THRESHOLD if threshold is None else threshold):
         w = (Window.orderBy(order_col)
-             .rowsBetween(Window.unboundedPreceding, 0))
+             .rangeBetween(Window.unboundedPreceding, 0))
         out = df
         for c in value_cols:
             out = out.withColumn(prefix + c, F.sum(c).over(w))
@@ -132,11 +180,10 @@ def distributed_cumsum(
             *[F.sum(c).alias(f"__t_{c}") for c in value_cols]).collect()
     }
     w = (Window.partitionBy(F.col(_PID)).orderBy(order_col)
-         .rowsBetween(Window.unboundedPreceding, 0))
-    out = cached
+         .rangeBetween(Window.unboundedPreceding, 0))
+    out = _attach_offsets(cached, per_part, len(value_cols))
     for i, c in enumerate(value_cols):
-        off = _offsets_map(per_part, i)
         out = out.withColumn(
             prefix + c,
-            F.element_at(off, F.col(_PID)) + F.sum(c).over(w))
-    return out.drop(_PID), cached
+            F.col(f"__seq_off_{i}") + F.sum(c).over(w))
+    return _drop_offsets(out, len(value_cols)), cached

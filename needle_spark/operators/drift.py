@@ -66,6 +66,10 @@ def vector_stats(df: DataFrame, vector_col: str = "vector",
     combined — no explode (a posexplode would shuffle n*d rows).  For
     d > 128, Arrow partials (count/sum/sumsq/min/max per batch) keep
     the compiled plan small; same math either way."""
+    # null vectors are excluded from the sample on BOTH paths (the
+    # expr path's F.avg would skip them silently while the Arrow path
+    # crashed on them; filtering keeps sample_count consistent)
+    df = df.filter(F.col(vector_col).isNotNull())
     if dims is None:
         first = df.select(vector_col).first()
         if first is None or first[0] is None:
@@ -82,6 +86,8 @@ def vector_stats(df: DataFrame, vector_col: str = "vector",
                      F.min(x).alias(f"lo{i}"), F.max(x).alias(f"hi{i}")]
         r = df.agg(*aggs).first()
         n = int(r["n"])
+        if n == 0:  # dims passed explicitly skips the first() probe
+            raise ValueError("cannot compute stats of an empty dataset")
         return VectorStats(
             centroid=[r[f"m{i}"] for i in range(dims)],
             variance=[(r[f"v{i}"] if r[f"v{i}"] is not None else 0.0)
@@ -153,7 +159,17 @@ def two_sample_ks(a: DataFrame, b: DataFrame, col: str) -> float:
         .groupBy("__x").agg(F.sum("__a").alias("__ca"),
                             F.sum("__b").alias("__cb"))
     )
-    cum, cache = distributed_cumsum(u, "__x", ["__ca", "__cb"], na + nb)
+    from needle_spark.functions.sequence import SEQ_PARALLEL_THRESHOLD
+
+    # the walk length is the number of DISTINCT values, not na+nb:
+    # quantized data can have 2M samples over 200 values, where the
+    # single tiny window beats range-partition + extra jobs.  The count
+    # only runs when the raw size suggests the parallel path.
+    walk_n = na + nb
+    if walk_n > SEQ_PARALLEL_THRESHOLD:
+        u = u.persist()
+        walk_n = u.count()
+    cum, cache = distributed_cumsum(u, "__x", ["__ca", "__cb"], walk_n)
     diff = F.abs(
         F.col("__cum___ca") / F.lit(float(na))
         - F.col("__cum___cb") / F.lit(float(nb))
@@ -161,6 +177,8 @@ def two_sample_ks(a: DataFrame, b: DataFrame, col: str) -> float:
     row = cum.select(diff.alias("__d")).agg(F.max("__d")).first()
     if cache is not None:
         cache.unpersist()
+    if na + nb > SEQ_PARALLEL_THRESHOLD:
+        u.unpersist()
     return float(row[0] or 0.0)
 
 

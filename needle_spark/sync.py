@@ -176,10 +176,11 @@ class SyncEngine:
              else F.lit(None).cast("string")).alias("metadata"),
             F.lit(wall).alias("wall_time"),
         )
+        # pin the stamped ticks on BOTH paths: recomputation of a lazy
+        # plan (nondeterministic source, duplicate-id tie order) could
+        # renumber timestamps between two peers' pulls
+        stamped = stamped.localCheckpoint(eager=True)
         if seq_cache is not None:
-            # pin the stamped ticks (recomputation could repartition and
-            # renumber), then release the sequencer's working cache
-            stamped = stamped.localCheckpoint(eager=True)
             seq_cache.unpersist()
         self._ops = self._ops.unionByName(stamped)
         self._op_count += n
@@ -255,10 +256,14 @@ class SyncEngine:
             .groupBy("id")
             .agg(F.max("timestamp").alias("__local_ts"))
         )
+        # broadcast only when the log bound keeps the build side small;
+        # a huge retention config should let Spark pick the strategy
+        if self.config.log_retention <= 100_000:
+            local_latest = F.broadcast(local_latest)
         classified = (
             delta.operations
             .withColumn("__skip", F.col("timestamp") <= F.lit(known))
-            .join(F.broadcast(local_latest), "id", "left")
+            .join(local_latest, "id", "left")
             .withColumn("__conflict",
                         (~F.col("__skip")) & F.col("__local_ts").isNotNull())
         )
@@ -291,8 +296,13 @@ class SyncEngine:
             .select("id", "__local_ts", "timestamp").collect()
         ]
 
+        # pin the (bounded, <= max_delta_size) applied slice: unioning
+        # the lazy plan would embed the PEER's whole log plan in ours —
+        # bidirectional ping-pong then grows plans multiplicatively and
+        # re-runs the classify join on every later log action
         applied = classified.filter("__apply").drop(
-            "__skip", "__conflict", "__apply", "__local_ts")
+            "__skip", "__conflict", "__apply", "__local_ts"
+        ).localCheckpoint(eager=True)
         if collection is not None and result.applied:
             # within the delta, the newest op per id wins the apply
             w = Window.partitionBy("id").orderBy(
@@ -312,7 +322,21 @@ class SyncEngine:
         self._ops = self._ops.unionByName(applied)
         self._op_count += result.applied
         self._note_union()
-        self.clock.merge(delta.source_clock)
+        # Deviation from sync_engine.rs:447 (which merges the sender's
+        # FULL clock): a delta carries only sender-AUTHORED ops, so
+        # merging third-party entries marks ops as seen that were never
+        # shipped (node C learning {A: 5} from B would then filter A's
+        # direct delta), and a size-capped delta ships a clock ahead of
+        # its own payload.  Either way ops are silently lost FOREVER.
+        # Advance only the sender's entry, and only to the newest
+        # timestamp actually received (ticks are contiguous, so max
+        # received == frontier of everything shipped-or-seen).
+        mx = classified.filter(
+            F.col("node_id") == delta.source_node
+        ).agg(F.max("timestamp")).first()[0]
+        if mx is not None:
+            self.clock.clocks[delta.source_node] = max(
+                self.clock.get(delta.source_node), int(mx))
         self.peer_clocks[delta.source_node] = delta.source_clock.copy()
         self._trim_log()
         classified.unpersist()

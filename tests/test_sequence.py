@@ -183,3 +183,51 @@ def test_cumsum_property(spark, vals, threshold):
     import bisect
     want = {float(v): bisect.bisect_right(svals, v) for v in set(vals)}
     assert got == want
+
+
+def test_offsets_broadcast_join_path(spark):
+    """Beyond OFFSETS_LITERAL_LIMIT partitions the offsets attach via a
+    broadcast join instead of a literal create_map; results identical."""
+    from needle_spark.functions import sequence as seq
+
+    df = spark.range(0, 3000).selectExpr("id", "id % 7 AS v") \
+        .repartition(12)
+    old = seq.OFFSETS_LITERAL_LIMIT
+    try:
+        seq.OFFSETS_LITERAL_LIMIT = 2  # force the join path
+        out, cache = seq.distributed_row_number(
+            df, [F.col("id").asc()], 3000, threshold=100)
+        rns = [r["__rn"] for r in out.select("__rn").collect()]
+        assert sorted(rns) == list(range(1, 3001))
+        if cache is not None:
+            cache.unpersist()
+        out, cache = seq.distributed_cumsum(
+            df, "id", ["v"], 3000, threshold=100, num_partitions=8)
+        rows = {r["id"]: r["__cum_v"] for r in out.collect()}
+        acc, want = 0, {}
+        for i in range(3000):
+            acc += i % 7
+            want[i] = acc
+        assert rows == want
+        if cache is not None:
+            cache.unpersist()
+    finally:
+        seq.OFFSETS_LITERAL_LIMIT = old
+
+
+def test_cumsum_ties_get_group_totals(spark):
+    """Tied order keys receive the total THROUGH the tie group (range
+    frame, CDF semantics) on both paths — deterministic under
+    recomputation, unlike a rows frame."""
+    from needle_spark.functions.sequence import distributed_cumsum
+
+    df = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 5), (2, 5), (3, 1)], "k int, v int")
+    for threshold, parts in ((100, None), (1, 3)):
+        out, cache = distributed_cumsum(
+            df, "k", ["v"], 5, threshold=threshold, num_partitions=parts)
+        got = {(r["k"], r["v"], r["__cum_v"]) for r in out.collect()}
+        assert got == {(1, 10, 30), (1, 20, 30), (2, 5, 40),
+                       (2, 5, 40), (3, 1, 41)}
+        if cache is not None:
+            cache.unpersist()

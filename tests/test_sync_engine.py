@@ -192,3 +192,46 @@ def test_causally_dominated_ops_are_not_conflicts(spark):
     b.record_update("x", [2.0], now_ms=21)
     res2 = a.apply_delta(b.generate_delta(a.vector_clock()))
     assert len(res2.conflicts) == 1
+
+
+def test_three_node_no_clock_overadvance(spark):
+    """C pulling from B must NOT learn B's view of A as its own: deltas
+    carry only sender-authored ops, so merging the full clock would
+    make C filter A's direct delta and lose A's ops forever."""
+    a = SyncEngine(spark, "node-a")
+    b = SyncEngine(spark, "node-b")
+    c = SyncEngine(spark, "node-c")
+    for i in range(3):
+        a.record_insert(f"av{i}", [float(i)], now_ms=i)
+    b.apply_delta(a.generate_delta(b.vector_clock()))
+    assert b.vector_clock().get("node-a") == 3
+    b.record_insert("bv0", [9.0], now_ms=10)
+
+    # C pulls from B: only B's op arrives; C's clock must NOT claim A
+    res = c.apply_delta(b.generate_delta(c.vector_clock()))
+    assert res.applied == 1
+    assert c.vector_clock().get("node-b") == 1
+    assert c.vector_clock().get("node-a") == 0  # nothing of A's seen
+
+    # the direct A -> C sync therefore still ships all of A's ops
+    res = c.apply_delta(a.generate_delta(c.vector_clock()))
+    assert res.applied == 3
+    ids = {r["id"] for r in c._ops.select("id").collect()}
+    assert ids == {"av0", "av1", "av2", "bv0"}
+
+
+def test_capped_delta_advances_clock_only_to_shipped(spark):
+    """A size-capped delta must advance the receiver's clock only to
+    the newest op actually shipped, so the NEXT pull fetches the rest
+    instead of losing it."""
+    a = SyncEngine(spark, "node-a", SyncConfig(max_delta_size=2))
+    b = SyncEngine(spark, "node-b")
+    for i in range(5):
+        a.record_insert(f"v{i}", [float(i)], now_ms=i)
+    applied = 0
+    for _ in range(3):  # 2 + 2 + 1
+        applied += b.apply_delta(a.generate_delta(b.vector_clock())).applied
+    assert applied == 5
+    assert b.vector_clock().get("node-a") == 5
+    ids = {r["id"] for r in b._ops.select("id").collect()}
+    assert ids == {f"v{i}" for i in range(5)}
