@@ -342,15 +342,20 @@ class Collection:
         read plan grows one anti-join per tombstone).  keep_versions
         bounds how much time-travel history each auto-compaction
         retains (named snapshots always survive)."""
-        if max_segments is None and max_tombstones is None:
-            self._manifest.pop("auto_compact", None)
-        else:
-            self._manifest["auto_compact"] = {
-                "max_segments": max_segments,
-                "max_tombstones": max_tombstones,
-                "keep_versions": keep_versions,
-            }
-        self._write_manifest_static(self.path, self._manifest)
+        # lock + refresh like every manifest writer: persisting a stale
+        # in-memory copy would roll back concurrent commits' segments
+        # and obj_seq (the next writer then clobbers a live data file)
+        with self._commit_lock():
+            self._manifest = self._read_manifest()
+            if max_segments is None and max_tombstones is None:
+                self._manifest.pop("auto_compact", None)
+            else:
+                self._manifest["auto_compact"] = {
+                    "max_segments": max_segments,
+                    "max_tombstones": max_tombstones,
+                    "keep_versions": keep_versions,
+                }
+            self._write_manifest_static(self.path, self._manifest)
 
     def _maybe_auto_compact(self, entry: dict, manifest_only: bool) -> None:
         policy = self._manifest.get("auto_compact")
@@ -453,8 +458,10 @@ class Collection:
         for f, spec in fields.items():
             if spec.get("type") not in allowed:
                 raise CollectionError(f"unknown field type for {f!r}: {spec.get('type')}")
-        self._manifest["metadata_schema"] = fields
-        self._write_manifest_static(self.path, self._manifest)
+        with self._commit_lock():  # never persist a stale manifest copy
+            self._manifest = self._read_manifest()
+            self._manifest["metadata_schema"] = fields
+            self._write_manifest_static(self.path, self._manifest)
 
     def _validate_schema(self, rows: DataFrame) -> None:
         spec: dict = self._manifest.get("metadata_schema") or {}
@@ -864,7 +871,15 @@ class Collection:
         coll = cls.create(
             spark, path, dims=m["dims"], metric=m["metric"],
             id_col=m["id_col"], vector_col=m["vector_col"], schema=m.get("schema"),
+            default_ttl_seconds=m.get("default_ttl_seconds"),
         )
+        # settings beyond create()'s args round-trip too: losing the
+        # typed schema / compaction policy silently disables them
+        extra = {k: m[k] for k in ("metadata_schema", "auto_compact")
+                 if m.get(k) is not None}
+        if extra:
+            coll._manifest.update(extra)
+            coll._write_manifest_static(coll.path, coll._manifest)
         data = spark.read.parquet(os.path.join(bundle_dir, "data"))
         coll._commit([("add", data)], [coll._literal_event("import", "*")], 1, None)
         return coll

@@ -322,6 +322,13 @@ class MigrationEngine:
             return n
         self._pre_version = collection.version
         self._cdc_seq_start = self._max_seq(collection)
+        # pin the migration's OWN id set BEFORE the upsert: rollback
+        # attribution by CDC range would blame concurrent writers'
+        # events landing inside [seq_start, seq_end] on the migration
+        # and delete/revert their rows
+        self._imported_df = (rows.select(F.col("id").cast("string")
+                                         .alias("vector_id"))
+                             .distinct().localCheckpoint(eager=True))
         n = collection.upsert(rows.withColumnRenamed("id", collection.id_col)
                               .withColumnRenamed("vector", collection.vector_col)
                               if collection.id_col != "id"
@@ -356,6 +363,12 @@ class MigrationEngine:
     def _imported_ids(self, collection) -> DataFrame:
         if self._cdc_seq_start is None or self._cdc_seq_end is None:
             raise MigrationError("no completed migration to roll back")
+        # the id set pinned at import time is exact under concurrent
+        # writers; the CDC-range fallback (which attributes EVERY event
+        # in the window to the migration) only serves engines restored
+        # without the in-memory frame
+        if getattr(self, "_imported_df", None) is not None:
+            return self._imported_df
         ev = collection.cdc_events()
         return (
             ev.filter((F.col("sequence") > self._cdc_seq_start)
@@ -394,14 +407,13 @@ class MigrationEngine:
                 imported.hint("broadcast"),
                 pre[ic].cast("string") == imported[ic], "leftsemi")
             n_over = overwritten.count()
-            # truly-new ids -> delete
-            new_ids = [
-                r[0] for r in imported.join(
-                    pre.select(F.col(ic).cast("string").alias(ic)),
-                    on=ic, how="leftanti").collect()
-            ]
-            if new_ids:
-                collection.delete(ids=new_ids)
+            # truly-new ids -> delete (distributed semi-join victim
+            # set; collecting 50M ids to a driver list would OOM)
+            new_ids_df = imported.join(
+                pre.select(F.col(ic).cast("string").alias(ic)),
+                on=ic, how="leftanti")
+            if new_ids_df.take(1):
+                collection.delete(ids=new_ids_df)
             if n_over:
                 collection.upsert(overwritten)
         else:

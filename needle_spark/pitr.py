@@ -26,6 +26,21 @@ import time
 from dataclasses import dataclass, field
 
 
+def _safe_label(label: str) -> str:
+    """Labels become filesystem path components inside point ids
+    (rp_<ts>_<label>); reject traversal the same way catalog._safe_name
+    does — '..' in a label would write bundles outside the backup dir
+    and later prune() would rmtree the escaped path."""
+    import re
+
+    if label and (not re.fullmatch(r"[A-Za-z0-9._-]+", label)
+                  or ".." in label or len(label) > 200):
+        raise PitrError(
+            f"invalid label {label!r}: must match [A-Za-z0-9._-]+ "
+            "with no '..'")
+    return label
+
+
 def _utcnow_ms() -> int:
     return int(time.time() * 1000)
 
@@ -120,6 +135,7 @@ class PitrService:
     def create_snapshot(self, label: str,
                         now_ms: int | None = None) -> RestorePoint:
         """:207 — bundle every collection into the backup dir."""
+        label = _safe_label(label)
         now = now_ms if now_ms is not None else _utcnow_ms()
         point_id = f"rp_{now}_{label}"
         pdir = self._point_dir(point_id)
@@ -159,12 +175,23 @@ class PitrService:
         except CollectionError:
             with open(os.path.join(bundle, "manifest.json")) as f:
                 m = _json.load(f)
-            return Collection.create(
+            coll = Collection.create(
                 self.db.spark, os.path.join(self.db.root, name),
                 dims=m["dims"], metric=m.get("metric", "cosine"),
                 id_col=m.get("id_col", "id"),
                 vector_col=m.get("vector_col", "vector"),
-                schema=m.get("schema"))
+                schema=m.get("schema"),
+                default_ttl_seconds=m.get("default_ttl_seconds"))
+            # persisted settings beyond create()'s args survive the
+            # round-trip too (typed schema, compaction policy): losing
+            # default_ttl/metadata_schema silently disables expiry and
+            # validation on the recovered collection
+            extra = {k: m[k] for k in ("metadata_schema", "auto_compact")
+                     if m.get(k) is not None}
+            if extra:
+                coll._manifest.update(extra)
+                coll._write_manifest_static(coll.path, coll._manifest)
+            return coll
 
     def _resolve_target(self, target) -> RestorePoint:
         """RecoveryTarget (:134): a label, 'latest', or a timestamp —
@@ -375,9 +402,12 @@ class IncrementalBackupService:
 
     def _copy(self, point_dir: str, relpaths: list[str]) -> int:
         total = 0
+        roots: dict[str, str] = {}  # resolve each collection ONCE
         for rel in relpaths:
             name, inner = rel.split(os.sep, 1)
-            src = os.path.join(self.db.collection(name).path, inner)
+            if name not in roots:
+                roots[name] = self.db.collection(name).path
+            src = os.path.join(roots[name], inner)
             dst = os.path.join(point_dir, rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             shutil.copy2(src, dst)
@@ -386,6 +416,7 @@ class IncrementalBackupService:
 
     def create_base(self, label: str, now_ms: int | None = None) -> ChainPoint:
         """Full copy of every collection's raw object tree (:297)."""
+        label = _safe_label(label)
         now = now_ms if now_ms is not None else _utcnow_ms()
         pid = f"cb_{now}_{label}"
         pdir = os.path.join(self.backup_dir, pid)
@@ -422,6 +453,7 @@ class IncrementalBackupService:
         chain_files = set()
         for link in self._chain_to(head.id):
             chain_files.update(link.files)
+        label = _safe_label(label)
         now = now_ms if now_ms is not None else _utcnow_ms()
         pid = f"ci_{now}_{label}"
         pdir = os.path.join(self.backup_dir, pid)

@@ -94,27 +94,38 @@ class SchemaRegistry:
     def __init__(self, coll: Collection):
         self.coll = coll
         if "schema_evolution" not in coll._manifest:
-            fields = {
-                name: {
-                    "dtype": dtype, "required": False, "default": None,
-                    "added_in": 1, "removed_in": None,
-                }
-                for name, dtype in self._declared_fields().items()
+            # lock + refresh like every manifest writer: persisting the
+            # instance's stale copy would roll back concurrent commits
+            with coll._commit_lock():
+                coll._manifest = coll._read_manifest()
+                if "schema_evolution" not in coll._manifest:
+                    self._seed_initial_state()
+
+    def _seed_initial_state(self) -> None:
+        """Write version 1 derived from the declared schema; caller
+        holds the commit lock with a fresh manifest."""
+        coll = self.coll
+        fields = {
+            name: {
+                "dtype": dtype, "required": False, "default": None,
+                "added_in": 1, "removed_in": None,
             }
-            coll._manifest["schema_evolution"] = {
-                "current": 1,
-                "versions": [{
-                    "version": 1,
-                    "dims": coll.dims,
-                    "metric": coll._manifest["metric"],
-                    "fields": fields,
-                    "dim_change": None,
-                    "created_ms": _now_ms(),
-                    "description": "Initial schema",
-                    "parent_version": None,
-                }],
-            }
-            coll._write_manifest_static(coll.path, coll._manifest)
+            for name, dtype in self._declared_fields().items()
+        }
+        coll._manifest["schema_evolution"] = {
+            "current": 1,
+            "versions": [{
+                "version": 1,
+                "dims": coll.dims,
+                "metric": coll._manifest["metric"],
+                "fields": fields,
+                "dim_change": None,
+                "created_ms": _now_ms(),
+                "description": "Initial schema",
+                "parent_version": None,
+            }],
+        }
+        coll._write_manifest_static(coll.path, coll._manifest)
 
     def _declared_fields(self) -> dict[str, str]:
         sch = self.coll.spark.createDataFrame([], self.coll._manifest["schema"])
@@ -163,6 +174,14 @@ class SchemaRegistry:
 
         Incompatible changes raise before anything is persisted.
         """
+        # whole read-modify-write under the commit lock: version
+        # numbering and the persisted manifest must derive from the
+        # on-disk state, not this instance's possibly-stale copy
+        with self.coll._commit_lock():
+            self.coll._manifest = self.coll._read_manifest()
+            return self._apply_change_locked(change)
+
+    def _apply_change_locked(self, change: dict) -> int:
         cur = self.current_schema()
         new = {
             "version": cur["version"] + 1,
@@ -361,16 +380,18 @@ class SchemaRegistry:
         (MigrationEngine begin/migrate/finalize, :384-530, collapsed
         into one Spark job)."""
         t0 = _now_ms()
-        cur = self.current_schema()
-        from_v = self.coll._manifest.get("schema_migrated_version", 1)
-        adapted = self.adapted_df()
-        total = adapted.count()
-        # the segment name must allocate INSIDE the commit lock (the
-        # clear()/compact() rule): _commit refreshes the manifest from
-        # disk, which would roll back an outside-the-lock obj_seq bump
-        # and let the next commit reuse — and overwrite — this segment
+        # the adapted view AND the segment name must derive INSIDE the
+        # commit lock (the clear()/compact() rule): a commit landing
+        # between a pre-lock adapted_df() and the manifest flip would
+        # be silently dropped from the rewritten segment list, and an
+        # outside-the-lock obj_seq bump would roll back on refresh and
+        # let the next commit overwrite this segment
         with self.coll._commit_lock():
             self.coll._manifest = self.coll._read_manifest()
+            cur = self.current_schema()
+            from_v = self.coll._manifest.get("schema_migrated_version", 1)
+            adapted = self.adapted_df()
+            total = adapted.count()
             name = self.coll._new_obj("seg")
             adapted.write.mode("overwrite").parquet(
                 os.path.join(self.coll.path, name))

@@ -184,13 +184,18 @@ class WebhookService:
             F.max("sequence").alias("m")).first()
         head = int(head_row["m"]) if head_row and head_row["m"] is not None \
             else -1
-        n = 0
-        while max_events is None or n < max_events:
+        # the cap counts CDC EVENTS drained, not fan-out deliveries:
+        # counting enqueue()'s per-subscription return would halve the
+        # cap with two subscribers and DISABLE it with zero (an
+        # unbounded drain that permanently skips events for any
+        # subscription added later)
+        drained, delivered = 0, 0
+        while max_events is None or drained < max_events:
             since = self._cdc_watermarks.get(cname, -1)
             if since >= head:
                 break
             page = page_size if max_events is None \
-                else min(page_size, max_events - n)
+                else min(page_size, max_events - drained)
             hi = min(since + page, head)
             rows = (collection.cdc_events()
                     .filter((F.col("sequence") > since)
@@ -200,10 +205,12 @@ class WebhookService:
                     .collect())
             rows.sort(key=lambda r: r["sequence"])  # page-bounded
             for r in rows:
-                n += self.enqueue(cname, r["event_type"], r["vector_id"],
-                                  now_ms=r["timestamp_ms"])
+                delivered += self.enqueue(cname, r["event_type"],
+                                          r["vector_id"],
+                                          now_ms=r["timestamp_ms"])
+            drained += hi - since  # sequences are contiguous
             self._cdc_watermarks[cname] = hi
-        return n
+        return delivered
 
     # -- delivery --
 

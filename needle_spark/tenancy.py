@@ -70,6 +70,12 @@ class QuotaExceeded(TenantError):
 
 _FS_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
 
+# marker file stamping a directory as a tenant namespace: tenant dirs
+# share the database root with plain collections, so purge/create must
+# be able to tell them apart (gdpr_delete must never rmtree a
+# same-named NON-tenant collection)
+TENANT_MARKER = ".needle_tenant"
+
 
 def _validate_fs_name(value: str, what: str) -> None:
     """Tenant ids and collection names become directory components under
@@ -132,6 +138,14 @@ class TenantManager:
         _validate_fs_name(tenant_id, "tenant_id")
         if tenant_id in self._tenants:
             raise TenantError(f"Tenant {tenant_id!r} already exists")
+        if self.database is not None:
+            path = os.path.join(os.path.realpath(self.database.root),
+                                tenant_id)
+            if os.path.exists(path) and not os.path.exists(
+                    os.path.join(path, TENANT_MARKER)):
+                raise TenantError(
+                    f"tenant_id {tenant_id!r} collides with existing "
+                    "non-tenant data in the database root")
         ts = time.time() if now is None else now
         t = Tenant(id=tenant_id, name=name, config=config or TenantConfig(),
                    created_at=ts, updated_at=ts)
@@ -261,7 +275,13 @@ class TenantManager:
                 f"({t.config.max_collections})")
         from needle_spark.catalog import Collection
         _validate_fs_name(name, "collection name")
-        path = os.path.join(self._tenant_path(tenant_id), name)
+        tdir = self._tenant_path(tenant_id)
+        os.makedirs(tdir, exist_ok=True)
+        marker = os.path.join(tdir, TENANT_MARKER)
+        if not os.path.exists(marker):
+            with open(marker, "w") as f:
+                f.write(tenant_id)
+        path = os.path.join(tdir, name)
         coll = Collection.create(self.database.spark, path, dims=dims,
                                  **kwargs)
         t.collections.add(name)
@@ -367,6 +387,10 @@ class TenantManager:
         if purge and self.database is not None:
             path = self._tenant_path(tenant_id)
             if os.path.isdir(path):
+                if not os.path.exists(os.path.join(path, TENANT_MARKER)):
+                    raise TenantError(
+                        f"refusing to purge {tenant_id!r}: directory "
+                        "is not a tenant namespace (marker missing)")
                 shutil.rmtree(path)
             t.collections.clear()
             t.current_vectors = 0

@@ -1,0 +1,191 @@
+"""Regression tests for the round-5 review batch: stale-manifest
+lost-updates (catalog setters, schema registry), PITR label traversal
+and settings round-trip, tenant/collection namespace collisions,
+webhook drain caps, and migration rollback attribution under
+concurrent writers."""
+
+import os
+
+import pytest
+
+from needle_spark.catalog import Collection, Database
+
+SCHEMA = "id string, vector array<float>, tag string"
+
+
+def _mk(spark, tmp_path, name="c"):
+    db = Database(spark, str(tmp_path / "db"))
+    return db, db.create_collection(name, dims=2, schema=SCHEMA)
+
+
+def _rows(spark, *ids):
+    return spark.createDataFrame(
+        [(i, [1.0, 0.0], "t") for i in ids], SCHEMA)
+
+
+# ------------------------------------------- stale manifest writers ---
+
+def test_set_auto_compact_does_not_roll_back_commits(spark, tmp_path):
+    db, a = _mk(spark, tmp_path)
+    a.insert(_rows(spark, "x"))
+    b = Collection(spark, a.path)   # second instance (other process)
+    b.insert(_rows(spark, "y"))
+    # a's manifest is now stale; the setter must refresh, not clobber
+    a.set_auto_compact(max_segments=64)
+    fresh = Collection(spark, a.path)
+    assert {r["id"] for r in fresh.df().select("id").collect()} == \
+        {"x", "y"}
+    assert fresh._manifest["auto_compact"]["max_segments"] == 64
+
+
+def test_set_metadata_schema_does_not_roll_back_commits(spark, tmp_path):
+    db, a = _mk(spark, tmp_path)
+    b = Collection(spark, a.path)
+    b.insert(_rows(spark, "y"))
+    a.set_metadata_schema({"tag": {"type": "string"}})
+    fresh = Collection(spark, a.path)
+    assert fresh.count() == 1
+    assert fresh._manifest["metadata_schema"] == {
+        "tag": {"type": "string"}}
+
+
+def test_schema_registry_init_does_not_roll_back_commits(spark, tmp_path):
+    db, a = _mk(spark, tmp_path)
+    b = Collection(spark, a.path)
+    b.insert(_rows(spark, "y"))
+    a.schema_registry()  # seeds schema_evolution: must refresh first
+    fresh = Collection(spark, a.path)
+    assert fresh.count() == 1
+    assert "schema_evolution" in fresh._manifest
+
+
+def test_apply_change_sees_on_disk_versions(spark, tmp_path):
+    db, a = _mk(spark, tmp_path)
+    ra = a.schema_registry()
+    # another instance applies a change a's copy has not seen
+    rb = Collection(spark, a.path).schema_registry()
+    rb.apply_change({"kind": "add_field", "name": "lang",
+                     "dtype": "string"})
+    v = ra.apply_change({"kind": "add_field", "name": "score",
+                         "dtype": "double"})
+    assert v == 3  # numbered against the on-disk history, not a's copy
+    fresh = Collection(spark, a.path).schema_registry()
+    assert fresh.version_history() == [1, 2, 3]
+    assert set(fresh.active_fields()) >= {"lang", "score"}
+
+
+# --------------------------------------------------------- PITR ---
+
+def test_pitr_rejects_traversal_labels(spark, tmp_path):
+    from needle_spark.pitr import PitrConfig, PitrError, PitrService
+
+    db, a = _mk(spark, tmp_path)
+    svc = PitrService(db, PitrConfig(backup_dir=str(tmp_path / "bk")))
+    for bad in ("../../esc", "a/b", ".."):
+        with pytest.raises(PitrError):
+            svc.create_snapshot(bad)
+    assert not (tmp_path / "esc").exists()
+
+
+def test_pitr_recovery_preserves_settings(spark, tmp_path):
+    from needle_spark.pitr import PitrConfig, PitrService
+
+    db = Database(spark, str(tmp_path / "db"))
+    c = db.create_collection(
+        "ttlc", dims=2, schema=SCHEMA, default_ttl_seconds=3600)
+    c.set_metadata_schema({"tag": {"type": "string"}})
+    c.insert(_rows(spark, "x"))
+    svc = PitrService(db, PitrConfig(backup_dir=str(tmp_path / "bk")))
+    svc.create_snapshot("p1")
+    db.drop_collection("ttlc")
+    svc.recover_to("p1")
+    back = db.collection("ttlc")
+    assert back._manifest["default_ttl_seconds"] == 3600
+    assert back._manifest["metadata_schema"] == {
+        "tag": {"type": "string"}}
+
+
+# ------------------------------------------------------ tenancy ---
+
+def test_tenant_cannot_shadow_collection(spark, tmp_path):
+    from needle_spark.tenancy import TenantError, TenantManager
+
+    db, a = _mk(spark, tmp_path, name="orders")
+    mgr = TenantManager(database=db)
+    with pytest.raises(TenantError):
+        mgr.create_tenant("orders", "Orders Inc")
+    # and purge refuses a directory without the tenant marker even if
+    # the tenant record somehow exists
+    mgr2 = TenantManager(database=db)
+    mgr2._tenants["orders"] = type(
+        "T", (), {"status": "active", "collections": set(),
+                  "current_vectors": 0, "current_storage_bytes": 0,
+                  "updated_at": 0.0})()
+    with pytest.raises(TenantError):
+        mgr2.gdpr_delete("orders", purge=True)
+    assert os.path.exists(a.path)  # the real collection survived
+
+
+def test_tenant_purge_removes_only_marked_namespace(spark, tmp_path):
+    from needle_spark.tenancy import TENANT_MARKER, TenantManager
+
+    db, a = _mk(spark, tmp_path, name="plain")
+    mgr = TenantManager(database=db)
+    mgr.create_tenant("acme", "Acme")
+    mgr.create_collection("acme", "docs", dims=2, schema=SCHEMA)
+    tdir = os.path.join(db.root, "acme")
+    assert os.path.exists(os.path.join(tdir, TENANT_MARKER))
+    mgr.gdpr_delete("acme", purge=True)
+    assert not os.path.exists(tdir)
+    assert os.path.exists(a.path)
+
+
+# ----------------------------------------------------- webhooks ---
+
+def test_cdc_drain_cap_counts_events_not_deliveries(spark, tmp_path):
+    from needle_spark.streaming.webhooks import (
+        EventFilter, WebhookService, WebhookSubscription)
+
+    db, c = _mk(spark, tmp_path)
+    c.insert(_rows(spark, *[f"v{i}" for i in range(6)]))
+    ok = lambda url, payload, headers: True  # noqa: E731
+
+    # zero subscriptions: the cap must still bound watermark advance
+    svc = WebhookService(transport=ok)
+    svc.enqueue_from_cdc(c, "c", page_size=2, max_events=3)
+    # sequences are 0-based: 3 events drained -> watermark at seq 2
+    assert svc._cdc_watermarks["c"] <= 2
+
+    # two subscriptions: 3 events drained -> 6 deliveries, and the
+    # watermark reflects 3 EVENTS, not 1.5
+    svc2 = WebhookService(transport=ok)
+    svc2.subscribe(WebhookSubscription(
+        url="http://a", filter=EventFilter.for_collection("c")))
+    svc2.subscribe(WebhookSubscription(
+        url="http://b", filter=EventFilter.for_collection("c")))
+    delivered = svc2.enqueue_from_cdc(c, "c", page_size=2, max_events=3)
+    assert delivered == 6
+    assert svc2._cdc_watermarks["c"] == 2
+
+
+# ----------------------------------------- migration rollback ---
+
+def test_rollback_spares_concurrent_writers(spark, tmp_path):
+    from needle_spark.operators.live_migration import (
+        MigrationConfig, MigrationEngine)
+
+    db, c = _mk(spark, tmp_path)
+    c.insert(_rows(spark, "pre1"))
+    mig = MigrationEngine(MigrationConfig(source="json_file", source_url="x"))
+    src = spark.createDataFrame(
+        [("m1", [0.5, 0.5]), ("pre1", [9.0, 9.0])],
+        "id string, vector array<float>")
+    mig.migrate(c, src)
+    # a concurrent client writes AFTER the migration's CDC range opened
+    # but before rollback — rollback must not touch it
+    c.insert(_rows(spark, "other"))
+    mig.rollback(c, strategy="delete")
+    ids = {r["id"] for r in c.df().select("id").collect()}
+    assert ids == {"pre1", "other"}
+    # pre1 restored to its pre-migration vector
+    assert list(c.get("pre1")["vector"]) == [1.0, 0.0]
