@@ -116,7 +116,19 @@ class Collection:
             "default_ttl_seconds": default_ttl_seconds,
             "versions": {"0": {"segments": ["seg-0"], "tombstones": []}},
         }
-        cls._write_manifest_static(path, manifest)
+        # the manifest IS the create's commit point: link() is atomic
+        # and fails if it exists, so of two racing creators exactly one
+        # wins and the loser raises instead of silently clobbering the
+        # winner's settings (the up-front exists check alone is TOCTOU)
+        tmp = os.path.join(path, f".manifest.create.{os.getpid()}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        try:
+            os.link(tmp, os.path.join(path, "manifest.json"))
+        except FileExistsError:
+            raise CollectionError(f"collection already exists at {path}")
+        finally:
+            os.unlink(tmp)
         return cls(spark, path)
 
     def _read_manifest(self) -> dict:
@@ -194,6 +206,7 @@ class Collection:
         now_ms: int | None,
         new_entry: dict | None = None,
         event_counts: list[int] | None = None,
+        precommit=None,
     ) -> None:
         """Apply staged ops as one new version.
 
@@ -233,6 +246,12 @@ class Collection:
             fresh["obj_seq"] = max(fresh["obj_seq"],
                                    self._manifest.get("obj_seq", 0))
             self._manifest = fresh
+            if precommit is not None:
+                # state-dependent validation (e.g. insert's existing-id
+                # check) re-runs HERE against the refreshed view — the
+                # pre-lock check alone is a TOCTOU against concurrent
+                # writers from other instances
+                precommit()
             entry = self._commit_locked(ops, events, n_events, now_ms,
                                         new_entry, event_counts)
         # outside the lock: auto-compaction re-enters it via compact()
@@ -315,16 +334,24 @@ class Collection:
                     pinned.append(cached)
                 base += cnt
             ev_out = reduce(lambda a, b: a.unionByName(b), outs)
-            ev_out.write.mode("append").parquet(os.path.join(self.path, "_cdc"))
-            for c in pinned:
-                c.unpersist()
             m["cdc_seq"] = seq0 + n_events
+        else:
+            ev_out, pinned = None, []
 
         new_v = m["version"] + 1
         entry["committed_ms"] = now_ms if now_ms is not None else _utcnow_ms()
         m["versions"][str(new_v)] = entry
         m["version"] = new_v
         self._write_manifest_static(self.path, m)
+        # CDC events append AFTER the manifest flip: a crash between
+        # the two then leaves a sequence GAP (fsck warns, replay skips
+        # one commit's events) instead of phantom events whose sequence
+        # range the next commit would re-allocate to DIFFERENT
+        # mutations — duplicated sequences corrupt every replay
+        if ev_out is not None:
+            ev_out.write.mode("append").parquet(os.path.join(self.path, "_cdc"))
+        for c in pinned:
+            c.unpersist()
         return entry
 
     # -------------------------------------------------- auto-compaction --
@@ -533,25 +560,42 @@ class Collection:
     def insert(self, rows: DataFrame, now_ms: int | None = None) -> int:
         """Append rows as one new segment; rejects duplicate ids
         (insert.rs semantics)."""
-        rows = self._stamp_ttl(rows, now_ms)
-        self._validate_new(rows)
-        n = rows.count()
-        self._commit([("add", rows)], [self._event_df(rows, "insert")], n, now_ms)
+        rows = self._stamp_ttl(rows, now_ms).persist()
+        try:
+            # state-independent checks up front; the existing-id check
+            # re-runs inside the commit lock against the REFRESHED view
+            # (another instance may have inserted the id meanwhile)
+            self._validate_new(rows, check_dup_existing=False)
+            n = rows.count()
+
+            def check_existing():
+                ic = self.id_col
+                dups = rows.join(self.df().select(ic), ic, "inner").count()
+                if dups:
+                    raise CollectionError(f"{dups} ids already exist")
+
+            self._commit([("add", rows)], [self._event_df(rows, "insert")],
+                         n, now_ms, precommit=check_existing)
+        finally:
+            rows.unpersist()
         return n
 
     def upsert(self, rows: DataFrame, now_ms: int | None = None) -> int:
         """MERGE semantics (mutations.rs upsert): tombstone matching ids
         in earlier segments, append the batch as a new segment — no
         rewrite of existing data."""
-        rows = self._stamp_ttl(rows, now_ms)
-        self._validate_new(rows, check_dup_existing=False)
-        n = rows.count()
-        self._commit(
-            [("del", rows.select(self.id_col)), ("add", rows)],
-            [self._event_df(rows, "upsert")],
-            n,
-            now_ms,
-        )
+        rows = self._stamp_ttl(rows, now_ms).persist()
+        try:
+            self._validate_new(rows, check_dup_existing=False)
+            n = rows.count()
+            self._commit(
+                [("del", rows.select(self.id_col)), ("add", rows)],
+                [self._event_df(rows, "upsert")],
+                n,
+                now_ms,
+            )
+        finally:
+            rows.unpersist()
         return n
 
     def delete(self, flt: dict | None = None, ids: list | None = None,
@@ -568,7 +612,7 @@ class Collection:
             victims = cur.join(
                 ids.select(F.col(ids.columns[0]).alias(self.id_col)),
                 self.id_col, "left_semi",
-            ).select(self.id_col)
+            ).select(self.id_col).localCheckpoint(eager=True)
             n = victims.count()
             if n == 0:
                 return 0
@@ -586,7 +630,10 @@ class Collection:
         # be KEPT — filter on coalesce(pred, False) so NULLs don't
         # silently vanish from both the victims and the survivors.
         pred = F.coalesce(pred, F.lit(False))
-        victims = cur.filter(pred).select(self.id_col)
+        # pin the victim id set: count, tombstone write, and the CDC
+        # projection would otherwise each re-run the full scan+filter
+        victims = cur.filter(pred).select(self.id_col) \
+            .localCheckpoint(eager=True)
         n = victims.count()
         if n == 0:
             return 0
@@ -603,17 +650,30 @@ class Collection:
         cur = self.df()
         pred = F.coalesce(compile_filter(flt, df=cur), F.lit(False))
         patched = cur.filter(pred)
+        dtypes = dict(cur.dtypes)
         for col, val in updates.items():
-            patched = patched.withColumn(col, F.lit(val))
-        n = patched.count()
-        if n == 0:
-            return 0
-        self._commit(
-            [("del", patched.select(self.id_col)), ("add", patched)],
-            [self._event_df(patched.select(self.id_col), "update")],
-            n,
-            now_ms,
-        )
+            if val is None:
+                # bare lit(None) is VOID, which parquet cannot write —
+                # the del op would land and the add would fail mid-
+                # commit.  Cast to the existing column type (string for
+                # a brand-new column) so nulling a field works.
+                patched = patched.withColumn(
+                    col, F.lit(None).cast(dtypes.get(col, "string")))
+            else:
+                patched = patched.withColumn(col, F.lit(val))
+        patched = patched.persist()
+        try:
+            n = patched.count()
+            if n == 0:
+                return 0
+            self._commit(
+                [("del", patched.select(self.id_col)), ("add", patched)],
+                [self._event_df(patched.select(self.id_col), "update")],
+                n,
+                now_ms,
+            )
+        finally:
+            patched.unpersist()
         return n
 
     def sweep_expired(self, now: int | None = None,
@@ -628,7 +688,7 @@ class Collection:
         now = now if now is not None else int(time.time())
         victims = raw.filter(
             F.col("expires_at").isNotNull() & (F.col("expires_at") <= F.lit(int(now)))
-        ).select(self.id_col)
+        ).select(self.id_col).localCheckpoint(eager=True)
         n = victims.count()
         if n == 0:
             return 0
@@ -816,10 +876,12 @@ class Collection:
     def restore_snapshot(self, name: str, now_ms: int | None = None) -> None:
         """snapshots.rs:34-53: roll back to the named snapshot (as a
         new version, like numeric restore)."""
-        snaps = self._manifest.get("snapshots", {})
-        if name not in snaps:
-            raise CollectionError(f"no such snapshot: {name}")
-        self.restore(snaps[name], now_ms=now_ms)
+        with self._commit_lock():
+            self._manifest = self._read_manifest()
+            snaps = self._manifest.get("snapshots", {})
+            if name not in snaps:
+                raise CollectionError(f"no such snapshot: {name}")
+            self._restore_locked(snaps[name], now_ms)
 
     def drop_snapshot(self, name: str) -> None:
         with self._commit_lock():
@@ -834,8 +896,17 @@ class Collection:
         """Roll the collection back to an earlier snapshot as a NEW
         version — a manifest-only copy of the old entry (history is
         never rewritten, no data moves)."""
+        with self._commit_lock():
+            # resolve the entry from the REFRESHED manifest: a stale
+            # copy could reference segments a concurrent compact()
+            # already pruned and GC'd — committing that entry points
+            # the current version at deleted files
+            self._manifest = self._read_manifest()
+            self._restore_locked(version, now_ms)
+
+    def _restore_locked(self, version: int, now_ms: int | None) -> None:
         entry = dict(self._entry(version))
-        self._commit(
+        self._commit_locked(
             [], [self._literal_event("restore", str(version))], 1, now_ms,
             new_entry={"segments": list(entry["segments"]),
                        "tombstones": [list(t) for t in entry["tombstones"]]},
@@ -961,6 +1032,10 @@ class Transaction:
 
     def insert(self, rows: DataFrame) -> "Transaction":
         self._check()
+        # same contract as Collection.insert: dims/NaN/schema checks and
+        # the default-TTL stamp apply to transactional inserts too
+        rows = self.coll._stamp_ttl(rows, None)
+        self.coll._validate_new(rows, check_dup_existing=False)
         ic = self.coll.id_col
         if self._df.join(rows.select(ic), ic, "inner").count():
             raise CollectionError("duplicate ids in transaction insert")
@@ -1056,13 +1131,36 @@ class Database:
     def rename_collection(self, old: str, new: str) -> None:
         src = os.path.join(self.root, _safe_name(old))
         dst = os.path.join(self.root, _safe_name(new))
+        if not os.path.exists(os.path.join(src, "manifest.json")):
+            raise CollectionError(f"no such collection: {old}")
         if os.path.exists(dst):
             raise CollectionError(f"target exists: {new}")
         os.rename(src, dst)
+        # aliases that pointed at the old name would dangle; retarget
+        a = self._aliases()
+        changed = False
+        for alias, target in a.items():
+            if target == old:
+                a[alias] = new
+                changed = True
+        if changed:
+            with open(self._aliases_path, "w") as f:
+                json.dump(a, f)
 
     def create_alias(self, alias: str, target: str) -> None:
+        alias = _safe_name(alias, "alias")
+        target = _safe_name(target)
+        # _resolve applies aliases FIRST, so an alias named like an
+        # existing collection would silently shadow it — every read
+        # and write of that name would land on the alias target
+        if os.path.exists(os.path.join(self.root, alias, "manifest.json")):
+            raise CollectionError(
+                f"alias {alias!r} would shadow an existing collection")
+        if not os.path.exists(os.path.join(self.root, target,
+                                           "manifest.json")):
+            raise CollectionError(f"alias target does not exist: {target}")
         a = self._aliases()
-        a[_safe_name(alias, "alias")] = _safe_name(target)
+        a[alias] = target
         with open(self._aliases_path, "w") as f:
             json.dump(a, f)
 

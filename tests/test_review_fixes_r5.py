@@ -189,3 +189,83 @@ def test_rollback_spares_concurrent_writers(spark, tmp_path):
     assert ids == {"pre1", "other"}
     # pre1 restored to its pre-migration vector
     assert list(c.get("pre1")["vector"]) == [1.0, 0.0]
+
+
+# ------------------------------------------------ catalog core ---
+
+def test_transaction_insert_validates_and_stamps_ttl(spark, tmp_path):
+    from needle_spark.catalog import CollectionError
+
+    db = Database(spark, str(tmp_path / "db"))
+    c = db.create_collection("txn", dims=2, schema=SCHEMA,
+                             default_ttl_seconds=60)
+    t = c.begin()
+    with pytest.raises(CollectionError):
+        t.insert(spark.createDataFrame(
+            [("bad", [1.0, 2.0, 3.0], "t")], SCHEMA))  # wrong dims
+    t2 = c.begin()
+    with pytest.raises(CollectionError):
+        t2.insert(spark.createDataFrame(
+            [("nan", [float("nan"), 0.0], "t")], SCHEMA))
+    t3 = c.begin()
+    t3.insert(spark.createDataFrame(
+        [("ok", [1.0, 0.0], "t")], SCHEMA)).commit()
+    row = c.df(include_expired=True).filter("id='ok'").first()
+    assert row["expires_at"] is not None  # default TTL stamped
+
+
+def test_cross_instance_insert_duplicate_rejected(spark, tmp_path):
+    from needle_spark.catalog import CollectionError
+
+    db, a = _mk(spark, tmp_path)
+    b = Collection(spark, a.path)
+    b.insert(_rows(spark, "x"))
+    # a's stale view has no 'x'; the in-lock recheck must still reject
+    with pytest.raises(CollectionError):
+        a.insert(_rows(spark, "x"))
+    assert Collection(spark, a.path).count() == 1
+
+
+def test_restore_pruned_version_raises(spark, tmp_path):
+    from needle_spark.catalog import CollectionError
+
+    db, a = _mk(spark, tmp_path)
+    a.insert(_rows(spark, "x"))
+    a.insert(_rows(spark, "y"))
+    b = Collection(spark, a.path)
+    b.compact(keep_versions=1)  # prunes a's version-1 entry + objects
+    with pytest.raises(CollectionError):
+        a.restore(1)  # stale instance: must raise, not commit dangling refs
+    assert Collection(spark, a.path).count() == 2  # intact
+
+
+def test_update_metadata_none_nulls_field(spark, tmp_path):
+    db, a = _mk(spark, tmp_path)
+    a.insert(_rows(spark, "x"))
+    n = a.update_metadata({"id": "x"}, {"tag": None})
+    assert n == 1
+    assert a.get("x")["tag"] is None
+
+
+def test_rename_missing_and_alias_retarget(spark, tmp_path):
+    from needle_spark.catalog import CollectionError
+
+    db, a = _mk(spark, tmp_path, name="c1")
+    with pytest.raises(CollectionError):
+        db.rename_collection("ghost", "c2")
+    db.create_alias("al", "c1")
+    db.rename_collection("c1", "c2")
+    # the alias followed the rename instead of dangling
+    assert db.collection("al").count() == 0
+    assert db._aliases()["al"] == "c2"
+
+
+def test_alias_cannot_shadow_or_target_missing(spark, tmp_path):
+    from needle_spark.catalog import CollectionError
+
+    db, a = _mk(spark, tmp_path, name="c1")
+    db.create_collection("c2", dims=2, schema=SCHEMA)
+    with pytest.raises(CollectionError):
+        db.create_alias("c1", "c2")  # would shadow collection c1
+    with pytest.raises(CollectionError):
+        db.create_alias("al", "ghost")  # target must exist
