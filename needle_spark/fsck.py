@@ -173,7 +173,19 @@ def validate_collection(spark: SparkSession, path: str,
         if str(v) not in versions:
             rep.error(f"snapshot {name!r} points at pruned version {v}")
 
-    # orphan objects (not referenced by ANY retained version)
+    # objects pinned by branch forks (branches.py COW) are live even
+    # when no retained version references them — catalog._gc_locked
+    # honors these pins, so fsck/gc must too or gc_orphans deletes
+    # files live branches still read
+    pins_path = os.path.join(path, "branch_pins.json")
+    if os.path.exists(pins_path):
+        try:
+            with open(pins_path) as f:
+                referenced.update(json.load(f))
+        except (ValueError, OSError) as e:
+            rep.error(f"branch_pins.json unreadable: {e}")
+
+    # orphan objects (not referenced by ANY retained version or pin)
     orphans = [
         f for f in os.listdir(path)
         if (f.startswith("seg-") or f.startswith("del-"))
@@ -199,22 +211,37 @@ def validate_collection(spark: SparkSession, path: str,
                 rep.error("duplicate CDC sequences")
             expected = m["cdc_seq"] - 1
             if agg["n"]:
-                if agg["max_seq"] != expected:
-                    rep.error(f"CDC max sequence {agg['max_seq']} != "
+                if agg["max_seq"] is not None and agg["max_seq"] > expected:
+                    # sequences beyond the manifest's allocation: real
+                    # corruption (phantom events)
+                    rep.error(f"CDC max sequence {agg['max_seq']} > "
                               f"manifest cdc_seq-1 ({expected})")
+                elif agg["max_seq"] != expected:
+                    # a SHORT tail is the commit protocol's documented
+                    # crash artifact (manifest flips before the CDC
+                    # append; catalog._commit_locked) — replay loses
+                    # that commit's events but nothing is corrupt
+                    rep.warn(f"CDC tail gap: max sequence "
+                             f"{agg['max_seq']} < expected {expected} "
+                             f"(crash between manifest flip and CDC "
+                             f"append)")
             elif m["cdc_seq"] > 0:
-                rep.error(f"manifest records {m['cdc_seq']} CDC events "
-                          f"but the _cdc log is empty")
+                rep.warn(f"manifest records {m['cdc_seq']} CDC events "
+                         f"but the _cdc log is empty (crash artifact)")
         except Exception as e:
             rep.error(f"CDC log unreadable: {e}")
     elif m["cdc_seq"] > 0:
-        rep.error("manifest records CDC events but _cdc/ is missing")
+        rep.warn("manifest records CDC events but _cdc/ is missing "
+                 "(first-commit crash artifact)")
 
     if check_data and rep.valid:
         try:
             from needle_spark.catalog import Collection
             coll = Collection(spark, path)
-            df = coll.df(include_expired=True)
+            # the insert-time uniqueness invariant is defined over the
+            # TTL-filtered view: re-inserting an expired id is legal,
+            # so the raw view can legitimately hold duplicates
+            df = coll.df()
             checks = df.limit(max(sample, 1)).agg(
                 F.count(F.lit(1)).alias("n"),
                 F.countDistinct(m["id_col"]).alias("ids"),
@@ -239,12 +266,20 @@ def gc_orphans(spark: SparkSession, path: str,
     """Remove seg-/del- objects referenced by no retained version.
     Validation runs first and must pass (an orphan list from a broken
     manifest is not trustworthy)."""
-    rep = validate_collection(spark, path, check_data=False)
-    if not rep.valid:
-        raise ValueError(f"refusing to gc an invalid collection: "
-                         f"{rep.errors}")
-    victims = rep.stats.get("orphans", [])
-    if not dry_run:
-        for v in victims:
-            shutil.rmtree(os.path.join(path, v), ignore_errors=True)
+    from needle_spark.catalog import Collection
+
+    # hold the collection's commit flock across scan + delete: an
+    # in-flight commit writes its segment BEFORE flipping the manifest,
+    # and an unlocked gc would see that segment as an orphan and delete
+    # it out from under the committing writer
+    coll = Collection(spark, path)
+    with coll._commit_lock():
+        rep = validate_collection(spark, path, check_data=False)
+        if not rep.valid:
+            raise ValueError(f"refusing to gc an invalid collection: "
+                             f"{rep.errors}")
+        victims = rep.stats.get("orphans", [])
+        if not dry_run:
+            for v in victims:
+                shutil.rmtree(os.path.join(path, v), ignore_errors=True)
     return victims

@@ -101,7 +101,18 @@ class TransactionManager:
     def _name(tx_id: int) -> str:
         return f"vtx-{tx_id}"
 
+    def _expire_stale(self, now: float | None = None) -> None:
+        """Abandoned transactions (begun, never touched again) must not
+        hold max_concurrent slots forever: expire them lazily wherever
+        the active set is consulted."""
+        t = time.monotonic() if now is None else now
+        for tx in self._transactions.values():
+            if (tx.status == ACTIVE
+                    and t - tx.started_at > self.config.timeout_seconds):
+                tx.status = TIMED_OUT
+
     def begin(self, *, now: float | None = None) -> int:
+        self._expire_stale(now)
         if self.active_count() >= self.config.max_concurrent:
             raise TxError(
                 f"too many concurrent transactions "
@@ -155,6 +166,10 @@ class TransactionManager:
         names = sorted({op.collection for op in tx.operations})
         colls = {n: db.collection(n) for n in names}
         pre_versions = {n: c.version for n, c in colls.items()}
+        # versions OUR ops produced, per collection: rollback must only
+        # version-restore when no other writer's commit interleaved —
+        # restoring over an interleaved commit would silently wipe it
+        our_versions: dict[str, list[int]] = {n: [] for n in names}
 
         applied: list[dict] = []
         try:
@@ -166,22 +181,42 @@ class TransactionManager:
                     n = coll.upsert(op.rows, now_ms=now_ms)
                 else:
                     n = coll.delete(ids=op.ids, now_ms=now_ms)
+                our_versions[op.collection].append(coll.version)
                 applied.append({
                     "tx_id": self._name(tx_id), "seq": seq,
                     "collection": op.collection, "op": op.op, "rows": n,
                     "undo_version": pre_versions[op.collection],
                 })
         except Exception as e:
-            # exact rollback: restore each touched collection to its
-            # pre-transaction version (reverse order for symmetry with
-            # vector_transactions.rs:358-363, though version restore
-            # makes the order immaterial)
+            # rollback: restore each touched collection — every restore
+            # is attempted (one failure must not leave the rest
+            # half-reverted), and a collection with interleaved foreign
+            # commits is SKIPPED with an explicit error rather than
+            # silently wiping the other writer's data
+            undo_errors: list[str] = []
             for n in reversed(names):
-                if colls[n].version != pre_versions[n]:
-                    colls[n].restore(pre_versions[n], now_ms=now_ms)
+                ours = our_versions[n]
+                if not ours:
+                    continue
+                try:
+                    colls[n]._manifest = colls[n]._read_manifest()
+                    cur = colls[n].version
+                    contiguous = ours == list(
+                        range(ours[0], ours[0] + len(ours)))
+                    if cur == ours[-1] and contiguous                             and ours[0] - 1 == pre_versions[n]:
+                        colls[n].restore(pre_versions[n], now_ms=now_ms)
+                    else:
+                        undo_errors.append(
+                            f"{n}: concurrent commits interleaved "
+                            f"(ours={ours}, current={cur}); not "
+                            f"restored — undo manually via history")
+                except Exception as ue:  # noqa: BLE001
+                    undo_errors.append(f"{n}: restore failed: {ue}")
             tx.status = ABORTED
-            raise TxError(
-                f"Transaction {self._name(tx_id)} failed: {e}") from e
+            msg = f"Transaction {self._name(tx_id)} failed: {e}"
+            if undo_errors:
+                msg += f"; partial rollback: {undo_errors}"
+            raise TxError(msg) from e
 
         tx.status = COMMITTED
         if self.config.enable_journal:

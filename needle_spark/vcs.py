@@ -66,8 +66,14 @@ def snapshot_diff(
     on id), all comparisons are scan expressions; nothing collects.
     """
     shared = set(base.columns) & set(target.columns)
+    has_vec_default = vector_col in shared
     if compare_cols is None:
-        compare_cols = sorted(shared - {id_col})
+        # the vector rides separately as __vec_b/__vec_t (the cosine +
+        # differs branches need it); including it in the compared
+        # struct would serialize the widest column TWICE through the
+        # full-outer shuffle
+        compare_cols = sorted(shared - {id_col}
+                              - ({vector_col} if has_vec_default else set()))
     else:
         missing = [c for c in compare_cols if c not in shared]
         if missing:
@@ -184,6 +190,23 @@ class CollectionVcs:
             json.dump(st, f)
         os.replace(tmp, self.state_path)
 
+    def _locked_update(self, fn):
+        """Serialize vcs.json read-modify-writes under an exclusive
+        flock (the catalog/branches writers all do this; an unlocked
+        RMW loses the other writer's commit record and head update).
+        `fn(st)` mutates the freshly-read state and returns a value."""
+        import fcntl
+
+        with open(self.state_path + ".lock", "w") as f:
+            fcntl.flock(f, fcntl.LOCK_EX)
+            try:
+                st = self._state()
+                out = fn(st)
+                self._write_state(st)
+                return out
+            finally:
+                fcntl.flock(f, fcntl.LOCK_UN)
+
     # ------------------------------------------------------- staging --
     def stage_insert(self, rows: DataFrame) -> None:
         """version_control.rs:252 stage_insert — lazily held; nothing
@@ -244,6 +267,7 @@ class CollectionVcs:
         cdc_lo = coll._manifest.get("cdc_seq", 0)
         ts = _utcnow_ms()
         pre_version = coll.version
+        ours: list[int] = []
         try:
             for op in self._staging:
                 if op.kind == "insert":
@@ -252,11 +276,17 @@ class CollectionVcs:
                     coll.upsert(op.rows, now_ms=ts)
                 else:
                     coll.delete(flt=op.flt, ids=op.ids, now_ms=ts)
+                ours.append(coll.version)
         except Exception:
             # atomic: a failed op rolls the collection back to its
             # pre-commit version; staging is kept so the user can fix
-            # the bad op and retry WITHOUT re-applying the earlier ones
-            if coll.version != pre_version:
+            # the bad op and retry WITHOUT re-applying the earlier
+            # ones.  Restore ONLY when every version since pre is ours
+            # — reverting over an interleaved foreign commit would
+            # silently wipe it.
+            coll._manifest = coll._read_manifest()
+            if ours and coll.version == ours[-1]                     and ours == list(range(pre_version + 1,
+                                           pre_version + 1 + len(ours))):
                 coll.restore(pre_version, now_ms=ts)
             raise
         self._staging = []
@@ -272,10 +302,12 @@ class CollectionVcs:
             json.dumps([parent, message, author, ts, coll.version],
                        sort_keys=True).encode()
         ).hexdigest()[:10]
-        st = self._state()
-        st["commits"][h] = rec
-        st["heads"][branch] = h
-        self._write_state(st)
+
+        def upd(st):
+            st["commits"][h] = rec
+            st["heads"][branch] = h
+
+        self._locked_update(upd)
         return h
 
     # ------------------------------------------------------ branches --
@@ -284,29 +316,32 @@ class CollectionVcs:
         COW fork references the source branch's segment files at that
         commit's pinned version — no data copied."""
         st = self._state()
-        rec = self._resolve(at_ref or st["current"], st)
+        # detached HEAD positions the branch point (that is what
+        # checkout-at-a-commit is FOR); fall back to the branch head
+        rec = self._resolve(
+            at_ref or st.get("detached") or st["current"], st)
         self.branches.create_branch(
             name, from_branch=rec["branch"],
             at_version=rec["version"], fork_seq=rec["cdc_hi"],
         )
-        st = self._state()
-        st["heads"][name] = rec["hash"]
-        self._write_state(st)
+        self._locked_update(
+            lambda st2: st2["heads"].__setitem__(name, rec["hash"]))
 
     def checkout(self, ref: str) -> None:
         """Switch to a branch, or detach at a commit hash.  Refuses
         with staged changes (version_control.rs:412-423)."""
         if self._staging:
             raise CollectionError("cannot checkout with uncommitted changes")
-        st = self._state()
-        if ref in st["heads"]:
-            st["current"], st["detached"] = ref, None
-        elif ref in st["commits"]:
-            st["current"] = st["commits"][ref]["branch"]
-            st["detached"] = ref
-        else:
-            raise CollectionError(f"no such ref: {ref}")
-        self._write_state(st)
+        def upd(st):
+            if ref in st["heads"]:
+                st["current"], st["detached"] = ref, None
+            elif ref in st["commits"]:
+                st["current"] = st["commits"][ref]["branch"]
+                st["detached"] = ref
+            else:
+                raise CollectionError(f"no such ref: {ref}")
+
+        self._locked_update(upd)
 
     def delete_branch(self, name: str) -> None:
         if name == "main":
@@ -315,9 +350,7 @@ class CollectionVcs:
         if name == st["current"]:
             raise CollectionError("cannot delete the current branch")
         self.branches.delete_branch(name)
-        st = self._state()
-        st["heads"].pop(name, None)
-        self._write_state(st)
+        self._locked_update(lambda st2: st2["heads"].pop(name, None))
 
     def list_branches(self) -> list[str]:
         return sorted(self._state()["heads"])
@@ -400,19 +433,23 @@ class CollectionVcs:
         h = hashlib.sha1(json.dumps(
             [parent, "rollback", author, ts, coll.version],
             sort_keys=True).encode()).hexdigest()[:10]
-        st = self._state()
-        # CDC range covers the restore marker itself: a branch forked
-        # at this commit must baseline at the CURRENT sequence, not the
-        # old commit's (events between them are already-settled history
-        # and must not resurface as merge conflicts)
-        st["commits"][h] = {
-            "parent": parent, "message": f"Rollback to {rec['hash']}",
-            "author": author, "timestamp_ms": ts, "branch": branch,
-            "version": coll.version,
-            "cdc_lo": cdc_lo, "cdc_hi": coll._manifest.get("cdc_seq", 0),
-        }
-        st["heads"][branch] = h
-        self._write_state(st)
+
+        def upd(st):
+            # CDC range covers the restore marker itself: a branch
+            # forked at this commit must baseline at the CURRENT
+            # sequence, not the old commit's (events between them are
+            # already-settled history and must not resurface as merge
+            # conflicts)
+            st["commits"][h] = {
+                "parent": parent, "message": f"Rollback to {rec['hash']}",
+                "author": author, "timestamp_ms": ts, "branch": branch,
+                "version": coll.version,
+                "cdc_lo": cdc_lo,
+                "cdc_hi": coll._manifest.get("cdc_seq", 0),
+            }
+            st["heads"][branch] = h
+
+        self._locked_update(upd)
         return h
 
     # --------------------------------------------------------- merge --
@@ -444,14 +481,16 @@ class CollectionVcs:
         h = hashlib.sha1(json.dumps(
             [parent, "merge", author, ts, coll.version],
             sort_keys=True).encode()).hexdigest()[:10]
-        st = self._state()
-        st["commits"][h] = {
-            "parent": parent,
-            "message": f"Merge branch '{source_branch}' into {target}",
-            "author": author, "timestamp_ms": ts, "branch": target,
-            "version": coll.version,
-            "cdc_lo": 0, "cdc_hi": coll._manifest.get("cdc_seq", 0),
-        }
-        st["heads"][target] = h
-        self._write_state(st)
+
+        def upd(st):
+            st["commits"][h] = {
+                "parent": parent,
+                "message": f"Merge branch '{source_branch}' into {target}",
+                "author": author, "timestamp_ms": ts, "branch": target,
+                "version": coll.version,
+                "cdc_lo": 0, "cdc_hi": coll._manifest.get("cdc_seq", 0),
+            }
+            st["heads"][target] = h
+
+        self._locked_update(upd)
         return h

@@ -119,6 +119,15 @@ def test_cdc_mismatch_detected(spark, coll):
     m["cdc_seq"] = 99  # claims more events than the log holds
     with open(mpath, "w") as f:
         json.dump(m, f)
+    # a SHORT CDC tail is the commit protocol's documented crash
+    # artifact (manifest flips before the CDC append): warn, stay valid
+    rep = validate_collection(spark, coll.path)
+    assert rep.valid
+    assert any("tail gap" in w for w in rep.warnings)
+    # sequences BEYOND the manifest's allocation are real corruption
+    m["cdc_seq"] = 1
+    with open(mpath, "w") as f:
+        json.dump(m, f)
     rep = validate_collection(spark, coll.path)
     assert not rep.valid
     assert any("cdc_seq" in e for e in rep.errors)
@@ -162,6 +171,7 @@ def test_empty_cdc_log_with_claimed_events(spark, coll):
         [], "sequence long, timestamp_ms long, event_type string, "
             "vector_id string, metadata string"
     ).write.mode("overwrite").parquet(cdc)
+    # empty log + claimed events = first-commit crash artifact: warn
     rep = validate_collection(spark, coll.path, check_data=False)
-    assert not rep.valid
-    assert any("empty" in e for e in rep.errors)
+    assert rep.valid
+    assert any("empty" in w for w in rep.warnings)
