@@ -62,11 +62,13 @@ class CdcPosition:
 
     @classmethod
     def parse(cls, s: str) -> "CdcPosition":
-        parts = s.split(":")
-        if len(parts) < 4:
-            raise CdcError(f"invalid CDC position format: {s}")
-        source, part, position, ts = parts[0], parts[1], parts[2], parts[3]
+        # source and partition never contain ':'; the POSITION may
+        # (e.g. 'shard-0:500'), so split twice from the left and take
+        # the timestamp from the right — a plain split(':') would
+        # silently corrupt serialize() round-trips
         try:
+            source, part, rest = s.split(":", 2)
+            position, ts = rest.rsplit(":", 1)
             partition = None if part == "" else int(part)
             timestamp = int(ts)
         except ValueError as e:
@@ -120,9 +122,19 @@ class KafkaSourceConfig:
         if self.sasl_mechanism:
             opts["kafka.sasl.mechanism"] = self.sasl_mechanism
         if self.sasl_username is not None:
+            mech = (self.sasl_mechanism or "PLAIN").upper()
+            module = (
+                "org.apache.kafka.common.security.scram.ScramLoginModule"
+                if mech.startswith("SCRAM")
+                else "org.apache.kafka.common.security.plain.PlainLoginModule")
+
+            def esc(x: str) -> str:  # JAAS string literal escaping
+                return x.replace("\\", "\\\\").replace('"', '\\"')
+
             opts["kafka.sasl.jaas.config"] = (
-                "org.apache.kafka.common.security.plain.PlainLoginModule required "
-                f'username="{self.sasl_username}" password="{self.sasl_password or ""}";'
+                f"{module} required "
+                f'username="{esc(self.sasl_username)}" '
+                f'password="{esc(self.sasl_password or "")}";'
             )
         if self.ssl_ca_path:
             opts["kafka.ssl.truststore.location"] = self.ssl_ca_path
@@ -331,9 +343,18 @@ def parse_mongo_change(
             F.get_json_object(v, "$.documentKey._id"),
             F.get_json_object(v, "$.fullDocument._id"),
         ),
+        # clusterTime/wallTime arrive as extended JSON in standard
+        # envelopes ({"$timestamp":{"t":s,"i":n}} / {"$date": ms}); a
+        # bare cast of the object string is NULL, which would zero
+        # every event's timestamp
         "ts_ms": F.coalesce(
             F.get_json_object(v, "$.clusterTime").cast("long"),
+            F.get_json_object(v, "$.clusterTime['$timestamp'].t")
+            .cast("long") * 1000,
             F.get_json_object(v, "$.wallTime").cast("long"),
+            F.get_json_object(v, "$.wallTime['$date']").cast("long"),
+            F.get_json_object(v, "$.wallTime['$date']['$numberLong']")
+            .cast("long"),
         ),
         "after": F.get_json_object(v, "$.fullDocument"),
         "before": F.get_json_object(v, "$.fullDocumentBeforeChange"),
@@ -409,28 +430,35 @@ def apply_change_events(collection, doc_schema: str,
         if collection_name is not None and "collection" in ev.columns:
             ev = ev.filter(F.col("collection") == collection_name)
         ev = ev.filter(F.col("operation").isNotNull()).withColumn(
-            "__ts", F.coalesce(F.col("ts_ms"), F.lit(0)))
+            "__ts", F.coalesce(F.col("ts_ms"), F.lit(0))
+        ).withColumn("__ord", F.monotonically_increasing_id()).persist()
         stats = ev.agg(
             F.count(F.lit(1)).alias("n"),
-            F.max(F.when(F.col("operation") == "truncate", F.col("__ts"))).alias("trunc_ts"),
+            F.max(F.when(F.col("operation") == "truncate",
+                         F.col("__ord"))).alias("trunc_ord"),
+            F.max(F.when(F.col("operation") == "truncate",
+                         F.col("__ts"))).alias("trunc_ts"),
             F.max("__ts").alias("max_ts"),
         ).first()
         if stats["n"] == 0:
+            ev.unpersist()
             return
         now_ms = int(stats["max_ts"]) or None
-        if stats["trunc_ts"] is not None:
-            collection.clear(now_ms=int(stats["trunc_ts"]))
-            ev = ev.filter(F.col("__ts") > stats["trunc_ts"])
+        if stats["trunc_ord"] is not None:
+            collection.clear(now_ms=int(stats["trunc_ts"]) or now_ms)
+            # the barrier is ARRIVAL order, not timestamp: events with
+            # NULL/tied ts that arrived AFTER the truncate must apply
+            # (a ts filter would silently drop them)
+            ev = ev.filter(F.col("__ord") > stats["trunc_ord"])
         # compaction: the LAST event per key wins (arrival order breaks
         # ts ties within the batch)
-        ev = ev.withColumn("__ord", F.monotonically_increasing_id())
         w = Window.partitionBy("document_key").orderBy(
             F.col("__ts").desc(), F.col("__ord").desc())
         last = (
             ev.filter(F.col("document_key").isNotNull())
             .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
-        )
+        ).persist()
         dels = last.filter(F.col("operation") == "delete").select("document_key")
         ups = last.filter(
             F.col("operation").isin("insert", "update") & F.col("after").isNotNull()
@@ -448,6 +476,8 @@ def apply_change_events(collection, doc_schema: str,
             collection.delete(ids=dels, now_ms=now_ms)
         if counts["nu"]:
             collection.upsert(ups, now_ms=now_ms)
+        last.unpersist()
+        ev.unpersist()
 
     return _sink
 
@@ -460,6 +490,7 @@ def cdc_pipeline(
     collection_mapping: dict[str, str] | None = None,
     checkpoint_dir: str | None = None,
     available_now: bool = False,
+    collection_name: str | None = None,
 ):
     """End-to-end CDC ingestion (CdcIngestionPipeline, cdc/mod.rs:204):
     source stream of JSON envelopes -> parse -> apply to collection.
@@ -472,7 +503,15 @@ def cdc_pipeline(
         parsed = parse_pgoutput(source_df, collection_mapping=collection_mapping)
     else:
         raise CdcError(f"unknown CDC parser: {parser!r}")
-    writer = parsed.writeStream.foreachBatch(apply_change_events(collection, doc_schema))
+    if collection_name is None and collection_mapping:
+        # a multi-table topic MUST scope events to this target, or
+        # every table's rows land in the one collection
+        import os as _os
+
+        collection_name = _os.path.basename(collection.path.rstrip("/"))
+    writer = parsed.writeStream.foreachBatch(
+        apply_change_events(collection, doc_schema,
+                            collection_name=collection_name))
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     if available_now:

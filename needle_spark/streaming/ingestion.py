@@ -44,7 +44,8 @@ _ORDER_COL_CANDIDATES = ("sequence", "event_time", "timestamp_ms", "timestamp", 
 
 
 def micro_batch_upsert(collection, id_col: str | None = None,
-                       order_col: str | None = None):
+                       order_col: str | None = None,
+                       dedup_by_id: bool = True):
     """foreachBatch sink: dedup within the batch (last write wins, like
     the reference's buffer dedup ingestion.rs:62-63), then idempotently
     upsert into the collection.  Replaying the same batch after a crash
@@ -60,7 +61,7 @@ def micro_batch_upsert(collection, id_col: str | None = None,
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if ic in batch_df.columns:
+        if dedup_by_id and ic in batch_df.columns:
             from pyspark.sql import Window
 
             oc = order_col
@@ -94,7 +95,12 @@ def ingest_stream(
     Returns the StreamingQuery.  `available_now=True` drains everything
     currently available then stops (used by tests and backfills)."""
     config = config or IngestionConfig()
-    writer = stream_df.writeStream.foreachBatch(micro_batch_upsert(collection))
+    writer = stream_df.writeStream.foreachBatch(
+        micro_batch_upsert(collection, dedup_by_id=config.dedup_by_id))
+    if config.batch_size:
+        # bound each micro-batch where the source supports it (file
+        # sources; rate/kafka sources set their own caps at the reader)
+        writer = writer.option("maxFilesPerTrigger", str(config.batch_size))
     if config.checkpoint_dir:
         writer = writer.option("checkpointLocation", config.checkpoint_dir)
     if available_now:

@@ -107,7 +107,7 @@ def sessionize(
     prepared = events.selectExpr(
         f"CAST({key_col} AS STRING) AS key",
         f"CAST(CAST({ts_col} AS TIMESTAMP) AS DOUBLE) AS __ts",
-    )
+    ).filter("__ts IS NOT NULL")  # one NaN would poison the key's state
     return prepared.groupBy("key").applyInPandasWithState(
         fn,
         outputStructType=("key string, session_start double, "

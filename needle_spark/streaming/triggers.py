@@ -189,10 +189,17 @@ class TriggerRegistry:
                 self.metrics.errors += 1
                 stats["errors"] += 1
 
+    # above this many ids per op group, dispatch ONE summary event
+    # instead of per-id fires (collect_list of an unbounded batch would
+    # OOM the driver and flood subscribers)
+    MAX_PER_ID_DISPATCH = 1000
+
     def process_cdc(self, collection: str, cdc_batch: DataFrame,
                     op_col: str = "event_type",
                     id_col: str = "vector_id",
-                    rows_source: DataFrame | None = None) -> int:
+                    rows_source: DataFrame | None = None,
+                    rows_id_col: str = "id",
+                    rows_vector_col: str = "vector") -> int:
         """Consume one CDC micro-batch: per-event-type counts aggregate
         distributed; only the (op, ids) summary reaches the driver for
         dispatch.  Batch inserts (>1 id in one op group) dispatch as
@@ -202,15 +209,23 @@ class TriggerRegistry:
         df()) lights up registered ProximityTriggers: inserted ids
         resolve to their vectors there and run through check_batch —
         CDC events alone carry no vectors."""
+        cap = self.MAX_PER_ID_DISPATCH
+        # bounded id sample per group: the count aggregates distributed
+        # and only <= cap ids per op ever reach the driver
         groups = (cdc_batch.groupBy(op_col)
                   .agg(F.count(F.lit(1)).alias("n"),
-                       F.collect_list(id_col).alias("ids")).collect())
+                       F.slice(F.collect_list(id_col), 1, cap)
+                       .alias("ids")).collect())
         dispatched = 0
         for g in groups:
             op = {"insert": "insert", "upsert": "update",
                   "delete": "delete"}.get(g[op_col], g[op_col])
-            if op == "insert" and g["n"] > 1:
-                self.dispatch(collection, "batch_insert",
+            if g["n"] > 1 and (op == "insert" or g["n"] > cap):
+                # large groups of ANY op summarize (the reference's
+                # batch_insert shape, generalized)
+                self.dispatch(collection,
+                              "batch_insert" if op == "insert"
+                              else f"batch_{op}",
                               {"count": int(g["n"])})
                 dispatched += 1
             else:
@@ -224,9 +239,12 @@ class TriggerRegistry:
                             if g[op_col] in ("insert", "upsert")
                             for vid in g["ids"]]
                 if inserted:
-                    rows = rows_source.filter(F.col("id").isin(inserted))
+                    rows = rows_source.filter(
+                        F.col(rows_id_col).isin(inserted))
                     for t in prox:
-                        t.check_batch(collection, rows)
+                        t.check_batch(collection, rows,
+                                      vector_col=rows_vector_col,
+                                      id_col=rows_id_col)
         return dispatched
 
     def attach_stream(self, spark, collection, checkpoint_dir: str,

@@ -370,3 +370,112 @@ def test_vcs_branch_from_detached_head(spark, tmp_path):
     vcs.checkout("old")
     ids = {r["id"] for r in vcs.head_snapshot().select("id").collect()}
     assert ids == {"one"}
+
+
+# ---------------------------------------------------- streaming ---
+
+def test_cdc_position_roundtrip_with_colons():
+    from needle_spark.streaming.cdc import CdcPosition
+
+    p = CdcPosition(position="shard-0:500", source="mongo",
+                    timestamp=1723, partition=None)
+    back = CdcPosition.parse(p.serialize())
+    assert (back.position, back.source, back.timestamp,
+            back.partition) == ("shard-0:500", "mongo", 1723, None)
+
+
+def test_mongo_extended_json_timestamps(spark):
+    from needle_spark.streaming.cdc import parse_mongo_change
+
+    env = ('{"operationType":"insert","ns":{"coll":"c"},'
+           '"documentKey":{"_id":"x"},'
+           '"clusterTime":{"$timestamp":{"t":1700000000,"i":1}},'
+           '"fullDocument":{"_id":"x"}}')
+    df = spark.createDataFrame([(env,)], "value string")
+    row = parse_mongo_change(df).select("ts_ms").first()
+    assert row["ts_ms"] == 1700000000 * 1000
+
+
+def test_truncate_barrier_uses_arrival_order(spark, tmp_path):
+    from needle_spark.streaming.cdc import apply_change_events
+
+    db = Database(spark, str(tmp_path / "db"))
+    c = db.create_collection("t", dims=2,
+                             schema="id string, vector array<float>")
+    c.insert(spark.createDataFrame([("old", [1.0, 0.0])],
+                                   "id string, vector array<float>"))
+    # one batch: [truncate, insert] — every ts NULL (the Mongo parse
+    # failure mode).  The insert AFTER the truncate must survive.
+    batch = spark.createDataFrame(
+        [("truncate", None, None, None),
+         ("insert", "new", '{"id":"new","vector":[0.5,0.5]}', None)],
+        "operation string, document_key string, after string, ts_ms long")
+    sink = apply_change_events(c, "id string, vector array<double>")
+    sink(batch, 0)
+    ids = {r["id"] for r in c.df().select("id").collect()}
+    assert ids == {"new"}
+
+
+def test_kafka_scram_jaas_module():
+    from needle_spark.streaming.cdc import KafkaSourceConfig
+
+    cfg = KafkaSourceConfig(
+        brokers=["b:9092"], topic="t",
+        security_protocol="SASL_SSL", sasl_mechanism="SCRAM-SHA-512",
+        sasl_username="u", sasl_password='p"w')
+    jaas = cfg.options()["kafka.sasl.jaas.config"]
+    assert "ScramLoginModule" in jaas
+    assert '\\"' in jaas  # quote in the password is escaped
+
+
+def test_ingestion_dedup_knob(spark, tmp_path):
+    from needle_spark.streaming.ingestion import micro_batch_upsert
+
+    db = Database(spark, str(tmp_path / "db"))
+    c = db.create_collection("k", dims=2,
+                             schema="id string, vector array<float>")
+    batch = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])],
+        "id string, vector array<float>")
+    micro_batch_upsert(c, dedup_by_id=False)(batch, 0)
+    assert c.count() == 2
+
+
+def test_process_cdc_respects_row_columns(spark):
+    from needle_spark.streaming.triggers import (
+        ProximityTrigger, TriggerRegistry)
+
+    reg = TriggerRegistry()
+    trig = ProximityTrigger("near", threshold=0.1,
+                            watch_vector=[1.0, 0.0])
+    reg.register(trig)
+    batch = spark.createDataFrame(
+        [("insert", "d1")], "event_type string, vector_id string")
+    rows = spark.createDataFrame(
+        [("d1", [1.0, 0.0])], "doc_id string, emb array<float>")
+    reg.process_cdc("c", batch, rows_source=rows,
+                    rows_id_col="doc_id", rows_vector_col="emb")
+    assert trig.alerts and trig.alerts[0]["vector_id"] == "d1"
+
+
+def test_process_cdc_summarizes_large_groups(spark):
+    from needle_spark.streaming.triggers import TriggerRegistry
+
+    reg = TriggerRegistry()
+    fired = []
+
+    class T:
+        name = "probe"
+
+        def fire(self, coll, ev, payload):
+            fired.append(ev)
+            return "success"
+
+    reg.register(T())
+    reg.MAX_PER_ID_DISPATCH = 5
+    big = spark.createDataFrame(
+        [("delete", f"v{i}") for i in range(20)],
+        "event_type string, vector_id string")
+    reg.process_cdc("c", big)
+    # 20 deletes over a cap of 5 -> ONE batch summary, not 20 fires
+    assert fired == ["batch_delete"]
