@@ -2974,7 +2974,7 @@ SELECT CAST(source_shard AS INT) AS source_shard,
        CAST(target_shard AS INT) AS target_shard,
        count(*) AS n_vectors
 FROM r
-WHERE target_shard >= 4 AND source_shard <> target_shard
+WHERE source_shard <> target_shard
 GROUP BY 1, 2
 ORDER BY 1, 2
 """

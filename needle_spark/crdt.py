@@ -279,9 +279,14 @@ def merkle_digests(state: DataFrame, buckets: int = 256) -> DataFrame:
     changes it, and overflow-free under ANSI mode).  Two replicas
     compare these O(buckets)-row tables instead of shipping full logs
     (MerkleTree::diff, crdt.rs:932-955)."""
+    # the metadata map rides in the hash as canonical JSON (entries
+    # are array_sort'ed in crdt_state, so the rendering is replica-
+    # independent): update_meta ops do NOT bump the value HLC, so an
+    # HLC-only digest would report metadata-divergent replicas as
+    # in-sync and anti-entropy would never converge them
     row_hash = F.xxhash64(
         F.col("id"), F.col("updated_physical"), F.col("updated_logical"),
-        F.col("updated_replica"))
+        F.col("updated_replica"), F.to_json(F.col("metadata")))
     return (
         state
         .withColumn("bucket", F.pmod(F.xxhash64("id"), F.lit(buckets)).cast("int"))

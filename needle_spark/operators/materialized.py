@@ -48,17 +48,38 @@ class MaterializedView:
         return (now - (self._built_at or 0)) > self.staleness_seconds
 
     def refresh(self, now: float | None = None) -> DataFrame:
-        if self._df is not None and self.storage_path is None:
-            self._df.unpersist()
+        # stamp the source version BEFORE building: a commit landing
+        # mid-build must leave the view stale (one extra refresh) —
+        # stamping after would mark the unseen commit as materialized
+        pre_version = self.source.version if self.source is not None else None
+        old = self._df
         df = self._build()
+        gen = self.refresh_count + 1
         if self.storage_path is not None:
-            df.write.mode("overwrite").parquet(self.storage_path)
-            df = df.sparkSession.read.parquet(self.storage_path)
+            import os
+            import shutil
+
+            # generation subdirs: overwriting the served path in place
+            # would delete the files in-flight readers' lazy plans
+            # reference.  The previous generation survives one cycle.
+            vdir = os.path.join(self.storage_path, f"v{gen}")
+            df.write.mode("overwrite").parquet(vdir)
+            df = df.sparkSession.read.parquet(vdir)
+            if os.path.isdir(self.storage_path):
+                for d in os.listdir(self.storage_path):
+                    if (d.startswith("v") and d[1:].isdigit()
+                            and int(d[1:]) < gen - 1):
+                        shutil.rmtree(os.path.join(self.storage_path, d),
+                                      ignore_errors=True)
         else:
             df = df.cache()
+        # only after the new result exists: release the old one (a
+        # failed build leaves the previous materialization serving)
+        if old is not None and self.storage_path is None:
+            old.unpersist()
         self._df = df
         self._built_at = time.time() if now is None else now
-        self._built_version = self.source.version if self.source is not None else None
+        self._built_version = pre_version
         self.refresh_count += 1
         return df
 

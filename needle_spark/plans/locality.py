@@ -10,11 +10,13 @@ Spark-first mapping.  The reference mutates a driver HashMap on every
 search and reorganizes pages in-place; in a Spark engine both halves
 become data-parallel:
 
-* **Co-access tracking is a QUERY over the access log** the engine
-  already writes (`plans/analytics_dashboard.py` records per-query
-  result ids) — one explode of within-result pairs + one map-side
-  combined count.  No mutable tracker, no eviction heuristics: the
-  log is the tracker, and `min_co_access_count` is a HAVING filter.
+* **Co-access tracking is a QUERY over an access log** — one row per
+  search carrying the ids returned together (`result_ids`).  The
+  caller supplies the log (serve-path sinks can append one from each
+  query's result set; `access_log_row()` builds a row); tracking is
+  then one explode of within-result pairs + one map-side combined
+  count.  No mutable tracker, no eviction heuristics: the log is the
+  tracker, and `min_co_access_count` is a HAVING filter.
 
 * **The compaction itself is a WRITE LAYOUT.**  On Spark, "maximize
   cache locality" means: co-accessed rows land in the same Parquet
@@ -55,6 +57,12 @@ class CompactionConfig:
 
 # ---------------------------------------------------------------------------
 # Co-access tracking (CoAccessTracker :60-165)
+
+
+def access_log_row(query_id, result_ids: list) -> tuple:
+    """One access-log row for co_access_pairs: append these from the
+    serve path (schema: query_id string, result_ids array<string>)."""
+    return (str(query_id), [str(i) for i in result_ids])
 
 
 def co_access_pairs(access_log: DataFrame,

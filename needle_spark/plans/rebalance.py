@@ -75,11 +75,16 @@ class RebalancePlan:
 
 
 def _make_plan(tagged: DataFrame, description: str,
-               batch_size_hint: int = 0) -> RebalancePlan:
-    movers = tagged.filter(
+               n_batches: int = 0,
+               already_filtered: bool = False) -> RebalancePlan:
+    # source/target labels live in the SAME topology for add/full
+    # plans, so equal labels mean "stays put"; remove plans compare
+    # across topologies (old labels vs shrunk labels) and pre-filter
+    # themselves — a numeric collision there is NOT a non-mover
+    movers = tagged if already_filtered else tagged.filter(
         F.col("source_shard") != F.col("target_shard"))
-    movers = transfer_batches(movers, batch_size_hint) \
-        if batch_size_hint > 0 else movers.withColumn("batch", F.lit(0))
+    movers = transfer_batches(movers, n_batches) \
+        if n_batches > 0 else movers.withColumn("batch", F.lit(0))
     tasks = (movers.groupBy("source_shard", "target_shard")
              .agg(F.count(F.lit(1)).alias("n_vectors"))
              .orderBy("source_shard", "target_shard"))
@@ -95,7 +100,14 @@ def plan_add_shard(df: DataFrame, old_shards: int, new_shards: int,
         F.col(id_col).cast("string").alias("id"),
         route(id_col, old_shards).alias("source_shard"),
         route(id_col, new_shards).alias("target_shard"),
-    ).filter(F.col("target_shard") >= old_shards)
+    )
+    # EVERY id whose placement changed moves — under hash-mod routing
+    # that includes ids re-homed between EXISTING shards (dropping them
+    # would leave readers computing route(id, new_shards) looking on a
+    # shard the vector never reached).  Mod hashing relocates ~(1 -
+    # old/new) of the corpus where the reference's consistent-hash ring
+    # relocates 1/new (rebalance.rs:482-521) — the documented tradeoff
+    # for a routing function any engine reproduces as one expression.
     return _make_plan(
         tagged,
         f"Add shards {old_shards}->{new_shards} - migrating vectors "
@@ -108,20 +120,27 @@ def plan_remove_shard(df: DataFrame, shard_to_remove: int,
     """Vectors on the removed shard, redistributed to the remaining
     shards by re-routing with the shrunk topology (:523-560); the
     re-route skips over the removed slot deterministically."""
-    rerouted = F.pmod(F.xxhash64(F.col(id_col).cast("string"),
-                                 F.lit("remove")),
-                      F.lit(int(n_shards - 1))).cast("int")
-    target = F.when(rerouted >= F.lit(int(shard_to_remove)),
-                    rerouted + 1).otherwise(rerouted)
+    # removal renumbers the survivors contiguously (label j > removed
+    # becomes j-1) and routing after the shrink is route(id, n-1) — the
+    # SAME expression every reader evaluates.  A one-off salted reroute
+    # here would strand vectors where route_expr can never find them.
+    old_shard = route(id_col, n_shards)
+    relabeled = F.when(old_shard > F.lit(int(shard_to_remove)),
+                       old_shard - 1).otherwise(old_shard)
     tagged = df.select(
         F.col(id_col).cast("string").alias("id"),
-        route(id_col, n_shards).alias("source_shard"),
-        target.alias("target_shard"),
-    ).filter(F.col("source_shard") == F.lit(int(shard_to_remove)))
+        old_shard.alias("source_shard"),
+        route(id_col, n_shards - 1).alias("target_shard"),
+        relabeled.alias("__relabeled"),
+    ).filter(
+        (F.col("source_shard") == F.lit(int(shard_to_remove)))
+        | (F.col("__relabeled") != F.col("target_shard"))
+    ).drop("__relabeled")
     return _make_plan(
         tagged,
         f"Remove shard {shard_to_remove} - distributing vectors to "
-        f"{n_shards - 1} remaining shards")
+        f"{n_shards - 1} remaining shards",
+        already_filtered=True)
 
 
 def plan_full_rebalance(df: DataFrame, n_shards: int,
@@ -171,24 +190,34 @@ def apply_rebalance(df: DataFrame, n_shards: int, id_col: str = "id",
 
 
 def shard_digests(df: DataFrame, shard_col: str = "shard",
-                  id_col: str = "id") -> DataFrame:
+                  id_col: str = "id",
+                  content_cols: list[str] | None = None) -> DataFrame:
     """Per-shard (count, XOR content hash) — the distributed analog of
-    TransferBatch::verify's checksum (:363-369), map-side combined."""
+    TransferBatch::verify's checksum (:363-369), map-side combined.
+    Pass `content_cols` (e.g. the vector column) so the digest covers
+    PAYLOAD bits like the reference's checksum, not just ids — an
+    id-only digest passes transfers that corrupted every vector."""
+    cols = [F.col(id_col).cast("string")]
+    for c in content_cols or []:
+        cols.append(F.col(c).cast("string"))
     return df.groupBy(shard_col).agg(
         F.count(F.lit(1)).alias("n"),
-        F.bit_xor(F.xxhash64(F.col(id_col).cast("string"))).alias("digest"))
+        F.bit_xor(F.xxhash64(*cols)).alias("digest"))
 
 
 def verify_transfer(source: DataFrame, target: DataFrame,
                     shard_col: str = "shard",
-                    id_col: str = "id") -> DataFrame:
+                    id_col: str = "id",
+                    content_cols: list[str] | None = None) -> DataFrame:
     """Compare both sides' digests (MigrationTarget::verify_vectors
     :435, without shipping ids): rows where counts or digests differ.
     Empty result = transfer verified."""
-    s = shard_digests(source, shard_col, id_col).withColumnRenamed(
-        "n", "src_n").withColumnRenamed("digest", "src_digest")
-    t = shard_digests(target, shard_col, id_col).withColumnRenamed(
-        "n", "dst_n").withColumnRenamed("digest", "dst_digest")
+    s = shard_digests(source, shard_col, id_col, content_cols) \
+        .withColumnRenamed("n", "src_n") \
+        .withColumnRenamed("digest", "src_digest")
+    t = shard_digests(target, shard_col, id_col, content_cols) \
+        .withColumnRenamed("n", "dst_n") \
+        .withColumnRenamed("digest", "dst_digest")
     return (s.join(t, shard_col, "full_outer")
             .filter(~(F.col("src_n").eqNullSafe(F.col("dst_n"))
                       & F.col("src_digest").eqNullSafe(F.col("dst_digest")))))

@@ -163,8 +163,13 @@ class TieredCollection:
                                        F.col("id").asc())
                            .limit(excess))
                 rep.capacity_evictions = excess
+                # reset the counter like promotion does: evicting with
+                # the count intact re-qualifies the row for promotion
+                # on the NEXT run and the hot set ping-pongs forever
                 self.collection.upsert(
-                    victims.withColumn("tier", F.lit("warm")))
+                    victims.withColumn("tier", F.lit("warm"))
+                           .withColumn("access_count",
+                                       F.lit(0).cast("long")))
         self._invalidate_hot()
         return rep
 
@@ -253,6 +258,10 @@ class TieredCollection:
         out = out.orderBy(F.col("distance").asc(),
                           F.col("id").asc()).limit(int(k))
         if record:
+            # pin the (k-row) result: the access-tracking collect and
+            # the caller's action must not each re-run the cross-tier
+            # scan
+            out = out.localCheckpoint(eager=True)
             ids = [r["id"] for r in out.select("id").collect()]
             if ids:
                 self.record_access(ids)

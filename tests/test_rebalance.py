@@ -34,27 +34,41 @@ def test_route_expr_deterministic_and_balanced(ids):
     assert max(counts) < 2.5 * min(counts)   # roughly balanced
 
 
-def test_plan_add_shard_moves_only_to_new(ids):
+def test_plan_add_shard_covers_every_relocation(ids):
+    """Growing the topology must move EVERY id whose hash-mod placement
+    changed — including ids re-homed between existing shards; dropping
+    those leaves them unreachable under route_expr(id, new)."""
     plan = plan_add_shard(ids, old_shards=4, new_shards=5)
-    moved = plan.movers.collect()
-    assert all(r["target_shard"] == 4 for r in moved)
-    assert all(r["source_shard"] != 4 for r in moved)
-    # every mover really routes to the new shard under the new topology
+    # each mover's target is exactly the new-topology route
     check = plan.movers.withColumn("r", route_expr("id", 5))
-    assert check.filter(F.col("r") != 4).count() == 0
+    assert check.filter(F.col("r") != F.col("target_shard")).count() == 0
+    # reachability: every id is findable at route(id, 5) after the plan
+    stay = ids.join(plan.movers.select("id"), "id", "left_anti")
+    misplaced = stay.filter(route_expr("id", 5) != route_expr("id", 4))
+    assert misplaced.count() == 0
     assert 0 < plan.total() < 500
     assert "Add shards 4->5" in plan.description
 
 
 def test_plan_remove_shard_distributes_remainder(ids):
+    """Removal shrinks the topology: survivors relabel contiguously
+    and routing becomes route(id, n-1) — the expression readers use.
+    Everything on the removed shard moves, plus any id whose shrunk
+    placement differs from its relabeled current shard."""
     plan = plan_remove_shard(ids, shard_to_remove=2, n_shards=4)
-    moved = plan.movers.collect()
-    assert all(r["source_shard"] == 2 for r in moved)
-    assert all(r["target_shard"] != 2 for r in moved)
-    assert {r["target_shard"] for r in moved} <= {0, 1, 3}
-    # everything on the removed shard moves
-    on_shard = ids.filter(route_expr("id", 4) == 2).count()
-    assert plan.total() == on_shard
+    # targets are NEW-topology labels, computed by the shared router
+    check = plan.movers.withColumn("r", route_expr("id", 3))
+    assert check.filter(F.col("r") != F.col("target_shard")).count() == 0
+    assert {r["target_shard"] for r in plan.movers.collect()} <= {0, 1, 2}
+    # everything on the removed shard is in the plan
+    on_shard = ids.filter(route_expr("id", 4) == 2)
+    gone = on_shard.join(plan.movers.select("id"), "id", "left_anti")
+    assert gone.count() == 0
+    # reachability: non-movers' relabeled shard == route(id, 3)
+    old = route_expr("id", 4)
+    relabeled = F.when(old > 2, old - 1).otherwise(old)
+    stay = ids.join(plan.movers.select("id"), "id", "left_anti")
+    assert stay.filter(relabeled != route_expr("id", 3)).count() == 0
 
 
 def test_plan_full_rebalance_heals_drift(ids, spark):

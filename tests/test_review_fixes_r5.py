@@ -479,3 +479,71 @@ def test_process_cdc_summarizes_large_groups(spark):
     reg.process_cdc("c", big)
     # 20 deletes over a cap of 5 -> ONE batch summary, not 20 fires
     assert fired == ["batch_delete"]
+
+
+# ---------------------------------- crdt / materialized / tiering ---
+
+def test_merkle_detects_metadata_divergence(spark):
+    from needle_spark.crdt import (
+        crdt_state, merkle_changed_buckets, merkle_delta, merkle_digests)
+
+    OPS = ("id string, op string, vector array<float>, "
+           "metadata map<string,string>, meta_key string, "
+           "meta_value string, physical long, logical int, replica long")
+    a_log = spark.createDataFrame(
+        [("x", "add", [1.0], None, None, None, 5, 0, 1)], OPS)
+    b_log = spark.createDataFrame(
+        [("x", "add", [1.0], None, None, None, 5, 0, 1),
+         ("x", "update_meta", None, None, "k", "v", 7, 0, 2)], OPS)
+    da = merkle_digests(crdt_state(a_log))
+    db_ = merkle_digests(crdt_state(b_log))
+    changed = merkle_changed_buckets(da, db_)
+    # metadata-only divergence MUST surface (update_meta does not bump
+    # the value HLC, so an HLC-only digest would miss it)
+    assert changed.count() == 1
+    delta = merkle_delta(b_log, changed)
+    merged = a_log.unionByName(delta)
+    st = {r["id"]: r["metadata"]
+          for r in crdt_state(merged).collect()}
+    assert st["x"] == {"k": "v"}  # anti-entropy converged metadata
+
+
+def test_materialized_view_stamps_pre_build_version(spark, tmp_path):
+    from needle_spark.operators.materialized import MaterializedView
+
+    db, c = _mk(spark, tmp_path)
+    c.insert(_rows(spark, "a"))
+
+    def build():
+        df = c.df().select("id")
+        # a commit lands MID-build (after the lineage is pinned)
+        c.insert(_rows(spark, f"mid{c.version}"))
+        return df
+
+    mv = MaterializedView("m", build, staleness_seconds=1e9,
+                          source_collection=c)
+    mv.df()
+    # the mid-build commit must leave the view stale -> one more refresh
+    assert mv.is_stale()
+    n2 = mv.df().count()
+    assert n2 >= 2
+
+
+def test_tiering_eviction_resets_access_count(spark, tmp_path):
+    from needle_spark.plans.tiering import TieredCollection, TierPolicy
+
+    db = Database(spark, str(tmp_path / "db"))
+    tc = TieredCollection(
+        db, TierPolicy(hot_capacity=3, promotion_threshold=5,
+                       warm_after_secs=10**9), dims=2)
+    now = 1_000_000
+    tc.insert(spark.createDataFrame(
+        [(f"v{i}", [1.0, 0.0]) for i in range(6)],
+        "id string, vector array<float>"), now=now)
+    for _ in range(6):  # everyone crosses the promotion threshold
+        tc.record_access([f"v{i}" for i in range(6)], now=now)
+    tc.run_maintenance(now=now)
+    evicted = tc.collection.df().filter("tier = 'warm'")
+    assert evicted.count() == 3
+    # counters reset: the evicted rows cannot re-qualify immediately
+    assert evicted.filter("access_count > 0").count() == 0
