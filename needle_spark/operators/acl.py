@@ -220,13 +220,15 @@ class AclEngine:
     # -- compilation --
 
     def _matching(self, ctx: RequestContext, action: str) -> list[AclPolicy]:
-        """Policies that cover (principal, action), priority order,
-        excluding field-level rows (those redact columns, not rows) —
-        vector_acl.rs:280-296."""
+        """Policies that cover (principal, action), priority order.
+        Only field-level DENIES are excluded (they redact columns, not
+        rows); a field-level ALLOW falls through the reference's
+        first-match loop as a row-level allow (FieldName matches every
+        row) — vector_acl.rs:280-315."""
         return [
             p for p in self._policies
             if action in p.actions and p.principal.matches(ctx)
-            and p.resource.kind != "field_name"
+            and not (p.resource.kind == "field_name" and p.effect == DENY)
         ]
 
     def decision_columns(
@@ -254,8 +256,10 @@ class AclEngine:
         for p in reversed(self._matching(ctx, action)):
             cond = p.resource.sql(id_col)
             eff = "TRUE" if p.effect == ALLOW else "FALSE"
+            pid = p.id.replace("'", "''")
             allowed = f"CASE WHEN {cond} THEN {eff} ELSE {allowed} END"
-            policy_id = f"CASE WHEN {cond} THEN '{p.id}' ELSE {policy_id} END"
+            policy_id = (f"CASE WHEN {cond} THEN '{pid}' "
+                         f"ELSE {policy_id} END")
         return allowed, policy_id
 
     def allowed_predicate(
@@ -278,14 +282,25 @@ class AclEngine:
         return allowed
 
     def redacted_fields(self, ctx: RequestContext, action: str) -> list[str]:
-        """Field-level denies for this principal —
-        vector_acl.rs:291-296,316."""
-        return [
-            p.resource.key
-            for p in self._policies
-            if p.resource.kind == "field_name" and p.effect == DENY
-            and action in p.actions and p.principal.matches(ctx)
-        ]
+        """Field-level denies for this principal, honoring first-match
+        shadowing (vector_acl.rs:291-316: the loop BREAKS at the first
+        matching row policy, so field denies ranked below it never
+        apply).  Row policies whose match is row-DEPENDENT
+        (vector_id/metadata) cannot shadow uniformly in a set-level
+        engine, so collection stops only at an unconditional
+        (any-resource) winner — redacting conservatively otherwise."""
+        out: list[str] = []
+        for p in self._policies:
+            if action not in p.actions or not p.principal.matches(ctx):
+                continue
+            if p.resource.kind == "field_name":
+                if p.effect == DENY:
+                    out.append(p.resource.key)
+                    continue
+                break  # allow(FieldName) wins the row loop here
+            if p.resource.kind == "any":
+                break  # unconditional row winner shadows later denies
+        return out
 
     def row_level_filters(self, ctx: RequestContext) -> list[tuple[str, str]]:
         """Allow+MetadataField policies for the principal, for query
@@ -470,7 +485,7 @@ class PolicyEngine:
         return out
 
     def visible_fields(
-        self, collection: str, token: AccessToken
+        self, collection: str, token: AccessToken, perm: str = READ
     ) -> list[str] | None:
         """Union of matching rules' allowlists; None = unrestricted
         (every matching rule unrestricted, or no policy)."""
@@ -480,7 +495,10 @@ class PolicyEngine:
         fields: list[str] = []
         restricted = False
         for rule in policy.rules:
-            if token.has_role(rule.role):
+            # only rules GRANTING this permission govern its field
+            # visibility — a write-only rule with no allowlist must
+            # not nullify the read rule's restriction
+            if token.has_role(rule.role) and perm in rule.permissions:
                 if rule.visible_fields:
                     restricted = True
                     fields.extend(
@@ -508,7 +526,7 @@ class PolicyEngine:
         out = df
         for fld, val in self.row_filters(collection, token):
             out = out.filter(F.col(fld).cast("string") == val)
-        vis = self.visible_fields(collection, token)
+        vis = self.visible_fields(collection, token, perm)
         if vis is not None:
             keep = [c for c in out.columns if c in vis or c == id_col]
             out = out.select(*keep)

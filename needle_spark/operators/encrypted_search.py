@@ -99,6 +99,20 @@ def config_for_level(dimensions: int, level: str, seed: int = 42) -> EncryptionC
     return EncryptionConfig(dimensions, min(dimensions, cap), tables, seed)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _hyperplanes_cached(dims: int, count: int, seed: int) -> np.ndarray:
+    state = seed % _U64
+    n = count * dims
+    out = np.empty(n, dtype=np.float64)
+    for i in range(n):
+        state = (state * _MMIX_MUL + _MMIX_ADD) % _U64
+        out[i] = (state >> 32) / _U32_MAX * 2.0 - 1.0
+    return out.reshape(count, dims)
+
+
 def generate_hyperplanes(dims: int, count: int, seed: int) -> np.ndarray:
     """Seeded LCG hyperplanes, float64 (count, dims) —
     encrypted_search.rs:219-233: count*dims LCG draws in row order.
@@ -109,13 +123,10 @@ def generate_hyperplanes(dims: int, count: int, seed: int) -> np.ndarray:
     which makes all sign bits of a vector correlate (hash quality
     collapses to sign(sum(v))).  We shift by 32 so entries cover
     [-1, 1) and the codes are a real sign-random-projection LSH."""
-    state = seed % _U64
-    n = count * dims
-    out = np.empty(n, dtype=np.float64)
-    for i in range(n):
-        state = (state * _MMIX_MUL + _MMIX_ADD) % _U64
-        out[i] = (state >> 32) / _U32_MAX * 2.0 - 1.0
-    return out.reshape(count, dims)
+    # a pure function of (dims, count, seed): cached, so the serving
+    # path does not re-run count*dims Python LCG steps per query
+    # (config_for_level(768, "maximum") is ~1.6M iterations)
+    return _hyperplanes_cached(int(dims), int(count), int(seed)).copy()
 
 
 def _pack_bits(signs: np.ndarray, num_words: int) -> np.ndarray:
@@ -214,6 +225,14 @@ def encrypted_search(
     table."""
     qcodes = query_codes(query, config)
     total_bits = float(config.total_bits)
+    # validate stored-code width vs the config BEFORE the scan: a
+    # mismatched config (dims agree, hash_bits differ) otherwise dies
+    # deep in codegen with an opaque ArrowVectorAccessor error
+    first = encrypted.select(F.size(codes_col).alias("w")).first()
+    if first is not None and first["w"] != len(qcodes):
+        raise EncryptedSearchError(
+            f"stored codes have {first['w']} words but this config "
+            f"produces {len(qcodes)} (hash_bits/num_tables mismatch)")
     return (
         encrypted.select(
             F.col(id_col).alias("id"),

@@ -260,11 +260,28 @@ class VectorEncryptor:
                       f"search_embedding array<float>")
 
         def kernel(batches: Iterator[pa.RecordBatch]):
-            rng = np.random.default_rng(seed)
+            from pyspark import TaskContext
+
+            # fold the partition id into the seed: one shared stream
+            # would add IDENTICAL noise to the i-th row of every
+            # partition — cross-row correlation an attacker with one
+            # known pair per partition can subtract away
+            tc = TaskContext.get()
+            pid = tc.partitionId() if tc is not None else 0
+            rng = np.random.default_rng(
+                None if seed is None else (int(seed) << 20) + pid)
             aead = _aead(key)
+            expect = matrix.shape[1] if matrix is not None else None
             for batch in batches:
                 tbl = batch.to_pydict()
-                vecs = np.asarray(tbl["vector"], dtype=np.float32)
+                rows = tbl["vector"]
+                want = expect if expect is not None else (
+                    len(rows[0]) if rows and rows[0] is not None else 0)
+                if any(v is None or len(v) != want for v in rows):
+                    raise EncryptionError(
+                        f"vector dims != expected ({want}); "
+                        "null or ragged vectors cannot encrypt")
+                vecs = np.asarray(rows, dtype=np.float32)
                 if cfg.searchable:
                     if matrix is not None:
                         embs = vecs.astype(np.float64) @ matrix.T

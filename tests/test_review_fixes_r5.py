@@ -547,3 +547,85 @@ def test_tiering_eviction_resets_access_count(spark, tmp_path):
     assert evicted.count() == 3
     # counters reset: the evicted rows cannot re-qualify immediately
     assert evicted.filter("access_count > 0").count() == 0
+
+
+# ----------------------------------------------------- security ---
+
+def test_acl_allow_field_policy_wins_rows(spark):
+    from needle_spark.operators.acl import (
+        AclEngine, AclPolicy, READ, RequestContext, any_principal,
+        any_resource, field_name)
+
+    eng = AclEngine(default_effect="deny")
+    eng.add_policy(AclPolicy(id="allow-title", priority=10,
+                             principal=any_principal(),
+                             resource=field_name("title"),
+                             effect="allow", actions=(READ,)))
+    ctx = RequestContext(user_id="u")
+    df = spark.createDataFrame([("a", "t")], "id string, title string")
+    out = df.filter(eng.allowed_predicate(ctx, READ))
+    # the reference treats allow(FieldName) as a row-level allow
+    assert out.count() == 1
+
+
+def test_acl_redaction_shadowed_by_higher_allow(spark):
+    from needle_spark.operators.acl import (
+        AclEngine, AclPolicy, READ, RequestContext, any_principal,
+        any_resource, field_name)
+
+    eng = AclEngine(default_effect="deny")
+    eng.add_policy(AclPolicy(id="admin-all", priority=10,
+                             principal=any_principal(),
+                             resource=any_resource(),
+                             effect="allow", actions=(READ,)))
+    eng.add_policy(AclPolicy(id="hide-salary", priority=5,
+                             principal=any_principal(),
+                             resource=field_name("salary"),
+                             effect="deny", actions=(READ,)))
+    ctx = RequestContext(user_id="admin")
+    # the priority-10 unconditional allow breaks BEFORE the field deny
+    assert eng.redacted_fields(ctx, READ) == []
+    # flipped priorities: the deny ranks above the winner -> redacts
+    eng2 = AclEngine(default_effect="deny")
+    eng2.add_policy(AclPolicy(id="hide-salary", priority=10,
+                              principal=any_principal(),
+                              resource=field_name("salary"),
+                              effect="deny", actions=(READ,)))
+    eng2.add_policy(AclPolicy(id="allow-all", priority=5,
+                              principal=any_principal(),
+                              resource=any_resource(),
+                              effect="allow", actions=(READ,)))
+    assert eng2.redacted_fields(ctx, READ) == ["salary"]
+
+
+def test_rbac_visible_fields_scoped_to_permission(spark):
+    from needle_spark.operators.acl import (
+        AccessToken, PolicyEngine, PolicyRule, RbacPolicy, READ, WRITE)
+
+    eng = PolicyEngine()
+    eng.add_policy(RbacPolicy(collection="c", rules=(
+        PolicyRule(role="analyst", permissions=(READ,),
+                   visible_fields=("title",)),
+        PolicyRule(role="analyst", permissions=(WRITE,)),
+    )))
+    tok = AccessToken(subject="a", roles=("analyst",))
+    # the write-only unrestricted rule must NOT nullify the read
+    # rule's allowlist
+    assert eng.visible_fields("c", tok, READ) == ["title"]
+    df = spark.createDataFrame([("x", "t", "s")],
+                               "id string, title string, secret string")
+    out = eng.apply(df, "c", tok, READ)
+    assert set(out.columns) == {"id", "title"}
+
+
+def test_encrypted_search_rejects_config_mismatch(spark):
+    from needle_spark.operators.encrypted_search import (
+        EncryptedSearchError, EncryptionConfig, encrypt_vectors,
+        encrypted_search)
+
+    df = spark.createDataFrame(
+        [("a", [1.0] * 8)], "id string, vector array<float>")
+    enc = encrypt_vectors(df, EncryptionConfig(8, 32, 2, 7))
+    with pytest.raises(EncryptedSearchError):
+        encrypted_search(enc, [1.0] * 8,
+                         EncryptionConfig(8, 64, 2, 7), k=1)
