@@ -138,6 +138,14 @@ class MetricsRegistry:
 
         typed: set[str] = set()
 
+        def num(v) -> str:
+            # %g truncates to 6 significant digits — a 12,345,678
+            # counter would export as 1.23457e+07 and rate() staircases
+            f = float(v)
+            if f.is_integer() and abs(f) < 2**63:
+                return str(int(f))
+            return repr(f)
+
         def type_line(name: str, kind: str) -> None:
             # expfmt allows at most ONE TYPE line per metric name
             if name not in typed:
@@ -146,10 +154,10 @@ class MetricsRegistry:
 
         for (name, labels), v in sorted(self.counters.items()):
             type_line(name, "counter")
-            out.append(f"{name}{fmt_labels(labels)} {v:g}")
+            out.append(f"{name}{fmt_labels(labels)} {num(v)}")
         for (name, labels), v in sorted(self.gauges.items()):
             type_line(name, "gauge")
-            out.append(f"{name}{fmt_labels(labels)} {v:g}")
+            out.append(f"{name}{fmt_labels(labels)} {num(v)}")
         for (name, labels), h in sorted(self.histograms.items()):
             type_line(name, "histogram")
             cum = 0
@@ -160,7 +168,7 @@ class MetricsRegistry:
             cum += h.counts[-1]
             out.append(
                 f'{name}_bucket{fmt_labels(tuple(labels) + (("le", "+Inf"),))} {cum}')
-            out.append(f"{name}_sum{fmt_labels(labels)} {h.total:g}")
+            out.append(f"{name}_sum{fmt_labels(labels)} {num(h.total)}")
             out.append(f"{name}_count{fmt_labels(labels)} {h.n}")
         return "\n".join(out) + "\n"
 
@@ -218,7 +226,11 @@ _PANELS = (
     (6, "Search Results per Query",
      "rate(needle_search_result_count_sum[5m]) / rate(needle_search_result_count_count[5m])",
      "timeseries", (0, 16, 12, 8)),
-    (7, "HTTP Requests per Second", "rate(needle_http_requests_total[5m])",
+    # Deviation from metrics.rs: needle_http_requests_total is a
+    # server-layer series neither the reference registry nor this port
+    # emits; operations/sec is the series that exists.
+    (7, "Operations per Second by Type",
+     "sum by (operation) (rate(needle_operations_total[5m]))",
      "timeseries", (12, 16, 12, 8)),
 )
 
@@ -283,8 +295,14 @@ def generate_alerting_rules(config: AlertingConfig | None = None) -> str:
     """metrics.rs:1131-1200 — the same 5 rules as Prometheus YAML."""
     c = config or AlertingConfig()
     rules = (
+        # sum by(): the error series carries an extra error_type
+        # label, and PromQL one-to-one matching over mismatched label
+        # sets returns empty — the alert would never fire
         ("NeedleHighErrorRate",
-         f"rate(needle_errors_total[5m]) / rate(needle_operations_total[5m])"
+         f"sum by (collection, operation) "
+         f"(rate(needle_errors_total[5m])) / "
+         f"sum by (collection, operation) "
+         f"(rate(needle_operations_total[5m]))"
          f" > {c.error_rate_threshold}",
          "5m", "warning", "High error rate in Needle operations"),
         ("NeedleHighLatency",
@@ -298,8 +316,11 @@ def generate_alerting_rules(config: AlertingConfig | None = None) -> str:
         ("NeedleNoOperations",
          "rate(needle_operations_total[10m]) == 0",
          "15m", "info", "No Needle operations detected"),
+        # Deviation: needle_index_health is never emitted (reference
+        # included); gate on sustained total failure of searches instead
         ("NeedleIndexUnhealthy",
-         "needle_index_health < 1",
+         'sum(rate(needle_errors_total{operation="search"}[5m])) > 0 and '
+         'sum(rate(needle_operations_total{operation="search"}[5m])) == 0',
          "5m", "critical", "Needle index is unhealthy"),
     )
     body = "\n".join(

@@ -45,6 +45,10 @@ class AnalyticsDashboard:
         self.spark = spark
         self.config = config or AnalyticsConfig()
         self._rows: list[tuple] = []
+        # LIFETIME op counter, like total_errors: the buffer is flushed
+        # and evicted, so error_rate over buffer-resident counts would
+        # explode after a flush (5 errors / 1 buffered query = 500%)
+        self.total_ops = 0
         self.start_time = time.time()
         self.total_errors = 0
 
@@ -58,6 +62,7 @@ class AnalyticsDashboard:
                            int(result_count), k, bool(has_filter),
                            filter_complexity,
                            int(ts if ts is not None else time.time())))
+        self.total_ops += 1
         del self._rows[: max(0, len(self._rows) - self.config.max_events)]
 
     def track_error(self, collection: str, operation: str,
@@ -102,7 +107,6 @@ class AnalyticsDashboard:
             F.sum((is_q & F.col("has_filter")).cast("long")).alias("filt"),
         ).first()
         queries = row["queries"] or 0
-        total_ops = queries + (row["ins"] or 0) + (row["dels"] or 0)
         return {
             "current_qps": (row["win_events"] or 0) / win,
             "avg_latency_ms": float(row["avg"] or 0.0),
@@ -116,8 +120,11 @@ class AnalyticsDashboard:
             "slow_query_count": row["slow"] or 0,
             "filtered_query_ratio": (row["filt"] or 0) / queries
                                     if queries else 0.0,
-            "uptime_seconds": int(time.time() - self.start_time),
-            "error_rate": self.total_errors / total_ops if total_ops else 0.0,
+            "uptime_seconds": int(now - self.start_time),
+            # lifetime / lifetime: both counters survive buffer
+            # flush/eviction, so the ratio stays meaningful
+            "error_rate": (self.total_errors / self.total_ops
+                           if self.total_ops else 0.0),
         }
 
     # -------------------------------------------------- slow queries --
@@ -187,8 +194,12 @@ class AnalyticsDashboard:
                      F.sum(F.col("operation").isin("search", "query")
                            .cast("long")).alias("queries"),
                      F.avg("latency_ms").alias("avg_latency_ms"),
-                     F.sum((F.col("latency_ms") >
-                            self.config.slow_query_threshold_ms)
+                     # slow_queries counts QUERIES like insights()/
+                     # slow_queries() do — a 150ms insert is not a
+                     # slow query
+                     F.sum((F.col("operation").isin("search", "query")
+                            & (F.col("latency_ms") >
+                               self.config.slow_query_threshold_ms))
                            .cast("long")).alias("slow_queries"))
                 .orderBy("collection"))
 
@@ -205,3 +216,4 @@ class AnalyticsDashboard:
     def clear(self) -> None:
         self._rows = []
         self.total_errors = 0
+        self.total_ops = 0

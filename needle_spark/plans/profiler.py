@@ -97,12 +97,15 @@ class QueryProfile:
 # Plan-shape hints
 # ===================================================================
 
-def analyze_plan(df: DataFrame, broadcast_threshold_rows: int = 1_000_000,
+def analyze_plan(df: DataFrame, plan_text: str | None = None,
                  ) -> list[OptimizationHint]:
     """Derive optimization hints from the formatted physical plan —
     the automated version of the PLANS.md audit this repo runs per
-    round.  Pure plan-text analysis: no job is executed."""
-    p = explain_text(df, mode="formatted")
+    round.  Pure plan-text analysis: no job is executed.  Pass
+    `plan_text` when the caller already rendered the formatted plan
+    (profile() does) to avoid a second explain pass."""
+    p = plan_text if plan_text is not None \
+        else explain_text(df, mode="formatted")
     hints: list[OptimizationHint] = []
 
     if "CartesianProduct" in p:
@@ -111,7 +114,12 @@ def analyze_plan(df: DataFrame, broadcast_threshold_rows: int = 1_000_000,
             "CartesianProduct in the plan: output rows = |left| x |right|",
             "Add an equi-join key, or broadcast() the small side to get a "
             "BroadcastNestedLoopJoin at worst"))
-    n_smj = p.count("SortMergeJoin")
+    # count details headers "(N) SortMergeJoin" — the tree line AND
+    # the details section each mention the node, so a raw substring
+    # count reports 2x the real joins
+    n_smj = len(re.findall(r"\(\d+\) SortMergeJoin", p))
+    if n_smj == 0 and "SortMergeJoin" in p:  # simple-mode plan text
+        n_smj = p.count("SortMergeJoin")
     if n_smj:
         hints.append(OptimizationHint(
             "warning", "join",
@@ -134,7 +142,6 @@ def analyze_plan(df: DataFrame, broadcast_threshold_rows: int = 1_000_000,
             "Fine where built-ins can't express the kernel; keep it off the "
             "per-row hot path"))
     # filters that stayed above the scan instead of pushing down
-    scans = re.findall(r"Scan parquet[^\n]*", p)
     if "PushedFilters: []" in p and re.search(r"\(\d+\) Filter", p):
         hints.append(OptimizationHint(
             "warning", "pushdown",
@@ -155,10 +162,11 @@ def analyze_plan(df: DataFrame, broadcast_threshold_rows: int = 1_000_000,
             "info", "shuffle", f"{n_exchange} exchange(s) in the plan",
             "Expected for joins/aggregations; verify AQE coalesces the "
             "partitions (spark.sql.adaptive.enabled)"))
-    # full-width scans under narrow projections
-    for scan in scans:
-        rs = re.search(r"ReadSchema: struct<([^>]*)>", scan)
-        if rs and rs.group(1).count(",") + 1 > 24:
+    # full-width scans under narrow projections.  ReadSchema is its
+    # own line in the details section — it is NEVER on the "Scan
+    # parquet" header line, so it must be matched over the whole text.
+    for rs in re.findall(r"ReadSchema: struct<([^>]*)>", p):
+        if rs.count(",") + 1 > 24:
             hints.append(OptimizationHint(
                 "info", "pruning",
                 "A scan reads >24 columns — check column pruning survived",
@@ -194,7 +202,7 @@ class QueryProfiler:
         sc = df.sparkSession.sparkContext
         group = f"profile-{qid}"
         plan = explain_text(df, mode="formatted")
-        hints = analyze_plan(df)
+        hints = analyze_plan(df, plan_text=plan)
         sc.setJobGroup(group, query_desc or qid)
         t0 = time.time()
         try:

@@ -629,3 +629,65 @@ def test_encrypted_search_rejects_config_mismatch(spark):
     with pytest.raises(EncryptedSearchError):
         encrypted_search(enc, [1.0] * 8,
                          EncryptionConfig(8, 64, 2, 7), k=1)
+
+
+# ------------------------------------------------- observability ---
+
+def test_prometheus_full_precision_counters():
+    from needle_spark.observe import MetricsRegistry
+
+    reg = MetricsRegistry()
+    for _ in range(3):
+        reg.inc("needle_operations_total", {"collection": "c"},
+                by=4_115_226)
+    text = reg.export()
+    # %g would render 1.23457e+07, losing ones digits
+    assert "12345678" in text
+
+
+def test_error_rate_alert_label_sets_match():
+    from needle_spark.observe import generate_alerting_rules
+
+    rules = generate_alerting_rules()
+    assert "sum by (collection, operation)" in rules
+    assert "needle_index_health" not in rules  # never-emitted series
+
+
+def test_profiler_counts_joins_once(spark):
+    from needle_spark.plans.profiler import analyze_plan
+
+    a = spark.range(100).withColumnRenamed("id", "k")
+    b = spark.range(100).withColumnRenamed("id", "k")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hints = analyze_plan(a.join(b, "k"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(10 * 1024 * 1024))
+    smj = [h for h in hints if "SortMergeJoin" in h.message]
+    assert smj and smj[0].message.startswith("1 SortMergeJoin")
+
+
+def test_profiler_detects_wide_scans(spark, tmp_path, sf_dir):
+    from needle_spark.plans.profiler import analyze_plan
+
+    wide = spark.range(5).selectExpr(
+        *[f"id AS c{i}" for i in range(30)])
+    path = str(tmp_path / "wide.parquet")
+    wide.write.parquet(path)
+    hints = analyze_plan(spark.read.parquet(path))
+    assert any(h.category == "pruning" for h in hints)
+
+
+def test_dashboard_error_rate_survives_flush(spark, tmp_path):
+    from needle_spark.plans.analytics_dashboard import AnalyticsDashboard
+
+    d = AnalyticsDashboard(spark)
+    for _ in range(10):
+        d.track_query("c", "search", 5.0)
+    for _ in range(5):
+        d.track_error("c", "search", "boom")
+    d.flush_to_parquet(str(tmp_path / "ev"))
+    d.track_query("c", "search", 5.0)
+    rate = d.insights()["error_rate"]
+    assert rate == 5 / 11  # lifetime errors / lifetime ops, not 5/1
