@@ -196,13 +196,16 @@ class QueryExecutor:
         return QueryResponse(results=rows, plan=plan, stats=stats)
 
     # -------------------------------------------------------- resolve --
-    def _resolve(self, name: str) -> DataFrame:
+    def _resolve(self, name: str, params: dict | None = None) -> DataFrame:
         if name in self._overrides:
             return self._overrides[name]
         if name in self.materialized:
             return self.materialized[name]
         if name in self.views:
-            return self._select(self.views[name], {})
+            # the view body may use $params / the injected now: the
+            # OUTER call's bindings apply (an empty dict would make
+            # any parameterized view permanently unusable)
+            return self._select(self.views[name], params or {})
         if name in self.tables:
             return self.tables[name]
         if self.database is not None:
@@ -240,22 +243,64 @@ class QueryExecutor:
                 match[0] if match else None,
                 resid_expr)
 
-    def _compile_pred(self, e, df: DataFrame) -> Column:
+    @staticmethod
+    def _value(v, params: dict):
+        """Resolve a parsed literal: $param placeholders
+        (ast.FuncCall('$param', [name])) bind from `params`; everything
+        else passes through."""
+        if isinstance(v, ast.FuncCall) and v.name == "$param":
+            name = v.args[0]
+            if name not in params:
+                raise ExecError(f"unbound parameter: ${name}")
+            return params[name]
+        return v
+
+
+    def _mmr_frame(self, picked, base_schema_df, df: DataFrame,
+                   stmt) -> DataFrame:
+        """Rebuild a DataFrame from mmr_diversify's picked rows,
+        preserving pick ORDER (a rank column survives later joins) and
+        re-attaching any SELECTed payload columns the rerank projected
+        away (silently returning rows without a requested column is a
+        wrong answer)."""
+        from pyspark.sql import types as T
+
+        base_schema = base_schema_df.schema
+        schema = T.StructType(
+            [T.StructField("__mmr_rank", T.IntegerType())]
+            + list(base_schema.fields))
+        out = self.spark.createDataFrame(
+            [(i, *tuple(r)) for i, r in enumerate(picked)], schema)
+        want = [c for c in (stmt.columns or df.columns)
+                if c not in out.columns and c in df.columns]
+        if want:
+            out = out.join(df.select(self.id_col, *want),
+                           self.id_col, "left")
+        return out.orderBy("__mmr_rank").drop("__mmr_rank")
+
+    def _compile_pred(self, e, df: DataFrame,
+                      params: dict | None = None) -> Column:
+        params = params or {}
         if isinstance(e, ast.And):
-            return self._compile_pred(e.left, df) & self._compile_pred(e.right, df)
+            return self._compile_pred(e.left, df, params) \
+                & self._compile_pred(e.right, df, params)
         if isinstance(e, ast.Or):
-            return self._compile_pred(e.left, df) | self._compile_pred(e.right, df)
+            return self._compile_pred(e.left, df, params) \
+                | self._compile_pred(e.right, df, params)
         if isinstance(e, ast.Not):
-            return ~self._compile_pred(e.inner, df)
+            return ~self._compile_pred(e.inner, df, params)
         if isinstance(e, ast.Comparison):
-            c, v = F.col(e.column), F.lit(e.value)
+            c, v = F.col(e.column), F.lit(self._value(e.value, params))
             return {"=": c == v, "!=": c != v, "<": c < v,
                     "<=": c <= v, ">": c > v, ">=": c >= v}[e.op]
         if isinstance(e, ast.InList):
-            c = F.col(e.column).isin(e.values)
+            c = F.col(e.column).isin(
+                [self._value(v, params) for v in e.values])
             return ~c if e.negated else c
         if isinstance(e, ast.Between):
-            return F.col(e.column).between(F.lit(e.low), F.lit(e.high))
+            return F.col(e.column).between(
+                F.lit(self._value(e.low, params)),
+                F.lit(self._value(e.high, params)))
         if isinstance(e, ast.Like):
             c = F.col(e.column).like(e.pattern)
             return ~c if e.negated else c
@@ -310,7 +355,7 @@ class QueryExecutor:
         from needle_spark.operators.hybrid import bm25_topk, rrf_fuse
         from needle_spark.operators.knn import knn
 
-        df = self._resolve(stmt.collection)
+        df = self._resolve(stmt.collection, params)
         # TTL applies to EVERY read path, not only kNN (ttl.rs lazy
         # strategy); catalog collections already self-filter, registry
         # tables honor the injected now
@@ -318,11 +363,12 @@ class QueryExecutor:
             from needle_spark.filters import ttl_filter
             df = ttl_filter(df, int(params["now"]))
         similar, match, residue = self._split_where(stmt.where)
-        pred = self._compile_pred(residue, df) if residue is not None else None
+        pred = self._compile_pred(residue, df, params) \
+            if residue is not None else None
         limit = stmt.limit if stmt.limit is not None else DEFAULT_LIMIT
 
         if stmt.as_of is not None:
-            ts = stmt.as_of
+            ts = self._value(stmt.as_of, params)
             if isinstance(ts, str):
                 ts = parse_duration(ts) if _DURATION_RE.match(ts) else int(ts)
             df = df.filter(F.col(self.inserted_at_col) <= F.lit(int(ts)))
@@ -365,8 +411,10 @@ class QueryExecutor:
         if similar is not None and match is not None:
             qv = self._bind_vector(similar.param, params)
             base = df.filter(pred) if pred is not None else df
-            fetch = max(limit * 5, 50)
             k_out = limit + (stmt.offset or 0)
+            # size per-side candidate pools off limit+OFFSET: a deep
+            # page fused from 50 candidates would come back empty
+            fetch = max(k_out * 5, 50)
             post = (stmt.rerank is not None or decay is not None
                     or (rag is not None and rag.deduplicate))
             # post-fusion stages re-sort, so pool extra fused candidates
@@ -418,9 +466,11 @@ class QueryExecutor:
                             vector_col=self.vector_col, id_col=self.id_col,
                             distance_col="__negscore",
                         )
-                        schema = out.select(
-                            self.id_col, self.vector_col, "__negscore").schema
-                        out = self.spark.createDataFrame(picked, schema)
+                        out = self._mmr_frame(
+                            picked,
+                            out.select(self.id_col, self.vector_col,
+                                       "__negscore"),
+                            df, stmt)
                         out = out.withColumn("score", -F.col("__negscore"))
                     else:
                         from needle_spark.operators.hybrid import rerank_by_field
@@ -433,6 +483,7 @@ class QueryExecutor:
                     out = out.orderBy(
                         F.col("score").desc(), F.col(self.id_col).asc()
                     ).limit(k_out)
+            out = self._apply_plain_order(out, stmt)
             return self._project(out, stmt, offset=stmt.offset, limit=limit)
 
         if similar is not None:
@@ -466,28 +517,23 @@ class QueryExecutor:
                         out, qv, k=k_page, lambda_mult=stmt.rerank.mmr_lambda,
                         vector_col=self.vector_col, id_col=self.id_col,
                     )
-                    schema = out.select(self.id_col, self.vector_col, "distance").schema
-                    out = self.spark.createDataFrame(picked, schema)
+                    out = self._mmr_frame(
+                        picked,
+                        out.select(self.id_col, self.vector_col, "distance"),
+                        df, stmt)
                 else:
                     from needle_spark.operators.hybrid import rerank_by_field
                     out = rerank_by_field(out, stmt.rerank.field, k=k_page,
                                           fetch_k=fetch, descending=stmt.rerank.descending,
                                           id_col=self.id_col)
-            # plain-column ORDER BY re-sorts the candidate page (grammar
-            # order_expr := column_name [ASC|DESC]); 'distance ASC' is the
-            # kNN default and stays a no-op
-            plain = [k for k in stmt.order_by if isinstance(k.expr, str)]
-            if plain and not all(k.expr == "distance" and not k.desc for k in plain):
-                out = out.orderBy(
-                    *[F.col(k.expr).desc() if k.desc else F.col(k.expr).asc()
-                      for k in plain],
-                    F.col(self.id_col).asc())
+            out = self._apply_plain_order(out, stmt)
             return self._project(out, stmt, offset=stmt.offset, limit=limit)
 
         if match is not None:
             base = df.filter(pred) if pred is not None else df
             out = bm25_topk(base, match.query, limit=limit + (stmt.offset or 0),
                             id_col=self.id_col, text_col=match.column or self.text_col)
+            out = self._apply_plain_order(out, stmt)
             return self._project(out, stmt, offset=stmt.offset, limit=limit)
 
         # pure relational scan
@@ -505,8 +551,30 @@ class QueryExecutor:
                 if not stmt.order_by else out
             if stmt.offset:
                 out = out.offset(stmt.offset)
-            out = out.limit(limit)
+            if stmt.limit is not None:
+                # OFFSET alone must not silently truncate to the
+                # default search k — a relational scan has no k
+                out = out.limit(limit)
         return self._project(out, stmt)
+
+    def _apply_plain_order(self, out: DataFrame,
+                           stmt: ast.SelectStmt) -> DataFrame:
+        """Plain-COLUMN ORDER BY re-sorts the candidate page on every
+        search branch (silently ignoring it returns wrongly-ordered
+        results); function keys (hybrid_score/time_decay) were already
+        consumed as fusion/decay configuration."""
+        plain = [k for k in stmt.order_by if isinstance(k.expr, str)]
+        ok = {"distance", "score"}
+        if plain and not all(k.expr in ok and not k.desc for k in plain):
+            missing = [k.expr for k in plain if k.expr not in out.columns]
+            if missing:
+                raise ExecError(f"ORDER BY column(s) not in result: "
+                                f"{missing}")
+            out = out.orderBy(
+                *[F.col(k.expr).desc() if k.desc else F.col(k.expr).asc()
+                  for k in plain],
+                F.col(self.id_col).asc())
+        return out
 
     def _project(self, out: DataFrame, stmt: ast.SelectStmt,
                  offset: int | None = None, limit: int | None = None) -> DataFrame:

@@ -38,7 +38,7 @@ NeedleQL Syntax:
   SELECT * FROM <collection>
     WHERE <field> <op> <value>
     AND vector SIMILAR TO $query
-    WITH TIME_DECAY(EXPONENTIAL, 24h)
+    WITH TIME_DECAY(function='exponential', half_life_seconds='24h')
     ORDER BY distance ASC
     LIMIT 10 OFFSET 0
   EXPLAIN ANALYZE SELECT ...
@@ -159,15 +159,34 @@ class QuerySession:
         if trimmed.startswith(".") or trimmed.startswith("\\"):
             raise SessionError(
                 f"Unknown command: {trimmed}. Use .help for available commands.")
+        # a REPL-conventional trailing semicolon must not break the
+        # LIMIT/FROM rewrites below
+        trimmed = trimmed.rstrip(";").rstrip()
         upper = trimmed.upper()
-        if "FROM" not in upper and self.default_collection is not None:
-            if upper.startswith("SELECT"):
+        # token-level checks: substring tests are fooled by identifiers
+        # (from_ts, limit_price) and string literals ('from home')
+        words = set(re.findall(r"[A-Za-z_]+", upper))
+        first = upper.split(None, 1)[0] if upper else ""
+        stmt_kw = {"SELECT", "INSERT", "CREATE", "DROP", "SHOW",
+                   "DELETE", "UPDATE", "EXPLAIN", "DESCRIBE", "ALTER"}
+        if self.default_collection is not None and "FROM" not in words:
+            if first == "SELECT":
                 trimmed = trimmed + f" FROM {self.default_collection}"
-            else:
+            elif first not in stmt_kw:
+                # only bare WHERE/ORDER-style fragments get wrapped;
+                # wrapping DML/DDL would mangle them into parse errors
                 trimmed = f"SELECT * FROM {self.default_collection} {trimmed}"
-        if "LIMIT" not in trimmed.upper() and trimmed.upper().startswith(
-                "SELECT"):
-            trimmed = trimmed + f" LIMIT {self.default_limit}"
+        upper = trimmed.upper()
+        words = set(re.findall(r"[A-Za-z_]+", upper))
+        if upper.startswith("SELECT") and "LIMIT" not in words:
+            if "OFFSET" in words:
+                # the grammar requires LIMIT before OFFSET
+                m = re.search(r"(?i)\bOFFSET\b", trimmed)
+                trimmed = (trimmed[:m.start()]
+                           + f"LIMIT {self.default_limit} "
+                           + trimmed[m.start():])
+            else:
+                trimmed = trimmed + f" LIMIT {self.default_limit}"
         return trimmed
 
     def execute(self, input_sql: str, params: dict[str, Any] | None = None):

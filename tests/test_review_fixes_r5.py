@@ -691,3 +691,89 @@ def test_dashboard_error_rate_survives_flush(spark, tmp_path):
     d.track_query("c", "search", 5.0)
     rate = d.insights()["error_rate"]
     assert rate == 5 / 11  # lifetime errors / lifetime ops, not 5/1
+
+
+# ------------------------------------------------------ NeedleQL ---
+
+@pytest.fixture()
+def ql(spark, tmp_path):
+    from needle_spark.ql.executor import QueryExecutor
+
+    db = Database(spark, str(tmp_path / "qldb"))
+    c = db.create_collection("t", dims=2, schema=SCHEMA)
+    c.insert(spark.createDataFrame(
+        [(f"d{i}", [1.0, float(i) / 10.0], "a" if i % 2 else "b")
+         for i in range(20)], SCHEMA))
+    return QueryExecutor(db.spark, database=db)
+
+
+def test_ql_params_bind_in_where(ql):
+    rows = ql.execute("SELECT id FROM t WHERE tag = $t LIMIT 50",
+                      {"t": "a"}).collect()
+    assert len(rows) == 10
+    rows = ql.execute(
+        "SELECT id FROM t WHERE tag IN ($t) LIMIT 50",
+        {"t": "b"}).collect()
+    assert len(rows) == 10
+    with pytest.raises(Exception, match="unbound"):
+        ql.execute("SELECT id FROM t WHERE tag = $missing LIMIT 1", {})
+
+
+def test_ql_view_uses_outer_params(ql):
+    ql.execute("CREATE VIEW va AS SELECT id, tag FROM t WHERE tag = $t "
+               "LIMIT 50", {"t": "a"})
+    rows = ql.execute("SELECT id FROM va LIMIT 50", {"t": "a"}).collect()
+    assert len(rows) == 10
+
+
+def test_ql_offset_without_limit_not_truncated(ql):
+    rows = ql.execute("SELECT id FROM t OFFSET 5", {}).collect()
+    assert len(rows) == 15  # all remaining rows, not DEFAULT_LIMIT
+
+
+def test_ql_mmr_keeps_selected_columns(ql):
+    rows = ql.execute(
+        "SELECT id, tag FROM t WHERE vector SIMILAR TO $q "
+        "RERANK BY mmr LIMIT 3", {"q": [1.0, 0.0]}).collect()
+    assert len(rows) == 3
+    assert all(r["tag"] in ("a", "b") for r in rows)
+
+
+def test_ql_hybrid_honors_plain_order_by(spark, tmp_path):
+    from needle_spark.ql.executor import QueryExecutor
+
+    db = Database(spark, str(tmp_path / "qldb2"))
+    c = db.create_collection(
+        "docs", dims=2, schema="id string, vector array<float>, "
+                               "text string, rank long")
+    c.insert(spark.createDataFrame(
+        [(f"d{i}", [1.0, 0.1 * i], f"common term {i}", 100 - i)
+         for i in range(10)],
+        "id string, vector array<float>, text string, rank long"))
+    ex = QueryExecutor(db.spark, database=db)
+    rows = ex.execute(
+        "SELECT id, rank FROM docs WHERE vector SIMILAR TO $q "
+        "AND text MATCH 'common' ORDER BY rank ASC LIMIT 5",
+        {"q": [1.0, 0.0]}).collect()
+    ranks = [r["rank"] for r in rows]
+    assert ranks == sorted(ranks)
+
+
+def test_session_prepare_preserves_statements():
+    from needle_spark.ql.session import QuerySession
+
+    sess = QuerySession.__new__(QuerySession)
+    sess.default_collection = "docs"
+    sess.default_limit = 10
+    sess.parameters = {}
+    # DML/DDL must pass through unwrapped
+    assert sess.prepare("SHOW COLLECTIONS") == "SHOW COLLECTIONS"
+    assert sess.prepare("DROP COLLECTION x") == "DROP COLLECTION x"
+    # trailing semicolon and identifiers containing FROM/LIMIT
+    assert sess.prepare("SELECT * FROM docs;") == \
+        "SELECT * FROM docs LIMIT 10"
+    out = sess.prepare("SELECT id, from_ts")
+    assert out.startswith("SELECT id, from_ts FROM docs")
+    # OFFSET without LIMIT: the grammar needs LIMIT first
+    out = sess.prepare("SELECT * FROM docs OFFSET 5")
+    assert "LIMIT 10 OFFSET 5" in out
