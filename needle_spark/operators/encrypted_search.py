@@ -225,18 +225,21 @@ def encrypted_search(
     table."""
     qcodes = query_codes(query, config)
     total_bits = float(config.total_bits)
-    # validate stored-code width vs the config BEFORE the scan: a
-    # mismatched config (dims agree, hash_bits differ) otherwise dies
-    # deep in codegen with an opaque ArrowVectorAccessor error
-    first = encrypted.select(F.size(codes_col).alias("w")).first()
-    if first is not None and first["w"] != len(qcodes):
-        raise EncryptedSearchError(
-            f"stored codes have {first['w']} words but this config "
-            f"produces {len(qcodes)} (hash_bits/num_tables mismatch)")
+    # in-plan width guard: a mismatched config (dims agree, hash_bits
+    # differ) otherwise dies deep in codegen with an opaque
+    # ArrowVectorAccessor error.  raise_error keeps it ONE job — an
+    # up-front .first() probe would recompute the whole encoding.
+    guard = F.when(
+        F.size(codes_col) == F.lit(len(qcodes)),
+        hamming_expr(codes_col, qcodes),
+    ).otherwise(F.raise_error(F.concat(
+        F.lit("stored codes have "), F.size(codes_col).cast("string"),
+        F.lit(f" words but this config produces {len(qcodes)} "
+              "(hash_bits/num_tables mismatch)"))).cast("long"))
     return (
         encrypted.select(
             F.col(id_col).alias("id"),
-            hamming_expr(codes_col, qcodes).alias("hamming_distance"),
+            guard.alias("hamming_distance"),
         )
         .withColumn(
             "estimated_similarity",

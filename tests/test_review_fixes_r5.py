@@ -626,9 +626,9 @@ def test_encrypted_search_rejects_config_mismatch(spark):
     df = spark.createDataFrame(
         [("a", [1.0] * 8)], "id string, vector array<float>")
     enc = encrypt_vectors(df, EncryptionConfig(8, 32, 2, 7))
-    with pytest.raises(EncryptedSearchError):
+    with pytest.raises(Exception, match="hash_bits/num_tables mismatch"):
         encrypted_search(enc, [1.0] * 8,
-                         EncryptionConfig(8, 64, 2, 7), k=1)
+                         EncryptionConfig(8, 64, 2, 7), k=1).collect()
 
 
 # ------------------------------------------------- observability ---
