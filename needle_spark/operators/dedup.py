@@ -51,8 +51,20 @@ MINHASH_PRIME = (1 << 31) - 1
 def exact_duplicate_groups(
     df: DataFrame, cols: Sequence[str], id_col: str = "id"
 ) -> DataFrame:
-    """Groups of rows identical on `cols`: (group_hash, cnt, ids)."""
-    h = F.sha2(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]), 256)
+    """Groups of rows identical on `cols`: (group_hash, cnt, ids).
+
+    Hashing is per-column over (null flag, value), composed from the
+    fixed-width per-column digests: concat_ws alone SKIPS nulls and is
+    ambiguous when a value contains the separator, which reported
+    distinct rows as duplicates (a dedup pipeline would then destroy
+    real documents)."""
+    parts = [
+        F.sha2(F.when(F.col(c).isNull(), F.lit("\x00"))
+               .otherwise(F.concat(F.lit("v:"),
+                                   F.col(c).cast("string"))), 256)
+        for c in cols
+    ]
+    h = F.sha2(F.concat(*parts) if len(parts) > 1 else parts[0], 256)
     return (
         df.groupBy(h.alias("group_hash"))
         .agg(F.count(F.lit(1)).alias("cnt"), F.sort_array(F.collect_list(id_col)).alias("ids"))
@@ -173,6 +185,15 @@ def ngram_jaccard_pairs(
             .select("__g")
         )
         e = e.join(F.broadcast(hot), "__g")
+        # sizes must be recomputed over the SURVIVING shingles: the
+        # pre-prune sizes in the denominator deflate jaccard for any
+        # pair whose overlap contains a pruned shingle — the result is
+        # then exact jaccard in the pruned universe, matching the
+        # docstring's guarantee
+        from pyspark.sql import Window as _W
+
+        e = e.withColumn(
+            "__sz", F.count(F.lit(1)).over(_W.partitionBy(id_col)))
     a = e.select(F.col(id_col).alias("id1"), F.col("__sz").alias("__s1"), "__g")
     b = e.select(F.col(id_col).alias("id2"), F.col("__sz").alias("__s2"), "__g")
     inter = (
@@ -582,6 +603,12 @@ def simhash_candidates(
     16-bit blocks (pigeonhole: any pair within hamming distance
     `bands-1` must share a block), verified by exact hamming distance.
 
+    Recall contract: candidates are COMPLETE only for pairs within
+    hamming <= bands-1; a larger `max_hamming` still verifies exactly
+    but may miss pairs whose differing bits spread across every block
+    (standard banded-LSH semantics — raise `bands` for completeness at
+    higher distances, at quadratic bucket cost).
+
     impl='arrow' hashes tokens in a numpy kernel; impl='expr' stays in
     pure JVM expressions (xxhash64 family); impl='md5' uses the
     md5-derived hash whose bit-identical twin exists in DuckDB (the
@@ -818,9 +845,19 @@ def blockpair_neardup_pairs(
         D = _distance_matrix(V[li], V[rj], metric)
         ri, qi = np.where(D <= threshold)
         id1, id2 = ids[li][ri], ids[rj][qi]
-        keep = id1 < id2
-        return pd.DataFrame({
-            "id1": id1[keep], "id2": id2[keep], "distance": D[ri[keep], qi[keep]],
-        })
+        if gi == gj:
+            # self-block: each unordered pair appears twice in the
+            # oriented matrix; id1 < id2 keeps exactly one copy
+            keep = id1 < id2
+            lo, hi, dist = id1[keep], id2[keep], D[ri[keep], qi[keep]]
+        else:
+            # cross-block: each unordered pair appears ONCE, in
+            # whatever orientation the block hash dealt — filtering
+            # id1 < id2 here silently dropped ~half of all
+            # cross-block pairs.  Normalize instead.
+            lo = np.where(id1 < id2, id1, id2)
+            hi = np.where(id1 < id2, id2, id1)
+            dist = D[ri, qi]
+        return pd.DataFrame({"id1": lo, "id2": hi, "distance": dist})
 
     return replicated.groupBy("gi", "gj").applyInPandas(verify, schema)

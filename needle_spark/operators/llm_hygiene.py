@@ -295,12 +295,18 @@ def stratified_sample_sql(
     default_fraction: float = 0.0,
     select: str = "*",
 ) -> str:
-    """DuckDB twin of stratified_sample (same md5-threshold rule)."""
+    """DuckDB twin of stratified_sample (same md5-threshold rule).
+    Strata keys are DATA: quote-escape them or a key like "o'reilly"
+    breaks (or alters) the generated SQL."""
+    def q(x: str) -> str:
+        return str(x).replace("'", "''")
+
     cases = " ".join(
-        f"WHEN {strata_col} = '{k}' THEN {float(v)!r}" for k, v in fractions.items()
+        f"WHEN {strata_col} = '{q(k)}' THEN {float(v)!r}"
+        for k, v in fractions.items()
     )
     frac = f"CASE {cases} ELSE {float(default_fraction)!r} END"
-    key = f"concat_ws(':', '{seed}', {strata_col}, CAST({key_col} AS VARCHAR))"
+    key = f"concat_ws(':', '{q(seed)}', {strata_col}, CAST({key_col} AS VARCHAR))"
     u = (f"CAST(('0x' || substr(md5({key}), 1, 8))::UBIGINT AS DOUBLE)"
          f" / {float(1 << 32)!r}")
     return f"SELECT {select} FROM {table} WHERE {u} < {frac}"

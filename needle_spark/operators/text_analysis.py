@@ -29,6 +29,30 @@ _LANGS = tuple(LANG_STOPWORDS)
 # non-space symbols (a cheap proxy for byte-pair vocab boundaries)
 BPE_TOKEN_RE = "[a-z0-9]+|[^a-z0-9\\s]"
 
+# one shared, growable modular-powers array: powers(n) is its length-n
+# SUFFIX (the array is descending, ending at b^0), so all document
+# lengths share ONE allocation — a per-length dict cached a full int64
+# array per distinct length and grew without bound in long-lived
+# executor workers
+_POW_ARR = None
+
+
+def _modular_powers(n: int):
+    import numpy as np
+
+    global _POW_ARR
+    cur = _POW_ARR
+    if cur is None or len(cur) < n:
+        m = max(n, 2 * (len(cur) if cur is not None else 2048))
+        out = np.empty(m, dtype=np.int64)
+        acc = 1
+        for i in range(m - 1, -1, -1):
+            out[i] = acc
+            acc = (acc * FINGERPRINT_BASE) % FINGERPRINT_MOD
+        _POW_ARR = out
+        cur = out
+    return cur[len(cur) - n:]
+
 
 def word_count_expr(text_col: Column | str) -> Column:
     """Whitespace word count."""
@@ -183,22 +207,16 @@ def text_profile_arrow(
 
     p, b = FINGERPRINT_MOD, FINGERPRINT_BASE
     split_re = re.compile(TOKEN_SPLIT_RE)
-    ws_re = re.compile(r"\s+")
-    bpe_re = re.compile(BPE_TOKEN_RE)
+    # re.ASCII: the expression pipeline's Java \s (and DuckDB's RE2)
+    # are ASCII-only — Python's Unicode \s would count an NBSP as a
+    # word boundary and break the documented value-parity with the
+    # expression path on web-scraped text
+    ws_re = re.compile(r"\s+", re.ASCII)
+    bpe_re = re.compile(BPE_TOKEN_RE, re.ASCII)
     strip_re = re.compile("[^a-z0-9]")
     lang_sets = {lang: frozenset(ws) for lang, ws in LANG_STOPWORDS.items()}
     en_set = lang_sets["en"]
-    pow_cache: dict[int, np.ndarray] = {}
-
-    def powers(n: int) -> np.ndarray:
-        if n not in pow_cache:
-            out = np.empty(n, dtype=np.int64)
-            acc = 1
-            for i in range(n - 1, -1, -1):
-                out[i] = acc
-                acc = (acc * b) % p
-            pow_cache[n] = out
-        return pow_cache[n]
+    powers = _modular_powers
 
     id_type = docs.schema[id_col].dataType
     schema = T.StructType([
@@ -265,19 +283,9 @@ def fingerprint_udf():
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    p, b = FINGERPRINT_MOD, FINGERPRINT_BASE
-    pow_cache: dict[int, "np.ndarray"] = {}
+    p = FINGERPRINT_MOD
     strip = re.compile("[^a-z0-9]")
-
-    def powers(n: int):
-        if n not in pow_cache:
-            out = np.empty(n, dtype=np.int64)
-            acc = 1
-            for i in range(n - 1, -1, -1):
-                out[i] = acc
-                acc = (acc * b) % p
-            pow_cache[n] = out
-        return pow_cache[n]
+    powers = _modular_powers
 
     @pandas_udf("long")
     def _fp(texts: pd.Series) -> pd.Series:

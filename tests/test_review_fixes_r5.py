@@ -777,3 +777,77 @@ def test_session_prepare_preserves_statements():
     # OFFSET without LIMIT: the grammar needs LIMIT first
     out = sess.prepare("SELECT * FROM docs OFFSET 5")
     assert "LIMIT 10 OFFSET 5" in out
+
+
+# -------------------------------------------------- LLM pipeline ---
+
+def test_blockpair_neardup_finds_cross_block_pairs(spark):
+    import itertools
+
+    import numpy as np
+
+    from needle_spark.operators.dedup import blockpair_neardup_pairs
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((12, 4)) * 0.01  # all mutually close
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(12)],
+        "id long, vector array<float>")
+    got = {(r["id1"], r["id2"]) for r in blockpair_neardup_pairs(
+        df, threshold=10.0, metric="euclidean", num_blocks=4).collect()}
+    want = set(itertools.combinations(range(12), 2))
+    assert got == want  # 66 pairs; the old orientation filter lost ~20
+
+
+def test_exact_groups_null_and_separator_safe(spark):
+    from needle_spark.operators.dedup import exact_duplicate_groups
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, None, "a"),
+         (3, "a\x1fb", "c"), (4, "a", "b\x1fc"),
+         (5, "same", "same"), (6, "same", "same")],
+        "id long, x string, y string")
+    groups = exact_duplicate_groups(df, ["x", "y"], id_col="id").collect()
+    assert len(groups) == 1 and sorted(groups[0]["ids"]) == [5, 6]
+
+
+def test_text_profile_arrow_ascii_whitespace(spark):
+    from needle_spark.operators.text_analysis import (
+        bpe_token_count_expr, text_profile_arrow, word_count_expr)
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "hello world and more words here now ok fine "
+             "extra tokens to make this realistic")],
+        "id long, text string")
+    expr = df.select(
+        word_count_expr(F.col("text")).alias("w"),
+        bpe_token_count_expr(F.col("text")).alias("b")).first()
+    arrow = text_profile_arrow(df, id_col="id").select(
+        "word_cnt", "bpe_cnt").first()
+    assert (arrow["word_cnt"], arrow["bpe_cnt"]) == \
+        (expr["w"], expr["b"])
+
+
+def test_pruned_jaccard_uses_pruned_universe(spark):
+    from needle_spark.operators.dedup import ngram_jaccard_pairs
+
+    # two docs: 8 shared shingle-words + boilerplate shared by many
+    boiler = "the quick brown fox jumps over the lazy dog again"
+    docs = [(i, boiler) for i in range(10)]
+    docs += [(100, boiler + " alpha beta gamma delta"),
+             (101, boiler + " alpha beta gamma delta")]
+    df = spark.createDataFrame(docs, "id long, text string")
+    pairs = {(r["id1"], r["id2"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(
+                 df, id_col="id", threshold=0.9,
+                 max_shingle_df=5).collect()}
+    # in the pruned universe 100/101 are identical -> jaccard 1.0
+    assert pairs.get((100, 101)) == 1.0
+
+
+def test_stratified_sql_escapes_quotes():
+    from needle_spark.operators.llm_hygiene import stratified_sample_sql
+
+    sql = stratified_sample_sql("t", "src", {"o'reilly": 0.5})
+    assert "o''reilly" in sql
