@@ -83,7 +83,10 @@ def bm25_scores(
         q_terms = [porter_stem(t) for t in q_terms]
     spark = docs.sparkSession
     if not q_terms:
-        return spark.createDataFrame([], f"{id_col} string, {score_col} double")
+        # preserve the input's id TYPE: hardcoding string made the
+        # empty-path schema diverge (union errors, coerced join keys)
+        id_t = docs.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame([], f"{id_col} {id_t}, {score_col} double")
 
     qcounts = Counter(q_terms)
     terms = sorted(qcounts)
@@ -246,7 +249,9 @@ class Bm25Index:
         qcounts = self._q_terms(query_text)
         spark = self.postings.sparkSession
         if not qcounts:
-            return spark.createDataFrame([], f"{self.id_col} string, {score_col} double")
+            id_t = self.postings.schema[self.id_col].dataType.simpleString()
+            return spark.createDataFrame(
+                [], f"{self.id_col} {id_t}, {score_col} double")
         qmap = F.create_map(*[
             F.lit(x) for t, c in sorted(qcounts.items()) for x in (t, float(c))
         ])
@@ -332,6 +337,11 @@ def duckdb_bm25_sql(
     """DuckDB oracle twin of bm25_scores (unstemmed)."""
     q_terms = tokenize_py(query_text, stop_words=stop_words)
     qcounts = Counter(q_terms)
+    if not qcounts:
+        # bm25_scores returns an empty frame here; 'IN ()'/'VALUES '
+        # would be a DuckDB parse error, diverging exactly on the edge
+        return (f"SELECT {id_col}, CAST(NULL AS DOUBLE) AS {score_col} "
+                f"FROM {table} WHERE FALSE")
     terms_in = ", ".join(f"'{t}'" for t in sorted(qcounts))
     qvalues = ", ".join(f"('{t}', {float(c)!r})" for t, c in sorted(qcounts.items()))
     tok = duckdb_tokenize_sql(text_col, stop_words=stop_words)
@@ -377,7 +387,8 @@ def rrf_fuse(
     Output: (id, score, vector_score, bm25_score, vector_rank, bm25_rank),
     ordered by fused score desc then id.
     """
-    v_rank_w = Window.orderBy(F.col(distance_col).asc(), F.col(id_col).asc())
+    v_rank_w = Window.orderBy(F.col(distance_col).asc_nulls_last(),
+                              F.col(id_col).asc())
     vr = vector_results.select(
         F.col(id_col),
         (F.lit(1.0) / (F.lit(1.0) + F.col(distance_col))).alias("vector_score"),
@@ -491,7 +502,8 @@ def rerank_by_field(
 ) -> DataFrame:
     """RERANK BY field: take top-fetch_k by distance, reorder by a
     metadata field, keep k (query_lang/ast.rs:205-225)."""
-    top = results.orderBy(F.col(distance_col).asc(), F.col(id_col).asc()).limit(fetch_k)
+    top = results.orderBy(F.col(distance_col).asc_nulls_last(),
+                          F.col(id_col).asc()).limit(fetch_k)
     key = F.col(field).desc() if descending else F.col(field).asc()
     return top.orderBy(key, F.col(id_col).asc()).limit(k)
 

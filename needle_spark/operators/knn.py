@@ -107,10 +107,15 @@ def knn(
         # then truncate to k (pipeline.rs:277-301) — deliberately different
         # from pre-filtering.
         fetch = k * max(post_filter_factor, 1)
-        out = out.orderBy(F.col(distance_col).asc(), F.col(id_col).asc()).limit(fetch)
+        # asc_nulls_last: a null/ragged vector evaluates to NULL
+        # distance, and Spark's plain asc is NULLS FIRST — malformed
+        # rows would displace the real nearest neighbors
+        out = out.orderBy(F.col(distance_col).asc_nulls_last(),
+                          F.col(id_col).asc()).limit(fetch)
         out = out.filter(_pred(df, post_filter, meta_col))
 
-    return out.orderBy(F.col(distance_col).asc(), F.col(id_col).asc()).limit(k)
+    return out.orderBy(F.col(distance_col).asc_nulls_last(),
+                       F.col(id_col).asc()).limit(k)
 
 
 def radius_search(
@@ -164,11 +169,22 @@ def batch_knn(
     q = queries.select(
         F.col(query_id_col), F.col(query_vector_col).alias("__q_vec")
     )
+    # enforce the single-query contract (validate_query_vector /
+    # pipeline.rs:450-458) in-plan on the small queries side: a NaN/Inf
+    # or null query must raise, not silently return id-ordered junk
+    bad_q = (F.col("__q_vec").isNull()
+             | F.exists(F.col("__q_vec"),
+                        lambda x: F.isnan(x) | (F.abs(x)
+                                                == float("inf"))))
+    q = q.withColumn(
+        "__q_vec",
+        F.when(~bad_q, F.col("__q_vec")).otherwise(F.raise_error(F.lit(
+            "query vector is null or contains NaN/Inf"))))
     scored = d.join(F.broadcast(q)).withColumn(
         distance_col, distance_expr(metric, F.col("__doc_vec"), F.col("__q_vec"))
     )
     w = Window.partitionBy(query_id_col).orderBy(
-        F.col(distance_col).asc(), F.col(doc_id_col).asc()
+        F.col(distance_col).asc_nulls_last(), F.col(doc_id_col).asc()
     )
     return (
         scored.withColumn(rank_col, F.row_number().over(w))
@@ -245,6 +261,12 @@ def recommend(
         dims = len(vecs[0])
         return [sum(float(v[i]) for v in vecs) / len(vecs) for i in range(dims)]
 
+    if not positive_ids:
+        raise ValueError("recommend() requires at least one positive "
+                         "example id")
+    dims = {len(by_id[i]) for i in ids}
+    if len(dims) > 1:
+        raise ValueError(f"example vectors have mixed dims: {sorted(dims)}")
     pos = mean([by_id[i] for i in positive_ids])
     neg = mean([by_id[i] for i in negative_ids])
     qv = [p - (neg[j] if neg else 0.0) for j, p in enumerate(pos)]

@@ -128,8 +128,12 @@ def chunk_paragraphs_expr(text: Column | str,
     paras = F.split(t, r"\n\n")
     m = F.lit(int(max_paragraphs))
     starts = F.sequence(F.lit(0), F.greatest(F.size(paras) - 1, F.lit(0)), m)
-    return F.transform(
+    chunks = F.transform(
         starts, lambda i: F.array_join(F.slice(paras, i + 1, m), "\n\n"))
+    # blank documents must not emit whitespace chunks (every other
+    # strategy trims and drops empties; an embedded '' chunk becomes a
+    # zero vector polluting retrieval)
+    return F.filter(chunks, lambda c: F.trim(c) != "")
 
 
 def chunk_hierarchical_expr(text: Column | str,
@@ -450,7 +454,9 @@ def build_citations(rows: list, text_key: str = "chunk") -> list[dict]:
 def multi_query_search(df: DataFrame, query_vectors: Sequence[Sequence[float]],
                        k: int = 10, merge: str = "rrf", rrf_k: float = 60.0,
                        metric: str = "cosine", fetch_k: int | None = None,
-                       vector_col: str = "vector", id_col: str = "id") -> DataFrame:
+                       vector_col: str = "vector", id_col: str = "id",
+                       filter: dict | None = None,
+                       meta_col: str | None = None) -> DataFrame:
     """Fuse top-k results of several query expansions in ONE Spark job:
     the expansions ride the existing fused batch-kNN broadcast join,
     then a single aggregation merges.
@@ -470,7 +476,8 @@ def multi_query_search(df: DataFrame, query_vectors: Sequence[Sequence[float]],
     q = spark.createDataFrame(
         [(i, [float(x) for x in v]) for i, v in enumerate(query_vectors)],
         "query_id int, vector array<float>")
-    per_q = batch_knn(df, q, k=fetch, metric=metric,
+    per_q = batch_knn(df, q, k=fetch, metric=metric, filter=filter,
+                      meta_col=meta_col,
                       doc_vector_col=vector_col, doc_id_col=id_col)
     if merge == "rrf":
         fused = per_q.groupBy(id_col).agg(
@@ -661,8 +668,13 @@ class RagPipeline:
         df = self.collection.df()
         if queries:
             vecs = [self.embed_fn(q) for q in queries]
+            # the filter must constrain the EXPANSION search too: fusing
+            # an unfiltered pool first would intersect a selective
+            # filter with <= fetch global ids and return few/zero
+            # chunks even when many matching chunks exist
             fused = multi_query_search(df, vecs, k=fetch, merge=merge,
-                                       fetch_k=fetch)
+                                       fetch_k=fetch, filter=filter,
+                                       meta_col="metadata")
             ids = [r["id"] for r in fused.collect()]
             base = df.filter(F.col("id").isin(ids))
             qv = self.embed_fn(query_text)
@@ -706,7 +718,8 @@ class RagPipeline:
                            cfg.dedup_threshold for s in kept):
                     kept.append(r)
             rows = kept
-        rows = rows[: cfg.top_k]
+        n_after_dedup = len(rows)  # BEFORE the top_k cut, or dedup
+        rows = rows[: cfg.top_k]   # effectiveness is unobservable
         context, kept_idx = assemble_context(
             rows, cfg.context_strategy, cfg.max_context_tokens,
             **cfg.context_params)
@@ -715,7 +728,7 @@ class RagPipeline:
             citations=build_citations([rows[i] for i in kept_idx]),
             metadata={
                 "chunks_retrieved": n_retrieved,
-                "chunks_after_dedup": len(rows),
+                "chunks_after_dedup": n_after_dedup,
                 "total_latency_ms": (time.time() - t0) * 1000.0,
             })
         if self.cache:

@@ -43,7 +43,10 @@ def mmr_diversify(
     top-fetch_k candidate DataFrame (with vectors); the greedy loop runs
     driver-side over <= fetch_k rows.
     """
-    rows = candidates.select(id_col, vector_col, distance_col).collect()
+    cols = [id_col, vector_col]
+    if distance_col in candidates.columns:
+        cols.append(distance_col)  # passed through for the caller
+    rows = candidates.select(*cols).collect()
     if not rows:
         return []
     q = np.asarray(query_vector, dtype=np.float64)
@@ -185,8 +188,12 @@ def ensemble_rerank(
         .orderBy(F.col(out_col).desc(), F.col(id_col).asc())
         .limit(top_k)
     )
-    # the payload join does not preserve sort order — re-rank after it
-    return fused.join(results, id_col, "left").orderBy(
+    # the payload join does not preserve sort order — re-rank after
+    # it.  A payload column named like out_col (BM25 results carry
+    # 'score') would make that orderBy ambiguous: the fused score wins.
+    payload = results.drop(out_col) if out_col in results.columns \
+        else results
+    return fused.join(payload, id_col, "left").orderBy(
         F.col(out_col).desc(), F.col(id_col).asc())
 
 

@@ -851,3 +851,86 @@ def test_stratified_sql_escapes_quotes():
 
     sql = stratified_sample_sql("t", "src", {"o'reilly": 0.5})
     assert "o''reilly" in sql
+
+
+# -------------------------------------------------- core search ---
+
+def test_knn_null_vectors_rank_last(spark):
+    from needle_spark.operators.knn import batch_knn, knn
+
+    df = spark.createDataFrame(
+        [("good1", [1.0, 0.0]), ("good2", [0.9, 0.1]),
+         ("nullv", None), ("ragged", [1.0, 0.0, 0.0])],
+        "id string, vector array<float>")
+    got = [r["id"] for r in knn(df, [1.0, 0.0], k=2).collect()]
+    assert got == ["good1", "good2"]  # malformed rows must not win
+
+    q = spark.createDataFrame([(0, [1.0, 0.0])],
+                              "query_id int, vector array<float>")
+    got = [r["id"] for r in batch_knn(df, q, k=2).collect()]
+    assert got == ["good1", "good2"]
+
+
+def test_batch_knn_rejects_nan_query(spark):
+    from needle_spark.operators.knn import batch_knn
+
+    df = spark.createDataFrame([("a", [1.0, 0.0])],
+                               "id string, vector array<float>")
+    q = spark.createDataFrame([(0, [float("nan"), 0.0])],
+                              "query_id int, vector array<float>")
+    with pytest.raises(Exception, match="NaN"):
+        batch_knn(df, q, k=1).collect()
+
+
+def test_recommend_validates_examples(spark):
+    from needle_spark.operators.knn import recommend
+
+    df = spark.createDataFrame(
+        [("p", [1.0, 0.0]), ("n", [0.0, 1.0])],
+        "id string, vector array<float>")
+    with pytest.raises(ValueError, match="positive"):
+        recommend(df, positive_ids=[], negative_ids=["n"])
+
+
+def test_rag_multiquery_respects_filter(spark, tmp_path):
+    import json as _json
+
+    from needle_spark.operators.rag import RagConfig, RagPipeline
+
+    db = Database(spark, str(tmp_path / "ragdb"))
+    pipe = RagPipeline(db, RagConfig(collection_name="rag",
+                                     dimensions=16, top_k=3))
+    docs = spark.createDataFrame(
+        [(f"doc{i}",
+          f"shared retrieval words appear here in variant {i} "
+          f"with extra tokens")
+         for i in range(50)], "id string, text string")
+    pipe.ingest_documents(docs)
+    resp = pipe.query("shared retrieval words",
+                      filter={"document_id": "doc7"},
+                      queries=["shared retrieval", "retrieval words"])
+    assert resp.chunks  # the filter constrained the EXPANSION search
+    for ch in resp.chunks:
+        assert _json.loads(ch["metadata"])["document_id"] == "doc7"
+
+
+def test_bm25_empty_query_preserves_id_type(spark):
+    from needle_spark.operators.hybrid import bm25_scores
+
+    df = spark.createDataFrame([(1, "hello world")],
+                               "id long, text string")
+    out = bm25_scores(df, "the a of")  # all stop words
+    assert out.schema["id"].dataType.simpleString() == "bigint"
+    assert out.count() == 0
+
+
+def test_duckdb_bm25_sql_empty_query_is_valid():
+    import duckdb
+
+    from needle_spark.operators.hybrid import duckdb_bm25_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id INT, text VARCHAR)")
+    con.execute("INSERT INTO documents VALUES (1, 'x')")
+    rows = con.execute(duckdb_bm25_sql("the a of")).fetchall()
+    assert rows == []
