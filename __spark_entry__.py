@@ -767,24 +767,25 @@ SELECT id1, id2, jaccard FROM (
 
 
 def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # no oracle: DuckDB lacks xxhash64; verified by pytest vs exact
-    # jaccard and by the (1,4)-identical-text invariant instead.
-    from needle_spark.operators.dedup import simhash_candidates
-
-    docs = _t(spark, sf_dir, "documents")
-    return simhash_candidates(docs, id_col="doc_id", text_col="text", max_hamming=8)
-
-
-def _simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ORACLE-CHECKABLE simhash tier (round 5): identical banding/
-    hamming algorithm, md5-derived 64-bit token hash that DuckDB
-    reproduces bit-identically (('0x'||substr(md5,1,16))::UBIGINT).
-    Production default stays xxhash64 (simhash_candidates above)."""
+    """Registered simhash runs the md5-derived 64-bit token-hash family
+    (round 6, VERDICT-r5 ask #1b): identical banding/hamming algorithm,
+    and DuckDB reproduces the hash bit-identically
+    (('0x'||substr(md5,1,16))::UBIGINT), so the driver gate gets a full
+    rows+schema+hash row instead of `no_oracle`.  The xxhash64 family
+    remains the library performance default (one JVM hash vs four md5
+    substrings per token) and is pinned by pytest golden signatures +
+    result-identity vs this md5 twin (tests/test_dedup.py)."""
     from needle_spark.operators.dedup import simhash_candidates
 
     docs = _t(spark, sf_dir, "documents")
     return simhash_candidates(docs, id_col="doc_id", text_col="text",
                               max_hamming=8, impl="md5")
+
+
+def _simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alias kept for artifact continuity with CORRECTNESS_r05 — same
+    plan as `simhash_candidates` above."""
+    return _simhash(spark, sf_dir)
 
 
 _SIMHASH_MD5_SQL = """
@@ -3605,9 +3606,10 @@ def oracle_sql() -> dict[str, str]:
         # exact pair set unless a banding miss occurs (p ~ 1e-22 at the
         # planted pairs' j~0.99) — same oracle.
         "minhash_lsh_dedup": _jaccard_oracle_sql(0.6),
-        # simhash_candidates: no oracle (xxhash64 has no DuckDB twin);
-        # simhash_md5_pairs is the same algorithm over the md5 hash
-        # family, which DuckDB reproduces bit-identically
+        # simhash now registers the md5-derived hash family (round 6),
+        # which DuckDB reproduces bit-identically — full oracle row;
+        # the xxhash64 perf family stays pytest-pinned in the library
+        "simhash_candidates": _SIMHASH_MD5_SQL,
         "simhash_md5_pairs": _SIMHASH_MD5_SQL,
         "embedding_neardup": _embedding_neardup_sql(),
         "decontaminate": __import__(

@@ -297,14 +297,15 @@ def main() -> None:
     from needle_spark.operators.llm_hygiene import decontaminate
 
     SCALE = 4
+    SCALE10 = 10  # VERDICT r5 ask #5: a 10x linearity point as well
     parts = [docs_base := spark.read.parquet(f"{SF_DIR}/documents.parquet")]
-    for r in range(1, SCALE):
+    for r in range(1, SCALE10):
         parts.append(
             docs_base.withColumn("doc_id", F.col("doc_id") + F.lit(r * 1_000_000))
             .withColumn("text", F.regexp_replace("text", r"(\S+)", f"v{r}x$1"))
         )
     docs_4x = parts[0]
-    for p in parts[1:]:
+    for p in parts[1:SCALE]:
         docs_4x = docs_4x.unionByName(p)
     docs_4x = docs_4x.repartition(32).persist()
     n_docs_4x = docs_4x.count()  # materialize outside the timed window
@@ -325,6 +326,18 @@ def main() -> None:
         repeats=2)
     docs_4x.unpersist()
 
+    docs_10x = parts[0]
+    for p in parts[1:SCALE10]:
+        docs_10x = docs_10x.unionByName(p)
+    docs_10x = docs_10x.repartition(32).persist()
+    n_docs_10x = docs_10x.count()
+    run("minhash_lsh_dedup_10x",
+        lambda: minhash_lsh_candidates(
+            docs_10x, id_col="doc_id", text_col="text", n=3,
+            verify_threshold=0.6).collect(),
+        repeats=2)
+    docs_10x.unpersist()
+
     # ANN semantic-dedup scaling point: embeddings replicated under
     # per-replica Walsh SIGN patterns — orthogonal transforms, so every
     # within-replica pair distance is preserved EXACTLY while replicas
@@ -337,22 +350,25 @@ def main() -> None:
     from needle_spark.operators.dedup import embedding_neardup_pairs
 
     def _walsh_flip(r):
-        # flip sign where popcount(i & r) is odd (r in 1..3)
+        # flip sign where popcount(i & r) is odd (r in 1..15, 4 bits
+        # over the 64-dim index — replicas stay pairwise orthogonal)
         return F.transform(
             F.col("embedding"),
             lambda x, i: F.when(
                 ((i % 2) * (r & 1)
-                 + ((i / 2).cast("int") % 2) * ((r >> 1) & 1)) % 2 == 1,
+                 + ((i / 2).cast("int") % 2) * ((r >> 1) & 1)
+                 + ((i / 4).cast("int") % 2) * ((r >> 2) & 1)
+                 + ((i / 8).cast("int") % 2) * ((r >> 3) & 1)) % 2 == 1,
                 -x).otherwise(x))
 
     emb_base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     eparts = [emb_base]
-    for r in range(1, SCALE):
+    for r in range(1, SCALE10):
         eparts.append(
             emb_base.withColumn("vec_id", F.col("vec_id") + F.lit(r * 10_000_000))
             .withColumn("embedding", _walsh_flip(r)))
     emb_4x = eparts[0]
-    for p in eparts[1:]:
+    for p in eparts[1:SCALE]:
         emb_4x = emb_4x.unionByName(p)
     emb_4x = emb_4x.repartition(32).persist()
     emb_4x.count()  # materialize outside the timed window
@@ -361,7 +377,35 @@ def main() -> None:
             emb_4x, threshold=0.6, metric="cosine", id_col="vec_id",
             vector_col="embedding", num_cells=4 * 8).collect(),
         repeats=2)
+    # dot-metric near-dup through the ALSH/norm-augmentation cell path
+    # (round 6): the table is unit-norm so threshold -0.4 selects the
+    # SAME pair set as cosine 0.6 — ratio vs the cosine row reads the
+    # reduction's overhead directly, and the 4x ratio reads linearity
+    run("embedding_neardup_dot_4x",
+        lambda: embedding_neardup_pairs(
+            emb_4x, threshold=-0.4, metric="dot", id_col="vec_id",
+            vector_col="embedding", num_cells=4 * 8).collect(),
+        repeats=2)
     emb_4x.unpersist()
+    emb_1x = emb_base.repartition(32).persist()
+    emb_1x.count()
+    run("embedding_neardup_dot",
+        lambda: embedding_neardup_pairs(
+            emb_1x, threshold=-0.4, metric="dot", id_col="vec_id",
+            vector_col="embedding", num_cells=8).collect(),
+        repeats=2)
+    emb_1x.unpersist()
+    emb_10x = eparts[0]
+    for p in eparts[1:SCALE10]:
+        emb_10x = emb_10x.unionByName(p)
+    emb_10x = emb_10x.repartition(32).persist()
+    emb_10x.count()
+    run("embedding_neardup_10x",
+        lambda: embedding_neardup_pairs(
+            emb_10x, threshold=0.6, metric="cosine", id_col="vec_id",
+            vector_col="embedding", num_cells=10 * 8).collect(),
+        repeats=2)
+    emb_10x.unpersist()
 
     # repeated-query BM25 throughput on a built index (10 queries)
     from needle_spark.operators.hybrid import Bm25Index
@@ -430,11 +474,19 @@ def main() -> None:
         # linear operators stay near SCALE (=4); quadratic would be ~16
         "minhash_lsh_4x_time_ratio": round(
             timings["minhash_lsh_dedup_4x"] / timings["minhash_lsh_dedup"], 2),
+        "minhash_lsh_10x_time_ratio": round(
+            timings["minhash_lsh_dedup_10x"] / timings["minhash_lsh_dedup"], 2),
         "decontaminate_4x_time_ratio": round(
             timings["decontaminate_4x"] / timings["decontaminate"], 2),
         "embedding_neardup_4x_time_ratio": round(
             timings["embedding_neardup_4x"] / timings["embedding_neardup"], 2),
+        "embedding_neardup_10x_time_ratio": round(
+            timings["embedding_neardup_10x"] / timings["embedding_neardup"], 2),
+        "embedding_neardup_dot_4x_time_ratio": round(
+            timings["embedding_neardup_dot_4x"]
+            / timings["embedding_neardup_dot"], 2),
         "dedup_scale_docs": n_docs_4x,
+        "dedup_scale10_docs": n_docs_10x,
         "bulk_insert_rows_per_sec": round(li_rows / timings["bulk_insert_lineitem"]),
         "lineitem_agg_rows_per_sec": round(li_rows / timings["agg_lineitem"]),
     }
@@ -446,12 +498,35 @@ def main() -> None:
         "derived": derived,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    line = json.dumps(result)
-    # durable copy: the driver tails stdout, which progress spam has
-    # corrupted before — the file survives regardless
+    # durable FULL copy: every timing + derived metric, for the
+    # committed BENCH_LOCAL_r{N}.json artifact
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_LOCAL.json"), "w") as f:
-        f.write(line + "\n")
+        f.write(json.dumps(result) + "\n")
+    # The driver captures only the last ~2000 chars of stdout, so the
+    # stdout line must be COMPACT (VERDICT r4/r5: BENCH_r{4,5}.json both
+    # came back `parsed: null` from head-truncation of the full dump).
+    # Emit derived metrics + a headline subset of per-query timings,
+    # shrinking until the line fits with margin.
+    headline = [
+        "agg_lineitem", "revenue_per_nation", "group_docs_lang",
+        "hybrid_rrf", "bm25_scores", "batch_knn_100",
+        "minhash_lsh_dedup", "ngram_jaccard_pairs", "decontaminate",
+        "embedding_neardup", "simhash_candidates", "text_profile",
+        "gopher_quality", "events_sessionize", "bulk_insert_lineitem",
+        "events_hourly_window", "topk_per_group",
+    ]
+    compact = dict(result)
+    compact["derived"] = dict(derived)
+    compact["queries"] = {k: timings[k] for k in headline if k in timings}
+    compact["queries_full"] = "BENCH_LOCAL.json"
+    line = json.dumps(compact)
+    while len(line) > 1800 and compact["queries"]:
+        compact["queries"].popitem()
+        line = json.dumps(compact)
+    while len(line) > 1800 and compact["derived"]:
+        compact["derived"].popitem()
+        line = json.dumps(compact)
     sys.stdout.flush()
     print(line, flush=True)
 

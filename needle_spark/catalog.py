@@ -45,7 +45,9 @@ import json
 import os
 import re
 import shutil
+import threading
 import time
+import uuid
 from functools import reduce
 from typing import Any
 
@@ -120,7 +122,12 @@ class Collection:
         # and fails if it exists, so of two racing creators exactly one
         # wins and the loser raises instead of silently clobbering the
         # winner's settings (the up-front exists check alone is TOCTOU)
-        tmp = os.path.join(path, f".manifest.create.{os.getpid()}.tmp")
+        # key the tmp by pid AND thread AND a random suffix: two threads
+        # of one process racing create() must not share the tmp path, or
+        # the loser can hard-link the winner's half-written contents
+        tmp = os.path.join(
+            path, f".manifest.create.{os.getpid()}."
+                  f"{threading.get_ident()}.{uuid.uuid4().hex[:8]}.tmp")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         try:

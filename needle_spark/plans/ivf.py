@@ -380,6 +380,8 @@ class IvfBatchKnnIndex:
             self.codes = self.codes.persist()
             self.n_main = self.codes.count()
         self._segments: tuple[str, int] | None = None
+        self._seg_cells: dict[int, np.ndarray] | None = None
+        self._seg_rows: dict[int, int] | None = None
         self._seg_tmp = False
         # incremental state (src/indexing/incremental.rs IncrementalIndex):
         # new rows encode with the FROZEN centroids/quantizer into a delta
@@ -601,17 +603,31 @@ class IvfBatchKnnIndex:
                     v = np.asarray(v, dtype=str)
                 np.save(f"{seg_dir}/meta_{mc}_{pid}.npy", v)
             yield pa.RecordBatch.from_arrays(
-                [pa.array([pid], type=pa.int32()), pa.array([n], type=pa.int64())],
-                names=["pid", "n"])
+                [pa.array([pid], type=pa.int32()),
+                 pa.array([n], type=pa.int64()),
+                 pa.array([cells.astype(np.int64).tolist()],
+                          type=pa.list_(pa.int64()))],
+                names=["pid", "n", "cells"])
 
         import os
 
         os.makedirs(seg_dir, exist_ok=True)
-        rows = self.codes.mapInArrow(write_part, "pid int, n long").collect()
+        rows = self.codes.mapInArrow(
+            write_part, "pid int, n long, cells array<long>").collect()
         # every partition writes a file set (even empty ones), so the
         # serving kernel can treat a missing file as a REAL failure
         # (lost/unshared segment dir) instead of silently skipping
         self._segments = (seg_dir, n_parts, {int(r["pid"]) for r in rows})
+        # driver-side directory of which cells live in which segment and
+        # how many rows each holds — lets a query batch's map stage (a)
+        # skip segments none of its probes touch and (b) size its task
+        # count to the actual probe workload instead of one-task-per-
+        # partition (round 6: scheduling floor was the distributed batch
+        # bottleneck, ~17 ms per no-op task wave at local[32])
+        self._seg_cells = {int(r["pid"]): np.asarray(r["cells"] or [],
+                                                     dtype=np.int64)
+                           for r in rows}
+        self._seg_rows = {int(r["pid"]): int(r["n"]) for r in rows}
         self._seg_decoded = decoded
         self._main_ids_sorted = None
         # crash recovery: local adds WAL'd against this segment dir by
@@ -619,10 +635,27 @@ class IvfBatchKnnIndex:
         self._replay_wal()
         return int(sum(r["n"] for r in rows))
 
+    # target scored rows per serving task: small enough that a task is
+    # tens of ms of BLAS, large enough that the per-task scheduling +
+    # python-worker round trip (~10-20 ms each in local mode) doesn't
+    # dominate.  A 100-query nprobe=6 batch over 1M x 384 is ~1.2M
+    # scored rows -> 2 tasks instead of 32 (the round-5 shape whose
+    # no-op floor alone exceeded the 2x-of-baseline gate).
+    SERVE_ROWS_PER_TASK = 750_000
+
     def _partial_segments(self, q_ids, Q, qid_type, cell2q, k: int) -> DataFrame:
-        """Map stage over one-row partitions: each task mmaps its pinned
-        segment and scores only the cells its queries probe.  Input rows
-        carry no data — the scan never crosses the JVM boundary."""
+        """Map stage over pinned segments: each task mmaps its segments
+        and scores only the cells its queries probe.  Input rows carry
+        no data — the scan never crosses the JVM boundary.
+
+        Two driver-side plan decisions (round 6), both from the pin-time
+        segment directory: segments whose cells no query probes are
+        dropped from the stage entirely (partition pruning for the
+        serving tier — a 1-query call touches nprobe cells' segments,
+        not all of them), and the task count is sized to the probe
+        workload rather than one-task-per-partition (for a batch the
+        work per partition is a few ms of BLAS; the task wave itself was
+        the dominant cost at local[32])."""
         import pyarrow as pa
         from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -642,9 +675,32 @@ class IvfBatchKnnIndex:
         ])
         arrow_schema = to_arrow_schema(out_schema)
 
+        # plan: prune unprobed segments + size the task wave to the work
+        probed = np.flatnonzero(np.asarray(
+            [cell2q[c] is not None and len(cell2q[c]) > 0
+             for c in range(self.nlist)]))
+        spark = self.codes.sparkSession
+        if self._seg_cells is not None:
+            pid_list = [pid for pid in sorted(written)
+                        if np.isin(self._seg_cells.get(pid, ()),
+                                   probed).any()]
+        else:  # pinned by an older build without the directory
+            pid_list = list(range(n_parts))
+        if not pid_list:
+            return spark.createDataFrame([], out_schema)
+        if self._seg_rows:
+            total_rows = sum(self._seg_rows.values())
+            qcell_pairs = sum(len(cell2q[c]) for c in probed)
+            work_rows = qcell_pairs * (total_rows / max(1, self.nlist))
+            n_tasks = min(len(pid_list),
+                          max(1, -(-int(work_rows) // self.SERVE_ROWS_PER_TASK)))
+        else:
+            n_tasks = len(pid_list)
+
         def kernel(batches) -> Iterator:
             for batch in batches:
-                for pid in batch.column(0).to_pylist():
+                for idx in batch.column(0).to_pylist():
+                    pid = pid_list[idx]
                     try:
                         cells = np.load(f"{seg_dir}/cells_{pid}.npy")
                     except FileNotFoundError:
@@ -700,8 +756,8 @@ class IvfBatchKnnIndex:
                         schema=arrow_schema,
                     )
 
-        spark = self.codes.sparkSession
-        return spark.range(0, n_parts, 1, n_parts).mapInArrow(kernel, out_schema)
+        return (spark.range(0, len(pid_list), 1, n_tasks)
+                .mapInArrow(kernel, out_schema))
 
     # -- search ---------------------------------------------------------
     def _prep_queries(self, queries, nprobe: int):
@@ -1652,6 +1708,8 @@ class IvfBatchKnnIndex:
             was_tmp = self._seg_tmp
             was_decoded = getattr(self, "_seg_decoded", False)
             self._segments = None
+            self._seg_cells = None
+            self._seg_rows = None
             self._seg_tmp = False
             # wipe stale segment files (partition count may shrink)
             shutil.rmtree(old_dir, ignore_errors=True)
@@ -1698,3 +1756,5 @@ class IvfBatchKnnIndex:
 
             shutil.rmtree(self._segments[0], ignore_errors=True)
             self._segments = None
+            self._seg_cells = None
+            self._seg_rows = None

@@ -97,8 +97,8 @@ class QueryProfile:
 # Plan-shape hints
 # ===================================================================
 
-def analyze_plan(df: DataFrame, plan_text: str | None = None,
-                 ) -> list[OptimizationHint]:
+def analyze_plan(df: DataFrame, *,
+                 plan_text: str | None = None) -> list[OptimizationHint]:
     """Derive optimization hints from the formatted physical plan —
     the automated version of the PLANS.md audit this repo runs per
     round.  Pure plan-text analysis: no job is executed.  Pass

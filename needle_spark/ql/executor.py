@@ -564,8 +564,16 @@ class QueryExecutor:
         results); function keys (hybrid_score/time_decay) were already
         consumed as fusion/decay configuration."""
         plain = [k for k in stmt.order_by if isinstance(k.expr, str)]
-        ok = {"distance", "score"}
-        if plain and not all(k.expr in ok and not k.desc for k in plain):
+
+        # a key is already the branch's natural order only if it matches
+        # the DIRECTION that branch emits: knn pages arrive distance ASC,
+        # hybrid/BM25 pages arrive score DESC — `ORDER BY score` (ASC by
+        # default) must therefore re-sort, not be swallowed
+        def _natural(k: ast.OrderKey) -> bool:
+            return ((k.expr == "distance" and not k.desc)
+                    or (k.expr == "score" and k.desc))
+
+        if plain and not all(_natural(k) for k in plain):
             missing = [k.expr for k in plain if k.expr not in out.columns]
             if missing:
                 raise ExecError(f"ORDER BY column(s) not in result: "

@@ -234,17 +234,23 @@ class TriggerRegistry:
                     dispatched += int(g["n"] > 0)
         if rows_source is not None:
             prox = [t for t in self._triggers if hasattr(t, "check_batch")]
-            if prox:
-                inserted = [vid for g in groups
-                            if g[op_col] in ("insert", "upsert")
-                            for vid in g["ids"]]
-                if inserted:
-                    rows = rows_source.filter(
-                        F.col(rows_id_col).isin(inserted))
-                    for t in prox:
-                        t.check_batch(collection, rows,
-                                      vector_col=rows_vector_col,
-                                      id_col=rows_id_col)
+            any_inserts = any(g[op_col] in ("insert", "upsert") and g["n"]
+                              for g in groups)
+            if prox and any_inserts:
+                # proximity checks cover EVERY inserted id, not the
+                # capped dispatch sample: semi-join the row source
+                # against the full CDC id set distributedly (the cap
+                # above only bounds per-id driver dispatch, it must not
+                # silently drop alerts for rows beyond it)
+                ins_ids = (cdc_batch
+                           .filter(F.col(op_col).isin("insert", "upsert"))
+                           .select(F.col(id_col).alias(rows_id_col)))
+                rows = rows_source.join(ins_ids, on=rows_id_col,
+                                        how="left_semi")
+                for t in prox:
+                    t.check_batch(collection, rows,
+                                  vector_col=rows_vector_col,
+                                  id_col=rows_id_col)
         return dispatched
 
     def attach_stream(self, spark, collection, checkpoint_dir: str,

@@ -203,7 +203,8 @@ class TransactionManager:
                     cur = colls[n].version
                     contiguous = ours == list(
                         range(ours[0], ours[0] + len(ours)))
-                    if cur == ours[-1] and contiguous                             and ours[0] - 1 == pre_versions[n]:
+                    if (cur == ours[-1] and contiguous
+                            and ours[0] - 1 == pre_versions[n]):
                         colls[n].restore(pre_versions[n], now_ms=now_ms)
                     else:
                         undo_errors.append(

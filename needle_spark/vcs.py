@@ -285,8 +285,9 @@ class CollectionVcs:
             # — reverting over an interleaved foreign commit would
             # silently wipe it.
             coll._manifest = coll._read_manifest()
-            if ours and coll.version == ours[-1]                     and ours == list(range(pre_version + 1,
-                                           pre_version + 1 + len(ours))):
+            if (ours and coll.version == ours[-1]
+                    and ours == list(range(pre_version + 1,
+                                           pre_version + 1 + len(ours)))):
                 coll.restore(pre_version, now_ms=ts)
             raise
         self._staging = []

@@ -282,21 +282,70 @@ def test_embedding_neardup_vs_bruteforce(spark, embeddings, metric, t):
     assert got == want and len(got) > 0
 
 
-def test_embedding_neardup_blockpair_fallback(spark, embeddings):
-    """Dot product is not a metric -> exact distributed block-pair join."""
-    import math
+def test_embedding_neardup_dot_alsh_exact(spark, embeddings):
+    """Dot product rides the grid-cell path through the norm-augmentation
+    (ALSH) reduction (round 6, VERDICT r5 ask #2) and stays EXACT vs
+    brute force — the quadratic block-pair join must NOT be reached."""
+    from unittest import mock
+
+    from needle_spark.operators import dedup as dd
 
     local = [(r["vec_id"], list(r["embedding"])) for r in embeddings.collect()]
-    t = -20.0  # dot 'distance' is -dot(a,b)
+    # dot 'distance' is -dot(a,b); the table is unit-norm so -0.4 keeps
+    # the cosine-0.6 pair set — NON-EMPTY (the old -20.0 threshold was
+    # unsatisfiable on unit vectors and compared empty to empty)
+    t = -0.4
     want = _brute_pairs(local, lambda a, b: -sum(x * y for x, y in zip(a, b)), t)
-    got = {
-        (r["id1"], r["id2"])
-        for r in embedding_neardup_pairs(
+    with mock.patch.object(
+            dd, "blockpair_neardup_pairs",
+            side_effect=AssertionError("dot must use the ALSH cell path")):
+        plan = embedding_neardup_pairs(
             embeddings.repartition(5), threshold=t, metric="dot",
             id_col="vec_id", vector_col="embedding",
-        ).collect()
-    }
-    assert got == want
+        )
+    got = {(r["id1"], r["id2"]) for r in plan.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_embedding_neardup_dot_varied_norms_and_edges(spark):
+    """ALSH reduction correctness where it can actually break: wildly
+    mixed norms (the residual coordinate does the separating work),
+    thresholds near the Cauchy-Schwarz bound (s > M**2 -> provably
+    empty, no scan), and an all-zero table (augmentation undefined ->
+    exact fallback)."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(80):
+        scale = rng.choice([0.1, 1.0, 10.0])
+        rows.append((i, [rng.uniform(-1, 1) * scale for _ in range(8)]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(4)
+    local = [(i, v) for i, v in rows]
+    dot_dist = lambda a, b: -sum(x * y for x, y in zip(a, b))  # noqa: E731
+    for t in (-5.0, -0.5, 0.0, 5.0):
+        want = _brute_pairs(local, dot_dist, t)
+        got = {
+            (r["id1"], r["id2"])
+            for r in embedding_neardup_pairs(
+                df, threshold=t, metric="dot",
+                id_col="vec_id", vector_col="embedding", num_cells=8,
+            ).collect()
+        }
+        assert got == want, f"threshold {t}"
+    # s = -t > M**2: impossible by Cauchy-Schwarz -> empty, cheaply
+    max_sq = max(sum(x * x for x in v) for _, v in local)
+    empty = embedding_neardup_pairs(
+        df, threshold=-(max_sq * 2.0), metric="dot",
+        id_col="vec_id", vector_col="embedding", num_cells=8)
+    assert empty.count() == 0
+    # all-zero vectors: every dot is 0 -> all pairs at threshold >= 0
+    zeros = spark.createDataFrame(
+        [(i, [0.0] * 4) for i in range(5)], ["vec_id", "embedding"])
+    n = embedding_neardup_pairs(
+        zeros, threshold=0.0, metric="dot",
+        id_col="vec_id", vector_col="embedding", num_cells=4).count()
+    assert n == 10  # C(5,2)
 
 
 def test_embedding_neardup_is_distributed(spark, embeddings):
