@@ -287,6 +287,60 @@ def main() -> None:
     timings["insert_single_local_200"] = ins_total
     ivf_idx.unpersist()
 
+    # ann-benchmarks-style row (VERDICT r5 ask #3): SIFT-like integer
+    # descriptors (clustered, Zipf cell occupancy — the distribution
+    # shape real recall curves are made of; see plans/ann_datasets.py)
+    # served by the IVF-Flat float32-code tier at a documented setting.
+    # The full nlist x nprobe grid lives in ANN_RECALL.json /
+    # scripts/ann_benchmark.py; this row pins one point of it per round.
+    from needle_spark.plans.ann_datasets import (
+        exact_ground_truth, sift_like)
+
+    ann_n = 200_000
+    train, ann_q = sift_like(ann_n, n_queries=100)
+    _, ann_gt_d = exact_ground_truth(train, ann_q, k=10,
+                                     return_distances=True)
+    ann_thr = ann_gt_d[:, 9] * (1 + 1e-9) + 1e-6
+
+    def _emit_sift(batches):
+        per = 25_000
+        for b in batches:
+            for pid in b.column(0).to_pylist():
+                s, e = pid * per, min((pid + 1) * per, ann_n)
+                if s >= e:
+                    continue
+                ids = pa.array(np.arange(s, e, dtype=np.int64))
+                flat = pa.array(train[s:e].ravel(), type=pa.float32())
+                offs = pa.array(np.arange(0, (e - s + 1) * 128, 128,
+                                          dtype=np.int32))
+                yield pa.RecordBatch.from_arrays(
+                    [ids, pa.ListArray.from_arrays(offs, flat)],
+                    names=["vec_id", "embedding"])
+
+    sift_df = spark.range(0, (ann_n + 24_999) // 25_000, 1, 8).mapInArrow(
+        _emit_sift, "vec_id long, embedding array<float>")
+    ann_idx = IvfBatchKnnIndex(sift_df, nlist=256, vector_col="embedding",
+                               id_col="vec_id", metric="euclidean",
+                               seed=42, kmeans_max_iter=6,
+                               sample_rows=65536, code_dtype="float32")
+    ann_idx.pin_segments(decoded=True)
+    ann_qids = list(range(100))
+    ann_idx.search_many_local((ann_qids, ann_q), k=10, nprobe=24)  # warm
+    run("ann_siftlike_200k_ivfflat_100q",
+        lambda: ann_idx.search_many_local((ann_qids, ann_q), k=10,
+                                          nprobe=24))
+    ann_res = ann_idx.search_many_local((ann_qids, ann_q), k=10, nprobe=24)
+    ann_hits = []
+    for qi in ann_qids:
+        sub = ann_res[ann_res.query_id == qi]
+        d = np.linalg.norm(
+            train[sub.vec_id.to_numpy()].astype(np.float64)
+            - ann_q[qi].astype(np.float64), axis=1)
+        ann_hits.append(min(10, int((d <= ann_thr[qi]).sum())) / 10.0)
+    ann_recall = round(float(np.mean(ann_hits)), 4)
+    ann_idx.unpersist()
+    del train
+
     # dedup-family scaling point: the same operators on a 4x corpus
     # (documents replicated with per-replica token prefixes, so replicas
     # share NO shingles across copies — corpus and true-pair counts both
@@ -455,6 +509,9 @@ def main() -> None:
         "knn_single_1M384_p50_ms": single_p50,
         "knn_single_1M384_p99_ms": single_p99,
         "knn_single_1M384_recall_at_10": single_recall,
+        "ann_siftlike_recall_at_10": ann_recall,
+        "ann_siftlike_ms_per_query": round(
+            timings["ann_siftlike_200k_ivfflat_100q"] * 10.0, 3),
         "insert_single_local_p50_ms": insert_p50,
         "insert_single_local_p99_ms": insert_p99,
         "knn_filtered_1M384_ms_per_query": round(

@@ -144,6 +144,10 @@ def _compile(doc: Any, r: FieldResolver, depth: int) -> Column:
 def _arr(value: Any, op: str) -> list:
     if not isinstance(value, list):
         raise FilterError(f"{op} must be an array")
+    if not value and op in ("$and", "$or"):
+        # fuzz finding (round 6): {"$and": []} reached _combine's
+        # cols[0] as an IndexError instead of a clean parse error
+        raise FilterError(f"{op} requires at least one clause")
     return value
 
 
@@ -210,9 +214,13 @@ def _op_condition(
         c, lv = _lit_for(col, dt, v)
         return {"$gt": c > lv, "$gte": c >= lv, "$lt": c < lv, "$lte": c <= lv}[op]
     if op == "$in":
-        return col.isin(*_arr(v, "$in"))
+        vals = _arr(v, "$in")
+        # Mongo semantics for the empty set: $in [] matches nothing,
+        # $nin [] matches everything (col.isin() with no args throws)
+        return col.isin(*vals) if vals else F.lit(False)
     if op == "$nin":
-        return ~col.isin(*_arr(v, "$nin"))
+        vals = _arr(v, "$nin")
+        return ~col.isin(*vals) if vals else F.lit(True)
     if op == "$contains":
         if isinstance(dt, T.ArrayType):
             return F.array_contains(col, F.lit(v))

@@ -1,0 +1,125 @@
+"""ANN benchmark datasets (reference: scripts/ann-benchmark-docker/
+run_benchmark.py:16-24 — sift-128-euclidean / glove-200-angular /
+fashion-mnist-784-euclidean over an M x efConstruction x efSearch grid).
+
+Two tiers:
+
+1. `load_ann_benchmarks_hdf5` — the REAL ann-benchmarks loader
+   (standard HDF5 layout: datasets `train`, `test`, `neighbors`,
+   `distances`).  Gated behind h5py, which this container doesn't ship;
+   on a machine with h5py + the downloaded file this is the
+   ann-benchmarks path the reference grades on.
+2. `sift_like` — a deterministic download-free stand-in that mimics
+   what makes SIFT-1M hard for an IVF index and what iid noise lacks:
+   heavy-tailed CLUSTER sizes (Zipf weights), sparse non-negative
+   integer-valued descriptors (uint8-range gradient histograms), and
+   cluster spread comparable to inter-centroid distance.  Uniform-noise
+   corpora flatter ANN recall because every cell is equally populated;
+   this one reproduces the skewed cell-occupancy profile (largest cells
+   hold >100x the median) that real recall curves are made of.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+DATASETS = {
+    "sift-128-euclidean": {
+        "dims": 128, "metric": "euclidean",
+        "url": "http://ann-benchmarks.com/sift-128-euclidean.hdf5"},
+    "glove-200-angular": {
+        "dims": 200, "metric": "cosine",
+        "url": "http://ann-benchmarks.com/glove-200-angular.hdf5"},
+    "fashion-mnist-784-euclidean": {
+        "dims": 784, "metric": "euclidean",
+        "url": "http://ann-benchmarks.com/fashion-mnist-784-euclidean.hdf5"},
+}
+
+
+def load_ann_benchmarks_hdf5(path: str):
+    """(train, test, neighbors) float32/float32/int64 from a standard
+    ann-benchmarks HDF5 file.  Requires h5py (not in this container —
+    install it where the real files are available)."""
+    try:
+        import h5py  # type: ignore[import-not-found]
+    except ImportError as e:  # pragma: no cover - depends on host env
+        raise ImportError(
+            "h5py is required to read ann-benchmarks HDF5 files; "
+            "pip install h5py on a host with network access and "
+            "download e.g. " + DATASETS["sift-128-euclidean"]["url"]
+        ) from e
+    with h5py.File(path, "r") as f:  # pragma: no cover
+        return (np.asarray(f["train"], dtype=np.float32),
+                np.asarray(f["test"], dtype=np.float32),
+                np.asarray(f["neighbors"], dtype=np.int64))
+
+
+def sift_like(n: int, dims: int = 128, n_queries: int = 100,
+              n_clusters: int = 1000, seed: int = 42):
+    """Deterministic SIFT-like corpus: (train (n,dims) float32,
+    queries (n_queries,dims) float32).
+
+    Construction (all public structure facts about SIFT descriptors):
+    - cluster sizes follow a Zipf(1.05) law over `n_clusters` centers —
+      the skewed occupancy real IVF cells see;
+    - centers are sparse non-negative "gradient histograms": ~55% of
+      dims near zero, the rest exponential with mean 60;
+    - points add Laplace noise (scale 10) around their center, clipped
+      to [0, 255] and rounded to integers (SIFT is uint8-valued);
+    - queries are held-out points from the same process (not corpus
+      members), matching ann-benchmarks' disjoint train/test split.
+    """
+    rng = np.random.default_rng(seed)
+    w = 1.0 / np.power(np.arange(1, n_clusters + 1), 1.05)
+    w /= w.sum()
+    centers = rng.exponential(60.0, (n_clusters, dims)).astype(np.float32)
+    centers *= (rng.random((n_clusters, dims)) < 0.45)
+
+    def sample(count: int, r: np.random.Generator) -> np.ndarray:
+        which = r.choice(n_clusters, size=count, p=w)
+        pts = centers[which] + r.laplace(0.0, 10.0, (count, dims))
+        return np.clip(np.rint(pts), 0, 255).astype(np.float32)
+
+    train = sample(n, rng)
+    queries = sample(n_queries, np.random.default_rng(seed + 1))
+    return train, queries
+
+
+def exact_ground_truth(train: np.ndarray, queries: np.ndarray,
+                       k: int = 10, metric: str = "euclidean",
+                       block: int = 200_000,
+                       return_distances: bool = False):
+    """Row indices of the exact top-k per query (ties by index), blocked
+    so the (n, q) distance matrix never materializes whole.  With
+    `return_distances`, also returns the (q, k) true distances
+    (euclidean, not squared) — ann-benchmarks measures recall by
+    distance threshold (a returned point counts if its distance is
+    within the k-th true distance), which is the right definition on
+    integer-valued data where exact distance TIES are common."""
+    q = np.ascontiguousarray(queries, dtype=np.float32)
+    if metric == "cosine":
+        q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    best_d = np.full((len(q), k), np.inf, dtype=np.float64)
+    best_i = np.full((len(q), k), -1, dtype=np.int64)
+    for s in range(0, len(train), block):
+        V = np.ascontiguousarray(train[s:s + block], dtype=np.float32)
+        if metric == "cosine":
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True),
+                                1e-12)
+            D = 1.0 - (q @ Vn.T)
+        else:
+            D = ((q * q).sum(axis=1, keepdims=True)
+                 - 2.0 * (q @ V.T)
+                 + (V * V).sum(axis=1)[None, :])
+        cand_d = np.concatenate([best_d, D], axis=1)
+        cand_i = np.concatenate(
+            [best_i, np.broadcast_to(np.arange(s, s + len(V)),
+                                     (len(q), len(V)))], axis=1)
+        sel = np.argsort(cand_d, axis=1, kind="stable")[:, :k]
+        best_d = np.take_along_axis(cand_d, sel, axis=1)
+        best_i = np.take_along_axis(cand_i, sel, axis=1)
+    if return_distances:
+        d = np.sqrt(np.clip(best_d, 0.0, None)) \
+            if metric != "cosine" else best_d
+        return best_i, d
+    return best_i

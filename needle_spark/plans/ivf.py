@@ -314,7 +314,11 @@ class IvfBatchKnnIndex:
         persist: bool = True,
         cluster_partitions: int | None = None,
         meta_cols: Sequence[str] = (),
+        code_dtype: str = "sq8",
     ):
+        if code_dtype not in ("sq8", "float32"):
+            raise ValueError(
+                f"code_dtype must be 'sq8' or 'float32', got {code_dtype!r}")
         m = metric.lower()
         if m in ("l2",):
             m = "euclidean"
@@ -358,6 +362,20 @@ class IvfBatchKnnIndex:
         pad = 0.10 * (hi - lo) + 1e-9
         self.mn = (lo - pad).astype(np.float64)
         self.step = ((hi + pad - self.mn) / 255.0).astype(np.float64)
+        # code_dtype='float32' is the IVF-Flat tier: residuals stored as
+        # exact float32 (4x the bytes of SQ8, zero quantization error).
+        # The scoring math collapses to the identity quantizer (mn=0,
+        # step=1: dot = c.q + codes.q exactly), so every kernel is
+        # shared.  Use it when true neighbor gaps are smaller than the
+        # SQ8 step — e.g. SIFT-like integer descriptors, where SQ8 caps
+        # recall@10 around 0.80 regardless of nprobe (round-6 ANN grid);
+        # smooth high-dim float corpora are fine at SQ8 (recall 0.96+).
+        self.code_dtype = code_dtype
+        self._code_np = np.float32 if code_dtype == "float32" else np.uint8
+        self._code_width = self.dim * (4 if code_dtype == "float32" else 1)
+        if code_dtype == "float32":
+            self.mn = np.zeros(self.dim, dtype=np.float64)
+            self.step = np.ones(self.dim, dtype=np.float64)
 
         # cluster the codes by cell: each cell lands whole in one
         # partition, contiguous after the sort — the serving kernel
@@ -437,6 +455,8 @@ class IvfBatchKnnIndex:
         normalize = self.metric == "cosine"
         vector_col, id_col = self.vector_col, self.id_col
         dim = self.dim
+        flat_codes = self.code_dtype == "float32"
+        byte_w = self._code_width
 
         meta_cols = self.meta_cols
         id_type = docs.schema[id_col].dataType
@@ -466,12 +486,16 @@ class IvfBatchKnnIndex:
                      - 2.0 * (V @ C32.T) + csq[None, :])
                 assign = d.argmin(axis=1).astype(np.int32)
                 res = V - C32[assign]
-                codes = np.clip(
-                    np.rint((res - mn32) * inv_step), 0.0, 255.0
-                ).astype(np.uint8)
+                if flat_codes:
+                    codes = res.astype(np.float32)
+                else:
+                    codes = np.clip(
+                        np.rint((res - mn32) * inv_step), 0.0, 255.0
+                    ).astype(np.uint8)
                 n = codes.shape[0]
                 offs = pa.array(
-                    np.arange(0, (n + 1) * dim, dim, dtype=np.int32), type=pa.int32())
+                    np.arange(0, (n + 1) * byte_w, byte_w, dtype=np.int32),
+                    type=pa.int32())
                 flat = pa.py_buffer(np.ascontiguousarray(codes).tobytes())
                 code_arr = pa.Array.from_buffers(
                     pa.binary(), n, [None, offs.buffers()[1], flat])
@@ -548,6 +572,10 @@ class IvfBatchKnnIndex:
         dim = self.dim
         id_col, code_col = self.id_col, self.CODE_COL
         meta_cols = self.meta_cols
+        byte_w, code_np = self._code_width, self._code_np
+        # float32 codes ARE the decoded tier; writing codes32 would
+        # double the disk for identical bytes
+        decoded = decoded and code_np is np.uint8
 
         def write_part(batches) -> Iterator:
             import pyarrow as pa
@@ -563,7 +591,9 @@ class IvfBatchKnnIndex:
                 ids_l.append(batch.column(names.index(id_col)).to_numpy(zero_copy_only=False))
                 cent_l.append(batch.column(names.index("centroid_id")).to_numpy(zero_copy_only=False))
                 nsq_l.append(batch.column(names.index("norm_sq")).to_numpy(zero_copy_only=False))
-                code_l.append(_bytes_matrix_from_arrow(batch.column(names.index(code_col)), dim))
+                code_l.append(_bytes_matrix_from_arrow(
+                    batch.column(names.index(code_col)), byte_w)
+                    .view(code_np))
                 for mc in meta_cols:
                     meta_l[mc].append(batch.column(names.index(mc))
                                       .to_numpy(zero_copy_only=False))
@@ -585,7 +615,7 @@ class IvfBatchKnnIndex:
             else:
                 ids = np.empty(0, dtype=np.int64)
                 nsq = np.empty(0, dtype=np.float32)
-                codes = np.empty((0, dim), dtype=np.uint8)
+                codes = np.empty((0, dim), dtype=code_np)
                 cells = np.empty(0, dtype=np.int64)
                 starts = np.zeros(1, dtype=np.int64)
                 metas = {mc: np.empty(0) for mc in meta_cols}
@@ -635,13 +665,14 @@ class IvfBatchKnnIndex:
         self._replay_wal()
         return int(sum(r["n"] for r in rows))
 
-    # target scored rows per serving task: small enough that a task is
-    # tens of ms of BLAS, large enough that the per-task scheduling +
-    # python-worker round trip (~10-20 ms each in local mode) doesn't
-    # dominate.  A 100-query nprobe=6 batch over 1M x 384 is ~1.2M
-    # scored rows -> 2 tasks instead of 32 (the round-5 shape whose
-    # no-op floor alone exceeded the 2x-of-baseline gate).
-    SERVE_ROWS_PER_TASK = 750_000
+    # target scored rows per serving task: small enough that the scan
+    # parallelizes across memory channels (the kernel is bandwidth-
+    # bound: ~1.5 KB read per scored row), large enough that the
+    # per-task scheduling + python-worker round trip doesn't dominate.
+    # Swept at 1M x 384 / 100 queries / nprobe=6 (~1.2M scored rows):
+    # 1 task 5.7 ms/q, 2t 4.0, 6-8t 2.86-2.89, 16t 3.4, 32t 4.1 —
+    # the round-5 one-task-per-partition default sat on the wrong end.
+    SERVE_ROWS_PER_TASK = 160_000
 
     def _partial_segments(self, q_ids, Q, qid_type, cell2q, k: int) -> DataFrame:
         """Map stage over pinned segments: each task mmaps its segments
@@ -796,6 +827,7 @@ class IvfBatchKnnIndex:
         mn, step = self.mn, self.step
         C = self.centroids
         dim = self.dim
+        byte_w, code_np = self._code_width, self._code_np
         id_col, code_col = self.id_col, self.CODE_COL
         # per-query precomputed pieces:
         #   dot(v, q) = c.q + mn.q + codes_f32 . (step*q)
@@ -826,7 +858,9 @@ class IvfBatchKnnIndex:
                 ids_l.append(batch.column(names.index(id_col)).to_numpy(zero_copy_only=False))
                 cent_l.append(batch.column(names.index("centroid_id")).to_numpy(zero_copy_only=False))
                 nsq_l.append(batch.column(names.index("norm_sq")).to_numpy(zero_copy_only=False))
-                code_l.append(_bytes_matrix_from_arrow(batch.column(names.index(code_col)), dim))
+                code_l.append(_bytes_matrix_from_arrow(
+                    batch.column(names.index(code_col)), byte_w)
+                    .view(code_np))
             if not ids_l:
                 return
             ids = np.concatenate(ids_l)
@@ -1024,7 +1058,7 @@ class IvfBatchKnnIndex:
                     pdf[self.id_col].to_numpy(),
                     pdf["centroid_id"].to_numpy(dtype=np.int64),
                     pdf["norm_sq"].to_numpy(dtype=np.float32),
-                    np.asarray([np.frombuffer(b, dtype=np.uint8)
+                    np.asarray([np.frombuffer(b, dtype=self._code_np)
                                 for b in pdf[self.CODE_COL]]),
                     {mc: pdf[mc].to_numpy() for mc in self.meta_cols},
                 )
@@ -1373,6 +1407,8 @@ class IvfBatchKnnIndex:
              - 2.0 * (V @ C32.T) + (C32 * C32).sum(axis=1)[None, :])
         assign = d.argmin(axis=1).astype(np.int32)
         res = V - C32[assign]
+        if self.code_dtype == "float32":
+            return assign, nsq.astype(np.float32), res.astype(np.float32)
         codes = np.clip(
             np.rint((res - self.mn.astype(np.float32))
                     * (1.0 / self.step).astype(np.float32)),

@@ -1,0 +1,174 @@
+#!/usr/bin/env python3
+"""ann-benchmarks-style recall/QPS grid for the IVF index (VERDICT r5
+ask #3; reference grid: scripts/ann-benchmark-docker/run_benchmark.py —
+M x efConstruction x efSearch for HNSW; the IVF analogue swept here is
+nlist x nprobe).
+
+Usage:
+    python scripts/ann_benchmark.py [--n 1000000] [--dataset sift-like]
+    python scripts/ann_benchmark.py --dataset sift-128-euclidean \
+        --hdf5 /path/to/sift-128-euclidean.hdf5   # real file, needs h5py
+
+Prints a markdown table (recall@10 and serving-tier QPS per grid cell)
+and one JSON line, and writes ANN_RECALL.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from needle_spark import get_spark  # noqa: E402
+from needle_spark.plans.ann_datasets import (  # noqa: E402
+    exact_ground_truth, load_ann_benchmarks_hdf5, sift_like,
+)
+from needle_spark.plans.ivf import IvfBatchKnnIndex  # noqa: E402
+
+NLIST_VALUES = [256, 512, 1024]
+NPROBE_VALUES = [1, 2, 4, 8, 16, 32, 64]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--queries", type=int, default=100)
+    ap.add_argument("--dataset", default="sift-like")
+    ap.add_argument("--hdf5", default=None)
+    ap.add_argument("--nlist", type=int, nargs="*", default=NLIST_VALUES)
+    ap.add_argument("--nprobe", type=int, nargs="*", default=NPROBE_VALUES)
+    ap.add_argument("--codes", default="float32",
+                    choices=["sq8", "float32"],
+                    help="float32 = IVF-Flat (exact codes; the right "
+                         "tier for tight-margin integer descriptors); "
+                         "sq8 = 4x smaller codes, lossy")
+    args = ap.parse_args()
+
+    if args.hdf5:
+        train, queries, _gt = load_ann_benchmarks_hdf5(args.hdf5)
+        train, queries = train[:args.n], queries[:args.queries]
+        metric = "cosine" if "angular" in args.dataset else "euclidean"
+        # recompute GT distances over the (possibly truncated) train set
+        _, gt_d = exact_ground_truth(train, queries, k=args.k,
+                                     metric=metric, return_distances=True)
+    else:
+        train, queries = sift_like(args.n, n_queries=args.queries)
+        metric = "euclidean"
+        t0 = time.perf_counter()
+        _, gt_d = exact_ground_truth(train, queries, k=args.k,
+                                     metric=metric, return_distances=True)
+        print(f"# exact ground truth: {time.perf_counter()-t0:.1f}s",
+              flush=True)
+    # ann-benchmarks recall definition: a returned neighbor counts iff
+    # its TRUE distance is within the k-th exact distance (+fp slack) —
+    # id-set recall under-reads on datasets with exact distance ties
+    thr = gt_d[:, args.k - 1] * (1 + 1e-9) + 1e-6
+
+    spark = get_spark()
+    import pyarrow as pa
+
+    n, dims = train.shape
+
+    def emit(batches):
+        per = 50_000
+        for b in batches:
+            for pid in b.column(0).to_pylist():
+                s, e = pid * per, min((pid + 1) * per, n)
+                if s >= e:
+                    continue
+                ids = pa.array(np.arange(s, e, dtype=np.int64))
+                flat = pa.array(train[s:e].ravel(), type=pa.float32())
+                offs = pa.array(
+                    np.arange(0, (e - s + 1) * dims, dims, dtype=np.int32))
+                yield pa.RecordBatch.from_arrays(
+                    [ids, pa.ListArray.from_arrays(offs, flat)],
+                    names=["vec_id", "embedding"])
+
+    n_parts = (n + 49_999) // 50_000
+    df = spark.range(0, n_parts, 1, min(32, n_parts)).mapInArrow(
+        emit, "vec_id long, embedding array<float>")
+
+    q_ids = list(range(len(queries)))
+    rows = []
+    for nlist in args.nlist:
+        t0 = time.perf_counter()
+        idx = IvfBatchKnnIndex(df, nlist=nlist, vector_col="embedding",
+                               id_col="vec_id", metric=metric, seed=42,
+                               kmeans_max_iter=6, sample_rows=65536,
+                               code_dtype=args.codes)
+        idx.pin_segments(decoded=True)
+        build_s = time.perf_counter() - t0
+        print(f"# built nlist={nlist} in {build_s:.1f}s", flush=True)
+        for nprobe in args.nprobe:
+            if nprobe > nlist:
+                continue
+            idx.search_many_local((q_ids, queries), k=args.k,
+                                  nprobe=nprobe)  # warm
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                res = idx.search_many_local((q_ids, queries), k=args.k,
+                                            nprobe=nprobe)
+                best = min(best, time.perf_counter() - t0)
+            got: dict[int, list] = {}
+            for qid, vid in zip(res["query_id"], res["vec_id"]):
+                got.setdefault(int(qid), []).append(int(vid))
+            hits = []
+            qf = np.ascontiguousarray(queries, dtype=np.float32)
+            if metric == "cosine":
+                qf = qf / np.maximum(
+                    np.linalg.norm(qf, axis=1, keepdims=True), 1e-12)
+            for i in range(len(queries)):
+                vids = got.get(i, [])
+                if not vids:
+                    hits.append(0.0)
+                    continue
+                V = train[np.asarray(vids, dtype=np.int64)]
+                if metric == "cosine":
+                    Vn = V / np.maximum(
+                        np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+                    d = 1.0 - Vn @ qf[i]
+                else:
+                    d = np.linalg.norm(
+                        V.astype(np.float64) - qf[i].astype(np.float64),
+                        axis=1)
+                hits.append(min(args.k, int((d <= thr[i]).sum())) / args.k)
+            recall = float(np.mean(hits))
+            rows.append({
+                "nlist": nlist, "nprobe": nprobe,
+                "recall_at_10": round(recall, 4),
+                "qps": round(len(queries) / best, 1),
+                "ms_per_query": round(best * 1000 / len(queries), 3),
+                "build_s": round(build_s, 1),
+            })
+            print(f"nlist={nlist} nprobe={nprobe}: "
+                  f"recall@10={recall:.4f} "
+                  f"{rows[-1]['qps']} qps", flush=True)
+        idx.unpersist()
+
+    print("\n| nlist | nprobe | recall@10 | QPS | ms/query |")
+    print("|---|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['nlist']} | {r['nprobe']} | {r['recall_at_10']} "
+              f"| {r['qps']} | {r['ms_per_query']} |")
+    out = {
+        "dataset": args.dataset, "n": n, "dims": dims, "k": args.k,
+        "metric": metric, "codes": args.codes, "grid": rows,
+    }
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "ANN_RECALL.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"dataset": args.dataset, "n": n,
+                      "best_recall": max(r["recall_at_10"] for r in rows),
+                      "cells": len(rows)}))
+
+
+if __name__ == "__main__":
+    main()

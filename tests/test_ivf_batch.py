@@ -852,3 +852,55 @@ def test_repin_refreshes_driver_cache(spark, clustered, tmp_path):
         assert [i for i, _ in before] == [i for i, _ in after]
     finally:
         idx.unpersist()
+
+
+def test_float32_codes_exact_at_full_probe(spark, clustered, exact_top10):
+    """code_dtype='float32' (IVF-Flat, round 6): residuals stored as
+    exact float32, so at nprobe == nlist the index IS the exact scan —
+    recall 1.0, no SQ8 allowance.  The sweep that motivated it: on
+    integer-valued SIFT-like data SQ8 caps recall@10 at ~0.80 at ANY
+    nprobe because true neighbor gaps sit below the quantization step
+    (scripts/ann_benchmark.py, ANN_RECALL.json)."""
+    df, _, queries = clustered
+    q_ids, exact_pdf = exact_top10
+    idx = IvfBatchKnnIndex(df, nlist=N_CLUSTERS, vector_col="vector",
+                           id_col="id", metric="cosine", seed=3,
+                           code_dtype="float32")
+    approx = idx.search_local((q_ids, queries), k=10, nprobe=idx.nlist)
+    assert _recall(exact_pdf, approx, q_ids) == 1.0
+    idx.unpersist()
+
+
+def test_float32_codes_full_serving_stack(spark, clustered, tmp_path):
+    """The float32 tier must ride every serving path untouched:
+    pinned-segment batch (search_local), driver serving
+    (search_one / search_many_local), the distributed DataFrame path,
+    and the add_local delta — all agreeing with each other."""
+    df, _, queries = clustered
+    q_ids = list(range(len(queries)))
+    idx = IvfBatchKnnIndex(df, nlist=N_CLUSTERS, vector_col="vector",
+                           id_col="id", metric="cosine", seed=3,
+                           code_dtype="float32")
+    try:
+        idx.pin_segments(str(tmp_path / "f32segs"), decoded=True)
+        via_segments = idx.search_local((q_ids, queries), k=5, nprobe=6)
+        via_serving = idx.search_many_local((q_ids, queries), k=5, nprobe=6)
+        assert via_segments[["query_id", "id", "rank"]].values.tolist() == \
+            via_serving[["query_id", "id", "rank"]].values.tolist()
+        one = idx.search_one(queries[0], k=5, nprobe=6)
+        want = via_serving[via_serving.query_id == 0]["id"].tolist()
+        assert [i for i, _ in one] == want
+        # distributed DataFrame path agrees on ids
+        dist = idx.search((q_ids[:3], queries[:3]), k=5, nprobe=6) \
+            .orderBy("query_id", "rank").collect()
+        for r in dist:
+            sub = via_serving[via_serving.query_id == r["query_id"]]
+            assert r["id"] == sub["id"].tolist()[r["rank"] - 1]
+        # incremental add through the float32 delta: a planted exact
+        # query vector must come back as its own nearest neighbor
+        new_vec = np.asarray(queries[0], dtype=np.float64)
+        idx.add_local([999_999], new_vec[None, :])
+        got = idx.search_one(new_vec, k=1, nprobe=N_CLUSTERS)
+        assert got[0][0] == 999_999
+    finally:
+        idx.unpersist()
