@@ -850,6 +850,31 @@ SELECT id1, id2, distance FROM (
 """
 
 
+def _embedding_neardup_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dot-metric near-dup through the ALSH/norm-augmentation cell path
+    (round 6, VERDICT r5 ask #2; operators/dedup.py docstring).  The
+    embeddings table is unit-norm, so threshold -0.4 (dot >= 0.4)
+    selects the cosine-0.6 pair set — the oracle checks both the
+    reduction's exactness and the distance values."""
+    from needle_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(
+        emb, threshold=-0.4, metric="dot", id_col="vec_id",
+        vector_col="embedding", num_cells=8,
+    )
+
+
+def _embedding_neardup_dot_sql() -> str:
+    d = duckdb_distance_sql("dot", "a.embedding", "b.embedding")
+    return f"""
+SELECT id1, id2, distance FROM (
+  SELECT a.vec_id AS id1, b.vec_id AS id2, {d} AS distance
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+) WHERE distance <= -0.4
+"""
+
+
 def _text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from needle_spark.operators.text_analysis import (
         bpe_token_count_expr,
@@ -3488,6 +3513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_candidates": _simhash,
         "simhash_md5_pairs": _simhash_md5,
         "embedding_neardup": _embedding_neardup,
+        "embedding_neardup_dot": _embedding_neardup_dot,
         "decontaminate": _decontaminate,
         "gopher_quality": _gopher_quality,
         "stratified_sample": _stratified_sample,
@@ -3612,6 +3638,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_candidates": _SIMHASH_MD5_SQL,
         "simhash_md5_pairs": _SIMHASH_MD5_SQL,
         "embedding_neardup": _embedding_neardup_sql(),
+        "embedding_neardup_dot": _embedding_neardup_dot_sql(),
         "decontaminate": __import__(
             "needle_spark.operators.llm_hygiene", fromlist=["decontaminate_sql"]
         ).decontaminate_sql(n=8),

@@ -298,6 +298,92 @@ def _banded_buckets_arrow(
     return sh.select(id_col, "__sh").mapInPandas(kernel, schema)
 
 
+def _pairs_from_banded(banded: DataFrame, id_col: str,
+                       max_bucket_size: int | None,
+                       bucket_stats: dict | None) -> DataFrame:
+    """Pair generation by bucket GROUPING, not a self-join: one scan of
+    the banded (id, band, bucket) frame, one shuffle of those rows,
+    pairs expanded per bucket from the sorted member list (id1 < id2 by
+    construction).  Grouping keeps a bucket in one task with no
+    join-side duplication of the signature scan; the hot-bucket chunk
+    guard bounds that task's work when a bucket degenerates (see
+    minhash_lsh_candidates' docstring for the exact accounting
+    semantics).  Shared by the MinHash (text) and SRP (embedding) LSH
+    paths."""
+    bucket_ids = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("__ids"))
+        .filter(F.size("__ids") > 1)
+    )
+
+    def _combos(ids: Column) -> Column:
+        """All ordered pairs (id1 < id2) from a sorted member array."""
+        return F.flatten(
+            F.transform(
+                ids,
+                lambda x, i: F.transform(
+                    F.slice(ids, i + 2, F.size(ids)),
+                    lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+                ),
+            )
+        )
+
+    if max_bucket_size is not None:
+        cap = int(max_bucket_size)
+        if cap < 2:
+            raise ValueError("max_bucket_size must be >= 2")
+        n_ids = F.size("__ids")
+        # overlapping chunks: chunk i covers [i*cap, i*cap + cap], one
+        # element shared with the next chunk so the bucket's duplicate
+        # component stays connected through the boundary members
+        n_chunks = F.ceil((n_ids - 1) / F.lit(cap)).cast("int")
+        chunk_pairs = F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: _combos(F.slice(F.col("__ids"), i * cap + 1, cap + 1)),
+            )
+        )
+        combos = F.when(n_ids > cap, chunk_pairs).otherwise(
+            _combos(F.col("__ids"))
+        )
+        if bucket_stats is not None:
+            # exact accounting of the capped expansion (one cheap agg
+            # over the bucket frame, opt-in so the common path adds no
+            # job).  Per oversized bucket: emitted = Σ C(len_i, 2) over
+            # its chunks, suppressed = C(n, 2) − emitted.
+            chunk_lens = F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.least(n_ids - i * cap, F.lit(cap + 1)),
+            )
+            emitted = F.aggregate(
+                chunk_lens, F.lit(0).cast("long"),
+                lambda acc, ln: acc + (ln * (ln - 1) / 2).cast("long"),
+            )
+            total = (n_ids.cast("long") * (n_ids - 1) / 2).cast("long")
+            stats_row = (
+                bucket_ids.filter(n_ids > cap)
+                .agg(
+                    F.count(F.lit(1)).alias("oversized_buckets"),
+                    F.coalesce(F.sum(n_ids), F.lit(0)).alias("capped_members"),
+                    F.coalesce(F.sum(total - emitted), F.lit(0)).alias(
+                        "suppressed_pairs"),
+                )
+                .first()
+            )
+            bucket_stats.update({
+                "oversized_buckets": int(stats_row["oversized_buckets"]),
+                "capped_members": int(stats_row["capped_members"]),
+                "suppressed_pairs": int(stats_row["suppressed_pairs"]),
+            })
+    else:
+        combos = _combos(F.col("__ids"))
+    return (
+        bucket_ids.select(F.explode(combos).alias("__p"))
+        .select(F.col("__p.id1").alias("id1"), F.col("__p.id2").alias("id2"))
+        .dropDuplicates(["id1", "id2"])
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "id",
@@ -378,84 +464,8 @@ def minhash_lsh_candidates(
             F.col(id_col), F.col("__b.band").alias("band"),
             F.col("__b.bucket").cast("long").alias("bucket"),
         )
-    # pair generation by bucket GROUPING, not a self-join: one scan of
-    # the banded frame, one shuffle of (band, bucket, id) rows, pairs
-    # expanded per bucket from the sorted member list (id1 < id2 by
-    # construction).  Grouping keeps a bucket in one task with no
-    # join-side duplication of the signature scan; the hot-bucket guard
-    # below bounds that task's work when a bucket degenerates.
-    bucket_ids = (
-        banded.groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("__ids"))
-        .filter(F.size("__ids") > 1)
-    )
-
-    def _combos(ids: Column) -> Column:
-        """All ordered pairs (id1 < id2) from a sorted member array."""
-        return F.flatten(
-            F.transform(
-                ids,
-                lambda x, i: F.transform(
-                    F.slice(ids, i + 2, F.size(ids)),
-                    lambda y: F.struct(x.alias("id1"), y.alias("id2")),
-                ),
-            )
-        )
-
-    if max_bucket_size is not None:
-        cap = int(max_bucket_size)
-        if cap < 2:
-            raise ValueError("max_bucket_size must be >= 2")
-        n_ids = F.size("__ids")
-        # overlapping chunks: chunk i covers [i*cap, i*cap + cap], one
-        # element shared with the next chunk so the bucket's duplicate
-        # component stays connected through the boundary members
-        n_chunks = F.ceil((n_ids - 1) / F.lit(cap)).cast("int")
-        chunk_pairs = F.flatten(
-            F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: _combos(F.slice(F.col("__ids"), i * cap + 1, cap + 1)),
-            )
-        )
-        combos = F.when(n_ids > cap, chunk_pairs).otherwise(
-            _combos(F.col("__ids"))
-        )
-        if bucket_stats is not None:
-            # exact accounting of the capped expansion (one cheap agg
-            # over the bucket frame, opt-in so the common path adds no
-            # job).  Per oversized bucket: emitted = Σ C(len_i, 2) over
-            # its chunks, suppressed = C(n, 2) − emitted.
-            chunk_lens = F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: F.least(n_ids - i * cap, F.lit(cap + 1)),
-            )
-            emitted = F.aggregate(
-                chunk_lens, F.lit(0).cast("long"),
-                lambda acc, ln: acc + (ln * (ln - 1) / 2).cast("long"),
-            )
-            total = (n_ids.cast("long") * (n_ids - 1) / 2).cast("long")
-            stats_row = (
-                bucket_ids.filter(n_ids > cap)
-                .agg(
-                    F.count(F.lit(1)).alias("oversized_buckets"),
-                    F.coalesce(F.sum(n_ids), F.lit(0)).alias("capped_members"),
-                    F.coalesce(F.sum(total - emitted), F.lit(0)).alias(
-                        "suppressed_pairs"),
-                )
-                .first()
-            )
-            bucket_stats.update({
-                "oversized_buckets": int(stats_row["oversized_buckets"]),
-                "capped_members": int(stats_row["capped_members"]),
-                "suppressed_pairs": int(stats_row["suppressed_pairs"]),
-            })
-    else:
-        combos = _combos(F.col("__ids"))
-    pairs = (
-        bucket_ids.select(F.explode(combos).alias("__p"))
-        .select(F.col("__p.id1").alias("id1"), F.col("__p.id2").alias("id2"))
-        .dropDuplicates(["id1", "id2"])
-    )
+    pairs = _pairs_from_banded(banded, id_col, max_bucket_size,
+                               bucket_stats)
     if verify_threshold is None:
         return pairs
     # verify candidates with exact Jaccard.  Role-explode the pair list
@@ -863,6 +873,127 @@ def embedding_neardup_pairs(
         assigned.groupBy("__cell")
         .applyInPandas(verify, schema)
         .dropDuplicates(["id1", "id2"])
+    )
+
+
+def srp_lsh_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    metric: str = "cosine",
+    id_col: str = "id",
+    vector_col: str = "vector",
+    n_bits: int = 128,
+    bands: int = 8,
+    seed: int = 42,
+    max_bucket_size: int | None = 256,
+    bucket_stats: dict | None = None,
+) -> DataFrame:
+    """Sign-random-projection (hyperplane) LSH near-dup for embeddings —
+    the APPROXIMATE 100 TB tier for tight thresholds, the exact analogue
+    of minhash_lsh_candidates for text.
+
+    Why it exists: the exact grid-cell ε-join (embedding_neardup_pairs)
+    prunes only while ε is comparable to point-to-centroid distances.
+    On high-dimensional corpora WITHOUT tight cluster structure,
+    distance concentration makes every point's replication radius
+    (d_nearest + ε) cover most cells, and the exact join degenerates
+    toward all-pairs — measured on the 10x Walsh-replica bench corpus
+    as an 11-19x time ratio.  That wall is the curse of dimensionality,
+    not an implementation defect; production systems switch to LSH
+    candidates there (same trade the reference's text dedup makes).
+
+    Shape: one map-side Arrow kernel computes sign bits of V_norm @ R
+    (R = seeded Gaussian hyperplanes) and emits only (id, band, bucket)
+    rows; pair generation groups buckets (shared _pairs_from_banded,
+    incl. the hot-bucket chunk guard); candidates are verified with the
+    EXACT requested metric by a pairs-only join against the vector
+    table, so false positives never escape.  The only loss is banding
+    misses: P(candidate) = 1-(1-p^r)^b with p = 1 - θ/π
+    (Goemans-Williamson) and r = n_bits/bands.  Defaults (128 bits, 8
+    bands of 16): recall ≈ 0.97 at cos-sim 0.98, ≈ 0.998 at 0.99, while
+    a random unrelated pair collides in a band with P ≈ (1/2)^16.
+
+    Band WIDTH is the bucket-resolution knob: a band of r bits yields
+    2^r buckets, so random collisions per band scale n^2/2^r — size
+    r ≳ log2(n) + 4 (the first r6 run with r=8, i.e. 256 buckets,
+    measured an 11x superlinear ratio at 40k rows from collision pairs
+    alone).  Raise `bands` (not width) for recall at a given width.
+
+    Supports cosine (threshold on 1 - sim) and dot on unit-ish vectors
+    (threshold on -x·y; signatures are direction-only, verification is
+    exact dot).  Scale: shuffle = n x bands rows, verify = candidate
+    pairs only — both linear when duplicate structure is.
+    """
+    m = metric.lower()
+    if m not in _CELL_METRICS | _DOT_METRICS:
+        raise ValueError(f"srp_lsh_neardup_pairs: unsupported metric {m!r}")
+    if n_bits % bands:
+        raise ValueError("n_bits must be divisible by bands")
+    rows_per_band = n_bits // bands
+    dim = len(df.select(vector_col).first()[0])
+    rng = np.random.default_rng(seed)
+    R = rng.standard_normal((dim, n_bits)).astype(np.float32)
+
+    id_type = df.schema[id_col].dataType
+    band_schema = T.StructType([
+        T.StructField(id_col, id_type),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("bucket", T.LongType()),
+    ])
+    # per-band bucket = the band's bit block packed into an int64
+    weights = (1 << np.arange(rows_per_band, dtype=np.int64))
+
+    def signatures(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.asarray([np.asarray(v, dtype=np.float32)
+                            for v in pdf[vector_col]])
+            bits = (V @ R) > 0  # (n, n_bits); sign of the projection
+            ids = pdf[id_col].to_numpy()
+            out_ids, out_band, out_bucket = [], [], []
+            for b in range(bands):
+                blk = bits[:, b * rows_per_band:(b + 1) * rows_per_band]
+                out_ids.append(ids)
+                out_band.append(np.full(len(ids), b, dtype=np.int32))
+                out_bucket.append(blk.astype(np.int64) @ weights)
+            yield pd.DataFrame({
+                id_col: np.concatenate(out_ids),
+                "band": np.concatenate(out_band),
+                "bucket": np.concatenate(out_bucket),
+            })
+
+    banded = df.select(id_col, vector_col).mapInPandas(
+        signatures, band_schema)
+    pairs = _pairs_from_banded(banded, id_col, max_bucket_size,
+                               bucket_stats)
+    # exact verification: role-explode + ONE join against the vector
+    # table (pairs-only traffic), distance via the shared JVM exprs
+    from needle_spark.functions.distance import distance_expr
+
+    roles = pairs.select(
+        "id1", "id2",
+        F.explode(F.array(
+            F.struct(F.col("id1").alias("rid"), F.lit(1).alias("role")),
+            F.struct(F.col("id2").alias("rid"), F.lit(2).alias("role")),
+        )).alias("__r"),
+    ).select("id1", "id2", F.col("__r.rid").alias("__rid"),
+             F.col("__r.role").alias("__role"))
+    j = roles.join(
+        df.select(F.col(id_col).alias("__rid"),
+                  F.col(vector_col).alias("__v")), "__rid")
+    both = j.groupBy("id1", "id2").agg(
+        F.first(F.when(F.col("__role") == 1, F.col("__v")),
+                ignorenulls=True).alias("__v1"),
+        F.first(F.when(F.col("__role") == 2, F.col("__v")),
+                ignorenulls=True).alias("__v2"),
+    )
+    return (
+        both.withColumn(
+            "distance",
+            distance_expr(m, F.col("__v1"), F.col("__v2")).cast("double"))
+        .filter(F.col("distance") <= float(threshold))
+        .select("id1", "id2", "distance")
     )
 
 

