@@ -246,9 +246,17 @@ def _op_condition(
             raise FilterError("$elemMatch requires an object")
         return F.exists(col, lambda e: _elem_conditions(e, v, r, depth))
     if op == "$between":
-        lo, hi = _arr(v, "$between")
+        bounds = _arr(v, "$between")
+        if len(bounds) != 2:
+            # fuzz finding (round 6): a 1- or 3-element array unpacked
+            # into a bare ValueError instead of a clean parse error
+            raise FilterError("$between requires exactly [low, high]")
+        lo, hi = bounds
         return (col >= F.lit(lo)) & (col <= F.lit(hi))
     if op == "$size":
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            # fuzz finding (round 6): $size None/str raised TypeError
+            raise FilterError(f"$size requires a number, got {v!r}")
         if isinstance(dt, T.StringType):
             return F.length(col) == int(v)
         return F.size(col) == int(v)

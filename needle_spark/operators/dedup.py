@@ -930,6 +930,9 @@ def srp_lsh_neardup_pairs(
     if n_bits % bands:
         raise ValueError("n_bits must be divisible by bands")
     rows_per_band = n_bits // bands
+    if rows_per_band > 62:
+        # buckets pack into a signed int64; 63+ bits would overflow
+        raise ValueError("n_bits/bands (band width) must be <= 62 bits")
     dim = len(df.select(vector_col).first()[0])
     rng = np.random.default_rng(seed)
     R = rng.standard_normal((dim, n_bits)).astype(np.float32)
