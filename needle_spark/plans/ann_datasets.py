@@ -85,6 +85,32 @@ def sift_like(n: int, dims: int = 128, n_queries: int = 100,
     return train, queries
 
 
+def glove_like(n: int, dims: int = 200, n_queries: int = 100,
+               n_clusters: int = 2000, seed: int = 43):
+    """Deterministic GloVe-like corpus for the ANGULAR grid
+    (glove-200-angular's public structure facts): dense signed floats,
+    Zipf topic-cluster occupancy (word frequency law), heavy-tailed
+    per-vector norms (frequent words train to larger norms), queried by
+    cosine.  Returns (train, queries) float32."""
+    rng = np.random.default_rng(seed)
+    w = 1.0 / np.power(np.arange(1, n_clusters + 1), 1.1)
+    w /= w.sum()
+    centers = rng.standard_normal((n_clusters, dims)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+
+    def sample(count: int, r: np.random.Generator) -> np.ndarray:
+        which = r.choice(n_clusters, size=count, p=w)
+        pts = centers[which] + 0.35 * r.standard_normal(
+            (count, dims)).astype(np.float32)
+        norms = r.lognormal(1.5, 0.5, count).astype(np.float32)
+        pts *= (norms / np.linalg.norm(pts, axis=1))[:, None]
+        return pts.astype(np.float32)
+
+    train = sample(n, rng)
+    queries = sample(n_queries, np.random.default_rng(seed + 1))
+    return train, queries
+
+
 def exact_ground_truth(train: np.ndarray, queries: np.ndarray,
                        k: int = 10, metric: str = "euclidean",
                        block: int = 200_000,

@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from needle_spark import get_spark  # noqa: E402
 from needle_spark.plans.ann_datasets import (  # noqa: E402
-    exact_ground_truth, load_ann_benchmarks_hdf5, sift_like,
+    exact_ground_truth, glove_like, load_ann_benchmarks_hdf5, sift_like,
 )
 from needle_spark.plans.ivf import IvfBatchKnnIndex  # noqa: E402
 
@@ -60,6 +60,14 @@ def main() -> None:
         # recompute GT distances over the (possibly truncated) train set
         _, gt_d = exact_ground_truth(train, queries, k=args.k,
                                      metric=metric, return_distances=True)
+    elif args.dataset == "glove-like":
+        train, queries = glove_like(args.n, n_queries=args.queries)
+        metric = "cosine"
+        t0 = time.perf_counter()
+        _, gt_d = exact_ground_truth(train, queries, k=args.k,
+                                     metric=metric, return_distances=True)
+        print(f"# exact ground truth: {time.perf_counter()-t0:.1f}s",
+              flush=True)
     else:
         train, queries = sift_like(args.n, n_queries=args.queries)
         metric = "euclidean"
@@ -165,7 +173,9 @@ def main() -> None:
         "metric": metric, "codes": args.codes, "grid": rows,
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "ANN_RECALL.json"), "w") as f:
+    fname = "ANN_RECALL.json" if args.dataset == "sift-like" \
+        else f"ANN_RECALL_{args.dataset.replace('-', '_')}.json"
+    with open(os.path.join(root, fname), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({"dataset": args.dataset, "n": n,
                       "best_recall": max(r["recall_at_10"] for r in rows),

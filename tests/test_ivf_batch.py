@@ -948,3 +948,31 @@ def test_sq8_cell_full_serving_stack(spark, clustered, tmp_path):
         assert got[0][0] == 888_888
     finally:
         idx.unpersist()
+
+
+@pytest.mark.parametrize("cd", ["sq8_cell", "float32"])
+def test_filtered_serving_where_new_code_tiers(spark, clustered, tmp_path, cd):
+    """`where=` filtered serving must evaluate predicates during the
+    scan on the NEW code tiers too (they share the kernel, but the
+    pinned-metadata path and per-cell SQ interact here)."""
+    df, _, queries = clustered
+    labeled = df.withColumn("label", (F.col("id") % 5).cast("int"))
+    idx = IvfBatchKnnIndex(labeled, nlist=N_CLUSTERS, vector_col="vector",
+                           id_col="id", metric="cosine", seed=3,
+                           code_dtype=cd, meta_cols=["label"])
+    try:
+        idx.pin_segments(str(tmp_path / f"wsegs_{cd}"), decoded=True)
+        got = idx.search_many_local(
+            (list(range(3)), queries[:3]), k=5, nprobe=idx.nlist,
+            where={"label": {"$in": [1, 3]}})
+        assert len(got) > 0
+        assert all(int(i) % 5 in (1, 3) for i in got["id"])
+        # parity with post-filtering the unfiltered full-probe results
+        full = idx.search_many_local((list(range(3)), queries[:3]),
+                                     k=50, nprobe=idx.nlist)
+        for qi in range(3):
+            want = [int(i) for i in full[full.query_id == qi]["id"]
+                    if int(i) % 5 in (1, 3)][:5]
+            assert [int(i) for i in got[got.query_id == qi]["id"]] == want
+    finally:
+        idx.unpersist()
