@@ -296,7 +296,7 @@ def main() -> None:
     from needle_spark.plans.ann_datasets import (
         exact_ground_truth, sift_like)
 
-    ann_n = 200_000
+    ann_n = 150_000
     train, ann_q = sift_like(ann_n, n_queries=100)
     _, ann_gt_d = exact_ground_truth(train, ann_q, k=10,
                                      return_distances=True)
@@ -326,7 +326,7 @@ def main() -> None:
     ann_idx.pin_segments(decoded=True)
     ann_qids = list(range(100))
     ann_idx.search_many_local((ann_qids, ann_q), k=10, nprobe=24)  # warm
-    run("ann_siftlike_200k_ivfflat_100q",
+    run("ann_siftlike_150k_ivfflat_100q",
         lambda: ann_idx.search_many_local((ann_qids, ann_q), k=10,
                                           nprobe=24))
     ann_res = ann_idx.search_many_local((ann_qids, ann_q), k=10, nprobe=24)
@@ -558,7 +558,7 @@ def main() -> None:
         "knn_single_1M384_recall_at_10": single_recall,
         "ann_siftlike_recall_at_10": ann_recall,
         "ann_siftlike_ms_per_query": round(
-            timings["ann_siftlike_200k_ivfflat_100q"] * 10.0, 3),
+            timings["ann_siftlike_150k_ivfflat_100q"] * 10.0, 3),
         "insert_single_local_p50_ms": insert_p50,
         "insert_single_local_p99_ms": insert_p99,
         "knn_filtered_1M384_ms_per_query": round(
