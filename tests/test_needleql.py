@@ -359,3 +359,20 @@ def test_ql_ddl_and_dml(spark, tmp_path, qv):
     assert db.collection("things").count() == 1
     ex.execute("DROP COLLECTION things")
     assert ex.execute("SHOW COLLECTIONS")["collections"] == []
+
+
+def test_order_by_score_asc_is_applied(ex):
+    """ADVICE r5: BM25/hybrid pages arrive score DESC, so a plain
+    `ORDER BY score` (ASC by default) must RE-SORT rather than being
+    swallowed by the natural-order shortcut; `ORDER BY score DESC`
+    remains the no-op fast path."""
+    asc = ex.execute(
+        "SELECT id, score FROM documents WHERE text MATCH "
+        "'fast merge sort' ORDER BY score ASC LIMIT 5").collect()
+    scores = [r["score"] for r in asc]
+    assert len(scores) > 1 and scores == sorted(scores)
+    desc = ex.execute(
+        "SELECT id, score FROM documents WHERE text MATCH "
+        "'fast merge sort' ORDER BY score DESC LIMIT 5").collect()
+    dscores = [r["score"] for r in desc]
+    assert dscores == sorted(dscores, reverse=True)

@@ -129,3 +129,32 @@ def test_proximity_trigger_fires_through_cdc(spark, tmp_path):
     q = reg.attach_stream(spark, coll, str(tmp_path / "pxckpt"))
     q.awaitTermination(60)
     assert [a["vector_id"] for a in prox.alerts] == ["hit"]
+
+
+def test_proximity_checks_cover_ids_beyond_dispatch_cap(spark, tmp_path, monkeypatch):
+    """ADVICE r5: the MAX_PER_ID_DISPATCH cap bounds per-id DISPATCH
+    only; proximity triggers must still check EVERY inserted row (the
+    check semi-joins the full CDC id set distributedly, not the capped
+    driver sample).  Cap forced tiny so the watched row falls outside
+    the dispatch sample."""
+    from needle_spark.catalog import Database
+    from needle_spark.streaming.triggers import (
+        ProximityTrigger, TriggerRegistry,
+    )
+
+    monkeypatch.setattr(TriggerRegistry, "MAX_PER_ID_DISPATCH", 3)
+    db = Database(spark, str(tmp_path / "pxcapdb"))
+    coll = db.create_collection("docs", dims=2)
+    reg = TriggerRegistry()
+    prox = ProximityTrigger("near", threshold=0.05,
+                            watch_vector=[1.0, 0.0])
+    reg.register(prox)
+    # 20 rows; the matching one sorts LAST by id so a capped
+    # collect_list sample of 3 cannot contain it
+    rows = [(f"a{i:02d}", [0.0, 1.0]) for i in range(19)]
+    rows.append(("zz_hit", [1.0, 0.0]))
+    coll.insert(spark.createDataFrame(
+        rows, "id string, vector array<float>"))
+    q = reg.attach_stream(spark, coll, str(tmp_path / "pxcapckpt"))
+    q.awaitTermination(60)
+    assert [a["vector_id"] for a in prox.alerts] == ["zz_hit"]
