@@ -48,6 +48,21 @@ class Parser:
             raise ParseError(f"expected {value or kind}, got {t.value!r} at {t.pos}")
         return t
 
+    def number(self, as_int: bool = False):
+        """Expect a NUMBER token and convert it, surfacing malformed
+        numerics (e.g. a bare exponent like `5E`, which the lexer
+        accepts as a NUMBER prefix) as ParseError rather than a raw
+        ValueError — fuzz finding, round 6."""
+        t = self.expect("NUMBER")
+        try:
+            if as_int:
+                return int(t.value)
+            return float(t.value) if any(ch in t.value for ch in ".eE") \
+                else int(t.value)
+        except ValueError:
+            raise ParseError(
+                f"malformed number {t.value!r} at {t.pos}") from None
+
     def ident(self) -> str:
         t = self.next()
         if t.kind == "IDENT":
@@ -104,7 +119,7 @@ class Parser:
             self.expect_kw("BY")
             stmt.rerank = self._rerank_target()
         if self.accept_kw("LIMIT"):
-            stmt.limit = int(self.expect("NUMBER").value)
+            stmt.limit = self.number(as_int=True)
         self._end()
         return stmt
 
@@ -114,7 +129,7 @@ class Parser:
             lam = 0.5
             if self.peek().kind == "PUNCT" and self.peek().value == "(":
                 self.next()
-                lam = float(self.expect("NUMBER").value)
+                lam = float(self.number())
                 self.expect("PUNCT", ")")
             return ast.RerankBy(field="mmr", mode="mmr", mmr_lambda=lam)
         desc = True
@@ -176,9 +191,9 @@ class Parser:
                 stmt.order_by.append(self._order_key())
 
         if self.accept_kw("LIMIT"):
-            stmt.limit = int(self.expect("NUMBER").value)
+            stmt.limit = self.number(as_int=True)
         if self.accept_kw("OFFSET"):
-            stmt.offset = int(self.expect("NUMBER").value)
+            stmt.offset = self.number(as_int=True)
         self._end()
         return stmt
 
@@ -341,7 +356,12 @@ class Parser:
     def _literal(self):
         t = self.next()
         if t.kind == "NUMBER":
-            return float(t.value) if any(ch in t.value for ch in ".eE") else int(t.value)
+            try:
+                return float(t.value) if any(ch in t.value for ch in ".eE") \
+                    else int(t.value)
+            except ValueError:
+                raise ParseError(
+                    f"malformed number {t.value!r} at {t.pos}") from None
         if t.kind == "STRING":
             return t.value
         if t.kind == "PARAM":
