@@ -93,7 +93,7 @@ NL_VOCAB = ["show", "me", "find", "recent", "documents", "about",
             "=", "''", '"x"', "NULL", "$query", "(", ")", ","]
 
 
-@settings(max_examples=300, deadline=None)
+@settings(derandomize=True, max_examples=300, deadline=None)
 @given(text=st.one_of(
     st.text(max_size=60),
     st.lists(st.sampled_from(NL_VOCAB), max_size=12).map(" ".join)))

@@ -162,7 +162,7 @@ def _sql(doc):
     return "(" + " AND ".join(parts) + ")"
 
 
-@settings(max_examples=220, deadline=None,
+@settings(derandomize=True, max_examples=220, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(doc=filters)
 def test_filter_spark_duckdb_agreement(doc):
@@ -197,7 +197,7 @@ json_values = st.recursive(
     max_leaves=10)
 
 
-@settings(max_examples=250, deadline=None,
+@settings(derandomize=True, max_examples=250, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(doc=json_values)
 def test_filter_compile_or_clean_error(doc):

@@ -84,19 +84,19 @@ def _parse_or_clean(text: str) -> None:
         pass
 
 
-@settings(max_examples=300, deadline=None)
+@settings(derandomize=True, max_examples=300, deadline=None)
 @given(text=token_soup)
 def test_ql_token_soup_never_crashes(text):
     _parse_or_clean(text)
 
 
-@settings(max_examples=250, deadline=None)
+@settings(derandomize=True, max_examples=250, deadline=None)
 @given(stmt=selects)
 def test_ql_grammar_adjacent_never_crashes(stmt):
     _parse_or_clean(stmt)
 
 
-@settings(max_examples=250, deadline=None)
+@settings(derandomize=True, max_examples=250, deadline=None)
 @given(stmt=st.sampled_from(VALID),
        pos=st.integers(0, 80),
        splice=st.one_of(st.sampled_from(KEYWORDS + PUNCT + LITERALS),
@@ -109,7 +109,7 @@ def test_ql_mutation_fuzz(stmt, pos, splice):
     _parse_or_clean(stmt[:p])
 
 
-@settings(max_examples=250, deadline=None)
+@settings(derandomize=True, max_examples=250, deadline=None)
 @given(text=st.text(max_size=40))
 def test_ql_raw_noise_never_crashes(text):
     _parse_or_clean(text)
