@@ -1048,11 +1048,21 @@ class RestServer:
         return {"vectors": out, "count": len(out)}
 
     def dedup_scan(self, m, b, q) -> dict:
-        from needle_spark.operators.dedup import embedding_neardup_pairs
+        from needle_spark.operators.dedup import (
+            embedding_neardup_pairs, srp_lsh_neardup_pairs,
+        )
 
         c = self._coll(m.group(1))
         threshold = float(b.get("threshold", 0.05))
-        pairs = embedding_neardup_pairs(
+        method = b.get("method", "exact")
+        if method not in ("exact", "lsh"):
+            raise ApiError(400, f"unknown dedup method {method!r} "
+                                f"(exact | lsh)")
+        # method=lsh: SRP-banded candidates + exact verify — the linear
+        # tier for large collections / tight thresholds (round 6)
+        fn = srp_lsh_neardup_pairs if method == "lsh" \
+            else embedding_neardup_pairs
+        pairs = fn(
             c.df(), threshold, metric=(b.get("distance") or c.metric),
             id_col=c.id_col, vector_col=c.vector_col).collect()
         return {"pairs": [

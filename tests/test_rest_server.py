@@ -221,6 +221,14 @@ def test_text_routes_and_stats(srv):
                  {"threshold": 1e-6}, expect=200)["pairs"]
     assert [(p["id1"], p["id2"]) for p in pairs] == [("t1", "t1copy")]
 
+    # method=lsh (round 6): SRP-banded candidates + exact verify must
+    # find the identical-text pair too, and bad methods 400 cleanly
+    lsh = call(srv, "POST", "/collections/texts/dedup/scan",
+               {"threshold": 1e-6, "method": "lsh"}, expect=200)["pairs"]
+    assert [(p["id1"], p["id2"]) for p in lsh] == [("t1", "t1copy")]
+    call(srv, "POST", "/collections/texts/dedup/scan",
+         {"method": "nope"}, expect=400)
+
     audit = call(srv, "GET", "/collections/texts/audit-log", expect=200)
     ins = [b for b in audit["buckets"] if b["event_type"] == "insert"]
     assert sum(b["n_events"] for b in ins) == 4
