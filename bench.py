@@ -302,15 +302,20 @@ def main() -> None:
                                      return_distances=True)
     ann_thr = ann_gt_d[:, 9] * (1 + 1e-9) + 1e-6
 
+    # broadcast, not closure-captured: 150k x 128 is ~76 MB of float32
+    # that would otherwise pickle into the task binary (review r6)
+    train_bc = spark.sparkContext.broadcast(train)
+
     def _emit_sift(batches):
         per = 25_000
+        tr = train_bc.value
         for b in batches:
             for pid in b.column(0).to_pylist():
                 s, e = pid * per, min((pid + 1) * per, ann_n)
                 if s >= e:
                     continue
                 ids = pa.array(np.arange(s, e, dtype=np.int64))
-                flat = pa.array(train[s:e].ravel(), type=pa.float32())
+                flat = pa.array(tr[s:e].ravel(), type=pa.float32())
                 offs = pa.array(np.arange(0, (e - s + 1) * 128, 128,
                                           dtype=np.int32))
                 yield pa.RecordBatch.from_arrays(

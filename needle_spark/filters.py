@@ -27,6 +27,7 @@ numeric compare when the filter literal is numeric, else string compare.
 
 from __future__ import annotations
 
+import math
 from typing import Any
 
 from pyspark.sql import Column, DataFrame
@@ -254,9 +255,13 @@ def _op_condition(
         lo, hi = bounds
         return (col >= F.lit(lo)) & (col <= F.lit(hi))
     if op == "$size":
-        if isinstance(v, bool) or not isinstance(v, (int, float)):
-            # fuzz finding (round 6): $size None/str raised TypeError
-            raise FilterError(f"$size requires a number, got {v!r}")
+        # fuzz + review findings (round 6): $size None/str raised
+        # TypeError; Infinity raised OverflowError (json accepts it);
+        # NaN raised bare ValueError; 2.5 silently truncated to 2 —
+        # all must be clean FilterErrors, and only integral sizes match
+        if (isinstance(v, bool) or not isinstance(v, (int, float))
+                or not math.isfinite(v) or float(v) != int(v)):
+            raise FilterError(f"$size requires an integer, got {v!r}")
         if isinstance(dt, T.StringType):
             return F.length(col) == int(v)
         return F.size(col) == int(v)

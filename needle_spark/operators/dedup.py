@@ -925,15 +925,27 @@ def srp_lsh_neardup_pairs(
     pairs only — both linear when duplicate structure is.
     """
     m = metric.lower()
-    if m not in _CELL_METRICS | _DOT_METRICS:
-        raise ValueError(f"srp_lsh_neardup_pairs: unsupported metric {m!r}")
+    if m not in {"cosine", "cosine_normalized"} | _DOT_METRICS:
+        # review r6: SRP signatures are DIRECTION-only (sign of v.R), so
+        # they carry no information about magnitudes — a euclidean pair
+        # like [0.01, 0] / [-0.01, 0] is 0.02 apart but opposite-signed
+        # on every hyperplane and would silently never bucket together.
+        # Angular metrics only; magnitude metrics keep the exact tiers.
+        raise ValueError(
+            f"srp_lsh_neardup_pairs supports angular metrics only "
+            f"(cosine / dot); got {m!r} — use embedding_neardup_pairs "
+            f"for magnitude metrics")
     if n_bits % bands:
         raise ValueError("n_bits must be divisible by bands")
     rows_per_band = n_bits // bands
     if rows_per_band > 62:
         # buckets pack into a signed int64; 63+ bits would overflow
         raise ValueError("n_bits/bands (band width) must be <= 62 bits")
-    dim = len(df.select(vector_col).first()[0])
+    first = df.select(vector_col).filter(
+        F.col(vector_col).isNotNull()).first()
+    if first is None:  # empty table: no pairs, same shape as exact tier
+        return df.sparkSession.createDataFrame([], _pairs_schema(df, id_col))
+    dim = len(first[0])
     rng = np.random.default_rng(seed)
     R = rng.standard_normal((dim, n_bits)).astype(np.float32)
 

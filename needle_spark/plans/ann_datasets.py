@@ -122,13 +122,18 @@ def exact_ground_truth(train: np.ndarray, queries: np.ndarray,
     distance threshold (a returned point counts if its distance is
     within the k-th true distance), which is the right definition on
     integer-valued data where exact distance TIES are common."""
-    q = np.ascontiguousarray(queries, dtype=np.float32)
+    # float64 throughout (review r6): on integer-valued descriptors the
+    # squared distances reach ~8.4e6 where float32 ulp is ~1.0 — the
+    # same magnitude as the gap between distinct integer distances —
+    # so a float32 oracle can misrank rank-k ties it is supposed to
+    # adjudicate.  The 2x bandwidth only costs the one-off GT pass.
+    q = np.ascontiguousarray(queries, dtype=np.float64)
     if metric == "cosine":
         q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
     best_d = np.full((len(q), k), np.inf, dtype=np.float64)
     best_i = np.full((len(q), k), -1, dtype=np.int64)
     for s in range(0, len(train), block):
-        V = np.ascontiguousarray(train[s:s + block], dtype=np.float32)
+        V = np.ascontiguousarray(train[s:s + block], dtype=np.float64)
         if metric == "cosine":
             Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True),
                                 1e-12)

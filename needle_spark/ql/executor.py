@@ -564,16 +564,15 @@ class QueryExecutor:
         results); function keys (hybrid_score/time_decay) were already
         consumed as fusion/decay configuration."""
         plain = [k for k in stmt.order_by if isinstance(k.expr, str)]
-
-        # a key is already the branch's natural order only if it matches
-        # the DIRECTION that branch emits: knn pages arrive distance ASC,
-        # hybrid/BM25 pages arrive score DESC — `ORDER BY score` (ASC by
-        # default) must therefore re-sort, not be swallowed
-        def _natural(k: ast.OrderKey) -> bool:
-            return ((k.expr == "distance" and not k.desc)
-                    or (k.expr == "score" and k.desc))
-
-        if plain and not all(_natural(k) for k in plain):
+        if plain:
+            # ALWAYS re-sort (review r6): guessing which keys match a
+            # branch's natural emit order is branch-dependent (knn pages
+            # arrive distance ASC, hybrid/BM25 score DESC, and hybrid
+            # carries BOTH columns), and a wrong guess silently returns
+            # mis-ordered rows or — worse — swallows the missing-column
+            # error for a typo'd sort key.  The page is <= k rows; the
+            # orderBy is free next to the search, and the id tie-break
+            # makes the order deterministic.
             missing = [k.expr for k in plain if k.expr not in out.columns]
             if missing:
                 raise ExecError(f"ORDER BY column(s) not in result: "

@@ -15,6 +15,20 @@ class ParseError(ValueError):
     pass
 
 
+def _num_from_token(t: Token, as_int: bool = False):
+    """NUMBER token -> int/float, with malformed numerics (the lexer
+    accepts bare-exponent prefixes like `5E`) surfaced as ParseError —
+    the ONE conversion shared by LIMIT/OFFSET/mmr-lambda/literals."""
+    try:
+        if as_int:
+            return int(t.value)
+        return float(t.value) if any(ch in t.value for ch in ".eE") \
+            else int(t.value)
+    except ValueError:
+        raise ParseError(
+            f"malformed number {t.value!r} at {t.pos}") from None
+
+
 class Parser:
     def __init__(self, text: str):
         self.toks = tokenize(text)
@@ -53,15 +67,7 @@ class Parser:
         numerics (e.g. a bare exponent like `5E`, which the lexer
         accepts as a NUMBER prefix) as ParseError rather than a raw
         ValueError — fuzz finding, round 6."""
-        t = self.expect("NUMBER")
-        try:
-            if as_int:
-                return int(t.value)
-            return float(t.value) if any(ch in t.value for ch in ".eE") \
-                else int(t.value)
-        except ValueError:
-            raise ParseError(
-                f"malformed number {t.value!r} at {t.pos}") from None
+        return _num_from_token(self.expect("NUMBER"), as_int=as_int)
 
     def ident(self) -> str:
         t = self.next()
@@ -356,12 +362,7 @@ class Parser:
     def _literal(self):
         t = self.next()
         if t.kind == "NUMBER":
-            try:
-                return float(t.value) if any(ch in t.value for ch in ".eE") \
-                    else int(t.value)
-            except ValueError:
-                raise ParseError(
-                    f"malformed number {t.value!r} at {t.pos}") from None
+            return _num_from_token(t)
         if t.kind == "STRING":
             return t.value
         if t.kind == "PARAM":

@@ -85,16 +85,22 @@ def main() -> None:
     import pyarrow as pa
 
     n, dims = train.shape
+    # broadcast rather than close over the corpus: at 1M x 128 `train`
+    # is ~512 MB — in the closure it would be pickled into the task
+    # binary; as a broadcast it ships once via the torrent path and is
+    # shared by every executor (review r6)
+    train_bc = spark.sparkContext.broadcast(train)
 
     def emit(batches):
         per = 50_000
+        tr = train_bc.value
         for b in batches:
             for pid in b.column(0).to_pylist():
                 s, e = pid * per, min((pid + 1) * per, n)
                 if s >= e:
                     continue
                 ids = pa.array(np.arange(s, e, dtype=np.int64))
-                flat = pa.array(train[s:e].ravel(), type=pa.float32())
+                flat = pa.array(tr[s:e].ravel(), type=pa.float32())
                 offs = pa.array(
                     np.arange(0, (e - s + 1) * dims, dims, dtype=np.int32))
                 yield pa.RecordBatch.from_arrays(

@@ -461,3 +461,22 @@ def test_srp_lsh_dot_metric_and_stats(spark):
     seen = {r["id1"] for r in got} | {r["id2"] for r in got}
     assert seen == set(range(40))
     assert all(r["distance"] <= -0.9 for r in got)
+
+
+def test_srp_lsh_rejects_magnitude_metrics_and_empty(spark):
+    """Review r6: SRP signatures are direction-only — magnitude metrics
+    (euclidean et al.) must be rejected loudly, not silently lose
+    recall; and an empty table returns an empty frame like the exact
+    tier instead of crashing on first()."""
+    from needle_spark.operators.dedup import srp_lsh_neardup_pairs
+
+    df = spark.createDataFrame([(1, [0.01, 0.0]), (2, [-0.01, 0.0])],
+                               "id long, vector array<float>")
+    with pytest.raises(ValueError, match="angular"):
+        srp_lsh_neardup_pairs(df, threshold=0.05, metric="euclidean",
+                              id_col="id", vector_col="vector")
+    empty = spark.createDataFrame([], "id long, vector array<float>")
+    out = srp_lsh_neardup_pairs(empty, threshold=0.05, metric="cosine",
+                                id_col="id", vector_col="vector")
+    assert out.count() == 0
+    assert set(out.columns) == {"id1", "id2", "distance"}

@@ -376,3 +376,21 @@ def test_order_by_score_asc_is_applied(ex):
         "'fast merge sort' ORDER BY score DESC LIMIT 5").collect()
     dscores = [r["score"] for r in desc]
     assert dscores == sorted(dscores, reverse=True)
+
+
+def test_hybrid_order_by_distance_resorts(ex, qv):
+    """Review r6: the hybrid branch emits pages ordered score DESC but
+    carries a distance column too — a plain ORDER BY distance must
+    re-sort the page, and a typo'd sort key must error on EVERY branch
+    (natural-order guessing used to swallow both)."""
+    rows = ex.execute(
+        "SELECT id, distance, score FROM corpus WHERE vector SIMILAR TO "
+        "$q AND text MATCH 'fast merge sort' ORDER BY distance LIMIT 5",
+        {"q": qv}).collect()
+    dists = [r["distance"] for r in rows]
+    assert len(dists) > 1 and dists == sorted(dists)
+    from needle_spark.ql.executor import ExecError
+    with pytest.raises(ExecError, match="not in result"):
+        ex.execute(
+            "SELECT id FROM embeddings WHERE vector SIMILAR TO $q "
+            "ORDER BY score DESC LIMIT 5", {"q": qv}).collect()
