@@ -3480,7 +3480,7 @@ ORDER BY hamming ASC, vec_id ASC LIMIT 50
 """
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_cosine": _mk_knn("cosine"),
         "knn_euclidean": _mk_knn("euclidean"),
@@ -3586,6 +3586,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_roundtrip": _sq8_roundtrip,
         "binq_hamming": _binq_hamming,
     }
+
+
+# The driver's per-round correctness gate checks the FIRST 50 keys of
+# queries().  Rounds 1-6 always presented the same canonical head, so the
+# 53-key tail (graphrag, crdt, encrypted, acl, temporal, quantization, ...)
+# was only ever driver-verified via the committed local artifact
+# (CORRECTNESS_LOCAL_r*.json).  From round 7 on we rotate: the keys that
+# have NOT yet appeared in a driver slice come first (oracle-backed ones
+# only — `ivf_recall` is the single structural no-oracle row and is pinned
+# to the very end so it never consumes a gated slot), followed by the
+# previously-green head.  Flip _ROTATION for the next rotation step once
+# CORRECTNESS_r07.json lands green.
+_R6_HEAD_COUNT = 50  # keys 1..50 of the canonical order = the r1-r6 slice
+
+
+def _rotated_keys(canonical: list[str]) -> list[str]:
+    head, tail = canonical[:_R6_HEAD_COUNT], canonical[_R6_HEAD_COUNT:]
+    no_oracle = [k for k in tail if k == "ivf_recall"]
+    tail = [k for k in tail if k != "ivf_recall"]
+    return tail + head + no_oracle
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    canon = _queries_canonical()
+    return {k: canon[k] for k in _rotated_keys(list(canon))}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -546,6 +546,20 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     li_rows = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
     derived = {
+        # HEADLINE batch row, apples-to-apples with BASELINE.md's batch
+        # 1.8 ms/q: the reference measures an IN-PROCESS serving call
+        # against a prebuilt in-memory index (README.md:78-87 /
+        # benches/search.rs), so the comparable tier here is
+        # search_many_local over the pinned decoded segments — same
+        # process, no Spark job dispatch.  The distributed Spark-job
+        # tier (search_local, pays per-wave scheduling the reference
+        # number never includes) is reported alongside as
+        # batch_knn_1M384_ivf_ms_per_query; the exact-correctness full
+        # scan as batch_knn_1M384_ms_per_query.
+        "batch_knn_1M384_headline_ms_per_query": round(
+            timings["batch_knn_1M384_ivf_local_100q"] * 10.0, 3),
+        "batch_knn_1M384_headline_recall_at_10": ivf_recall,
+        "batch_knn_1M384_headline_tier": "inprocess_serving_pinned_segments",
         # baseline workload shapes (BASELINE.md) expressed as throughput
         "batch_knn_qps": round(100.0 / timings["batch_knn_100"], 1),
         "batch_knn_ms_per_query": round(timings["batch_knn_100"] * 10.0, 2),
