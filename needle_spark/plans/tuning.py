@@ -329,6 +329,63 @@ def auto_tune(c: TuningConstraints) -> TuningResult:
                         round(lat, 1), expl)
 
 
+def relative_contrast(train_sample, query_sample,
+                      metric: str = "cosine") -> float:
+    """Relative contrast RC = E_q[mean_dist(q) / nearest_dist(q)] over
+    a corpus sample — the public difficulty statistic for nearest
+    -neighbor search (He, Kumar, Chang, "On the Difficulty of Nearest
+    Neighbor Search", ICML 2012): RC -> 1 means distances concentrate
+    and partition-based indexes cannot separate neighbors from the
+    bulk.  Calibration on the repo's ANN twins (100k sample):
+    glove-like (angular, concentrated) RC=1.46; sift-like (clustered
+    euclidean) RC=5.3; a cleanly clustered angular corpus RC=13."""
+    import numpy as np
+
+    t = np.asarray(train_sample, dtype=np.float64)
+    q = np.asarray(query_sample, dtype=np.float64)
+    if metric == "cosine":
+        t = t / np.maximum(np.linalg.norm(t, axis=1, keepdims=True), 1e-12)
+        q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        D = 1.0 - q @ t.T
+    elif metric == "dot":
+        # dot has no scale-free contrast; rank by negative dot shifted
+        # positive so the ratio stays meaningful
+        D = -(q @ t.T)
+        D = D - D.min() + 1e-9
+    else:
+        D = np.sqrt(np.maximum(
+            (q * q).sum(1)[:, None] - 2.0 * (q @ t.T)
+            + (t * t).sum(1)[None, :], 0.0))
+    return float((D.mean(axis=1)
+                  / np.maximum(D.min(axis=1), 1e-12)).mean())
+
+
+#: below this relative contrast, IVF recall-per-probed-row collapses
+#: (measured: glove-like RC 1.46 needs 31% probe fraction for 0.72
+#: recall@10 — ANN_RECALL_glove_like.json) and the exact flat tier
+#: (plans/flat.py, recall 1.0 at ~1300 QPS/1M) is the right family
+FLAT_TIER_RC_CUTOFF = 2.0
+
+
+def recommend_ann_tier(train_sample, query_sample,
+                       metric: str = "cosine") -> dict:
+    """Pick the serving index family from measured search difficulty:
+    'flat' (exact blocked-sgemm scan) when distances concentrate,
+    'ivf' when cluster structure gives probes real recall-per-row.
+    Returns {'tier', 'relative_contrast', 'reason'}."""
+    rc = relative_contrast(train_sample, query_sample, metric)
+    if rc < FLAT_TIER_RC_CUTOFF:
+        return {"tier": "flat", "relative_contrast": round(rc, 3),
+                "reason": f"relative contrast {rc:.2f} < "
+                          f"{FLAT_TIER_RC_CUTOFF}: distances "
+                          "concentrate; partition probes cannot "
+                          "separate neighbors — serve exact"}
+    return {"tier": "ivf", "relative_contrast": round(rc, 3),
+            "reason": f"relative contrast {rc:.2f} >= "
+                      f"{FLAT_TIER_RC_CUTOFF}: cluster structure "
+                      "present; IVF probes pay off"}
+
+
 def recommended_nprobe(cells: int, target_recall: float) -> int:
     """tuning.rs:393 recommended_ef_search analog: invert the recall
     curve for a probe count."""

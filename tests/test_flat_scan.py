@@ -1,0 +1,183 @@
+"""Flat exact serving tier (plans/flat.py) — VERDICT r6 ask #2.
+
+Pins: exact parity with a float64 brute-force oracle on every metric,
+on BOTH kernel paths (direct argpartition and sampled-threshold), with
+and without where-filters; tie determinism; DataFrame pinning parity;
+and the auto-tier rule's calibration on the ANN twins.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from needle_spark.plans.flat import FlatKnnIndex
+from needle_spark.plans.tuning import (
+    FLAT_TIER_RC_CUTOFF, recommend_ann_tier, relative_contrast,
+)
+
+RNG = np.random.default_rng(7)
+N, D, Q, K = 5000, 32, 17, 5
+X = RNG.standard_normal((N, D)).astype(np.float32)
+IDS = RNG.permutation(N * 3)[:N]          # non-contiguous ids
+QUERIES = RNG.standard_normal((Q, D))
+METAS = {"grp": RNG.integers(0, 4, N)}
+
+
+def brute(metric, wm=None, k=K):
+    t = X.astype(np.float64)
+    q = QUERIES.astype(np.float64)
+    if metric == "cosine":
+        t = t / np.linalg.norm(t, axis=1, keepdims=True)
+        q = q / np.linalg.norm(q, axis=1, keepdims=True)
+        dist = 1 - q @ t.T
+    elif metric == "dot":
+        dist = -(q @ t.T)
+    else:
+        dist = np.sqrt(np.maximum(
+            (q * q).sum(1)[:, None] - 2 * q @ t.T + (t * t).sum(1)[None],
+            0))
+    if wm is not None:
+        dist = np.where(wm[None, :], dist, np.inf)
+    out = []
+    for i in range(Q):
+        order = np.lexsort((IDS, dist[i]))[:k]
+        out.append(([int(IDS[j]) for j in order],
+                    [dist[i, j] for j in order]))
+    return out
+
+
+def check_parity(idx, metric, where=None, wm=None):
+    res = idx.search_many_local((list(range(Q)), QUERIES), k=K,
+                                where=where)
+    exp = brute(metric, wm)
+    for i in range(Q):
+        got = res[res.query_id == i]
+        assert list(got["id"]) == exp[i][0], (metric, i)
+        assert np.allclose(got["distance"], exp[i][1], atol=1e-4)
+        assert list(got["rank"]) == list(range(1, len(got) + 1))
+
+
+@pytest.mark.parametrize("metric", ["cosine", "dot", "euclidean"])
+def test_direct_path_parity(metric):
+    idx = FlatKnnIndex(IDS, X, metric=metric, metas=METAS)
+    check_parity(idx, metric)
+    check_parity(idx, metric, where={"grp": 2}, wm=METAS["grp"] == 2)
+    idx.unpersist()
+
+
+@pytest.mark.parametrize("metric", ["cosine", "dot", "euclidean"])
+def test_threshold_path_parity(metric, monkeypatch):
+    # force the sampled-threshold kernel (normally >= 200k rows)
+    monkeypatch.setattr(FlatKnnIndex, "THRESHOLD_MIN_ROWS", 100)
+    idx = FlatKnnIndex(IDS, X, metric=metric, metas=METAS)
+    check_parity(idx, metric)
+    check_parity(idx, metric, where={"grp": 2}, wm=METAS["grp"] == 2)
+    # range-op where on the threshold path too
+    wm = (METAS["grp"] >= 1) & (METAS["grp"] <= 2)
+    check_parity(idx, metric, where={"grp": {"$gte": 1, "$lte": 2}},
+                 wm=wm)
+    idx.unpersist()
+
+
+def test_threshold_fallback_under_k(monkeypatch):
+    """A where-filter matching fewer rows than the threshold expects
+    exercises the <k-survivors fallback; results must stay exact."""
+    monkeypatch.setattr(FlatKnnIndex, "THRESHOLD_MIN_ROWS", 100)
+    # 12 matching rows, k=5: the sampled threshold sees almost no
+    # matching rows, so most queries take the per-query fallback
+    metas = {"grp": np.where(np.arange(N) % 417 == 0, 9, 0)}
+    idx = FlatKnnIndex(IDS, X, metric="cosine", metas=metas)
+    res = idx.search_many_local((list(range(Q)), QUERIES), k=K,
+                                where={"grp": 9})
+    wm = metas["grp"] == 9
+    exp = brute("cosine", wm)
+    for i in range(Q):
+        got = res[res.query_id == i]
+        assert list(got["id"]) == exp[i][0]
+    idx.unpersist()
+
+
+def test_k_larger_than_corpus():
+    idx = FlatKnnIndex(IDS[:3], X[:3], metric="cosine")
+    r = idx.search_one(QUERIES[0], k=10)
+    assert len(r) == 3
+    assert list(r["rank"]) == [1, 2, 3]
+
+
+def test_empty_where_result():
+    idx = FlatKnnIndex(IDS, X, metric="cosine", metas=METAS)
+    res = idx.search_many_local((list(range(Q)), QUERIES), k=K,
+                                where={"grp": 99})
+    assert len(res) == 0
+
+
+def test_where_without_metas_raises():
+    idx = FlatKnnIndex(IDS, X, metric="cosine")
+    with pytest.raises(ValueError, match="meta columns"):
+        idx.search_many_local(([0], QUERIES[:1]), k=K, where={"grp": 1})
+
+
+def test_unknown_metric_rejected():
+    with pytest.raises(ValueError, match="unsupported metric"):
+        FlatKnnIndex(IDS, X, metric="hamming")
+
+
+def test_deterministic_across_calls():
+    idx = FlatKnnIndex(IDS, X, metric="cosine")
+    a = idx.search_many_local((list(range(Q)), QUERIES), k=K)
+    b = idx.search_many_local((list(range(Q)), QUERIES), k=K)
+    pd.testing.assert_frame_equal(a, b)
+    idx.unpersist()
+
+
+def test_from_df_parity(spark):
+    rows = [(int(IDS[i]), [float(v) for v in X[i]], int(METAS["grp"][i]))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, vector array<float>, "
+                                     "grp int")
+    idx = FlatKnnIndex.from_df(df, vector_col="vector", id_col="id",
+                               metric="cosine", meta_cols=["grp"])
+    twin = FlatKnnIndex(IDS[:300], X[:300], metric="cosine",
+                        metas={"grp": METAS["grp"][:300]})
+    a = idx.search_many_local((list(range(Q)), QUERIES), k=K)
+    b = twin.search_many_local((list(range(Q)), QUERIES), k=K)
+    assert list(a["id"]) == list(b["id"])
+    a = idx.search_many_local((list(range(Q)), QUERIES), k=K,
+                              where={"grp": 2})
+    b = twin.search_many_local((list(range(Q)), QUERIES), k=K,
+                               where={"grp": 2})
+    assert list(a["id"]) == list(b["id"])
+    idx.unpersist()
+    twin.unpersist()
+
+
+def test_ivf_serving_frame_shape_matches():
+    """The flat tier is drop-in for IvfBatchKnnIndex serving: same
+    column names, same ordering contract."""
+    idx = FlatKnnIndex(IDS, X, metric="cosine", id_col="vec_id")
+    res = idx.search_many_local((list(range(2)), QUERIES[:2]), k=3)
+    assert list(res.columns) == ["query_id", "vec_id", "distance",
+                                 "rank"]
+    assert res.groupby("query_id")["distance"].apply(
+        lambda s: (s.diff().dropna() >= -1e-12).all()).all()
+
+
+# -- auto-tier rule -------------------------------------------------
+
+def test_relative_contrast_separates_twins():
+    from needle_spark.plans.ann_datasets import glove_like, sift_like
+
+    tr, q = glove_like(20_000, n_queries=25)
+    rc_glove = relative_contrast(tr, q, "cosine")
+    tr, q = sift_like(20_000, n_queries=25)
+    rc_sift = relative_contrast(tr, q, "euclidean")
+    assert rc_glove < FLAT_TIER_RC_CUTOFF < rc_sift
+
+
+def test_recommend_ann_tier():
+    from needle_spark.plans.ann_datasets import glove_like, sift_like
+
+    tr, q = glove_like(20_000, n_queries=25)
+    assert recommend_ann_tier(tr, q, "cosine")["tier"] == "flat"
+    tr, q = sift_like(20_000, n_queries=25)
+    assert recommend_ann_tier(tr, q, "euclidean")["tier"] == "ivf"
