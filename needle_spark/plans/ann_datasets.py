@@ -111,6 +111,85 @@ def glove_like(n: int, dims: int = 200, n_queries: int = 100,
     return train, queries
 
 
+def fashion_like(n: int = 60_000, dims: int = 784, n_queries: int = 100,
+                 n_classes: int = 10, styles_per_class: int = 40,
+                 seed: int = 44):
+    """Deterministic Fashion-MNIST-like corpus for the HIGH-DIM
+    EUCLIDEAN grid (fashion-mnist-784-euclidean's public structure
+    facts; the real set is 60k 28x28 uint8 images, 10 balanced
+    classes).  What makes it behave like image pixels rather than iid
+    noise:
+
+    - 10 balanced classes (garment types), each a smooth 28x28
+      template: spatially-correlated values (box-blurred noise), a
+      dark background with a bright centered object mask — most of
+      the 784 dims sit near 0, variance concentrates in the object
+      region, which is why SQ8-vs-float32 tiering behaves differently
+      here than on dense 128-d SIFT descriptors;
+    - per-class style modes (cut/fit variants): template + a few
+      smooth low-rank deformation bases with per-sample coefficients —
+      intra-class variance is LOW-RANK, the property that makes
+      high-dim image data clusterable at all;
+    - small per-pixel noise, clipped to [0, 255] and rounded
+      (uint8-valued like the real file);
+    - queries from the same process, held out (ann-benchmarks'
+      disjoint train/test split).
+    """
+    side = int(np.sqrt(dims))
+    if side * side != dims:
+        raise ValueError("dims must be a square (e.g. 784 = 28x28)")
+    rng = np.random.default_rng(seed)
+
+    def smooth(count: int, r: np.random.Generator,
+               passes: int = 3) -> np.ndarray:
+        """(count, side, side) spatially-correlated fields via repeated
+        3x1/1x3 box blurs of white noise."""
+        img = r.standard_normal((count, side, side)).astype(np.float32)
+        k = np.array([0.25, 0.5, 0.25], dtype=np.float32)
+        for _ in range(passes):
+            # separable blur, axis 1 then 2
+            p = np.pad(img, ((0, 0), (1, 1), (0, 0)), mode="edge")
+            img = k[0] * p[:, :-2] + k[1] * p[:, 1:-1] + k[2] * p[:, 2:]
+            p = np.pad(img, ((0, 0), (0, 0), (1, 1)), mode="edge")
+            img = (k[0] * p[:, :, :-2] + k[1] * p[:, :, 1:-1]
+                   + k[2] * p[:, :, 2:])
+        return img
+
+    yy, xx = np.mgrid[0:side, 0:side].astype(np.float32)
+    c = (side - 1) / 2.0
+    # per-class soft object SILHOUETTE: garment types differ first by
+    # shape (trousers narrow/tall, bags wide/short) — in the real data
+    # the silhouette carries most of the between-class euclidean
+    # separation, because background pixels are ~0 and object pixels
+    # ~100-255
+    h = rng.uniform(0.28, 0.46, n_classes).astype(np.float32)
+    wdt = rng.uniform(0.22, 0.44, n_classes).astype(np.float32)
+    mask = np.exp(-(((yy[None] - c) / (h[:, None, None] * side)) ** 4
+                    + ((xx[None] - c) / (wdt[:, None, None] * side)) ** 4))
+    templates = (smooth(n_classes, rng, passes=4) * 70.0 + 140.0) * mask
+    n_bases = 4
+    bases = smooth(n_classes * n_bases, rng, passes=4).reshape(
+        n_classes, n_bases, side, side) * mask[:, None]
+    style_coef = rng.standard_normal(
+        (n_classes, styles_per_class, n_bases)).astype(np.float32) * 28.0
+
+    def sample(count: int, r: np.random.Generator) -> np.ndarray:
+        cls = r.integers(0, n_classes, count)
+        sty = r.integers(0, styles_per_class, count)
+        coef = (style_coef[cls, sty]
+                + 7.0 * r.standard_normal((count, n_bases))
+                .astype(np.float32))
+        imgs = templates[cls] + np.einsum(
+            "nb,nbyx->nyx", coef, bases[cls], optimize=True)
+        imgs += 6.0 * r.standard_normal(imgs.shape).astype(np.float32)
+        return np.clip(np.rint(imgs), 0, 255).astype(
+            np.float32).reshape(count, dims)
+
+    train = sample(n, rng)
+    queries = sample(n_queries, np.random.default_rng(seed + 1))
+    return train, queries
+
+
 def exact_ground_truth(train: np.ndarray, queries: np.ndarray,
                        k: int = 10, metric: str = "euclidean",
                        block: int = 200_000,

@@ -741,12 +741,23 @@ class RestServer:
 
     # -- estimate / benchmark --
 
+    #: the reference assumes 30% selectivity for any filter it cannot
+    #: introspect (admin.rs:380 "estimate 30% selectivity for filters")
+    FILTER_SELECTIVITY_ESTIMATE = 0.3
+
     def cost_estimate(self, m, b, q) -> dict:
-        """Pre-execution cost estimate (cost_estimate_handler): which
-        path would serve this search and how many candidates it scans."""
+        """Pre-execution cost estimate (admin.rs:351
+        cost_estimate_handler): which path would serve this search and
+        how many candidates it scans.  Reference-parity envelope
+        fields: collection / query_dimensions / collection_vectors;
+        filtered searches carry the reference's assumed 0.3
+        selectivity rather than a full-scan candidate count."""
         name = m.group(1)
         c = self._coll(name)
         rows = c.count()
+        envelope = {"collection": name,
+                    "query_dimensions": len(b.get("vector") or []),
+                    "collection_vectors": rows}
         entry = self._indexes.get(name)
         filtered = bool(b.get("filter") or b.get("post_filter"))
         if entry is not None and not filtered \
@@ -754,38 +765,56 @@ class RestServer:
             idx, nprobe = entry
             nprobe = int(b.get("nprobe", nprobe))
             cand = int(rows * min(nprobe, idx.nlist) / idx.nlist)
-            return {"strategy": "ivf_index", "rows": rows,
+            return {**envelope, "strategy": "ivf_index", "rows": rows,
                     "estimated_candidates": cand,
                     "nprobe": nprobe, "nlist": idx.nlist,
                     "estimated_ms": max(1, cand // 5000)}
-        return {"strategy": "exact_scan", "rows": rows,
-                "estimated_candidates": rows,
-                "filtered": filtered,
-                "estimated_ms": 200 + rows // 2000}
+        sel = self.FILTER_SELECTIVITY_ESTIMATE if filtered else 1.0
+        out = {**envelope, "strategy": "exact_scan", "rows": rows,
+               "estimated_candidates": int(rows * sel),
+               "filtered": filtered,
+               "estimated_ms": 200 + int(rows * sel) // 2000}
+        if filtered:
+            out["filter_selectivity"] = sel
+        return out
 
     def benchmark(self, m, b, q) -> dict:
-        """In-process latency probe (benchmark_handler): run n searches
-        with vectors sampled from the collection, report percentiles."""
+        """In-process latency probe (admin.rs:636 benchmark_handler):
+        run n searches, report percentiles.  Reference-parity clamps:
+        k into [1, 10_000] (MAX_SEARCH_K, handlers/mod.rs:32), query
+        count capped (reference: 10_000; here 1_000 — each probe is a
+        real search through the serving path, not a sub-ms in-process
+        graph walk, so the cap keeps the route interactive).  Query
+        vectors are sampled from the collection (cycled past the
+        sample size) rather than rng-generated — same workload shape,
+        deterministic.  Empty collection -> 400 (INVALID_COLLECTION)."""
         import time as _time
 
         c = self._coll(m.group(1))
-        n = min(int(b.get("queries", 10)), 100)
-        k = int(b.get("k", DEFAULT_K))
+        rows = c.count()
+        n = min(int(b.get("queries", 10)), 1_000)
+        k = max(1, min(int(b.get("k", DEFAULT_K)), 10_000))
         sample = [list(r[c.vector_col])
-                  for r in c.df().limit(n).collect()]
+                  for r in c.df().limit(min(n, 200)).collect()]
         if not sample:
-            raise _bad("collection is empty")
+            raise _bad("Collection is empty or has no dimensions")
         lat = []
-        for vec in sample:
+        for i in range(n):
+            vec = sample[i % len(sample)]
             t0 = _time.perf_counter()
             self.search(m, {"vector": vec, "k": k}, {})
             lat.append((_time.perf_counter() - t0) * 1000.0)
         lat.sort()
-        return {"queries": len(lat), "k": k,
+        mean = sum(lat) / len(lat)
+        return {"collection": m.group(1), "vectors": rows,
+                "dimensions": c.dims, "queries": len(lat), "k": k,
                 "p50_ms": round(lat[len(lat) // 2], 3),
                 "p95_ms": round(lat[min(len(lat) - 1,
                                         int(len(lat) * 0.95))], 3),
-                "mean_ms": round(sum(lat) / len(lat), 3)}
+                "p99_ms": round(lat[min(len(lat) - 1,
+                                        int(len(lat) * 0.99))], 3),
+                "mean_ms": round(mean, 3),
+                "qps": round(1000.0 / mean, 1) if mean > 0 else 0.0}
 
     # -- NeedleQL --
 

@@ -27,7 +27,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from needle_spark import get_spark  # noqa: E402
 from needle_spark.plans.ann_datasets import (  # noqa: E402
-    exact_ground_truth, glove_like, load_ann_benchmarks_hdf5, sift_like,
+    exact_ground_truth, fashion_like, glove_like, load_ann_benchmarks_hdf5,
+    sift_like,
 )
 from needle_spark.plans.ivf import IvfBatchKnnIndex  # noqa: E402
 
@@ -48,14 +49,18 @@ def _write_artifact(args, rows, n, dims, metric, note=None):
     so one file holds the full recall/QPS picture per dataset."""
     path = _artifact_path(args.dataset)
     merged = list(rows)
+    cur_fam = "flat" if args.index == "flat" else f"ivf:{args.codes}"
     if os.path.exists(path):
         try:
             with open(path) as f:
                 prior = json.load(f)
             if prior.get("n") == n and prior.get("dims") == dims:
-                is_flat = args.index == "flat"
+                def fam(r):
+                    if r.get("tier") == "flat":
+                        return "flat"
+                    return f"ivf:{r.get('codes', prior.get('codes'))}"
                 merged = [r for r in prior.get("grid", [])
-                          if (r.get("tier") == "flat") != is_flat] + merged
+                          if fam(r) != cur_fam] + merged
         except (json.JSONDecodeError, OSError):
             pass
     out = {"dataset": args.dataset, "n": n, "dims": dims, "k": args.k,
@@ -170,6 +175,17 @@ def main() -> None:
                                      metric=metric, return_distances=True)
         print(f"# exact ground truth: {time.perf_counter()-t0:.1f}s",
               flush=True)
+    elif args.dataset == "fashion-like":
+        # real fashion-mnist-784-euclidean is 60k rows; default to that
+        train, queries = fashion_like(min(args.n, 1_000_000) if args.n
+                                      != 1_000_000 else 60_000,
+                                      n_queries=args.queries)
+        metric = "euclidean"
+        t0 = time.perf_counter()
+        _, gt_d = exact_ground_truth(train, queries, k=args.k,
+                                     metric=metric, return_distances=True)
+        print(f"# exact ground truth: {time.perf_counter()-t0:.1f}s",
+              flush=True)
     else:
         train, queries = sift_like(args.n, n_queries=args.queries)
         metric = "euclidean"
@@ -265,6 +281,7 @@ def main() -> None:
             recall = float(np.mean(hits))
             rows.append({
                 "nlist": nlist, "nprobe": nprobe,
+                "codes": args.codes,
                 "recall_at_10": round(recall, 4),
                 "qps": round(len(queries) / best, 1),
                 "ms_per_query": round(best * 1000 / len(queries), 3),
