@@ -59,6 +59,30 @@ def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]
 _Q_SQL = "(SELECT embedding FROM embeddings WHERE vec_id = 0)"
 
 
+# ---------------------------------------------------------------------
+# Driver-gate array projection.  The driver's canonicalizer pandas-sorts
+# result columns before hashing; raw array columns raise "unhashable
+# type: 'list'" (CORRECTNESS_r07 schema_adapted_read et al.).  Every
+# query that would return an array column projects it to a deterministic
+# scalar string instead: numeric arrays as comma-joined fixed-point
+# integers round(x*1e6) (half-away-from-zero in both Spark's HALF_UP
+# round and DuckDB's std::round, operating on bit-identical doubles
+# because both engines compute the values with the same op order),
+# string arrays via array_join on an ASCII unit separator.  Gate
+# projection only — the underlying operators still return real arrays.
+
+def _fx6_join(col: F.Column) -> F.Column:
+    return F.array_join(
+        F.transform(col, lambda x: F.round(x.cast("double") * 1000000.0)
+                    .cast("long").cast("string")), ",")
+
+
+def _fx6_join_sql(expr: str) -> str:
+    return ("array_to_string(list_transform(" + expr +
+            ", x -> CAST(CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)"
+            " AS VARCHAR)), ',')")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: filtered top-10 cosine kNN on sf0.001 embeddings."""
     sf_dir = "/root/testdata/sf0.001"
@@ -2091,13 +2115,16 @@ def _schema_adapted_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "to_dtype": "bigint"})
     reg.apply_change({"kind": "change_dimension", "to": 16,
                       "strategy": "truncate"})
-    return reg.adapted_df()
+    adapted = reg.adapted_df()
+    return adapted.select(
+        "vec_id", _fx6_join(F.col("embedding")).alias("embedding_fx6"),
+        "label", "quality")
 
 
 def _schema_adapted_read_sql() -> str:
-    return """
+    return f"""
 SELECT vec_id,
-       embedding[1:16] AS embedding,
+       {_fx6_join_sql("embedding[1:16]")} AS embedding_fx6,
        CAST(label AS BIGINT) AS label,
        CAST(0.5 AS DOUBLE) AS quality
 FROM embeddings
@@ -2250,13 +2277,14 @@ def _markdown_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     md = F.concat(F.lit("# Doc "), F.col("doc_id").cast("string"),
                   F.lit("\n## "), F.col("source"), F.lit("\n"), F.col("text"))
     return load_markdown(docs.select("doc_id", md.alias("text"))).select(
-        "doc_id", "title", "headings", "text")
+        "doc_id", "title",
+        F.array_join(F.col("headings"), "\x1f").alias("headings"), "text")
 
 
 _MARKDOWN_LOAD_SQL = r"""
 SELECT doc_id,
        'Doc ' || CAST(doc_id AS VARCHAR) AS title,
-       ['Doc ' || CAST(doc_id AS VARCHAR), source] AS headings,
+       'Doc ' || CAST(doc_id AS VARCHAR) || chr(31) || source AS headings,
        'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || source || chr(10) || text
          AS text
 FROM documents
@@ -2572,7 +2600,10 @@ def _mm_fusion_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, schema,
         [("text_vec", qv, 2.0), ("image_vec", list(reversed(qv)), 1.0)],
         k=15, strategy="weighted_sum")
-    return got.select("id", "score", "modalities_present")
+    return got.select(
+        "id", "score",
+        F.array_join(F.col("modalities_present"), ",")
+        .alias("modalities_present"))
 
 
 def _mm_fusion_weighted_sql() -> str:
@@ -2590,8 +2621,8 @@ WITH scored AS (
   SELECT id,
          CASE WHEN di IS NULL THEN dt
               ELSE (2.0 * dt + 1.0 * di) / 3.0 END AS score,
-         CASE WHEN di IS NULL THEN ['text_vec']
-              ELSE ['text_vec', 'image_vec'] END AS modalities_present
+         CASE WHEN di IS NULL THEN 'text_vec'
+              ELSE 'text_vec,image_vec' END AS modalities_present
   FROM scored
 )
 SELECT id, score, modalities_present
@@ -2708,7 +2739,8 @@ def _sequence_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("seq_id"), F.col("vec_id").alias("ts"),
         F.col("embedding").alias("vector"))
     return sequence_trends(emb, window_size=10).select(
-        F.col("seq").cast("int").alias("seq"), "trend")
+        F.col("seq").cast("int").alias("seq"),
+        _fx6_join(F.col("trend")).alias("trend_fx6"))
 
 
 _SEQUENCE_TREND_SQL = """
@@ -2736,9 +2768,10 @@ WITH ranked AS (
          max(CASE WHEN side = 'last' THEN v END) AS lv
   FROM dim GROUP BY 1, 2
 )
-SELECT label AS seq, list(lv - fv ORDER BY pos) AS trend
+SELECT label AS seq,
+       {fx} AS trend_fx6
 FROM piv GROUP BY label
-"""
+""".format(fx=_fx6_join_sql("list(lv - fv ORDER BY pos)"))
 
 
 def _vector_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2752,7 +2785,8 @@ def _vector_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = group_centroids(emb, "label", "vector")
     spread = group_spread(emb, "label", "vector", centroids=cents)
     return (cents.join(spread.select("group", "spread"), "group")
-            .select(F.col("group").cast("int").alias("label"), "centroid",
+            .select(F.col("group").cast("int").alias("label"),
+                    _fx6_join(F.col("centroid")).alias("centroid_fx6"),
                     "count", "spread"))
 
 
@@ -2781,9 +2815,11 @@ WITH per AS (
   SELECT label, CAST(sum(d2fx) AS DOUBLE) / 1000000.0 / count(*) AS spread
   FROM d2 GROUP BY label
 )
-SELECT c.label, c.centroid, c.cnt AS count, sp.spread
+SELECT c.label,
+       {fx} AS centroid_fx6,
+       c.cnt AS count, sp.spread
 FROM cents c JOIN sp ON sp.label = c.label
-"""
+""".format(fx=_fx6_join_sql("c.centroid"))
 
 
 # ----------------------------------------------- collaborative filtering --
@@ -3589,23 +3625,32 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # The driver's per-round correctness gate checks the FIRST 50 keys of
-# queries().  Rounds 1-6 always presented the same canonical head, so the
-# 53-key tail (graphrag, crdt, encrypted, acl, temporal, quantization, ...)
-# was only ever driver-verified via the committed local artifact
-# (CORRECTNESS_LOCAL_r*.json).  From round 7 on we rotate: the keys that
-# have NOT yet appeared in a driver slice come first (oracle-backed ones
-# only — `ivf_recall` is the single structural no-oracle row and is pinned
-# to the very end so it never consumes a gated slot), followed by the
-# previously-green head.  Flip _ROTATION for the next rotation step once
-# CORRECTNESS_r07.json lands green.
+# queries().  Rounds 1-6 always presented the same canonical head (all 50
+# green in CORRECTNESS_r06).  Round 7 rotated the 53-key tail in: 45 of
+# its 50 slots went green; 5 errored on the driver canonicalizer's
+# unhashable-list limitation (fixed in r8 by projecting array columns to
+# scalars, see _fx6_join) and 2 oracle-backed tail keys (sq8_roundtrip,
+# binq_hamming) never fit in a slice.  Round 8 head = those 7 priority
+# keys + 43 of the r1-r6 canonical head, so after r8 every oracle-backed
+# query has been driver-green in some CORRECTNESS_r*.json.  Per-key round
+# map: README.md "Driver correctness rotation".  `ivf_recall` (the single
+# structural no-oracle row) stays pinned last so it never consumes a
+# gated slot.
 _R6_HEAD_COUNT = 50  # keys 1..50 of the canonical order = the r1-r6 slice
+
+_R8_PRIORITY = [
+    "schema_adapted_read", "markdown_load", "vector_centroids",
+    "sequence_trend", "mm_fusion_weighted", "sq8_roundtrip", "binq_hamming",
+]
 
 
 def _rotated_keys(canonical: list[str]) -> list[str]:
-    head, tail = canonical[:_R6_HEAD_COUNT], canonical[_R6_HEAD_COUNT:]
-    no_oracle = [k for k in tail if k == "ivf_recall"]
-    tail = [k for k in tail if k != "ivf_recall"]
-    return tail + head + no_oracle
+    pri = [k for k in _R8_PRIORITY if k in canonical]
+    head = [k for k in canonical[:_R6_HEAD_COUNT]
+            if k not in pri and k != "ivf_recall"]
+    tail = [k for k in canonical[_R6_HEAD_COUNT:]
+            if k not in pri and k != "ivf_recall"]
+    return pri + head + tail + ["ivf_recall"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

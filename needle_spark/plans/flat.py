@@ -57,6 +57,7 @@ introduced by going exact.
 from __future__ import annotations
 
 import os
+import threading
 from concurrent.futures import ThreadPoolExecutor
 from contextlib import contextmanager
 from typing import Sequence
@@ -68,6 +69,9 @@ from needle_spark.plans.ivf import IvfBatchKnnIndex, _l2_normalize
 __all__ = ["FlatKnnIndex", "single_thread_blas"]
 
 _BLAS_CTL = None  # cached (set_fn, get_fn) | (None, None)
+_PIN_LOCK = threading.Lock()
+_PIN_COUNT = 0     # concurrent single_thread_blas holders
+_PIN_PREV = None   # thread count to restore when the last holder exits
 
 
 def _openblas_ctl():
@@ -111,19 +115,35 @@ def _openblas_ctl():
 
 @contextmanager
 def single_thread_blas():
-    """Pin OpenBLAS to 1 thread for the duration (restored after) so a
-    Python-thread-parallel scan isn't 2x oversubscribed by nested BLAS
-    threads (measured 559 -> 1341 QPS on the 1M glove-like batch)."""
+    """Pin OpenBLAS to 1 thread for the duration so a Python-thread
+    -parallel scan isn't 2x oversubscribed by nested BLAS threads
+    (measured 559 -> 1341 QPS on the 1M glove-like batch).
+
+    The pin is refcounted under a module lock: OpenBLAS's thread count
+    is process-global, so a bare save/restore pair races when two scans
+    overlap (A saves N, B saves 1, interleaved exits leave the process
+    pinned at 1 forever).  The first holder records the ambient count,
+    nested/concurrent holders share the pin, and the last one out
+    restores — the worst concurrent effect is that unrelated BLAS work
+    runs single-threaded for the scan's duration, never permanently."""
+    global _PIN_COUNT, _PIN_PREV
     set_fn, get_fn = _openblas_ctl()
     if set_fn is None:
         yield
         return
-    prev = int(get_fn())
-    set_fn(1)
+    with _PIN_LOCK:
+        if _PIN_COUNT == 0:
+            _PIN_PREV = int(get_fn())
+            set_fn(1)
+        _PIN_COUNT += 1
     try:
         yield
     finally:
-        set_fn(prev)
+        with _PIN_LOCK:
+            _PIN_COUNT -= 1
+            if _PIN_COUNT == 0 and _PIN_PREV is not None:
+                set_fn(_PIN_PREV)
+                _PIN_PREV = None
 
 
 class FlatKnnIndex:
@@ -237,15 +257,18 @@ class FlatKnnIndex:
             # small / heavily-filtered corpus: direct exact selection
             idx = np.flatnonzero(wm) if wm is not None else None
             Xs = X[idx] if idx is not None else X
-            with single_thread_blas() if q >= 16 else _noop_ctx():
-                G = Xs @ Qt
+            # single un-pooled sgemm: let BLAS multithread it freely
+            # (pinning here would serialize the whole small-corpus scan)
+            G = Xs @ Qt
             kk = min(k, len(Xs))
-            sel = np.argpartition(-G, kk - 1, axis=0)[:kk]
-            rows = idx[sel] if idx is not None else sel
-            qs = np.broadcast_to(np.arange(q), sel.shape)
-            return (rows.ravel(order="F"), np.ascontiguousarray(
-                qs, dtype=np.int64).ravel(order="F"),
-                np.take_along_axis(G, sel, axis=0).ravel(order="F"))
+            # keep every row tied with the kk-th score so the final
+            # (distance, id) tie-break never loses the smallest-id
+            # member of a boundary tie group
+            boundary = -np.partition(-G, kk - 1, axis=0)[kk - 1]
+            m = G >= boundary[None, :]
+            r, qq = np.nonzero(m)
+            rows = idx[r] if idx is not None else r
+            return rows, qq, G[m]
 
         rng = np.random.default_rng(0xF1A7)
         pool = self._ensure_pool()
@@ -288,10 +311,11 @@ class FlatKnnIndex:
             if wm is not None:
                 col = np.where(wm, col, -np.inf)
             kk = min(k, rows_eff)
-            sel = np.argpartition(-col, kk - 1)[:kk]
+            part = np.argpartition(-col, kk - 1)[:kk]
+            sel = np.flatnonzero(col >= col[part].min())  # boundary ties
             rows = np.concatenate([rows[qs != qi], sel])
             vals = np.concatenate([vals[qs != qi], col[sel]])
-            qs = np.concatenate([qs[qs != qi], np.full(kk, qi)])
+            qs = np.concatenate([qs[qs != qi], np.full(len(sel), qi)])
         return rows, qs, vals
 
     def _ensure_pool(self) -> ThreadPoolExecutor:
@@ -349,10 +373,13 @@ class FlatKnnIndex:
             d_q, r_q = dist_s[a:b], rows_s[a:b]
             kk = min(k, b - a)
             if b - a > kk:
-                sel = np.argpartition(d_q, kk - 1)[:kk]
+                # keep boundary-distance ties through the cut so the
+                # (distance, id) lexsort can pick the smallest ids
+                part = np.argpartition(d_q, kk - 1)[:kk]
+                sel = np.flatnonzero(d_q <= d_q[part].max())
                 d_q, r_q = d_q[sel], r_q[sel]
             ids_q = self.ids[r_q]
-            o = np.lexsort((ids_q, d_q))
+            o = np.lexsort((ids_q, d_q))[:kk]
             out_q.extend([q_ids[qi]] * kk)
             out_i.append(ids_q[o])
             out_d.append(d_q[o])
@@ -375,7 +402,3 @@ class FlatKnnIndex:
             [query_vector], dtype=np.float64)), k=k, where=where)
         return res.drop(columns=["query_id"])
 
-
-@contextmanager
-def _noop_ctx():
-    yield
