@@ -409,15 +409,19 @@ def main() -> None:
     from needle_spark.operators.dedup import embedding_neardup_pairs
 
     def _walsh_flip(r):
-        # flip sign where popcount(i & r) is odd (r in 1..15, 4 bits
-        # over the 64-dim index — replicas stay pairwise orthogonal)
+        # flip sign where popcount(i & r) is odd (r in 1..63, 6 bits
+        # over the 64-dim index — all 64 patterns pairwise orthogonal;
+        # bits 4-5 are zero for the r<16 rows, so the 4x/10x replicas
+        # are bit-identical to earlier rounds)
         return F.transform(
             F.col("embedding"),
             lambda x, i: F.when(
                 ((i % 2) * (r & 1)
                  + ((i / 2).cast("int") % 2) * ((r >> 1) & 1)
                  + ((i / 4).cast("int") % 2) * ((r >> 2) & 1)
-                 + ((i / 8).cast("int") % 2) * ((r >> 3) & 1)) % 2 == 1,
+                 + ((i / 8).cast("int") % 2) * ((r >> 3) & 1)
+                 + ((i / 16).cast("int") % 2) * ((r >> 4) & 1)
+                 + ((i / 32).cast("int") % 2) * ((r >> 5) & 1)) % 2 == 1,
                 -x).otherwise(x))
 
     # SCALE rows run at the PRODUCTION near-dup threshold 0.2 (cosine) /
@@ -512,6 +516,113 @@ def main() -> None:
             corpus, threshold=0.05, metric="cosine", id_col="vec_id",
             vector_col="embedding").count() / (n_corpus // 2)
         corpus.unpersist()
+
+    # ---- 200k dedup scale step (VERDICT r7 ask #5) ------------------
+    # Heavy (~2-3 min), so env-gated: SPARK_GRAFT_SCALE200K=1 runs it
+    # and writes DEDUP_SCALE200K.json (committed artifact); default
+    # runs merge that committed artifact into `derived` instead, so
+    # every BENCH_LOCAL / BENCH_r{N} still carries the measured
+    # numbers, labeled with their source.
+    scale200k = None
+    _s200_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "DEDUP_SCALE200K.json")
+    if os.environ.get("SPARK_GRAFT_SCALE200K") == "1":
+        # minhash: 20 orthogonal-prefix replicas (100k docs) + one
+        # planted near-dup twin per doc (every 16th token prefixed:
+        # ~3/16 of 3-gram shingles change, jaccard ~0.68 — banding
+        # p=1-(1-0.68^4)^32 ~ 0.9996, verify threshold 0.6 keeps it)
+        # = 200k docs, exactly 100k planted pairs.
+        twin_text = F.array_join(
+            F.transform(F.split(F.col("text"), " "),
+                        lambda t, i: F.when(i % 16 == 0,
+                                            F.concat(F.lit("zq"), t))
+                        .otherwise(t)), " ")
+        dparts = [docs_base]
+        for r in range(1, 20):
+            dparts.append(
+                docs_base
+                .withColumn("doc_id", F.col("doc_id") + F.lit(r * 1_000_000))
+                .withColumn("text",
+                            F.regexp_replace("text", r"(\S+)", f"v{r}x$1")))
+        d100 = dparts[0]
+        for p in dparts[1:]:
+            d100 = d100.unionByName(p)
+        d200 = d100.unionByName(
+            d100.withColumn("doc_id",
+                            F.col("doc_id") + F.lit(1_000_000_000))
+            .withColumn("text", twin_text)).repartition(32).persist()
+        n_d200 = d200.count()
+        run("minhash_lsh_dedup_200k",
+            lambda: minhash_lsh_candidates(
+                d200, id_col="doc_id", text_col="text", n=3,
+                verify_threshold=0.6).collect(),
+            repeats=2)
+        bstats = {}
+        planted_found = minhash_lsh_candidates(
+            d200, id_col="doc_id", text_col="text", n=3,
+            verify_threshold=0.6, bucket_stats=bstats).filter(
+            (F.greatest("a", "b") - F.least("a", "b"))
+            == 1_000_000_000).count()
+        d200.unpersist()
+
+        # srp: 50 Walsh-orthogonal replicas (100k vectors) + planted
+        # twins = 200k rows, 100k planted pairs
+        sparts = [emb_base]
+        for r in range(1, 50):
+            sparts.append(
+                emb_base
+                .withColumn("vec_id", F.col("vec_id") + F.lit(r * 10_000_000))
+                .withColumn("embedding", _walsh_flip(r)))
+        s100 = sparts[0]
+        for p in sparts[1:]:
+            s100 = s100.unionByName(p)
+        s200 = _with_twins(s100).repartition(32).persist()
+        n_s200 = s200.count()
+        run("srp_neardup_200k",
+            lambda: srp_lsh_neardup_pairs(
+                s200, threshold=0.05, metric="cosine", id_col="vec_id",
+                vector_col="embedding").collect(),
+            repeats=2)
+        srp200_found = srp_lsh_neardup_pairs(
+            s200, threshold=0.05, metric="cosine", id_col="vec_id",
+            vector_col="embedding").count()
+        s200.unpersist()
+
+        scale200k = {
+            "minhash_200k_docs": n_d200,
+            "minhash_200k_sec": round(timings["minhash_lsh_dedup_200k"], 4),
+            "minhash_200k_rows_ratio_vs_1x": round(n_d200 / 5000.0, 1),
+            "minhash_200k_time_ratio_vs_1x": round(
+                timings["minhash_lsh_dedup_200k"]
+                / timings["minhash_lsh_dedup"], 2),
+            "minhash_200k_planted_recall": round(
+                planted_found / (n_d200 // 2), 4),
+            "minhash_200k_oversized_buckets": int(
+                bstats.get("oversized_buckets", 0)),
+            "minhash_200k_capped_members": int(
+                bstats.get("capped_members", 0)),
+            "minhash_200k_suppressed_pairs": int(
+                bstats.get("suppressed_pairs", 0)),
+            "srp_200k_rows": n_s200,
+            "srp_200k_sec": round(timings["srp_neardup_200k"], 4),
+            "srp_200k_rows_ratio_vs_1x": round(n_s200 / 4000.0, 1),
+            "srp_200k_time_ratio_vs_1x": round(
+                timings["srp_neardup_200k"] / timings["srp_neardup_1x"], 2),
+            "srp_200k_planted_recall": round(
+                srp200_found / (n_s200 // 2), 4),
+        }
+        with open(_s200_path, "w") as f:
+            json.dump({"note": "200k dedup scale step; produced by "
+                               "SPARK_GRAFT_SCALE200K=1 python bench.py "
+                               "at sf0.1; 1x denominators are the same "
+                               "run's minhash_lsh_dedup / srp_neardup_1x "
+                               "rows", **scale200k}, f, indent=1)
+    elif os.path.exists(_s200_path):
+        with open(_s200_path) as f:
+            scale200k = json.load(f)
+        scale200k.pop("note", None)
+        scale200k["source"] = ("DEDUP_SCALE200K.json (gated step, rerun "
+                               "with SPARK_GRAFT_SCALE200K=1)")
 
     # repeated-query BM25 throughput on a built index (10 queries)
     from needle_spark.operators.hybrid import Bm25Index
@@ -617,6 +728,7 @@ def main() -> None:
         "srp_neardup_recall_10x": round(srp_found["srp_neardup_10x"], 4),
         "dedup_scale_docs": n_docs_4x,
         "dedup_scale10_docs": n_docs_10x,
+        **({"dedup_scale200k": scale200k} if scale200k else {}),
         "bulk_insert_rows_per_sec": round(li_rows / timings["bulk_insert_lineitem"]),
         "lineitem_agg_rows_per_sec": round(li_rows / timings["agg_lineitem"]),
     }

@@ -163,11 +163,19 @@ class FlatKnnIndex:
     #: sample order statistic: expected survivors/query ~ 3/2049 * n
     #: (~1.5k at 1M rows), far above k yet ~1e-3 of the full column
     SAMPLE_RANK = 3
+    #: at or below this many queries per call the full float32 pass is
+    #: GEMV-shaped (pure memory bandwidth, can't amortize the 4B/dim
+    #: read across queries) — route through the SQ8 coarse sidecar
+    COARSE_MAX_Q = 4
+    #: coarse survivors re-ranked exactly per query; ~400x over-fetch
+    #: at k=10 buries the SQ8 quantization error (see _scan_coarse)
+    COARSE_FETCH = 4096
 
     def __init__(self, ids, vectors, metric: str = "cosine",
                  metas: dict | None = None, threads: int | None = None,
-                 id_col: str = "id"):
+                 id_col: str = "id", vector_col: str = "vector"):
         self.id_col = id_col
+        self._vector_col = vector_col
         X = np.ascontiguousarray(vectors, dtype=np.float32)
         if X.ndim != 2:
             raise ValueError("vectors must be a (n, dims) matrix")
@@ -195,6 +203,24 @@ class FlatKnnIndex:
             self._aug = True
         self._nt = threads or min(32, os.cpu_count() or 8)
         self._pool = None
+        # SQ8 coarse sidecar (opt-in path="coarse"; built lazily)
+        self._sq8 = None
+        # unfiltered threshold sample is identical across calls (fixed
+        # seed): gather it once — the 2048-row fancy-index gather was
+        # measurable per-call overhead on the single-query path
+        self._samp_cache = None
+        # incremental serving surface (mirrors IvfBatchKnnIndex so the
+        # REST index lifecycle can hold either tier): upserts append to
+        # the pinned matrix, deletes tombstone.  _alive stays None (no
+        # mask work in the scan) until the first delete/upsert.
+        self._alive = None
+        self._pos = None  # str(id) -> row, built lazily
+        self._segments = ("flat",)  # non-None = driver-serving resident
+
+    #: serving-tier tag surfaced in index status (IVF has none -> ivf)
+    tier = "flat"
+    #: IVF interface parity: a flat index is one un-partitioned cell
+    nlist = 1
 
     @classmethod
     def from_df(cls, df, vector_col: str = "vector", id_col: str = "id",
@@ -214,7 +240,8 @@ class FlatKnnIndex:
             [np.asarray(v, dtype=np.float32) for v in pdf[vector_col]])
         metas = {c: pdf[c].to_numpy() for c in meta_cols}
         return cls(pdf[id_col].to_numpy(), vecs, metric=metric,
-                   metas=metas, threads=threads, id_col=id_col)
+                   metas=metas, threads=threads, id_col=id_col,
+                   vector_col=vector_col)
 
     # -- kernel -------------------------------------------------------
 
@@ -279,12 +306,21 @@ class FlatKnnIndex:
         bounds = np.linspace(0, n, nb + 1).astype(np.int64)
 
         # per-query threshold from a sample of (matching) rows; rank
-        # SAMPLE_RANK of SAMPLE_ROWS keeps ~1.5e-3 of rows per query
+        # SAMPLE_RANK of SAMPLE_ROWS keeps ~1.5e-3 of rows per query.
+        # The unfiltered sample is deterministic -> gathered once.
         cand_pool = np.flatnonzero(wm) if wm is not None else None
-        src = cand_pool if cand_pool is not None else n
-        samp = rng.integers(0, rows_eff, min(self.SAMPLE_ROWS, rows_eff))
-        samp_rows = cand_pool[samp] if cand_pool is not None else samp
-        Gs = X[samp_rows] @ Qt
+        if cand_pool is None:
+            if self._samp_cache is None:
+                sr = rng.integers(0, rows_eff,
+                                  min(self.SAMPLE_ROWS, rows_eff))
+                self._samp_cache = (sr, np.ascontiguousarray(X[sr]))
+            samp_rows, X_samp = self._samp_cache
+            Gs = X_samp @ Qt
+        else:
+            samp = rng.integers(0, rows_eff,
+                                min(self.SAMPLE_ROWS, rows_eff))
+            samp_rows = cand_pool[samp]
+            Gs = X[samp_rows] @ Qt
         rank = min(self.SAMPLE_RANK, len(samp_rows) - 1)
         thr = np.partition(Gs, -1 - rank, axis=0)[-1 - rank]
 
@@ -318,12 +354,219 @@ class FlatKnnIndex:
             qs = np.concatenate([qs[qs != qi], np.full(len(sel), qi)])
         return rows, qs, vals
 
+    def _ensure_sq8(self):
+        """Per-dimension asymmetric SQ8 sidecar over the pinned matrix:
+        x_i ~= lo_i + step_i * code_i (codes uint8), so the dot product
+        x.q = q.lo + (q*step).codes is computable from 1-byte codes
+        with the query pre-scaled — 4x less DRAM traffic than the
+        float32 pass, which is the entire cost of a GEMV-shaped scan.
+        Built lazily on the first low-q search (~n*dims bytes); the
+        corpus is quantized, the query stays float (asymmetric SQ,
+        standard FAISS ScalarQuantizer posture)."""
+        if self._sq8 is None:
+            X = self._X[:, :self.dims] if self._aug else self._X
+            lo = X.min(axis=0).astype(np.float64)
+            step = np.maximum(
+                (X.max(axis=0).astype(np.float64) - lo) / 255.0, 1e-12)
+            codes = np.empty(X.shape, dtype=np.uint8)
+            for s in range(0, len(X), 131_072):  # bound the transient
+                blk = (X[s:s + 131_072].astype(np.float64) - lo) / step
+                codes[s:s + 131_072] = np.clip(
+                    np.rint(blk), 0, 255).astype(np.uint8)
+            self._sq8 = (np.ascontiguousarray(codes), lo, step)
+        return self._sq8
+
+    def _scan_coarse(self, Q: np.ndarray, Qt: np.ndarray,
+                     wm: np.ndarray | None, k: int):
+        """Low-q scan: SQ8 coarse pass -> exact float32 re-rank.
+
+        The coarse pass reads codes (1 B/dim) instead of floats
+        (4 B/dim) and keeps rows above a sampled score threshold tuned
+        for ~COARSE_FETCH survivors per query; survivors are re-scored
+        exactly against the pinned float32 matrix, so returned
+        DISTANCES are always exact — only membership is approximate,
+        with the miss probability bounded by P[quant error moves a
+        true top-k row below the ~400x-overfetch threshold].  Measured
+        on the glove-like 1M x 200 twin: recall@10 vs the exact scan
+        and single-query p50 are committed in ANN_RECALL_glove_like
+        .json (tier=flat single path).  Any query with < k survivors
+        falls back to its own exact full column."""
+        codes, lo, step = self._ensure_sq8()
+        X = self._X
+        n = len(codes)
+        n_q = Qt.shape[1]
+        Qf = np.ascontiguousarray(Q, dtype=np.float64)
+        if self.metric == "cosine":
+            Qf = _l2_normalize(Qf)
+        qsT = np.ascontiguousarray((Qf * step[None, :]).T,
+                                   dtype=np.float32)        # (d, q)
+        off = (Qf @ lo).astype(np.float32)                  # (q,)
+        nsq = X[:, -1] if self._aug else None  # stored |x|^2 column
+
+        cand_pool = np.flatnonzero(wm) if wm is not None else None
+        rows_eff = len(cand_pool) if cand_pool is not None else n
+        fetch = min(self.COARSE_FETCH, rows_eff)
+
+        def coarse_block(rows_or_slice):
+            Gb = codes[rows_or_slice].astype(np.float32) @ qsT \
+                + off[None, :]
+            if nsq is not None:           # euclidean: 2 x.q - |x|^2
+                Gb = 2.0 * Gb - nsq[rows_or_slice, None]
+            return Gb
+
+        rng = np.random.default_rng(0x5C8A)
+        samp = rng.integers(0, rows_eff, min(self.SAMPLE_ROWS, rows_eff))
+        samp_rows = cand_pool[samp] if cand_pool is not None else samp
+        Gs = coarse_block(samp_rows)
+        rank = max(1, min(int(round(len(samp_rows) * fetch / rows_eff)),
+                          len(samp_rows) - 1))
+        thr = np.partition(Gs, -1 - rank, axis=0)[-1 - rank]
+
+        # 8k-row blocks: codes block (1.6 MB at d=200) converts to
+        # float32 in-cache, so DRAM sees only the 1 B/dim codes
+        nb = min(max(self._nt, n // 8_192), n)
+        bounds = np.linspace(0, n, nb + 1).astype(np.int64)
+        pool = self._ensure_pool()
+
+        def scan_block(b):
+            s, e = bounds[b], bounds[b + 1]
+            Gb = coarse_block(slice(s, e))
+            m = Gb > thr[None, :]
+            if wm is not None:
+                m &= wm[s:e, None]
+            r, qq = np.nonzero(m)
+            return r + s, qq
+
+        with single_thread_blas():
+            parts = list(pool.map(scan_block, range(nb)))
+        rows = np.concatenate([p[0] for p in parts])
+        qs = np.concatenate([p[1] for p in parts])
+
+        # exact re-rank: gather survivors' float32 rows, true scores
+        out_r, out_q, out_v = [], [], []
+        for qi in range(n_q):
+            cand = rows[qs == qi]
+            if len(cand) < min(k, rows_eff):
+                col = X @ np.ascontiguousarray(Qt[:, qi])
+                if wm is not None:
+                    col = np.where(wm, col, -np.inf)
+                kk = min(k, rows_eff)
+                part = np.argpartition(-col, kk - 1)[:kk]
+                cand = np.flatnonzero(col >= col[part].min())
+                vals = col[cand]
+            else:
+                vals = X[cand] @ np.ascontiguousarray(Qt[:, qi])
+            out_r.append(cand)
+            out_v.append(vals)
+            out_q.append(np.full(len(cand), qi, dtype=np.int64))
+        return (np.concatenate(out_r), np.concatenate(out_q),
+                np.concatenate(out_v))
+
     def _ensure_pool(self) -> ThreadPoolExecutor:
         if self._pool is None:
             self._pool = ThreadPoolExecutor(
                 max_workers=self._nt,
                 thread_name_prefix="flat-scan")
         return self._pool
+
+    # -- incremental maintenance (mirrors IvfBatchKnnIndex) -----------
+
+    def _encode_rows(self, V: np.ndarray) -> np.ndarray:
+        """Rows in the pinned layout: cosine = unit rows, euclidean =
+        [x, |x|^2] augmentation, dot = raw float32."""
+        V = np.ascontiguousarray(V, dtype=np.float32)
+        if self.metric == "cosine":
+            return _l2_normalize(V.astype(np.float64)).astype(np.float32)
+        if self._aug:
+            nsq = (V.astype(np.float64) ** 2).sum(axis=1)
+            return np.ascontiguousarray(np.concatenate(
+                [V, nsq[:, None].astype(np.float32)], axis=1))
+        return V
+
+    def _ensure_pos(self) -> dict:
+        if self._pos is None:
+            self._pos = {str(i): p for p, i in enumerate(self.ids)}
+        return self._pos
+
+    def add_local(self, ids, vectors, metas: dict | None = None) -> int:
+        """Upsert rows into the pinned matrix (driver-local, no Spark
+        job).  Same-id rows are tombstoned first, so this is the REST
+        write path's upsert.  Appends are O(n) copies (np.concatenate)
+        — the flat tier's insert posture is batch-level; write-heavy
+        collections belong on the IVF tier's WAL'd delta path."""
+        new_ids = np.asarray(ids)
+        if self.metas and set(metas or ()) != set(self.metas):
+            raise ValueError(
+                "add_local needs values for every pinned meta column: "
+                f"{sorted(self.metas)}")
+        enc = self._encode_rows(np.asarray(vectors))
+        if enc.shape[1] != self._X.shape[1]:
+            raise ValueError("vector dims mismatch")
+        pos = self._ensure_pos()
+        dup = [pos.get(str(i)) for i in new_ids]
+        dup = [p for p in dup if p is not None]
+        if dup:
+            if self._alive is None:
+                self._alive = np.ones(len(self._X), bool)
+            self._alive[dup] = False
+        base = len(self._X)
+        self._X = np.concatenate([self._X, enc])
+        self.ids = np.concatenate([self.ids, new_ids])
+        for col in self.metas:
+            self.metas[col] = np.concatenate(
+                [self.metas[col], np.asarray((metas or {})[col])])
+        if self._alive is not None:
+            self._alive = np.concatenate(
+                [self._alive, np.ones(len(new_ids), bool)])
+        for p, i in enumerate(new_ids):
+            pos[str(i)] = base + p
+        self._samp_cache = None
+        self._sq8 = None
+        return len(new_ids)
+
+    def add(self, rows_df) -> int:
+        """DataFrame twin of add_local (one Arrow collect)."""
+        sub = rows_df.select(
+            rows_df[self.id_col],
+            rows_df[self._vector_col].alias("__vec__"),
+            *[rows_df[c] for c in self.metas])
+        try:
+            pdf = sub.toArrow().to_pandas()
+        except Exception:
+            pdf = sub.toPandas()
+        if not len(pdf):
+            return 0
+        V = np.asarray([np.asarray(v, dtype=np.float32)
+                        for v in pdf["__vec__"]])
+        metas = {c: pdf[c].to_numpy() for c in self.metas}
+        return self.add_local(pdf[self.id_col].to_numpy(), V,
+                              metas=metas or None)
+
+    def delete(self, ids) -> int:
+        """Tombstone rows by id; scans mask them out."""
+        pos = self._ensure_pos()
+        hit = [pos[str(i)] for i in ids if str(i) in pos]
+        if not hit:
+            return 0
+        if self._alive is None:
+            self._alive = np.ones(len(self._X), bool)
+        n_before = int(self._alive[hit].sum())
+        self._alive[hit] = False
+        return n_before
+
+    def incremental_stats(self) -> dict:
+        total = len(self._X)
+        dead = int((~self._alive).sum()) if self._alive is not None else 0
+        return {"main_rows": total - dead, "delta_rows": 0,
+                "local_pending_rows": 0, "deleted_pending": dead,
+                "fragmentation": dead / total if total else 0.0}
+
+    def needs_optimization(self, delta_threshold: int = 10_000,
+                           max_fragmentation: float = 0.2) -> bool:
+        """Flat has no delta tier; only tombstone fragmentation (dead
+        rows still burn scan bandwidth) triggers a rebuild hint."""
+        return (self.incremental_stats()["fragmentation"]
+                > max_fragmentation)
 
     # -- serving API (mirrors IvfBatchKnnIndex) -----------------------
 
@@ -335,12 +578,25 @@ class FlatKnnIndex:
         if self._pool is not None:
             self._pool.shutdown(wait=False)
             self._pool = None
+        self._sq8 = None
 
     def search_many_local(self, queries, k: int = 10, nprobe: int = 0,
-                          where: dict | None = None):
-        """Driver-local exact batch search. Same result frame as
+                          where: dict | None = None,
+                          path: str = "exact"):
+        """Driver-local batch search. Same result frame as
         IvfBatchKnnIndex.search_many_local: (query_id, id, distance,
-        rank), ties broken by (distance, id); `nprobe` ignored."""
+        rank), ties broken by (distance, id); `nprobe` ignored.
+
+        ``path="exact"`` (default): recall 1.0 by construction on
+        every call.  ``path="coarse"``: low-q calls on large corpora
+        route through the SQ8 sidecar + exact re-rank (_scan_coarse) —
+        distances stay exact, membership is approximate with measured
+        recall.  MEASURED SLOWER than exact on this numpy/OpenBLAS
+        stack: the uint8->float32 cast loop tops out ~5 GB/s pooled
+        (GIL-bound, non-SIMD) while the exact sgemv streams at the
+        61 GB/s DRAM ceiling, so the 4x byte saving never materializes
+        (PLANS.md 'Flat single-query floor').  Kept opt-in for stacks
+        with vectorized casts; batches fall back to exact either way."""
         import pandas as pd
 
         from needle_spark.operators.knn_arrow import _resolve_queries
@@ -356,7 +612,14 @@ class FlatKnnIndex:
                     "no meta columns pinned; build with metas= for "
                     "filtered serving")
             wm = IvfBatchKnnIndex._where_mask(self.metas, where)
-        rows, qs, vals = self._scan(Qt, wm, k)
+        if self._alive is not None:
+            wm = self._alive if wm is None else (wm & self._alive)
+        rows_eff = int(wm.sum()) if wm is not None else len(self._X)
+        if (path == "coarse" and Qt.shape[1] <= self.COARSE_MAX_Q
+                and rows_eff > self.THRESHOLD_MIN_ROWS):
+            rows, qs, vals = self._scan_coarse(Q, Qt, wm, k)
+        else:
+            rows, qs, vals = self._scan(Qt, wm, k)
         if len(rows) == 0:
             return pd.DataFrame(
                 {"query_id": [], self.id_col: [], "distance": [],
@@ -392,13 +655,21 @@ class FlatKnnIndex:
         return pdf
 
     def search_one(self, query_vector, k: int = 10, nprobe: int = 0,
-                   where: dict | None = None):
-        """Single-query exact serving: one blocked scan (~GEMV,
-        memory-bandwidth bound). For latency-critical single-query
-        serving on CLUSTERED corpora prefer the IVF pinned tier; on
-        concentrated angular corpora this IS the honest price of
-        correct answers."""
+                   where: dict | None = None, path: str = "exact"):
+        """Single-query exact serving: one blocked scan (~GEMV).  The
+        latency floor is the DRAM pass over the pinned matrix —
+        measured 13 ms at 1M x 200 f32 / 61.5 GB/s on this host
+        (PLANS.md 'Flat single-query floor'); an in-process graph
+        index answers singles faster only by reading ~0.1% of the
+        data at <1.0 recall.  ``path="coarse"`` opts into the SQ8
+        sidecar (measured slower here; see search_many_local).
+
+        Returns [(id, distance), ...] ascending, length <= k — the
+        same shape as IvfBatchKnnIndex.search_one, so the REST index
+        lifecycle can serve either tier."""
         res = self.search_many_local(([0], np.asarray(
-            [query_vector], dtype=np.float64)), k=k, where=where)
-        return res.drop(columns=["query_id"])
+            [query_vector], dtype=np.float64)), k=k, where=where,
+            path=path)
+        return [(i.item() if hasattr(i, "item") else i, float(d))
+                for i, d in zip(res[self.id_col], res["distance"])]
 

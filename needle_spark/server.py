@@ -763,6 +763,10 @@ class RestServer:
         if entry is not None and not filtered \
                 and b.get("search_after") is None:
             idx, nprobe = entry
+            if getattr(idx, "tier", "ivf") == "flat":
+                return {**envelope, "strategy": "flat_index",
+                        "rows": rows, "estimated_candidates": rows,
+                        "estimated_ms": max(1, rows // 50_000)}
             nprobe = int(b.get("nprobe", nprobe))
             cand = int(rows * min(nprobe, idx.nlist) / idx.nlist)
             return {**envelope, "strategy": "ivf_index", "rows": rows,
@@ -792,7 +796,10 @@ class RestServer:
 
         c = self._coll(m.group(1))
         rows = c.count()
-        n = min(int(b.get("queries", 10)), 1_000)
+        # clamp below at 1: queries=0 must not produce an empty sample
+        # and masquerade as the empty-collection 400 (reference returns
+        # 200 for queries=0; one probe keeps percentiles meaningful)
+        n = max(1, min(int(b.get("queries", 10)), 1_000))
         k = max(1, min(int(b.get("k", DEFAULT_K)), 10_000))
         sample = [list(r[c.vector_col])
                   for r in c.df().limit(min(n, 200)).collect()]
@@ -849,12 +856,27 @@ class RestServer:
 
     # -- serving index lifecycle --
 
+    #: tier-autoselect sample bounds (rows for RC train / query split)
+    TIER_SAMPLE_ROWS = 4096
+    TIER_SAMPLE_QUERIES = 64
+
     def build_index(self, m, b, q) -> dict:
-        """Build + pin an IVF serving index for the collection; the
-        REST write path maintains it incrementally (add/delete), so
+        """Build + pin a serving index for the collection; the REST
+        write path maintains it incrementally (add/delete), so
         subsequent searches without filters serve driver-local in
-        milliseconds instead of one Spark job each."""
+        milliseconds instead of one Spark job each.
+
+        The index FAMILY is measured, not assumed (body "tier":
+        "auto", the default): relative contrast on a sample decides
+        flat (exact scan — concentrated/angular corpora where IVF
+        recall-per-probed-row collapses) vs ivf (clustered corpora);
+        plans/tuning.py::recommend_ann_tier, calibration in
+        ANN_RECALL_*.json.  "tier": "ivf"|"flat" pins the family; the
+        decision (tier + RC + reason) is returned and kept in index
+        status."""
+        from needle_spark.plans.flat import FlatKnnIndex
         from needle_spark.plans.ivf import IvfBatchKnnIndex
+        from needle_spark.plans.tuning import recommend_ann_tier
 
         name = m.group(1)
         c = self._coll(name)
@@ -864,6 +886,21 @@ class RestServer:
         nlist = int(b.get("nlist") or max(1, min(256, int(n ** 0.5))))
         nprobe = int(b.get("nprobe", 8))
         metric = (b.get("distance") or c.metric).lower()
+        tier = str(b.get("tier", "auto")).lower()
+        if tier not in ("auto", "ivf", "flat"):
+            raise _bad("'tier' must be auto|ivf|flat")
+        decision = {"tier": tier, "reason": "pinned by request"}
+        if tier == "auto":
+            import numpy as np
+
+            samp = [list(r[c.vector_col]) for r in c.df().limit(
+                self.TIER_SAMPLE_ROWS + self.TIER_SAMPLE_QUERIES)
+                .collect()]
+            nq = min(self.TIER_SAMPLE_QUERIES, max(1, len(samp) // 4))
+            decision = recommend_ann_tier(
+                np.asarray(samp[nq:], dtype=np.float64),
+                np.asarray(samp[:nq], dtype=np.float64), metric)
+            tier = decision["tier"]
         # meta_fields: metadata JSON fields pinned next to the segments
         # (string-typed) so tag filters ($eq/$in) serve during the scan
         fields = [str(f) for f in (b.get("meta_fields") or [])]
@@ -875,15 +912,23 @@ class RestServer:
             old = self._indexes.pop(name, None)
             if old is not None:
                 old[0].unpersist()
-            idx = IvfBatchKnnIndex(
-                src, nlist=nlist, vector_col=c.vector_col,
-                id_col=c.id_col, metric=metric,
-                meta_cols=[f"__mf_{f}" for f in fields])
-            idx.pin_segments(decoded=bool(b.get("decoded", True)))
+            if tier == "flat":
+                idx = FlatKnnIndex.from_df(
+                    src, vector_col=c.vector_col, id_col=c.id_col,
+                    metric=metric,
+                    meta_cols=[f"__mf_{f}" for f in fields])
+            else:
+                idx = IvfBatchKnnIndex(
+                    src, nlist=nlist, vector_col=c.vector_col,
+                    id_col=c.id_col, metric=metric,
+                    meta_cols=[f"__mf_{f}" for f in fields])
+                idx.pin_segments(decoded=bool(b.get("decoded", True)))
+            idx._tier_decision = decision
             self._indexes[name] = (idx, nprobe)
             self._index_fields[name] = fields
-        return {"built": name, "nlist": idx.nlist, "nprobe": nprobe,
-                "rows": n, "metric": metric, "meta_fields": fields}
+        return {"built": name, "tier": tier, "nlist": idx.nlist,
+                "nprobe": nprobe, "rows": n, "metric": metric,
+                "meta_fields": fields, "tier_decision": decision}
 
     def index_status(self, m, b, q) -> dict:
         name = m.group(1)
@@ -894,7 +939,11 @@ class RestServer:
         stats = idx.incremental_stats()
         stats.update({"indexed": True, "nlist": idx.nlist,
                       "nprobe": nprobe, "metric": idx.metric,
+                      "tier": getattr(idx, "tier", "ivf"),
                       "needs_optimization": idx.needs_optimization()})
+        dec = getattr(idx, "_tier_decision", None)
+        if dec:
+            stats["tier_decision"] = dec
         return stats
 
     def drop_index(self, m, b, q) -> dict:

@@ -109,22 +109,55 @@ def run_flat(args, train, queries, thr, metric) -> None:
             d = np.linalg.norm(
                 V.astype(np.float64) - qf[i].astype(np.float64), axis=1)
         hits.append(min(args.k, int((d <= thr[i]).sum())) / args.k)
-    # single-query latency alongside the batch number
-    idx.search_one(queries[0], k=args.k)
+    # single-query serving: default path is the exact scan (recall 1.0
+    # by construction — the floor is one DRAM pass over the matrix);
+    # the opt-in SQ8-coarse path is measured alongside for the record
+    # (slower on this stack: GIL-bound uint8->f32 cast, see PLANS.md
+    # 'Flat single-query floor')
+    def single_hit(i, vids):
+        if not vids:
+            return 0.0
+        V = train[np.asarray(vids, dtype=np.int64)]
+        if metric == "cosine":
+            Vn = V / np.maximum(
+                np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            d = 1.0 - Vn @ qf[i]
+        else:
+            d = np.linalg.norm(
+                V.astype(np.float64) - qf[i].astype(np.float64), axis=1)
+        return min(args.k, int((d <= thr[i]).sum())) / args.k
+
+    idx.search_one(queries[0], k=args.k)  # warm
     lats = []
-    for i in range(30):
+    for i in range(min(100, len(queries))):
         t0 = time.perf_counter()
-        idx.search_one(queries[i % len(queries)], k=args.k)
+        idx.search_one(queries[i], k=args.k)
         lats.append(time.perf_counter() - t0)
+    idx.search_one(queries[0], k=args.k, path="coarse")  # build sidecar
+    lats_c, c_hits = [], []
+    for i in range(min(100, len(queries))):
+        t0 = time.perf_counter()
+        r1 = idx.search_one(queries[i], k=args.k, path="coarse")
+        lats_c.append(time.perf_counter() - t0)
+        c_hits.append(single_hit(i, [p[0] for p in r1]))
     row = {
         "tier": "flat", "recall_at_10": round(float(np.mean(hits)), 4),
         "qps": round(len(queries) / best, 1),
         "ms_per_query": round(best * 1000 / len(queries), 3),
         "single_p50_ms": round(float(np.percentile(lats, 50)) * 1000, 2),
+        "single_p99_ms": round(float(np.percentile(lats, 99)) * 1000, 2),
+        "single_path": "exact_scan",
+        "single_min_ms": round(float(np.min(lats)) * 1000, 2),
+        "single_coarse_p50_ms": round(
+            float(np.percentile(lats_c, 50)) * 1000, 2),
+        "single_coarse_recall_at_10": round(float(np.mean(c_hits)), 4),
         "build_s": round(build_s, 1),
     }
     print(f"flat: recall@10={row['recall_at_10']} {row['qps']} qps "
-          f"(single p50 {row['single_p50_ms']} ms)", flush=True)
+          f"(exact single p50 {row['single_p50_ms']} ms min "
+          f"{row['single_min_ms']}; coarse single p50 "
+          f"{row['single_coarse_p50_ms']} ms recall "
+          f"{row['single_coarse_recall_at_10']})", flush=True)
     _write_artifact(
         args, [row], n, dims, metric,
         note="flat = exact driver-serving tier (plans/flat.py): the "
@@ -137,7 +170,8 @@ def run_flat(args, train, queries, thr, metric) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--n", type=int, default=None,
+                help="corpus rows (default: 1M; 60k for fashion-like)")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--queries", type=int, default=100)
     ap.add_argument("--dataset", default="sift-like")
@@ -168,7 +202,8 @@ def main() -> None:
         _, gt_d = exact_ground_truth(train, queries, k=args.k,
                                      metric=metric, return_distances=True)
     elif args.dataset == "glove-like":
-        train, queries = glove_like(args.n, n_queries=args.queries)
+        train, queries = glove_like(args.n or 1_000_000,
+                                    n_queries=args.queries)
         metric = "cosine"
         t0 = time.perf_counter()
         _, gt_d = exact_ground_truth(train, queries, k=args.k,
@@ -177,9 +212,9 @@ def main() -> None:
               flush=True)
     elif args.dataset == "fashion-like":
         # real fashion-mnist-784-euclidean is 60k rows; default to that
-        train, queries = fashion_like(min(args.n, 1_000_000) if args.n
-                                      != 1_000_000 else 60_000,
-                                      n_queries=args.queries)
+        train, queries = fashion_like(
+            min(args.n, 1_000_000) if args.n is not None else 60_000,
+            n_queries=args.queries)
         metric = "euclidean"
         t0 = time.perf_counter()
         _, gt_d = exact_ground_truth(train, queries, k=args.k,
@@ -187,7 +222,8 @@ def main() -> None:
         print(f"# exact ground truth: {time.perf_counter()-t0:.1f}s",
               flush=True)
     else:
-        train, queries = sift_like(args.n, n_queries=args.queries)
+        train, queries = sift_like(args.n or 1_000_000,
+                                   n_queries=args.queries)
         metric = "euclidean"
         t0 = time.perf_counter()
         _, gt_d = exact_ground_truth(train, queries, k=args.k,

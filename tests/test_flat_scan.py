@@ -97,11 +97,65 @@ def test_threshold_fallback_under_k(monkeypatch):
     idx.unpersist()
 
 
+@pytest.mark.parametrize("metric", ["cosine", "dot", "euclidean"])
+def test_coarse_opt_in_path_parity(metric, monkeypatch):
+    """path='coarse' routes low-q searches through the SQ8 sidecar +
+    exact re-rank; with fetch covering most of this small corpus the
+    result must match brute force exactly, and distances are exact
+    by construction (float32 re-rank)."""
+    monkeypatch.setattr(FlatKnnIndex, "THRESHOLD_MIN_ROWS", 100)
+    idx = FlatKnnIndex(IDS, X, metric=metric, metas=METAS)
+    exp = brute(metric)
+    for qi in (0, 3):
+        res = idx.search_many_local(([0], QUERIES[qi:qi + 1]), k=K,
+                                    path="coarse")
+        assert list(res["id"]) == exp[qi][0], (metric, qi)
+        assert np.allclose(res["distance"], exp[qi][1], atol=1e-4)
+    # default path never builds the sidecar
+    assert idx._sq8 is not None
+    idx._sq8 = None
+    res = idx.search_many_local(([0], QUERIES[:1]), k=K)
+    assert list(res["id"]) == exp[0][0]
+    assert idx._sq8 is None
+    # filtered coarse
+    wm = METAS["grp"] == 2
+    expf = brute(metric, wm)
+    res = idx.search_many_local(([0], QUERIES[:1]), k=K,
+                                where={"grp": 2}, path="coarse")
+    assert list(res["id"]) == expf[0][0]
+    idx.unpersist()
+
+
+def test_coarse_under_k_fallback(monkeypatch):
+    """A filter so selective the coarse threshold keeps < k survivors
+    must fall back to the exact per-query column scan."""
+    monkeypatch.setattr(FlatKnnIndex, "THRESHOLD_MIN_ROWS", 100)
+    metas = {"grp": np.where(np.arange(N) % 417 == 0, 9, 0)}
+    idx = FlatKnnIndex(IDS, X, metric="cosine", metas=metas)
+    res = idx.search_many_local(([0], QUERIES[:1]), k=K,
+                                where={"grp": 9}, path="coarse")
+    exp = brute("cosine", metas["grp"] == 9)
+    assert list(res["id"]) == exp[0][0]
+    idx.unpersist()
+
+
+def test_coarse_batch_stays_exact(monkeypatch):
+    """Calls above COARSE_MAX_Q never touch the sidecar even when
+    coarse is requested — the batch tier's recall-1.0-by-construction
+    claim is structural."""
+    monkeypatch.setattr(FlatKnnIndex, "THRESHOLD_MIN_ROWS", 100)
+    idx = FlatKnnIndex(IDS, X, metric="cosine")
+    idx.search_many_local((list(range(Q)), QUERIES), k=K,
+                          path="coarse")
+    assert idx._sq8 is None  # 17-query batch: sidecar untouched
+    idx.unpersist()
+
+
 def test_k_larger_than_corpus():
     idx = FlatKnnIndex(IDS[:3], X[:3], metric="cosine")
-    r = idx.search_one(QUERIES[0], k=10)
+    r = idx.search_one(QUERIES[0], k=10)  # [(id, dist), ...] like IVF
     assert len(r) == 3
-    assert list(r["rank"]) == [1, 2, 3]
+    assert [d for _, d in r] == sorted(d for _, d in r)
 
 
 def test_empty_where_result():

@@ -1,0 +1,138 @@
+"""E2E: the serving-index lifecycle measures relative contrast and
+picks the index FAMILY automatically (VERDICT r7 ask #8).
+
+A glove-like (distance-concentrated angular) collection must come up
+on the exact flat tier; a sift-like (clustered euclidean) collection
+on IVF — plans/tuning.py::recommend_ann_tier, calibrated against the
+committed ANN_RECALL_{glove,sift}-like grids.  The decision must be
+visible in the build response and index status, the flat tier must
+actually serve searches (served_by=index, exact agreement with the
+Spark path), and the REST write path must maintain it incrementally.
+"""
+
+import json
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from needle_spark.catalog import Database
+from needle_spark.plans.ann_datasets import glove_like, sift_like
+from needle_spark.server import RestServer
+
+
+@pytest.fixture(scope="module")
+def srv(spark, tmp_path_factory):
+    db = Database(spark, str(tmp_path_factory.mktemp("tierdb")))
+    s = RestServer(db).start()
+    yield s
+    s.stop()
+
+
+def call(srv, method, path, body=None, expect=None):
+    req = urllib.request.Request(
+        srv.url + path,
+        data=None if body is None else json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+        method=method)
+    try:
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            status, payload = resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        status, payload = e.code, json.loads(e.read())
+    if expect is not None:
+        assert status == expect, (status, payload)
+    return payload
+
+
+def _load(srv, name, vectors, metric):
+    call(srv, "POST", "/collections",
+         {"name": name, "dimensions": vectors.shape[1],
+          "distance": metric}, expect=201)
+    for s in range(0, len(vectors), 500):
+        call(srv, "POST", f"/collections/{name}/vectors/batch",
+             {"vectors": [{"id": f"v{s + i}",
+                           "vector": [float(x) for x in v]}
+                          for i, v in enumerate(vectors[s:s + 500])]},
+             expect=201)
+
+
+@pytest.fixture(scope="module")
+def corpora(srv):
+    gt, _ = glove_like(3000, n_queries=1)
+    st, _ = sift_like(3000, n_queries=1)
+    _load(srv, "glv", gt.astype(np.float64), "cosine")
+    _load(srv, "sft", st.astype(np.float64), "euclidean")
+    return gt, st
+
+
+def test_auto_picks_flat_for_angular(srv, corpora):
+    built = call(srv, "POST", "/collections/glv/index", {}, expect=200)
+    assert built["tier"] == "flat", built
+    dec = built["tier_decision"]
+    assert dec["tier"] == "flat" and dec["relative_contrast"] < 2.0
+    st = call(srv, "GET", "/collections/glv/index/status")
+    assert st["indexed"] and st["tier"] == "flat"
+    assert st["tier_decision"]["relative_contrast"] < 2.0
+    est = call(srv, "POST", "/collections/glv/search/estimate",
+               {"vector": [0.0] * 200}, expect=200)
+    assert est["strategy"] == "flat_index"
+    assert est["estimated_candidates"] == est["rows"]  # exact scan
+
+
+def test_auto_picks_ivf_for_clustered(srv, corpora):
+    built = call(srv, "POST", "/collections/sft/index", {}, expect=200)
+    assert built["tier"] == "ivf", built
+    assert built["tier_decision"]["relative_contrast"] >= 2.0
+    st = call(srv, "GET", "/collections/sft/index/status")
+    assert st["tier"] == "ivf"
+    call(srv, "DELETE", "/collections/sft/index", expect=200)
+
+
+def test_tier_pin_overrides_measurement(srv, corpora):
+    built = call(srv, "POST", "/collections/sft/index",
+                 {"tier": "flat"}, expect=200)
+    assert built["tier"] == "flat"
+    assert built["tier_decision"]["reason"] == "pinned by request"
+    call(srv, "DELETE", "/collections/sft/index", expect=200)
+    err = call(srv, "POST", "/collections/sft/index",
+               {"tier": "hnsw"}, expect=400)
+    assert "tier" in json.dumps(err)
+
+
+def test_flat_tier_serves_and_matches_exact(srv, corpora):
+    gt, _ = corpora
+    qv = [float(x) for x in gt[7]]
+    fast = call(srv, "POST", "/collections/glv/search",
+                {"vector": qv, "k": 5}, expect=200)
+    assert fast.get("served_by") == "index"
+    assert fast["results"][0]["id"] == "v7"      # self-match
+    call(srv, "DELETE", "/collections/glv/index", expect=200)
+    slow = call(srv, "POST", "/collections/glv/search",
+                {"vector": qv, "k": 5}, expect=200)
+    assert "served_by" not in slow
+    assert [r["id"] for r in fast["results"]] == \
+        [r["id"] for r in slow["results"]]       # flat tier is exact
+    # rebuild for the incremental test
+    call(srv, "POST", "/collections/glv/index", {}, expect=200)
+
+
+def test_flat_tier_incremental_write_path(srv, corpora):
+    gt, _ = corpora
+    nv = [float(x) for x in gt[11]]
+    call(srv, "POST", "/collections/glv/vectors",
+         {"id": "fresh", "vector": nv}, expect=201)
+    got = call(srv, "POST", "/collections/glv/search",
+               {"vector": nv, "k": 2}, expect=200)
+    assert got.get("served_by") == "index"
+    ids = [r["id"] for r in got["results"]]
+    assert "fresh" in ids and "v11" in ids       # dup + original
+    call(srv, "DELETE", "/collections/glv/vectors/fresh", expect=200)
+    got = call(srv, "POST", "/collections/glv/search",
+               {"vector": nv, "k": 2}, expect=200)
+    assert got.get("served_by") == "index"
+    assert "fresh" not in [r["id"] for r in got["results"]]
+    st = call(srv, "GET", "/collections/glv/index/status")
+    assert st["deleted_pending"] >= 1
+    call(srv, "DELETE", "/collections/glv/index", expect=200)

@@ -127,6 +127,15 @@ def test_benchmark_clamps_k_like_reference(srv, coll):
     assert bm["k"] == 10_000
 
 
+def test_benchmark_zero_queries_not_an_error(srv, coll):
+    """admin.rs:636: queries=0 runs zero probes and still returns 200;
+    here n clamps to 1 probe — either way a NON-empty collection must
+    never see the empty-collection 400."""
+    bm = call(srv, "POST", f"/collections/{coll}/benchmark",
+              {"queries": 0, "k": 3}, expect=200)
+    assert bm["collection"] == coll and bm["queries"] == 1
+
+
 def test_benchmark_empty_collection_400(srv):
     """admin.rs:648-650: empty collection -> 400 INVALID_COLLECTION."""
     call(srv, "POST", "/collections",
