@@ -61,6 +61,11 @@ def _write_artifact(args, rows, n, dims, metric, note=None):
                     return f"ivf:{r.get('codes', prior.get('codes'))}"
                 merged = [r for r in prior.get("grid", [])
                           if fam(r) != cur_fam] + merged
+            else:
+                # an off-scale run (e.g. a quick --n smoke) must not
+                # clobber the canonical full-scale grid: divert it to
+                # a size-suffixed sibling file instead
+                path = path[:-len(".json")] + f"_n{n}.json"
         except (json.JSONDecodeError, OSError):
             pass
     out = {"dataset": args.dataset, "n": n, "dims": dims, "k": args.k,
