@@ -561,7 +561,7 @@ def main() -> None:
         planted_found = minhash_lsh_candidates(
             d200, id_col="doc_id", text_col="text", n=3,
             verify_threshold=0.6, bucket_stats=bstats).filter(
-            (F.greatest("a", "b") - F.least("a", "b"))
+            (F.greatest("id1", "id2") - F.least("id1", "id2"))
             == 1_000_000_000).count()
         d200.unpersist()
 
@@ -588,10 +588,12 @@ def main() -> None:
             vector_col="embedding").count()
         s200.unpersist()
 
+        n_docs_1x = n_docs_4x // SCALE
+        n_srp_1x = 2 * emb_base.count()  # 1x srp corpus incl. twins
         scale200k = {
             "minhash_200k_docs": n_d200,
             "minhash_200k_sec": round(timings["minhash_lsh_dedup_200k"], 4),
-            "minhash_200k_rows_ratio_vs_1x": round(n_d200 / 5000.0, 1),
+            "minhash_200k_rows_ratio_vs_1x": round(n_d200 / n_docs_1x, 1),
             "minhash_200k_time_ratio_vs_1x": round(
                 timings["minhash_lsh_dedup_200k"]
                 / timings["minhash_lsh_dedup"], 2),
@@ -605,7 +607,7 @@ def main() -> None:
                 bstats.get("suppressed_pairs", 0)),
             "srp_200k_rows": n_s200,
             "srp_200k_sec": round(timings["srp_neardup_200k"], 4),
-            "srp_200k_rows_ratio_vs_1x": round(n_s200 / 4000.0, 1),
+            "srp_200k_rows_ratio_vs_1x": round(n_s200 / n_srp_1x, 1),
             "srp_200k_time_ratio_vs_1x": round(
                 timings["srp_neardup_200k"] / timings["srp_neardup_1x"], 2),
             "srp_200k_planted_recall": round(
@@ -614,9 +616,10 @@ def main() -> None:
         with open(_s200_path, "w") as f:
             json.dump({"note": "200k dedup scale step; produced by "
                                "SPARK_GRAFT_SCALE200K=1 python bench.py "
-                               "at sf0.1; 1x denominators are the same "
-                               "run's minhash_lsh_dedup / srp_neardup_1x "
-                               "rows", **scale200k}, f, indent=1)
+                               f"at {SF_DIR}; 1x denominators are the "
+                               "same run's minhash_lsh_dedup / "
+                               "srp_neardup_1x rows", **scale200k},
+                      f, indent=1)
     elif os.path.exists(_s200_path):
         with open(_s200_path) as f:
             scale200k = json.load(f)
