@@ -378,9 +378,12 @@ class IvfBatchKnnIndex:
         # The scoring math collapses to the identity quantizer (mn=0,
         # step=1: dot = c.q + codes.q exactly), so every kernel is
         # shared.  Use it when true neighbor gaps are smaller than the
-        # SQ8 step — e.g. SIFT-like integer descriptors, where SQ8 caps
-        # recall@10 around 0.80 regardless of nprobe (round-6 ANN grid);
-        # smooth high-dim float corpora are fine at SQ8 (recall 0.96+).
+        # SQ8 step — e.g. SIFT-like integer descriptors, where global
+        # SQ8 plateaus at recall@10 0.934 past nprobe 32 (round-8 grid,
+        # measured AFTER the decoded-norm fix below; the pre-fix 0.72
+        # plateau was the norm-mismatch defect, not quantization);
+        # sq8_cell or float32 codes recover the remaining points.
+        # plans/tuning.py::recommend_ann_codes measures this per-corpus.
         self.code_dtype = code_dtype
         self._code_np = np.float32 if code_dtype == "float32" else np.uint8
         self._code_width = self.dim * (4 if code_dtype == "float32" else 1)
@@ -495,6 +498,7 @@ class IvfBatchKnnIndex:
         C32 = np.ascontiguousarray(self.centroids, dtype=np.float32)
         csq = (C32 * C32).sum(axis=1)
         mn32 = self.mn.astype(np.float32)
+        step32 = self.step.astype(np.float32)
         inv_step = (1.0 / self.step).astype(np.float32)
         normalize = self.metric == "cosine"
         vector_col, id_col = self.vector_col, self.id_col
@@ -540,6 +544,19 @@ class IvfBatchKnnIndex:
                     codes = np.clip(
                         np.rint((res - mn32) * inv_step), 0.0, 255.0
                     ).astype(np.uint8)
+                if not flat_codes and not normalize:
+                    # euclidean ranks by nsq - 2*(q . decoded): the
+                    # norm must be the DECODED vector's, not the true
+                    # one, or the mismatch term 2 x.eps (eps = quant
+                    # error) corrupts the ordering — measured recall@10
+                    # 0.906 -> 0.988 on the fashion-like 784-d corpus
+                    # at identical bytes (asymmetric-distance
+                    # consistency; PLANS.md round 8)
+                    dec = (codes.astype(np.float32) * step32[assign]
+                           + mn32[assign]) if mn32.ndim == 2 else \
+                        (codes.astype(np.float32) * step32 + mn32)
+                    dec += C32[assign]
+                    nsq = (dec.astype(np.float64) ** 2).sum(axis=1)
                 n = codes.shape[0]
                 offs = pa.array(
                     np.arange(0, (n + 1) * byte_w, byte_w, dtype=np.int32),
@@ -1469,12 +1486,18 @@ class IvfBatchKnnIndex:
         if self.code_dtype == "float32":
             return assign, nsq.astype(np.float32), res.astype(np.float32)
         mn32 = self.mn.astype(np.float32)
+        step32 = self.step.astype(np.float32)
         inv32 = (1.0 / self.step).astype(np.float32)
         if mn32.ndim == 2:  # per-cell quantizer (sq8_cell)
-            mn32, inv32 = mn32[assign], inv32[assign]
+            mn32, step32, inv32 = mn32[assign], step32[assign], inv32[assign]
         codes = np.clip(
             np.rint((res - mn32) * inv32),
             0.0, 255.0).astype(np.uint8)
+        if self.metric != "cosine":
+            # decoded-norm consistency (see _encode): euclidean must
+            # rank with |decoded|^2 next to the quantized dot
+            dec = codes.astype(np.float32) * step32 + mn32 + C32[assign]
+            nsq = (dec.astype(np.float64) ** 2).sum(axis=1)
         return assign, nsq.astype(np.float32), codes
 
     def _main_id_index(self):

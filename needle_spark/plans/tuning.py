@@ -386,6 +386,62 @@ def recommend_ann_tier(train_sample, query_sample,
                       "present; IVF probes pay off"}
 
 
+def recommend_ann_codes(train_sample, query_sample,
+                        metric: str = "euclidean",
+                        target_recall: float = 0.95,
+                        k: int = 10) -> dict:
+    """Measured IVF code-tier rule (VERDICT r7 #7).
+
+    Quantization recall ceilings are real and probe-independent: a
+    corpus whose neighbor margins sit below the SQ8 step cannot be
+    recovered by probing more cells, only by wider codes.  This rule
+    measures that floor directly: encode the sample with per-dim SQ8,
+    rank neighbors from the DECODED vectors (the same decoded-rank
+    consistency the serving kernel uses — PLANS.md round 8), and
+    compare top-k against the exact float sample; below
+    `target_recall` the serving index should carry float32 codes.
+    Calibration: all three ANN twins clear 0.95 post-fix (fashion
+    784-d sample 0.978, real index 0.992-0.994 — the earlier 0.902
+    artifact plateau was the decoded-norm defect, and this rule's
+    disagreement with it is what exposed the bug); an
+    outlier-stretched corpus (step >> margin) measures ~0 and flips
+    to float32.  Returns {'codes', 'sq8_sample_recall', 'reason'}."""
+    import numpy as np
+
+    t = np.asarray(train_sample, dtype=np.float64)
+    q = np.asarray(query_sample, dtype=np.float64)
+    if metric == "cosine":
+        t = t / np.maximum(np.linalg.norm(t, axis=1, keepdims=True), 1e-12)
+        q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    lo = t.min(axis=0)
+    step = np.maximum((t.max(axis=0) - lo) / 255.0, 1e-12)
+    dec = np.clip(np.rint((t - lo) / step), 0, 255) * step + lo
+
+    def topk(M):
+        if metric in ("cosine", "dot"):
+            D = -(q @ M.T)
+        else:
+            D = ((q * q).sum(1)[:, None] - 2.0 * (q @ M.T)
+                 + (M * M).sum(1)[None, :])
+        kk = min(k, M.shape[0])
+        return np.argpartition(D, kk - 1, axis=1)[:, :kk]
+
+    exact, quant = topk(t), topk(dec)
+    recall = float(np.mean([
+        len(set(exact[i]) & set(quant[i])) / exact.shape[1]
+        for i in range(len(q))]))
+    if recall >= target_recall:
+        return {"codes": "sq8_cell", "sq8_sample_recall": round(recall, 4),
+                "reason": f"sample SQ8 recall {recall:.3f} >= "
+                          f"{target_recall}: quantization error sits "
+                          "below the neighbor margin; 4x smaller codes"}
+    return {"codes": "float32", "sq8_sample_recall": round(recall, 4),
+            "reason": f"sample SQ8 recall {recall:.3f} < {target_recall}"
+                      ": quantization noise exceeds the neighbor margin "
+                      "(recall ceiling, not a probe deficit) — serve "
+                      "float32 codes"}
+
+
 def recommended_nprobe(cells: int, target_recall: float) -> int:
     """tuning.rs:393 recommended_ef_search analog: invert the recall
     curve for a probe count."""

@@ -235,3 +235,26 @@ def test_recommend_ann_tier():
     assert recommend_ann_tier(tr, q, "cosine")["tier"] == "flat"
     tr, q = sift_like(20_000, n_queries=25)
     assert recommend_ann_tier(tr, q, "euclidean")["tier"] == "ivf"
+
+
+def test_recommend_ann_codes():
+    """Measured code-tier rule: after the decoded-norm consistency fix
+    (plans/ivf.py round 8) sq8_cell clears 0.95 on all three ANN twins
+    — fashion-like included (real-index recall 0.994, was 0.902) — so
+    the sample-SQ8 measurement recommends sq8_cell there; a corpus
+    whose per-dim ranges are outlier-stretched (step >> neighbor
+    margin) must flip to float32 codes."""
+    from needle_spark.plans.ann_datasets import fashion_like, sift_like
+    from needle_spark.plans.tuning import recommend_ann_codes
+
+    tr, q = fashion_like(8_000, n_queries=20)
+    r = recommend_ann_codes(tr, q, "euclidean")
+    assert r["codes"] == "sq8_cell" and r["sq8_sample_recall"] >= 0.95
+    tr, q = sift_like(8_000, n_queries=20)
+    assert recommend_ann_codes(tr, q, "euclidean")["codes"] == "sq8_cell"
+    rng = np.random.default_rng(0)
+    t = rng.standard_normal((4_000, 32))
+    t[:4] *= 1000  # outliers stretch every dim's range ~1000x
+    q2 = rng.standard_normal((20, 32))
+    r = recommend_ann_codes(t, q2, "euclidean")
+    assert r["codes"] == "float32" and r["sq8_sample_recall"] < 0.5

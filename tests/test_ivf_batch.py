@@ -976,3 +976,56 @@ def test_filtered_serving_where_new_code_tiers(spark, clustered, tmp_path, cd):
             assert [int(i) for i in got[got.query_id == qi]["id"]] == want
     finally:
         idx.unpersist()
+
+
+def test_quantized_nsq_is_decoded_norm(spark, clustered):
+    """Euclidean ranks by nsq - 2*(q . decoded): nsq MUST be the
+    decoded vector's squared norm, not the true one, or the mismatch
+    term 2 x.eps corrupts ordering on large-norm corpora (measured
+    recall@10 0.906 -> 0.988/0.994 on the fashion-like 784-d twin —
+    PLANS.md round 8 'decoded-norm consistency')."""
+    df, _, _ = clustered
+    for cd in ("sq8", "sq8_cell"):
+        idx = IvfBatchKnnIndex(df, nlist=8, vector_col="vector",
+                               id_col="id", metric="euclidean", seed=1,
+                               code_dtype=cd)
+        rng = np.random.default_rng(3)
+        V = rng.standard_normal((40, DIM)).astype(np.float32) * 50.0
+        assign, nsq, codes = idx._encode_np(V)
+        mn, step = idx.mn, idx.step
+        if mn.ndim == 2:
+            mn, step = mn[assign], step[assign]
+        dec = (codes.astype(np.float64) * step + mn
+               + idx.centroids[assign])
+        assert np.allclose(nsq, (dec ** 2).sum(axis=1), rtol=1e-4), cd
+        idx.unpersist()
+
+
+def test_large_norm_corpus_sq8_recall(spark):
+    """End-to-end pin for the decoded-norm fix: a pixel-scale corpus
+    (values ~0..255, like fashion-mnist) must not show a quantization
+    recall ceiling at full probe."""
+    rng = np.random.default_rng(11)
+    base = rng.uniform(0, 255, (12, 64))
+    pts = np.clip(np.repeat(base, 150, axis=0)
+                  + 12.0 * rng.standard_normal((1800, 64)), 0, 255)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in pts[i]]) for i in range(len(pts))],
+        "id long, vector array<float>").repartition(4)
+    queries = pts[rng.permutation(1800)[:15]] \
+        + 2.0 * rng.standard_normal((15, 64))
+    t = pts.astype(np.float64)
+    exact = []
+    for q in queries:
+        d = np.linalg.norm(t - q, axis=1)
+        exact.append(set(np.argsort(d, kind="stable")[:10]))
+    idx = IvfBatchKnnIndex(df, nlist=12, vector_col="vector",
+                           id_col="id", metric="euclidean", seed=1,
+                           code_dtype="sq8_cell")
+    res = idx.search_local((list(range(15)), queries), k=10, nprobe=12)
+    hit = 0
+    for qi in range(15):
+        got = set(int(v) for v in res[res.query_id == qi]["id"])
+        hit += len(got & exact[qi])
+    assert hit / 150 >= 0.97, hit / 150
+    idx.unpersist()
