@@ -240,7 +240,14 @@ def _score_cell_block(codes_u8, ids_cell, nsq_cell, qidx, SQ, base_row, qsq,
     dot = Cf @ SQ[:, qidx]  # (n_cell, n_probing)
     dot += base_row[qidx][None, :]
     if metric == "cosine":
-        D = 1.0 - dot
+        # renormalize by the DECODED vector's norm (stored in nsq for
+        # quantized code tiers; exactly 1.0 for float32 codes): the
+        # quantized x_hat is not unit-length, and cos = dot/|x_hat| —
+        # skipping the division biases ranking by each row's
+        # quantization norm drift (measured recall@10 0.855 -> 0.978
+        # on a unit-norm 128-d corpus, PLANS.md round 8)
+        D = 1.0 - dot / np.sqrt(
+            np.maximum(np.asarray(nsq_cell), 1e-24))[:, None]
     elif metric == "dot":
         D = -dot
     else:  # euclidean
@@ -544,13 +551,15 @@ class IvfBatchKnnIndex:
                     codes = np.clip(
                         np.rint((res - mn32) * inv_step), 0.0, 255.0
                     ).astype(np.uint8)
-                if not flat_codes and not normalize:
-                    # euclidean ranks by nsq - 2*(q . decoded): the
-                    # norm must be the DECODED vector's, not the true
-                    # one, or the mismatch term 2 x.eps (eps = quant
-                    # error) corrupts the ordering — measured recall@10
-                    # 0.906 -> 0.988 on the fashion-like 784-d corpus
-                    # at identical bytes (asymmetric-distance
+                if not flat_codes:
+                    # store the DECODED vector's squared norm, not the
+                    # true one: euclidean ranks by nsq - 2*(q.decoded)
+                    # and cosine renormalizes dot by sqrt(nsq), so a
+                    # true-norm nsq injects the mismatch term 2 x.eps
+                    # (eps = quant error) into the ordering — measured
+                    # recall@10 0.906 -> 0.988 (euclidean, fashion-like
+                    # 784-d) and 0.855 -> 0.978 (cosine, unit-norm
+                    # 128-d) at identical bytes (asymmetric-distance
                     # consistency; PLANS.md round 8)
                     dec = (codes.astype(np.float32) * step32[assign]
                            + mn32[assign]) if mn32.ndim == 2 else \
@@ -1493,11 +1502,11 @@ class IvfBatchKnnIndex:
         codes = np.clip(
             np.rint((res - mn32) * inv32),
             0.0, 255.0).astype(np.uint8)
-        if self.metric != "cosine":
-            # decoded-norm consistency (see _encode): euclidean must
-            # rank with |decoded|^2 next to the quantized dot
-            dec = codes.astype(np.float32) * step32 + mn32 + C32[assign]
-            nsq = (dec.astype(np.float64) ** 2).sum(axis=1)
+        # decoded-norm consistency (see _encode): euclidean ranks with
+        # |decoded|^2 next to the quantized dot; cosine renormalizes
+        # the quantized dot by sqrt(nsq)
+        dec = codes.astype(np.float32) * step32 + mn32 + C32[assign]
+        nsq = (dec.astype(np.float64) ** 2).sum(axis=1)
         return assign, nsq.astype(np.float32), codes
 
     def _main_id_index(self):

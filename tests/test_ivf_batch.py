@@ -985,20 +985,22 @@ def test_quantized_nsq_is_decoded_norm(spark, clustered):
     recall@10 0.906 -> 0.988/0.994 on the fashion-like 784-d twin —
     PLANS.md round 8 'decoded-norm consistency')."""
     df, _, _ = clustered
-    for cd in ("sq8", "sq8_cell"):
-        idx = IvfBatchKnnIndex(df, nlist=8, vector_col="vector",
-                               id_col="id", metric="euclidean", seed=1,
-                               code_dtype=cd)
-        rng = np.random.default_rng(3)
-        V = rng.standard_normal((40, DIM)).astype(np.float32) * 50.0
-        assign, nsq, codes = idx._encode_np(V)
-        mn, step = idx.mn, idx.step
-        if mn.ndim == 2:
-            mn, step = mn[assign], step[assign]
-        dec = (codes.astype(np.float64) * step + mn
-               + idx.centroids[assign])
-        assert np.allclose(nsq, (dec ** 2).sum(axis=1), rtol=1e-4), cd
-        idx.unpersist()
+    for metric in ("euclidean", "cosine"):
+        for cd in ("sq8", "sq8_cell"):
+            idx = IvfBatchKnnIndex(df, nlist=8, vector_col="vector",
+                                   id_col="id", metric=metric, seed=1,
+                                   code_dtype=cd)
+            rng = np.random.default_rng(3)
+            V = rng.standard_normal((40, DIM)).astype(np.float32) * 50.0
+            assign, nsq, codes = idx._encode_np(V)
+            mn, step = idx.mn, idx.step
+            if mn.ndim == 2:
+                mn, step = mn[assign], step[assign]
+            dec = (codes.astype(np.float64) * step + mn
+                   + idx.centroids[assign])
+            assert np.allclose(nsq, (dec ** 2).sum(axis=1),
+                               rtol=1e-4), (metric, cd)
+            idx.unpersist()
 
 
 def test_large_norm_corpus_sq8_recall(spark):
