@@ -34,7 +34,10 @@ def main() -> None:
     # has corrupted the driver's JSON-line capture before (VERDICT r4
     # "What's wrong #3") — the result is also written to BENCH_LOCAL.json
     spark = get_spark(app_name="needle-spark-bench",
-                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+                      extra_conf={"spark.ui.showConsoleProgress": "false",
+                                  # the flat exact tier pins the 1M x 384
+                                  # matrix (1.5 GB) via one Arrow collect
+                                  "spark.driver.maxResultSize": "4g"})
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm up: JVM, parquet footers, file listing — not part of any query's cost
@@ -141,6 +144,29 @@ def main() -> None:
     run("batch_knn_1M384_100q", lambda: big_idx.search_local((q_ids, Q384), k=10))
     exact_1m = big_idx.search_local((q_ids, Q384), k=10)
     big_idx.unpersist()
+
+    # EXACT in-process batch serving at the baseline shape: the flat
+    # tier's blocked sgemm + sampled-threshold top-k over the pinned
+    # 1M x 384 matrix answers the whole 100-query batch at recall 1.0
+    # by construction — comparable latency class to the reference's
+    # APPROXIMATE in-process batch number (1.8 ms/q at recall < 1).
+    from needle_spark.plans.flat import FlatKnnIndex
+
+    flat_idx = FlatKnnIndex.from_df(big, vector_col="embedding",
+                                    id_col="vec_id", metric="cosine")
+    flat_idx.search_many_local((q_ids, Q384), k=10)  # warm
+    run("batch_knn_1M384_flat_local_100q",
+        lambda: flat_idx.search_many_local((q_ids, Q384), k=10),
+        repeats=5)
+    flat_1m = flat_idx.search_many_local((q_ids, Q384), k=10)
+    flat_exact_agree = 0.0
+    for qid in q_ids:
+        e = set(exact_1m[exact_1m.query_id == qid].vec_id)
+        a = set(flat_1m[flat_1m.query_id == qid].vec_id)
+        flat_exact_agree += len(e & a) / 10.0
+    flat_exact_agree = round(flat_exact_agree / len(q_ids), 4)
+    flat_idx.unpersist()
+    del flat_idx, flat_1m
 
     # ANN serving at the same 1M x 384 shape: IVF coarse quantizer + SQ8
     # residual codes, pinned as mmap'd segment files (the analogue of the
@@ -679,6 +705,11 @@ def main() -> None:
         "batch_knn_ms_per_query": round(timings["batch_knn_100"] * 10.0, 2),
         "batch_knn_1M384_ms_per_query": round(
             timings["batch_knn_1M384_100q"] * 10.0, 2),
+        # EXACT in-process tier (flat blocked-sgemm): recall 1.0 by
+        # construction, agreement vs the distributed exact scan below
+        "batch_knn_1M384_flat_exact_ms_per_query": round(
+            timings["batch_knn_1M384_flat_local_100q"] * 10.0, 3),
+        "batch_knn_1M384_flat_exact_agreement": flat_exact_agree,
         "batch_knn_1M384_ivf_ms_per_query": round(
             timings["batch_knn_1M384_ivf_100q"] * 10.0, 2),
         "batch_knn_1M384_ivf_local_ms_per_query": round(
