@@ -876,7 +876,8 @@ class RestServer:
         status."""
         from needle_spark.plans.flat import FlatKnnIndex
         from needle_spark.plans.ivf import IvfBatchKnnIndex
-        from needle_spark.plans.tuning import recommend_ann_tier
+        from needle_spark.plans.tuning import (recommend_ann_codes,
+                                               recommend_ann_tier)
 
         name = m.group(1)
         c = self._coll(name)
@@ -889,18 +890,34 @@ class RestServer:
         tier = str(b.get("tier", "auto")).lower()
         if tier not in ("auto", "ivf", "flat"):
             raise _bad("'tier' must be auto|ivf|flat")
+        codes = str(b.get("codes", "auto")).lower()
+        if codes not in ("auto", "sq8", "sq8_cell", "float32"):
+            raise _bad("'codes' must be auto|sq8|sq8_cell|float32")
         decision = {"tier": tier, "reason": "pinned by request"}
-        if tier == "auto":
+        samp = None
+        if tier == "auto" or codes == "auto":
             import numpy as np
 
             samp = [list(r[c.vector_col]) for r in c.df().limit(
                 self.TIER_SAMPLE_ROWS + self.TIER_SAMPLE_QUERIES)
                 .collect()]
             nq = min(self.TIER_SAMPLE_QUERIES, max(1, len(samp) // 4))
-            decision = recommend_ann_tier(
-                np.asarray(samp[nq:], dtype=np.float64),
-                np.asarray(samp[:nq], dtype=np.float64), metric)
+            samp = (np.asarray(samp[nq:], dtype=np.float64),
+                    np.asarray(samp[:nq], dtype=np.float64))
+        if tier == "auto":
+            decision = recommend_ann_tier(samp[0], samp[1], metric)
             tier = decision["tier"]
+        # code tier is measured too: decoded-rank SQ8 recall on the
+        # same sample decides sq8_cell vs float32 serving codes
+        if codes == "auto":
+            code_dec = recommend_ann_codes(samp[0], samp[1], metric)
+            codes = code_dec["codes"]
+            decision = {**decision, "codes": codes,
+                        "sq8_sample_recall": code_dec["sq8_sample_recall"],
+                        "codes_reason": code_dec["reason"]}
+        else:
+            decision = {**decision, "codes": codes,
+                        "codes_reason": "pinned by request"}
         # meta_fields: metadata JSON fields pinned next to the segments
         # (string-typed) so tag filters ($eq/$in) serve during the scan
         fields = [str(f) for f in (b.get("meta_fields") or [])]
@@ -920,7 +937,7 @@ class RestServer:
             else:
                 idx = IvfBatchKnnIndex(
                     src, nlist=nlist, vector_col=c.vector_col,
-                    id_col=c.id_col, metric=metric,
+                    id_col=c.id_col, metric=metric, code_dtype=codes,
                     meta_cols=[f"__mf_{f}" for f in fields])
                 idx.pin_segments(decoded=bool(b.get("decoded", True)))
             idx._tier_decision = decision
@@ -928,6 +945,7 @@ class RestServer:
             self._index_fields[name] = fields
         return {"built": name, "tier": tier, "nlist": idx.nlist,
                 "nprobe": nprobe, "rows": n, "metric": metric,
+                "codes": codes if tier == "ivf" else None,
                 "meta_fields": fields, "tier_decision": decision}
 
     def index_status(self, m, b, q) -> dict:

@@ -90,6 +90,25 @@ def test_auto_picks_ivf_for_clustered(srv, corpora):
     call(srv, "DELETE", "/collections/sft/index", expect=200)
 
 
+def test_auto_picks_measured_codes(srv, corpora):
+    """codes=auto measures decoded-rank SQ8 recall on the sample and
+    picks the code tier; the decision is visible in the response."""
+    built = call(srv, "POST", "/collections/sft/index", {}, expect=200)
+    assert built["codes"] == "sq8_cell", built
+    dec = built["tier_decision"]
+    assert dec["codes"] == "sq8_cell"
+    assert dec["sq8_sample_recall"] >= 0.95
+    call(srv, "DELETE", "/collections/sft/index", expect=200)
+    built = call(srv, "POST", "/collections/sft/index",
+                 {"codes": "float32"}, expect=200)
+    assert built["codes"] == "float32"
+    assert built["tier_decision"]["codes_reason"] == "pinned by request"
+    call(srv, "DELETE", "/collections/sft/index", expect=200)
+    err = call(srv, "POST", "/collections/sft/index",
+               {"codes": "pq4"}, expect=400)
+    assert "codes" in json.dumps(err)
+
+
 def test_tier_pin_overrides_measurement(srv, corpora):
     built = call(srv, "POST", "/collections/sft/index",
                  {"tier": "flat"}, expect=200)
