@@ -229,12 +229,21 @@ def _sq_for_cell(SQ, step2, QT, cell):
 
 
 def _score_cell_block(codes_u8, ids_cell, nsq_cell, qidx, SQ, base_row, qsq,
-                      metric: str, k: int):
+                      metric: str, k: int, vecs=None, Qp=None):
     """Score one cell's rows against the queries probing it.
 
     dist decomposes over the SQ8 codes without decoding:
     dot(v, q) = c.q + mn.q + codes_f32 . (step*q); the uint8->float32
-    cast plus one sgemm is the whole inner loop."""
+    cast plus one sgemm is the whole inner loop.
+
+    When `vecs`/`Qp` are given (the refine tier: vecs = this block's
+    rows in the pinned float32 sidecar, Qp = the float64 query matrix
+    restricted to qidx), the quantized distances only CUT candidates:
+    the top-k survivors per query are re-ranked by exact float64
+    distance against the gathered sidecar rows, so the returned
+    distances carry no quantization error (FAISS's refine/RFlat
+    posture).  Only the survivors' rows are touched — the gather is
+    O(k x probing-queries x dim), negligible next to the cell sgemm."""
     Cf = codes_u8 if codes_u8.dtype == np.float32 \
         else codes_u8.astype(np.float32)
     dot = Cf @ SQ[:, qidx]  # (n_cell, n_probing)
@@ -256,8 +265,45 @@ def _score_cell_block(codes_u8, ids_cell, nsq_cell, qidx, SQ, base_row, qsq,
             0.0, None))
     if D.shape[0] > k:
         sel = np.argpartition(D, k - 1, axis=0)[:k]
-        return np.take_along_axis(D, sel, axis=0), np.asarray(ids_cell)[sel]
-    return D, np.broadcast_to(np.asarray(ids_cell)[:, None], D.shape)
+        if vecs is None:
+            return (np.take_along_axis(D, sel, axis=0),
+                    np.asarray(ids_cell)[sel])
+        return (_exact_rerank(vecs, Qp, sel, metric),
+                np.asarray(ids_cell)[sel])
+    if vecs is None:
+        return D, np.broadcast_to(np.asarray(ids_cell)[:, None], D.shape)
+    sel = np.broadcast_to(
+        np.arange(D.shape[0])[:, None], D.shape)
+    return (_exact_rerank(vecs, Qp, sel, metric),
+            np.broadcast_to(np.asarray(ids_cell)[:, None], D.shape))
+
+
+def _exact_rerank(vecs, Qp, sel, metric: str):
+    """Exact float64 distances for the selected (row, query) pairs.
+
+    vecs: (n_block, dim) float32 — a view into the mmap'd sidecar (or
+    a masked copy); fancy-indexing by the unique survivor rows touches
+    only those pages.  Qp: (n_probing, dim) float64 queries.  sel:
+    (k, n_probing) row indices into vecs.  Returns (k, n_probing)."""
+    rows = np.unique(sel)
+    V = np.asarray(vecs[rows], dtype=np.float64)
+    inv = np.searchsorted(rows, sel)  # sel -> index into rows
+    dots = V @ Qp.T  # (n_rows, n_probing)
+    qcols = np.arange(sel.shape[1])[None, :]
+    if metric == "cosine":
+        # rows are stored l2-normalized in float32; dividing by the
+        # float64 norm removes the residual float32 rounding so ties
+        # match a float64-normalized oracle
+        nrm = np.sqrt((V * V).sum(axis=1))
+        E = 1.0 - dots / np.maximum(nrm, 1e-24)[:, None]
+    elif metric == "dot":
+        E = -dots
+    else:  # euclidean
+        vsq = (V * V).sum(axis=1)
+        qsq = (Qp * Qp).sum(axis=1)
+        E = np.sqrt(np.clip(
+            vsq[:, None] - 2.0 * dots + qsq[None, :], 0.0, None))
+    return E[inv, qcols]
 
 
 def _partition_topk(acc_d, acc_i, q_arr, k: int):
@@ -317,6 +363,7 @@ class IvfBatchKnnIndex:
     """
 
     CODE_COL = "__sq8"
+    VEC_COL = "__vec32"
 
     def __init__(
         self,
@@ -332,11 +379,26 @@ class IvfBatchKnnIndex:
         cluster_partitions: int | None = None,
         meta_cols: Sequence[str] = (),
         code_dtype: str = "sq8",
+        refine: bool = False,
+        refine_factor: int = 4,
     ):
         if code_dtype not in ("sq8", "sq8_cell", "float32"):
             raise ValueError(
                 f"code_dtype must be 'sq8', 'sq8_cell' or 'float32', "
                 f"got {code_dtype!r}")
+        if refine and code_dtype == "float32":
+            raise ValueError(
+                "refine=True pairs a QUANTIZED code tier with an exact "
+                "float32 sidecar; float32 codes already rank exactly")
+        # refine tier (FAISS IndexRefineFlat posture): quantized codes
+        # stay the scan (RAM/bandwidth-sized), and an exact float32
+        # sidecar — pinned as mmap files, touched only for the
+        # refine_factor*k survivors per query — removes the
+        # quantization recall ceiling.  At 100 TB the sidecar lives on
+        # disk next to the segments; the random gather reads
+        # O(k x factor x dim) bytes per query, not the corpus.
+        self.refine = bool(refine)
+        self.refine_factor = max(1, int(refine_factor))
         m = metric.lower()
         if m in ("l2",):
             m = "euclidean"
@@ -514,12 +576,15 @@ class IvfBatchKnnIndex:
         byte_w = self._code_width
 
         meta_cols = self.meta_cols
+        refine = self.refine
+        vec_col = self.VEC_COL
         id_type = docs.schema[id_col].dataType
         out_schema = T.StructType([
             T.StructField(id_col, id_type),
             T.StructField("centroid_id", T.IntegerType()),
             T.StructField("norm_sq", T.FloatType()),
             T.StructField(self.CODE_COL, T.BinaryType()),
+            *([T.StructField(vec_col, T.BinaryType())] if refine else []),
             *[T.StructField(mc, docs.schema[mc].dataType)
               for mc in meta_cols],
         ])
@@ -573,12 +638,25 @@ class IvfBatchKnnIndex:
                 flat = pa.py_buffer(np.ascontiguousarray(codes).tobytes())
                 code_arr = pa.Array.from_buffers(
                     pa.binary(), n, [None, offs.buffers()[1], flat])
+                vec_arrs = []
+                if refine:
+                    # exact float32 sidecar rows (l2-normalized for
+                    # cosine — the space every tier scores in)
+                    vw = dim * 4
+                    voffs = pa.array(
+                        np.arange(0, (n + 1) * vw, vw, dtype=np.int32),
+                        type=pa.int32())
+                    vflat = pa.py_buffer(
+                        np.ascontiguousarray(V, dtype=np.float32).tobytes())
+                    vec_arrs = [pa.Array.from_buffers(
+                        pa.binary(), n, [None, voffs.buffers()[1], vflat])]
                 yield pa.RecordBatch.from_arrays(
                     [
                         batch.column(names.index(id_col)),
                         pa.array(assign, type=pa.int32()),
                         pa.array(nsq.astype(np.float32), type=pa.float32()),
                         code_arr,
+                        *vec_arrs,
                         *[batch.column(names.index(mc))
                           for mc in meta_cols],
                     ],
@@ -647,6 +725,7 @@ class IvfBatchKnnIndex:
         id_col, code_col = self.id_col, self.CODE_COL
         meta_cols = self.meta_cols
         byte_w, code_np = self._code_width, self._code_np
+        refine, vec_col = self.refine, self.VEC_COL
         # float32 codes ARE the decoded tier; writing codes32 would
         # double the disk for identical bytes
         decoded = decoded and code_np is np.uint8
@@ -656,7 +735,7 @@ class IvfBatchKnnIndex:
             from pyspark import TaskContext
 
             pid = TaskContext.get().partitionId()
-            ids_l, cent_l, nsq_l, code_l = [], [], [], []
+            ids_l, cent_l, nsq_l, code_l, vec_l = [], [], [], [], []
             meta_l: dict[str, list] = {mc: [] for mc in meta_cols}
             for batch in batches:
                 if batch.num_rows == 0:
@@ -668,18 +747,28 @@ class IvfBatchKnnIndex:
                 code_l.append(_bytes_matrix_from_arrow(
                     batch.column(names.index(code_col)), byte_w)
                     .view(code_np))
+                if refine:
+                    vec_l.append(_bytes_matrix_from_arrow(
+                        batch.column(names.index(vec_col)), dim * 4)
+                        .view(np.float32))
                 for mc in meta_cols:
                     meta_l[mc].append(batch.column(names.index(mc))
                                       .to_numpy(zero_copy_only=False))
+            vecs = None
             if ids_l:
                 ids = np.concatenate(ids_l)
                 cent = np.concatenate(cent_l).astype(np.int64)
                 nsq = np.concatenate(nsq_l).astype(np.float32)
                 codes = np.concatenate(code_l, axis=0) if len(code_l) > 1 else code_l[0]
+                if refine:
+                    vecs = np.concatenate(vec_l, axis=0) \
+                        if len(vec_l) > 1 else vec_l[0]
                 metas = {mc: np.concatenate(meta_l[mc]) for mc in meta_cols}
                 if not (np.diff(cent) >= 0).all():
                     order = np.argsort(cent, kind="stable")
                     ids, cent, nsq, codes = ids[order], cent[order], nsq[order], codes[order]
+                    if refine:
+                        vecs = vecs[order]
                     metas = {mc: v[order] for mc, v in metas.items()}
                 if ids.dtype == object:  # string ids -> fixed-width unicode (mmap-able)
                     ids = np.asarray(ids, dtype=str)
@@ -690,6 +779,8 @@ class IvfBatchKnnIndex:
                 ids = np.empty(0, dtype=np.int64)
                 nsq = np.empty(0, dtype=np.float32)
                 codes = np.empty((0, dim), dtype=code_np)
+                if refine:
+                    vecs = np.empty((0, dim), dtype=np.float32)
                 cells = np.empty(0, dtype=np.int64)
                 starts = np.zeros(1, dtype=np.int64)
                 metas = {mc: np.empty(0) for mc in meta_cols}
@@ -697,6 +788,9 @@ class IvfBatchKnnIndex:
             np.save(f"{seg_dir}/ids_{pid}.npy", ids)
             np.save(f"{seg_dir}/nsq_{pid}.npy", nsq)
             np.save(f"{seg_dir}/codes_{pid}.npy", np.ascontiguousarray(codes))
+            if refine:
+                np.save(f"{seg_dir}/vecs32_{pid}.npy",
+                        np.ascontiguousarray(vecs, dtype=np.float32))
             if decoded:
                 np.save(f"{seg_dir}/codes32_{pid}.npy",
                         np.ascontiguousarray(codes, dtype=np.float32))
@@ -748,7 +842,8 @@ class IvfBatchKnnIndex:
     # the round-5 one-task-per-partition default sat on the wrong end.
     SERVE_ROWS_PER_TASK = 160_000
 
-    def _partial_segments(self, q_ids, Q, qid_type, cell2q, k: int) -> DataFrame:
+    def _partial_segments(self, q_ids, Q, qid_type, cell2q, k: int,
+                          use_refine: bool = False) -> DataFrame:
         """Map stage over pinned segments: each task mmaps its segments
         and scores only the cells its queries probe.  Input rows carry
         no data — the scan never crosses the JVM boundary.
@@ -767,6 +862,8 @@ class IvfBatchKnnIndex:
         seg_dir, n_parts, written = self._segments  # type: ignore[misc]
         metric, dim, kk = self.metric, self.dim, k
         SQ, step2, QT, base = self._quant_parts(Q)
+        Q64 = np.ascontiguousarray(Q, dtype=np.float64) \
+            if use_refine else None
         qsq = (Q * Q).sum(axis=1).astype(np.float32)
         q_arr = np.asarray(q_ids)
         nq = len(q_ids)
@@ -834,6 +931,9 @@ class IvfBatchKnnIndex:
                         codes = np.load(f"{seg_dir}/codes_{pid}.npy",
                                         mmap_mode="r")
                         pre_decoded = False
+                    vecs = (np.load(f"{seg_dir}/vecs32_{pid}.npy",
+                                    mmap_mode="r")
+                            if use_refine else None)
                     acc_d: list[list[np.ndarray]] = [[] for _ in range(nq)]
                     acc_i: list[list[np.ndarray]] = [[] for _ in range(nq)]
                     for ci, cell in enumerate(cells):
@@ -846,7 +946,9 @@ class IvfBatchKnnIndex:
                         Dk, Ik = _score_cell_block(
                             block, ids[s:e], nsq[s:e], qidx,
                             _sq_for_cell(SQ, step2, QT, int(cell)),
-                            base[int(cell)], qsq, metric, kk)
+                            base[int(cell)], qsq, metric, kk,
+                            vecs=vecs[s:e] if use_refine else None,
+                            Qp=Q64[qidx] if use_refine else None)
                         for j, qi in enumerate(qidx):
                             acc_d[qi].append(Dk[:, j])
                             acc_i[qi].append(Ik[:, j])
@@ -908,9 +1010,16 @@ class IvfBatchKnnIndex:
             cell2q[c] = fq[s:e] if e > s else None  # type: ignore[assignment]
         return q_ids, Q, qid_type, cell2q, probes
 
-    def _partial(self, q_ids, Q, qid_type, cell2q, k: int, source: DataFrame | None = None):
+    def _partial(self, q_ids, Q, qid_type, cell2q, k: int,
+                 source: DataFrame | None = None, use_vec: bool = False):
         """mapInArrow stage: per-partition, per-cell masked scoring ->
-        at most (cells x probing-queries x k) candidate rows."""
+        at most (cells x probing-queries x k) candidate rows.
+
+        use_vec (refine tier): additionally ships the exact float32
+        sidecar column so the kernel can rerank the quantized top-k
+        survivors exactly — right for the (small) delta frame; the
+        pinned-segment path reads the sidecar from mmap instead of
+        shipping it."""
         import pyarrow as pa
 
         from pyspark.sql.pandas.types import to_arrow_schema
@@ -919,6 +1028,8 @@ class IvfBatchKnnIndex:
         dim = self.dim
         byte_w, code_np = self._code_width, self._code_np
         id_col, code_col = self.id_col, self.CODE_COL
+        vec_col = self.VEC_COL
+        Q64 = np.ascontiguousarray(Q, dtype=np.float64) if use_vec else None
         # per-query precomputed pieces:
         #   dot(v, q) = c.q + mn.q + codes_f32 . (step*q)
         SQ, step2, QT, base = self._quant_parts(Q)
@@ -937,7 +1048,7 @@ class IvfBatchKnnIndex:
         nq = len(q_ids)
 
         def kernel(batches) -> Iterator:
-            ids_l, cent_l, nsq_l, code_l = [], [], [], []
+            ids_l, cent_l, nsq_l, code_l, vec_l = [], [], [], [], []
             for batch in batches:
                 names = batch.schema.names
                 n = batch.num_rows
@@ -949,18 +1060,28 @@ class IvfBatchKnnIndex:
                 code_l.append(_bytes_matrix_from_arrow(
                     batch.column(names.index(code_col)), byte_w)
                     .view(code_np))
+                if use_vec:
+                    vec_l.append(_bytes_matrix_from_arrow(
+                        batch.column(names.index(vec_col)), dim * 4)
+                        .view(np.float32))
             if not ids_l:
                 return
             ids = np.concatenate(ids_l)
             cent = np.concatenate(cent_l).astype(np.int64)
             nsq = np.concatenate(nsq_l).astype(np.float32)
             codes = np.concatenate(code_l, axis=0) if len(code_l) > 1 else code_l[0]
+            vecs = None
+            if use_vec:
+                vecs = np.concatenate(vec_l, axis=0) \
+                    if len(vec_l) > 1 else vec_l[0]
             # build-time layout guarantees cells arrive sorted; argsort is
             # then O(n) bookkeeping and every cell is a contiguous slice
             if not (np.diff(cent) >= 0).all():
                 order = np.argsort(cent, kind="stable")
                 ids, cent, nsq = ids[order], cent[order], nsq[order]
                 codes = codes[order]
+                if use_vec:
+                    vecs = vecs[order]
             cells, starts = np.unique(cent, return_index=True)
             starts = np.append(starts, len(cent))
             # per-query candidate accumulators across this partition's
@@ -975,7 +1096,9 @@ class IvfBatchKnnIndex:
                 Dk, Ik = _score_cell_block(
                     codes[s:e], ids[s:e], nsq[s:e], qidx,
                     _sq_for_cell(SQ, step2, QT, int(cell)),
-                    base[int(cell)], qsq, metric, kk)
+                    base[int(cell)], qsq, metric, kk,
+                    vecs=vecs[s:e] if use_vec else None,
+                    Qp=Q64[qidx] if use_vec else None)
                 for j, qi in enumerate(qidx):
                     acc_d[qi].append(Dk[:, j])
                     acc_i[qi].append(Ik[:, j])
@@ -990,6 +1113,8 @@ class IvfBatchKnnIndex:
             )
 
         cols = [id_col, "centroid_id", "norm_sq", code_col]
+        if use_vec:
+            cols.append(vec_col)
         return docs.select(*cols).mapInArrow(kernel, out_schema)
 
     def _pruned_source(self, source: DataFrame | None, probes: np.ndarray) -> DataFrame | None:
@@ -1009,22 +1134,32 @@ class IvfBatchKnnIndex:
         return docs.filter(F.col("centroid_id").isin(union))
 
     def search(self, queries, k: int = 10, nprobe: int = 16,
-               source: DataFrame | None = None) -> DataFrame:
+               source: DataFrame | None = None,
+               refine: bool | None = None) -> DataFrame:
         """Distributed merge variant: returns a DataFrame
         (query_id, <id>, distance, rank).  `source` overrides the scanned
         codes table — pass a pruned partitionBy(centroid_id) read to get
-        partition pruning on disk."""
+        partition pruning on disk.  On refine-capable indexes the
+        candidates leave each task exactly re-ranked (segments read the
+        sidecar from mmap; the delta ships its sidecar column — small
+        by construction).  A caller-provided `source` serves quantized
+        (no sidecar travels with an arbitrary source)."""
         from needle_spark.operators.knn_arrow import _merge_topk
 
+        use_refine = self._resolve_refine(refine) and source is None
         if self._local_buf:
             self.flush_local()  # distributed scans read the Spark delta
         q_ids, Q, qid_type, cell2q, probes = self._prep_queries(queries, nprobe)
         fetch = self._fetch_k(k)
+        if use_refine:
+            fetch = max(fetch, k * self.refine_factor)
         if source is None and self._segments is not None:
-            partial = self._partial_segments(q_ids, Q, qid_type, cell2q, fetch)
+            partial = self._partial_segments(q_ids, Q, qid_type, cell2q, fetch,
+                                             use_refine=use_refine)
         else:
             partial = self._partial(q_ids, Q, qid_type, cell2q, fetch,
-                                    source=self._pruned_source(source, probes))
+                                    source=self._pruned_source(source, probes),
+                                    use_vec=use_refine)
         main_mask = self._tombstones | self._superseded
         if main_mask:
             partial = partial.filter(
@@ -1032,7 +1167,8 @@ class IvfBatchKnnIndex:
         if source is None and self._delta is not None:
             dpart = self._partial(
                 q_ids, Q, qid_type, cell2q, fetch,
-                source=self._pruned_source(self._delta, probes))
+                source=self._pruned_source(self._delta, probes),
+                use_vec=use_refine)
             if self._tombstones:
                 dpart = dpart.filter(
                     ~F.col(self.id_col).isin(sorted(self._tombstones)))
@@ -1040,21 +1176,27 @@ class IvfBatchKnnIndex:
         return _merge_topk(partial, k, "query_id", self.id_col, "distance", "rank")
 
     def search_local(self, queries, k: int = 10, nprobe: int = 16,
-                     source: DataFrame | None = None):
+                     source: DataFrame | None = None,
+                     refine: bool | None = None):
         """Low-latency batch path: one map-stage job + driver merge of
         <= partitions x Q x k candidates (the takeOrdered pattern) —
         mirrors BatchKnnIndex.search_local."""
         import pandas as pd
 
+        use_refine = self._resolve_refine(refine) and source is None
         if self._local_buf:
             self.flush_local()  # distributed scans read the Spark delta
         q_ids, Q, qid_type, cell2q, probes = self._prep_queries(queries, nprobe)
         fetch = self._fetch_k(k)
+        if use_refine:
+            fetch = max(fetch, k * self.refine_factor)
         if source is None and self._segments is not None:
-            partial = self._partial_segments(q_ids, Q, qid_type, cell2q, fetch)
+            partial = self._partial_segments(q_ids, Q, qid_type, cell2q, fetch,
+                                             use_refine=use_refine)
         else:
             partial = self._partial(q_ids, Q, qid_type, cell2q, fetch,
-                                    source=self._pruned_source(source, probes))
+                                    source=self._pruned_source(source, probes),
+                                    use_vec=use_refine)
         pdf = partial.toPandas()
         main_mask = self._tombstones | self._superseded
         if main_mask:
@@ -1062,7 +1204,8 @@ class IvfBatchKnnIndex:
         if source is None and self._delta is not None:
             dpdf = self._partial(
                 q_ids, Q, qid_type, cell2q, fetch,
-                source=self._pruned_source(self._delta, probes)).toPandas()
+                source=self._pruned_source(self._delta, probes),
+                use_vec=use_refine).toPandas()
             if self._tombstones:
                 dpdf = dpdf[~dpdf[self.id_col].isin(self._tombstones)]
             pdf = pd.concat([pdf, dpdf], ignore_index=True)
@@ -1110,9 +1253,11 @@ class IvfBatchKnnIndex:
                             mmap_mode="r")
                 for mc in self.meta_cols
             }
+            vecs = (np.load(f"{seg_dir}/vecs32_{pid}.npy", mmap_mode="r")
+                    if self.refine else None)
             seg = (np.load(f"{seg_dir}/ids_{pid}.npy", mmap_mode="r"),
                    np.load(f"{seg_dir}/nsq_{pid}.npy", mmap_mode="r"),
-                   codes, metas)
+                   codes, metas, vecs)
             si = len(segs)
             segs.append(seg)
             for ci, cell in enumerate(cells):
@@ -1138,6 +1283,7 @@ class IvfBatchKnnIndex:
 
             pdf = self._delta.select(
                 self.id_col, "centroid_id", "norm_sq", self.CODE_COL,
+                *([self.VEC_COL] if self.refine else []),
                 *self.meta_cols,
             ).toPandas()
             if len(pdf) == 0:
@@ -1150,6 +1296,9 @@ class IvfBatchKnnIndex:
                     np.asarray([np.frombuffer(b, dtype=self._code_np)
                                 for b in pdf[self.CODE_COL]]),
                     {mc: pdf[mc].to_numpy() for mc in self.meta_cols},
+                    (np.asarray([np.frombuffer(b, dtype=np.float32)
+                                 for b in pdf[self.VEC_COL]])
+                     if self.refine else None),
                 )
         # merge the driver-local write buffer (add_local); local rows
         # win on id collisions (add_local already filtered the Spark
@@ -1170,6 +1319,9 @@ class IvfBatchKnnIndex:
                         {mc: np.concatenate([out[4][mc][keep],
                                              local[4][mc]])
                          for mc in self.meta_cols},
+                        (np.concatenate([np.asarray(out[5])[keep],
+                                         local[5]])
+                         if self.refine else None),
                     )
             else:
                 out = local
@@ -1213,7 +1365,8 @@ class IvfBatchKnnIndex:
         return mask
 
     def search_many_local(self, queries, k: int = 10, nprobe: int = 16,
-                          where: dict | None = None):
+                          where: dict | None = None,
+                          refine: bool | None = None):
         """Driver-local BATCH serving over the pinned segments: the
         whole query batch is answered in-process — per-cell query
         grouping (one sgemm per probed cell against the queries that
@@ -1223,9 +1376,17 @@ class IvfBatchKnnIndex:
         distributed `search`/`search_local` paths remain the
         cluster-wide variants for corpora that outgrow one node's
         storage bandwidth.  Returns a pandas DataFrame
-        (query_id, id, distance, rank) like search_local."""
+        (query_id, id, distance, rank) like search_local.
+
+        refine: on a refine-capable index (built with refine=True) the
+        default reranks the refine_factor*k quantized survivors per
+        (query, cell) by exact float64 distance against the pinned
+        float32 sidecar — quantization then cannot cost recall within
+        the probed cells; pass refine=False to serve quantized scores
+        from the same index."""
         import pandas as pd
 
+        use_refine = self._resolve_refine(refine)
         segs, cell_dir = self._driver_cache()
         q_ids, Q, _, cell2q, probes = self._prep_queries(queries, nprobe)
         SQ, step2, QT, base = self._quant_parts(Q)
@@ -1233,13 +1394,17 @@ class IvfBatchKnnIndex:
         q_arr = np.asarray(q_ids)
         nq = len(q_ids)
         fetch = self._fetch_k(k)
+        if use_refine:
+            fetch = max(fetch, k * self.refine_factor)
 
         def run(cell_iter, acc_d, acc_i):
-            for block, ids_cell, nsq_cell, cell, qidx in cell_iter:
+            for block, ids_cell, nsq_cell, cell, qidx, vecs in cell_iter:
                 Dk, Ik = _score_cell_block(
                     block, ids_cell, nsq_cell, qidx,
                     _sq_for_cell(SQ, step2, QT, int(cell)),
-                    base[int(cell)], qsq, self.metric, fetch)
+                    base[int(cell)], qsq, self.metric, fetch,
+                    vecs=vecs if use_refine else None,
+                    Qp=Q[qidx] if use_refine else None)
                 for j, qi in enumerate(qidx):
                     acc_d[qi].append(Dk[:, j])
                     acc_i[qi].append(Ik[:, j])
@@ -1251,8 +1416,9 @@ class IvfBatchKnnIndex:
                 if qidx is None or len(qidx) == 0 or hit is None:
                     continue
                 si, s, e = hit
-                ids, nsq, codes, metas = segs[si]
+                ids, nsq, codes, metas, vecs = segs[si]
                 ids_c, nsq_c = ids[s:e], nsq[s:e]
+                vecs_c = vecs[s:e] if use_refine else None
                 if where:
                     # filter DURING the scan: only matching rows are
                     # decoded/scored (10% selectivity -> ~10% of the
@@ -1265,11 +1431,12 @@ class IvfBatchKnnIndex:
                         if block.dtype != np.float32:
                             block = block.astype(np.float32)
                         yield block, np.asarray(ids_c)[wm], \
-                            np.asarray(nsq_c)[wm], cell, qidx
+                            np.asarray(nsq_c)[wm], cell, qidx, \
+                            (np.asarray(vecs_c)[wm] if use_refine else None)
                         continue
                 block = codes[s:e] if codes.dtype == np.float32 \
                     else np.asarray(codes[s:e])
-                yield block, ids_c, nsq_c, cell, qidx
+                yield block, ids_c, nsq_c, cell, qidx, vecs_c
 
         acc_d: list[list] = [[] for _ in range(nq)]
         acc_i: list[list] = [[] for _ in range(nq)]
@@ -1289,7 +1456,7 @@ class IvfBatchKnnIndex:
             frames.append(main_pdf)
         delta = self._driver_delta()
         if delta is not None:
-            d_ids, d_cent, d_nsq, d_codes, d_metas = delta
+            d_ids, d_cent, d_nsq, d_codes, d_metas, d_vecs = delta
             sel = np.isin(d_cent, probes.ravel())
             if self._tombstones:
                 sel &= ~np.isin(d_ids, list(self._tombstones))
@@ -1300,7 +1467,8 @@ class IvfBatchKnnIndex:
             dacc_d: list[list] = [[] for _ in range(nq)]
             dacc_i: list[list] = [[] for _ in range(nq)]
             run(((d_codes[m], d_ids[m], d_nsq[m], cell,
-                  cell2q[int(cell)])
+                  cell2q[int(cell)],
+                  (d_vecs[m] if use_refine else None))
                  for cell in np.unique(d_cent[sel])
                  if cell2q[int(cell)] is not None
                  and len(cell2q[int(cell)]) > 0
@@ -1324,7 +1492,8 @@ class IvfBatchKnnIndex:
         return pdf
 
     def search_one(self, query_vector, k: int = 10, nprobe: int = 16,
-                   where: dict | None = None):
+                   where: dict | None = None,
+                   refine: bool | None = None):
         """Millisecond single-query serving over the pinned segments —
         the reference's online path (README.md:78-82, 3.2 ms p50): no
         Spark job, no collect; probe-cell selection, per-cell SQ8
@@ -1341,10 +1510,12 @@ class IvfBatchKnnIndex:
             # predicate evaluation over the pinned metadata arrays
             pdf = self.search_many_local(
                 ([0], np.asarray(query_vector, dtype=np.float64)
-                 .reshape(1, -1)), k=k, nprobe=nprobe, where=where)
+                 .reshape(1, -1)), k=k, nprobe=nprobe, where=where,
+                refine=refine)
             return [(i if not hasattr(i, "item") else i.item(),
                      float(d))
                     for i, d in zip(pdf[self.id_col], pdf["distance"])]
+        use_refine = self._resolve_refine(refine)
         segs, cell_dir = self._driver_cache()
         q = np.asarray(query_vector, dtype=np.float64).reshape(1, -1)
         if self.metric == "cosine":
@@ -1357,13 +1528,15 @@ class IvfBatchKnnIndex:
         qsq = (q * q).sum(axis=1).astype(np.float32)
         qidx = np.array([0])
         fetch = self._fetch_k(k)
+        if use_refine:
+            fetch = max(fetch, k * self.refine_factor)
         cand_d, cand_i = [], []
         for cell in probes:
             hit = cell_dir.get(int(cell))
             if hit is None:
                 continue
             si, s, e = hit
-            ids, nsq, codes, _metas = segs[si]
+            ids, nsq, codes, _metas, vecs = segs[si]
             if codes.dtype == np.float32:
                 # decoded segment tier (pin_segments(decoded=True)):
                 # BLAS reads the page-cached mmap directly
@@ -1390,7 +1563,9 @@ class IvfBatchKnnIndex:
             Dk, Ik = _score_cell_block(
                 Cf, ids[s:e], nsq[s:e], qidx,
                 _sq_for_cell(SQ, step2, QT, int(cell)),
-                base[int(cell)], qsq, self.metric, fetch)
+                base[int(cell)], qsq, self.metric, fetch,
+                vecs=vecs[s:e] if use_refine else None,
+                Qp=q if use_refine else None)
             cand_d.append(Dk[:, 0])
             cand_i.append(Ik[:, 0])
         main_mask = self._tombstones | self._superseded
@@ -1401,7 +1576,7 @@ class IvfBatchKnnIndex:
             cand_d, cand_i = [di[keep]], [ii[keep]]
         delta = self._driver_delta()
         if delta is not None:
-            d_ids, d_cent, d_nsq, d_codes, _d_metas = delta
+            d_ids, d_cent, d_nsq, d_codes, _d_metas, d_vecs = delta
             sel = np.isin(d_cent, probes)
             if self._tombstones:
                 sel &= ~np.isin(d_ids, list(self._tombstones))
@@ -1413,7 +1588,9 @@ class IvfBatchKnnIndex:
                         d_codes[m], d_ids[m], d_nsq[m], qidx,
                         _sq_for_cell(SQ, step2, QT, int(cell)),
                         base[int(cell)], qsq, self.metric,
-                        fetch)
+                        fetch,
+                        vecs=d_vecs[m] if use_refine else None,
+                        Qp=q if use_refine else None)
                     cand_d.append(Dk[:, 0])
                     cand_i.append(Ik[:, 0])
         if not cand_d:
@@ -1428,6 +1605,17 @@ class IvfBatchKnnIndex:
         order = np.lexsort((I, D))
         return [(I[j].item() if hasattr(I[j], "item") else I[j],
                  float(D[j])) for j in order[:k]]
+
+    def _resolve_refine(self, refine: bool | None) -> bool:
+        """Per-call refine override: None = the index's capability;
+        True on a non-capable index is an error (no sidecar to read)."""
+        if refine is None:
+            return self.refine
+        if refine and not self.refine:
+            raise ValueError(
+                "this index was built without refine=True: no exact "
+                "float32 sidecar is pinned to rerank against")
+        return bool(refine)
 
     # -- incremental maintenance (incremental.rs IncrementalIndex) ------
     def _fetch_k(self, k: int) -> int:
@@ -1480,7 +1668,10 @@ class IvfBatchKnnIndex:
 
     def _encode_np(self, V: "np.ndarray"):
         """Numpy mirror of _encode's Arrow kernel — bit-identical math
-        (same normalize, argmin assignment, rint residual codes)."""
+        (same normalize, argmin assignment, rint residual codes).
+        Returns (assign, nsq, codes, V_norm): V_norm is the float32
+        input in scoring space (l2-normalized for cosine) — the exact
+        rows the refine sidecar stores."""
         C32 = np.ascontiguousarray(self.centroids, dtype=np.float32)
         V = np.ascontiguousarray(np.atleast_2d(V), dtype=np.float32)
         nsq = (V * V).sum(axis=1)
@@ -1493,7 +1684,7 @@ class IvfBatchKnnIndex:
         assign = d.argmin(axis=1).astype(np.int32)
         res = V - C32[assign]
         if self.code_dtype == "float32":
-            return assign, nsq.astype(np.float32), res.astype(np.float32)
+            return assign, nsq.astype(np.float32), res.astype(np.float32), V
         mn32 = self.mn.astype(np.float32)
         step32 = self.step.astype(np.float32)
         inv32 = (1.0 / self.step).astype(np.float32)
@@ -1507,7 +1698,7 @@ class IvfBatchKnnIndex:
         # the quantized dot by sqrt(nsq)
         dec = codes.astype(np.float32) * step32 + mn32 + C32[assign]
         nsq = (dec.astype(np.float64) ** 2).sum(axis=1)
-        return assign, nsq.astype(np.float32), codes
+        return assign, nsq.astype(np.float32), codes, V
 
     def _main_id_index(self):
         """Sorted pinned-main ids for O(log n) driver-side membership
@@ -1592,7 +1783,7 @@ class IvfBatchKnnIndex:
         if V.shape[1] != self.dim:
             raise ValueError(f"vector dims {V.shape[1]} != index "
                              f"dims {self.dim}")
-        assign, nsq, codes = self._encode_np(V)
+        assign, nsq, codes, v_norm = self._encode_np(V)
         if len(ids) != len(codes):
             raise ValueError("ids and vectors length mismatch")
         metas = metas or {}
@@ -1607,7 +1798,8 @@ class IvfBatchKnnIndex:
             raise ValueError(f"metas {bad} length != number of ids "
                              f"({len(ids)}); a short meta array would "
                              "mis-filter serving and wedge flush_local")
-        rec = (ids, assign, nsq, codes, marr)
+        rec = (ids, assign, nsq, codes, marr,
+               v_norm if self.refine else None)
         # WAL FIRST: a failed durable write (ENOSPC, fsync EIO) must
         # raise BEFORE the row becomes visible to serving, or the
         # caller sees an error for an insert that searches then return
@@ -1648,6 +1840,21 @@ class IvfBatchKnnIndex:
         """Masking ladder (same as add()) + buffer append for one
         encoded local record — runs only after the WAL append
         succeeded, and for WAL replay."""
+        if len(rec) < 6:
+            # WAL record from a pre-refine build: pad the sidecar slot
+            rec = (*rec, None)
+        if self.refine and rec[5] is None:
+            # refine-capable index replaying a record without exact
+            # rows (pre-refine WAL): the decoded reconstruction is the
+            # best available stand-in — its rerank equals the quantized
+            # ranking for these rows instead of failing the whole tier
+            _ids, assign, _nsq, codes, _m, _v = rec
+            mn, step = self.mn, self.step
+            if np.asarray(mn).ndim == 2:
+                mn, step = mn[assign], step[assign]
+            dec = (np.asarray(codes, dtype=np.float32) * step + mn
+                   + self.centroids[assign]).astype(np.float32)
+            rec = (*rec[:5], dec)
         ids = rec[0]
         new_ids = set(np.asarray(ids).tolist())
         revived = self._tombstones & new_ids
@@ -1685,7 +1892,9 @@ class IvfBatchKnnIndex:
             elif keep.any():
                 buf.append((t[0][keep], t[1][keep], t[2][keep],
                             t[3][keep],
-                            {mc: t[4][mc][keep] for mc in self.meta_cols}))
+                            {mc: t[4][mc][keep] for mc in self.meta_cols},
+                            (t[5][keep] if len(t) > 5 and t[5] is not None
+                             else None)))
         self._local_buf = buf
         self._local_n = sum(len(t[0]) for t in buf)
         self._local_ids -= {i.item() if hasattr(i, "item") else i
@@ -1700,7 +1909,9 @@ class IvfBatchKnnIndex:
         codes = np.concatenate([t[3] for t in self._local_buf])
         metas = {mc: np.concatenate([t[4][mc] for t in self._local_buf])
                  for mc in self.meta_cols}
-        return ids, cent.astype(np.int64), nsq, codes, metas
+        vecs = (np.concatenate([t[5] for t in self._local_buf])
+                if self.refine else None)
+        return ids, cent.astype(np.int64), nsq, codes, metas, vecs
 
     def _replay_wal(self) -> int:
         """Recover local adds WAL'd by a previous process against this
@@ -1763,12 +1974,15 @@ class IvfBatchKnnIndex:
                     os.unlink(path)
             self._wal_written = set()
             return 0
-        ids, cent, nsq, codes, metas = local
+        ids, cent, nsq, codes, metas, vecs = local
         pdf = pd.DataFrame({
             self.id_col: ids,
             "centroid_id": cent.astype(np.int32),
             "norm_sq": nsq,
             self.CODE_COL: [c.tobytes() for c in codes],
+            **({self.VEC_COL: [np.ascontiguousarray(v, dtype=np.float32)
+                               .tobytes() for v in vecs]}
+               if self.refine else {}),
             **{mc: metas[mc] for mc in self.meta_cols},
         })
         enc = self.codes.sparkSession.createDataFrame(

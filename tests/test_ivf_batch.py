@@ -992,7 +992,7 @@ def test_quantized_nsq_is_decoded_norm(spark, clustered):
                                    code_dtype=cd)
             rng = np.random.default_rng(3)
             V = rng.standard_normal((40, DIM)).astype(np.float32) * 50.0
-            assign, nsq, codes = idx._encode_np(V)
+            assign, nsq, codes, _vn = idx._encode_np(V)
             mn, step = idx.mn, idx.step
             if mn.ndim == 2:
                 mn, step = mn[assign], step[assign]

@@ -1,0 +1,276 @@
+"""Exact-refine serving tier (plans/ivf.py refine=True).
+
+The reference pairs lossy codes with exact re-ranking in its
+quantization pipeline (src/quantization/ — encoded search re-scores
+against stored vectors); FAISS calls the same posture IndexRefineFlat.
+Contract under test:
+
+- with fetch >= every probed cell's size (refine_factor large), the
+  refined result equals the float64 brute-force oracle EXACTLY —
+  same ids, same order, distances within 1e-5 — for every metric and
+  quantized code tier, because quantization can then only CUT rows
+  that exact re-ranking restores;
+- the same holds across the incremental surface: add() delta rows,
+  add_local() buffered rows, deletes, and WAL crash-replay;
+- every tier agrees: search_one == search_many_local ==
+  search_local == distributed search on a refined index;
+- where-filtered refined serving equals the filtered brute force;
+- refine=True + float32 codes is rejected; refine=True on a
+  non-capable index is rejected.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from needle_spark.plans.ivf import IvfBatchKnnIndex
+
+DIM = 24
+N = 1500
+
+
+def _corpus(seed=7):
+    rng = np.random.default_rng(seed)
+    # anisotropic scales make global-SQ8 quantization error visible:
+    # unrefined ranking measurably diverges from exact on this corpus
+    V = (rng.standard_normal((N, DIM))
+         * np.geomspace(1.0, 40.0, DIM)).astype(np.float32)
+    return V, rng
+
+
+def _brute(V, q, metric, k=10, subset=None):
+    idxs = np.arange(len(V)) if subset is None else np.asarray(subset)
+    X = V[idxs].astype(np.float64)
+    q = np.asarray(q, dtype=np.float64)
+    if metric == "cosine":
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        D = 1.0 - Xn @ (q / np.linalg.norm(q))
+    elif metric == "dot":
+        D = -(X @ q)
+    else:
+        D = np.sqrt(((X - q) ** 2).sum(axis=1))
+    order = np.lexsort((idxs, D))[:k]
+    return [(int(idxs[j]), float(D[j])) for j in order]
+
+
+def _df(spark, V, ids=None):
+    ids = np.arange(len(V)) if ids is None else ids
+    return spark.createDataFrame(pd.DataFrame(
+        {"id": ids, "vector": [v.tolist() for v in V]}))
+
+
+@pytest.mark.parametrize("metric", ["cosine", "euclidean", "dot"])
+@pytest.mark.parametrize("code_dtype", ["sq8", "sq8_cell"])
+def test_full_probe_refined_equals_brute_force(spark, metric, code_dtype):
+    V, rng = _corpus()
+    idx = IvfBatchKnnIndex(_df(spark, V), nlist=8, vector_col="vector",
+                           id_col="id", metric=metric, seed=1,
+                           code_dtype=code_dtype,
+                           refine=True, refine_factor=N)
+    idx.pin_segments()
+    try:
+        q = rng.standard_normal(DIM) * 5
+        want = _brute(V, q, metric)
+        got = idx.search_one(q, k=10, nprobe=idx.nlist)
+        assert [g[0] for g in got] == [w[0] for w in want]
+        assert all(abs(g[1] - w[1]) < 1e-5 for g, w in zip(got, want))
+    finally:
+        idx.unpersist()
+
+
+def test_unrefined_diverges_refined_restores(spark):
+    """The corpus is built so global SQ8 error flips the exact order:
+    refine=False on the SAME index shows the divergence refine=True
+    removes (guards against the refine path silently not running)."""
+    V, rng = _corpus()
+    idx = IvfBatchKnnIndex(_df(spark, V), nlist=8, vector_col="vector",
+                           id_col="id", metric="dot", seed=1,
+                           code_dtype="sq8", refine=True, refine_factor=N)
+    idx.pin_segments()
+    try:
+        diverged = False
+        for _ in range(8):
+            q = rng.standard_normal(DIM) * 5
+            want = [w[0] for w in _brute(V, q, "dot")]
+            ref = [g[0] for g in idx.search_one(q, k=10, nprobe=idx.nlist)]
+            unref = [g[0] for g in idx.search_one(q, k=10, nprobe=idx.nlist,
+                                                  refine=False)]
+            assert ref == want
+            diverged = diverged or (unref != want)
+        assert diverged, ("corpus no longer exercises quantization error; "
+                          "tighten the scales in _corpus()")
+    finally:
+        idx.unpersist()
+
+
+def test_all_tiers_agree_refined(spark):
+    V, rng = _corpus()
+    idx = IvfBatchKnnIndex(_df(spark, V), nlist=8, vector_col="vector",
+                           id_col="id", metric="euclidean", seed=1,
+                           code_dtype="sq8_cell", refine=True,
+                           refine_factor=N)
+    idx.pin_segments()
+    try:
+        Q = rng.standard_normal((5, DIM)) * 5
+        q_ids = list(range(5))
+        many = idx.search_many_local((q_ids, Q), k=10, nprobe=idx.nlist)
+        local = idx.search_local((q_ids, Q), k=10, nprobe=idx.nlist)
+        dist = idx.search((q_ids, Q), k=10, nprobe=idx.nlist).toPandas() \
+            .sort_values(["query_id", "rank"], ignore_index=True)
+        for qi in q_ids:
+            want = _brute(V, Q[qi], "euclidean")
+            one = idx.search_one(Q[qi], k=10, nprobe=idx.nlist)
+            assert [g[0] for g in one] == [w[0] for w in want]
+            for pdf in (many, local, dist):
+                rows = pdf[pdf.query_id == qi].sort_values("rank")
+                assert list(rows.id) == [w[0] for w in want]
+                assert np.allclose(rows.distance,
+                                   [w[1] for w in want], atol=1e-5)
+    finally:
+        idx.unpersist()
+
+
+def test_refined_incremental_surface(spark):
+    """add() delta + add_local() buffer + delete: the refined full-probe
+    result still equals brute force over the LIVE rows."""
+    V, rng = _corpus()
+    idx = IvfBatchKnnIndex(_df(spark, V[:N - 200]), nlist=8,
+                           vector_col="vector", id_col="id",
+                           metric="cosine", seed=1, code_dtype="sq8",
+                           refine=True, refine_factor=N)
+    idx.pin_segments()
+    try:
+        # distributed delta rows
+        idx.add(_df(spark, V[N - 200:N - 100],
+                    ids=np.arange(N - 200, N - 100)))
+        # driver-local buffered rows (includes an upsert of id 0)
+        local_ids = np.arange(N - 100, N)
+        idx.add_local(local_ids, V[N - 100:])
+        idx.add_local([0], V[[0]])  # same vector, exercises upsert path
+        # tombstone a mix of main/delta/local rows
+        dead = [5, N - 150, N - 50]
+        idx.delete(dead)
+        live = np.asarray([i for i in range(N) if i not in set(dead)])
+        q = rng.standard_normal(DIM) * 5
+        want = _brute(V, q, "cosine", subset=live)
+        got = idx.search_one(q, k=10, nprobe=idx.nlist)
+        assert [g[0] for g in got] == [w[0] for w in want]
+        assert all(abs(g[1] - w[1]) < 1e-5 for g, w in zip(got, want))
+        # the batch tier sees the same state
+        pdf = idx.search_many_local(([0], q.reshape(1, -1)), k=10,
+                                    nprobe=idx.nlist)
+        assert list(pdf.id) == [w[0] for w in want]
+        # and after folding the buffer into the Spark delta, the
+        # distributed refined path agrees too
+        idx.flush_local()
+        dist = idx.search(([0], q.reshape(1, -1)), k=10,
+                          nprobe=idx.nlist).toPandas().sort_values("rank")
+        assert list(dist.id) == [w[0] for w in want]
+    finally:
+        idx.unpersist()
+
+
+def test_refined_where_filter(spark):
+    V, rng = _corpus()
+    labels = np.arange(N) % 5
+    df = spark.createDataFrame(pd.DataFrame(
+        {"id": np.arange(N), "vector": [v.tolist() for v in V],
+         "label": labels}))
+    idx = IvfBatchKnnIndex(df, nlist=8, vector_col="vector", id_col="id",
+                           metric="euclidean", seed=1, code_dtype="sq8",
+                           meta_cols=("label",),
+                           refine=True, refine_factor=N)
+    idx.pin_segments()
+    try:
+        q = rng.standard_normal(DIM) * 5
+        want = _brute(V, q, "euclidean",
+                      subset=np.flatnonzero(labels == 3))
+        got = idx.search_one(q, k=10, nprobe=idx.nlist,
+                             where={"label": 3})
+        assert [g[0] for g in got] == [w[0] for w in want]
+        assert all(abs(g[1] - w[1]) < 1e-5 for g, w in zip(got, want))
+    finally:
+        idx.unpersist()
+
+
+def test_refined_wal_replay(spark, tmp_path):
+    """Crash between add_local and flush_local: a new index re-pinning
+    the same segment dir replays the WAL including the exact sidecar
+    rows, so refined serving of the replayed rows stays exact."""
+    V, rng = _corpus()
+    seg = str(tmp_path / "segs")
+    idx = IvfBatchKnnIndex(_df(spark, V[:N - 50]), nlist=8,
+                           vector_col="vector", id_col="id",
+                           metric="cosine", seed=1, code_dtype="sq8",
+                           refine=True, refine_factor=N)
+    idx.pin_segments(seg)
+    idx.add_local(np.arange(N - 50, N), V[N - 50:])
+    # simulate crash: build a NEW index over the same main rows and
+    # re-pin the same dir (replays the WAL)
+    idx2 = IvfBatchKnnIndex(_df(spark, V[:N - 50]), nlist=8,
+                            vector_col="vector", id_col="id",
+                            metric="cosine", seed=1, code_dtype="sq8",
+                            refine=True, refine_factor=N)
+    idx2.pin_segments(seg)
+    try:
+        assert idx2._local_n == 50
+        q = V[N - 10] + 0.01 * rng.standard_normal(DIM).astype(np.float32)
+        want = _brute(V, q, "cosine")
+        got = idx2.search_one(q, k=10, nprobe=idx2.nlist)
+        assert [g[0] for g in got] == [w[0] for w in want]
+        assert all(abs(g[1] - w[1]) < 1e-5 for g, w in zip(got, want))
+    finally:
+        idx.unpersist()
+        idx2.unpersist()
+
+
+def test_refine_rejects_float32_codes(spark):
+    V, _ = _corpus()
+    with pytest.raises(ValueError, match="float32"):
+        IvfBatchKnnIndex(_df(spark, V[:100]), nlist=4,
+                         vector_col="vector", id_col="id",
+                         code_dtype="float32", refine=True)
+
+
+def test_refine_requires_capability(spark):
+    V, rng = _corpus()
+    idx = IvfBatchKnnIndex(_df(spark, V[:200]), nlist=4,
+                           vector_col="vector", id_col="id",
+                           code_dtype="sq8")
+    idx.pin_segments()
+    try:
+        with pytest.raises(ValueError, match="refine"):
+            idx.search_one(rng.standard_normal(DIM), k=5, nprobe=4,
+                           refine=True)
+        # default None on a non-capable index serves quantized, no error
+        assert len(idx.search_one(rng.standard_normal(DIM), k=5,
+                                  nprobe=4)) == 5
+    finally:
+        idx.unpersist()
+
+
+def test_refined_recall_at_moderate_nprobe(spark):
+    """The production shape: refine_factor=4 (not cell-sized) at a
+    moderate nprobe.  Refined recall@10 must dominate unrefined on the
+    anisotropic corpus and reach the probe-limited ceiling."""
+    V, rng = _corpus()
+    idx = IvfBatchKnnIndex(_df(spark, V), nlist=16, vector_col="vector",
+                           id_col="id", metric="euclidean", seed=1,
+                           code_dtype="sq8", refine=True, refine_factor=4)
+    idx.pin_segments()
+    try:
+        Q = rng.standard_normal((20, DIM)) * 5
+        hits_ref = hits_unref = hits_ceiling = 0
+        for qi in range(len(Q)):
+            want = {w[0] for w in _brute(V, Q[qi], "euclidean")}
+            probes = idx.probe_union(([qi], Q[qi:qi + 1]), nprobe=16)
+            ref = {g[0] for g in idx.search_one(Q[qi], k=10, nprobe=16)}
+            unref = {g[0] for g in idx.search_one(Q[qi], k=10, nprobe=16,
+                                                  refine=False)}
+            hits_ref += len(ref & want)
+            hits_unref += len(unref & want)
+            del probes
+        assert hits_ref >= hits_unref
+        assert hits_ref >= 0.95 * 10 * len(Q) * 0.95  # near the ceiling
+    finally:
+        idx.unpersist()
