@@ -3446,6 +3446,43 @@ ORDER BY vec_id
 """
 
 
+def _knn_sq8_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-refine serving tier (plans/ivf.py refine=True): SQ8 codes
+    answer the scan, and the quantized survivors are re-ranked by exact
+    float64 distance against the pinned float32 sidecar — the
+    reference's encoded-search-then-rescore shape (src/quantization/),
+    FAISS's IndexRefineFlat posture.  At full probe with a cell-sized
+    overfetch the refined top-k provably equals the brute-force result,
+    which is what the DuckDB oracle checks; euclidean keeps the sidecar
+    rows bit-identical to the parquet floats (no normalization step)."""
+    import numpy as np
+    import pandas as pd
+
+    from needle_spark.plans.ivf import IvfBatchKnnIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = IvfBatchKnnIndex(emb, nlist=16, vector_col="embedding",
+                           id_col="vec_id", metric="euclidean", seed=42,
+                           code_dtype="sq8", refine=True,
+                           refine_factor=1_000_000)
+    idx.pin_segments()
+    try:
+        q = np.asarray(_query_vec(spark, sf_dir, 0), dtype=np.float64)
+        pdf = idx.search_many_local(([0], q.reshape(1, -1)), k=10,
+                                    nprobe=idx.nlist)
+    finally:
+        idx.unpersist()
+    out = pd.DataFrame({"vec_id": pdf["vec_id"].astype("int64"),
+                        "distance": pdf["distance"].astype("float64")})
+    return spark.createDataFrame(out, "vec_id bigint, distance double")
+
+
+def _knn_sq8_refine_sql() -> str:
+    d = duckdb_distance_sql("euclidean", "embedding", _Q_SQL)
+    return (f"SELECT vec_id, {d} AS distance FROM embeddings "
+            f"ORDER BY distance ASC, vec_id ASC LIMIT 10")
+
+
 def _sq8_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 scalar quantization fidelity: encode embeddings to int8
     codes (round((x-lo)/scale)-128 over the collection-global [lo,hi]),
@@ -3621,6 +3658,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_iqr": _anomaly_iqr,
         "sq8_roundtrip": _sq8_roundtrip,
         "binq_hamming": _binq_hamming,
+        "knn_sq8_refine": _knn_sq8_refine,
     }
 
 
@@ -3789,4 +3827,5 @@ def oracle_sql() -> dict[str, str]:
         "anomaly_iqr": _ANOMALY_IQR_SQL,
         "sq8_roundtrip": _SQ8_ROUNDTRIP_SQL,
         "binq_hamming": _BINQ_HAMMING_SQL,
+        "knn_sq8_refine": _knn_sq8_refine_sql(),
     }

@@ -49,7 +49,9 @@ def _write_artifact(args, rows, n, dims, metric, note=None):
     so one file holds the full recall/QPS picture per dataset."""
     path = _artifact_path(args.dataset)
     merged = list(rows)
-    cur_fam = "flat" if args.index == "flat" else f"ivf:{args.codes}"
+    cur_fam = "flat" if args.index == "flat" else (
+        f"ivf:{args.codes}" + ("+refine" if getattr(args, "refine", False)
+                               else ""))
     if os.path.exists(path):
         try:
             with open(path) as f:
@@ -58,7 +60,8 @@ def _write_artifact(args, rows, n, dims, metric, note=None):
                 def fam(r):
                     if r.get("tier") == "flat":
                         return "flat"
-                    return f"ivf:{r.get('codes', prior.get('codes'))}"
+                    return (f"ivf:{r.get('codes', prior.get('codes'))}"
+                            + ("+refine" if r.get("refine") else ""))
                 merged = [r for r in prior.get("grid", [])
                           if fam(r) != cur_fam] + merged
             else:
@@ -190,6 +193,13 @@ def main() -> None:
                          "sq8_cell = per-cell quantizer ranges (same "
                          "bytes as sq8, ~3x less error); sq8 = global "
                          "ranges, 4x smaller than float32, lossy")
+    ap.add_argument("--refine", action="store_true",
+                    help="pair the quantized codes with an exact "
+                         "float32 mmap sidecar: serving reranks the "
+                         "refine_factor*k quantized survivors per cell "
+                         "by exact float64 distance, removing the "
+                         "quantization recall ceiling at the scan "
+                         "bandwidth of the codes (sq8/sq8_cell only)")
     ap.add_argument("--index", default="ivf", choices=["ivf", "flat"],
                     help="ivf = nlist x nprobe grid; flat = the exact "
                          "driver-serving tier (plans/flat.py) — the "
@@ -281,7 +291,7 @@ def main() -> None:
         idx = IvfBatchKnnIndex(df, nlist=nlist, vector_col="embedding",
                                id_col="vec_id", metric=metric, seed=42,
                                kmeans_max_iter=6, sample_rows=65536,
-                               code_dtype=args.codes)
+                               code_dtype=args.codes, refine=args.refine)
         idx.pin_segments(decoded=True)
         build_s = time.perf_counter() - t0
         print(f"# built nlist={nlist} in {build_s:.1f}s", flush=True)
@@ -323,6 +333,7 @@ def main() -> None:
             rows.append({
                 "nlist": nlist, "nprobe": nprobe,
                 "codes": args.codes,
+                **({"refine": True} if args.refine else {}),
                 "recall_at_10": round(recall, 4),
                 "qps": round(len(queries) / best, 1),
                 "ms_per_query": round(best * 1000 / len(queries), 3),
