@@ -417,29 +417,59 @@ def recommend_ann_codes(train_sample, query_sample,
     step = np.maximum((t.max(axis=0) - lo) / 255.0, 1e-12)
     dec = np.clip(np.rint((t - lo) / step), 0, 255) * step + lo
 
-    def topk(M):
+    def dist(M):
         if metric in ("cosine", "dot"):
-            D = -(q @ M.T)
-        else:
-            D = ((q * q).sum(1)[:, None] - 2.0 * (q @ M.T)
-                 + (M * M).sum(1)[None, :])
-        kk = min(k, M.shape[0])
+            return -(q @ M.T)
+        return ((q * q).sum(1)[:, None] - 2.0 * (q @ M.T)
+                + (M * M).sum(1)[None, :])
+
+    def topk(D, kk):
+        kk = min(kk, D.shape[1])
         return np.argpartition(D, kk - 1, axis=1)[:, :kk]
 
-    exact, quant = topk(t), topk(dec)
+    De, Dq = dist(t), dist(dec)
+    exact, quant = topk(De, k), topk(Dq, k)
     recall = float(np.mean([
         len(set(exact[i]) & set(quant[i])) / exact.shape[1]
         for i in range(len(q))]))
     if recall >= target_recall:
-        return {"codes": "sq8_cell", "sq8_sample_recall": round(recall, 4),
+        return {"codes": "sq8_cell", "refine": False,
+                "sq8_sample_recall": round(recall, 4),
                 "reason": f"sample SQ8 recall {recall:.3f} >= "
                           f"{target_recall}: quantization error sits "
                           "below the neighbor margin; 4x smaller codes"}
-    return {"codes": "float32", "sq8_sample_recall": round(recall, 4),
-            "reason": f"sample SQ8 recall {recall:.3f} < {target_recall}"
-                      ": quantization noise exceeds the neighbor margin "
-                      "(recall ceiling, not a probe deficit) — serve "
-                      "float32 codes"}
+    # below the plain-SQ8 ceiling, simulate the exact-refine tier on
+    # the same sample before escalating to 4x-resident float32 codes:
+    # quantized distances only CUT to refine_factor*k survivors, the
+    # survivors re-rank exactly (plans/ivf.py refine=True).  If even a
+    # factor-4 quantized cut loses the true neighbors (e.g. outlier-
+    # stretched ranges collapse the quantized ordering entirely), only
+    # exact codes can serve the corpus.
+    refine_factor = 4
+    cut = topk(Dq, refine_factor * k)
+    ref_recall = float(np.mean([
+        len(set(exact[i])
+            & set(cut[i][np.argsort(De[i][cut[i]],
+                                    kind="stable")[:exact.shape[1]]]))
+        / exact.shape[1]
+        for i in range(len(q))]))
+    if ref_recall >= target_recall:
+        return {"codes": "sq8_cell", "refine": True,
+                "sq8_sample_recall": round(recall, 4),
+                "refined_sample_recall": round(ref_recall, 4),
+                "reason": f"sample SQ8 recall {recall:.3f} < "
+                          f"{target_recall} but a {refine_factor}x "
+                          f"quantized cut + exact re-rank measures "
+                          f"{ref_recall:.3f}: serve quantized codes "
+                          "with the exact-refine sidecar (float32-tier "
+                          "recall at 1/4 the resident bytes)"}
+    return {"codes": "float32", "refine": False,
+            "sq8_sample_recall": round(recall, 4),
+            "refined_sample_recall": round(ref_recall, 4),
+            "reason": f"sample SQ8 recall {recall:.3f} and refined "
+                      f"recall {ref_recall:.3f} < {target_recall}: the "
+                      "quantized ordering cannot even CUT candidates "
+                      "reliably — serve float32 codes"}
 
 
 def recommended_nprobe(cells: int, target_recall: float) -> int:

@@ -908,16 +908,31 @@ class RestServer:
             decision = recommend_ann_tier(samp[0], samp[1], metric)
             tier = decision["tier"]
         # code tier is measured too: decoded-rank SQ8 recall on the
-        # same sample decides sq8_cell vs float32 serving codes
+        # same sample decides sq8_cell / sq8_cell+refine / float32
+        # serving codes (refine = exact float32 sidecar rerank of the
+        # quantized survivors, plans/ivf.py)
+        refine = b.get("refine")
+        if refine is not None and not isinstance(refine, bool):
+            raise _bad("'refine' must be a boolean")
         if codes == "auto":
             code_dec = recommend_ann_codes(samp[0], samp[1], metric)
             codes = code_dec["codes"]
-            decision = {**decision, "codes": codes,
+            if refine is None:
+                refine = code_dec["refine"]
+            decision = {**decision, "codes": codes, "refine": refine,
                         "sq8_sample_recall": code_dec["sq8_sample_recall"],
                         "codes_reason": code_dec["reason"]}
+            if "refined_sample_recall" in code_dec:
+                decision["refined_sample_recall"] = \
+                    code_dec["refined_sample_recall"]
         else:
-            decision = {**decision, "codes": codes,
+            refine = bool(refine)
+            decision = {**decision, "codes": codes, "refine": refine,
                         "codes_reason": "pinned by request"}
+        if refine and codes == "float32":
+            raise _bad("refine pairs a quantized code tier with an "
+                       "exact sidecar; float32 codes already rank "
+                       "exactly")
         # meta_fields: metadata JSON fields pinned next to the segments
         # (string-typed) so tag filters ($eq/$in) serve during the scan
         fields = [str(f) for f in (b.get("meta_fields") or [])]
@@ -938,6 +953,7 @@ class RestServer:
                 idx = IvfBatchKnnIndex(
                     src, nlist=nlist, vector_col=c.vector_col,
                     id_col=c.id_col, metric=metric, code_dtype=codes,
+                    refine=bool(refine),
                     meta_cols=[f"__mf_{f}" for f in fields])
                 idx.pin_segments(decoded=bool(b.get("decoded", True)))
             idx._tier_decision = decision

@@ -250,6 +250,7 @@ def test_recommend_ann_codes():
     tr, q = fashion_like(8_000, n_queries=20)
     r = recommend_ann_codes(tr, q, "euclidean")
     assert r["codes"] == "sq8_cell" and r["sq8_sample_recall"] >= 0.95
+    assert r["refine"] is False
     tr, q = sift_like(8_000, n_queries=20)
     assert recommend_ann_codes(tr, q, "euclidean")["codes"] == "sq8_cell"
     rng = np.random.default_rng(0)
@@ -258,3 +259,16 @@ def test_recommend_ann_codes():
     q2 = rng.standard_normal((20, 32))
     r = recommend_ann_codes(t, q2, "euclidean")
     assert r["codes"] == "float32" and r["sq8_sample_recall"] < 0.5
+    # even the refine simulation cannot rescue a collapsed quantized
+    # ordering: a factor-4 cut loses the true neighbors outright
+    assert r["refine"] is False and r["refined_sample_recall"] < 0.5
+    # the middle band (SQ8 recall under target, but the quantized
+    # ordering still CUTS reliably): serve quantized codes + the
+    # exact-refine sidecar instead of escalating to 4x-resident
+    # float32 codes
+    t = rng.standard_normal((4_000, 32))
+    t[:4] *= 30  # moderate range stretch: sq8 ~0.85-0.93 on a sample
+    r = recommend_ann_codes(t, q2, "euclidean")
+    assert r["codes"] == "sq8_cell" and r["refine"] is True
+    assert r["sq8_sample_recall"] < 0.95
+    assert r["refined_sample_recall"] >= 0.95

@@ -155,3 +155,25 @@ def test_flat_tier_incremental_write_path(srv, corpora):
     st = call(srv, "GET", "/collections/glv/index/status")
     assert st["deleted_pending"] >= 1
     call(srv, "DELETE", "/collections/glv/index", expect=200)
+
+
+def test_refine_lifecycle_e2e(srv, corpora):
+    """Exact-refine through the REST lifecycle: a pinned sq8+refine
+    index builds, the decision is visible, search serves from the
+    refined index and agrees with the exact Spark path at full probe,
+    and the float32+refine conflict is rejected."""
+    _, st = corpora
+    built = call(srv, "POST", "/collections/sft/index",
+                 {"codes": "sq8", "refine": True, "nlist": 8,
+                  "nprobe": 8}, expect=200)
+    assert built["tier_decision"]["refine"] is True, built
+    assert built["codes"] == "sq8"
+    q = [float(x) for x in st[7]]
+    got = call(srv, "POST", "/collections/sft/search",
+               {"vector": q, "k": 5}, expect=200)
+    assert got.get("served_by") == "index"
+    assert got["results"][0]["id"] == "v7"  # self-match, exact rank
+    call(srv, "DELETE", "/collections/sft/index", expect=200)
+    err = call(srv, "POST", "/collections/sft/index",
+               {"codes": "float32", "refine": True}, expect=400)
+    assert "refine" in json.dumps(err)
