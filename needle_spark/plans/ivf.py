@@ -229,7 +229,8 @@ def _sq_for_cell(SQ, step2, QT, cell):
 
 
 def _score_cell_block(codes_u8, ids_cell, nsq_cell, qidx, SQ, base_row, qsq,
-                      metric: str, k: int, vecs=None, Qp=None):
+                      metric: str, k: int, vecs=None, Qp=None,
+                      return_sel: bool = False):
     """Score one cell's rows against the queries probing it.
 
     dist decomposes over the SQ8 codes without decoding:
@@ -265,17 +266,21 @@ def _score_cell_block(codes_u8, ids_cell, nsq_cell, qidx, SQ, base_row, qsq,
             0.0, None))
     if D.shape[0] > k:
         sel = np.argpartition(D, k - 1, axis=0)[:k]
+        if return_sel:
+            return (np.take_along_axis(D, sel, axis=0),
+                    np.asarray(ids_cell)[sel], sel)
         if vecs is None:
             return (np.take_along_axis(D, sel, axis=0),
                     np.asarray(ids_cell)[sel])
         return (_exact_rerank(vecs, Qp, sel, metric),
                 np.asarray(ids_cell)[sel])
+    sel = np.broadcast_to(np.arange(D.shape[0])[:, None], D.shape)
+    I = np.broadcast_to(np.asarray(ids_cell)[:, None], D.shape)
+    if return_sel:
+        return D, I, sel
     if vecs is None:
-        return D, np.broadcast_to(np.asarray(ids_cell)[:, None], D.shape)
-    sel = np.broadcast_to(
-        np.arange(D.shape[0])[:, None], D.shape)
-    return (_exact_rerank(vecs, Qp, sel, metric),
-            np.broadcast_to(np.asarray(ids_cell)[:, None], D.shape))
+        return D, I
+    return _exact_rerank(vecs, Qp, sel, metric), I
 
 
 def _exact_rerank(vecs, Qp, sel, metric: str):
@@ -306,26 +311,36 @@ def _exact_rerank(vecs, Qp, sel, metric: str):
     return E[inv, qcols]
 
 
-def _partition_topk(acc_d, acc_i, q_arr, k: int):
+def _partition_topk(acc_d, acc_i, q_arr, k: int, acc_r=None):
     """Reduce per-query candidate lists to top-k before the rows leave
     the worker — the map-side combine that keeps the driver merge at
-    partitions x Q x k rows."""
-    out_q, out_i, out_d = [], [], []
+    partitions x Q x k rows.  acc_r optionally carries packed row
+    references through the same cut (the refine tier's post-merge
+    rerank needs the surviving rows' sidecar locations)."""
+    out_q, out_i, out_d, out_r = [], [], [], []
     for qi in range(len(acc_d)):
         if not acc_d[qi]:
             continue
         dcat = np.concatenate(acc_d[qi])
         icat = np.concatenate(acc_i[qi])
+        rcat = np.concatenate(acc_r[qi]) if acc_r is not None else None
         if len(dcat) > k:
             sel = np.argpartition(dcat, k - 1)[:k]
             dcat, icat = dcat[sel], icat[sel]
+            if rcat is not None:
+                rcat = rcat[sel]
         out_q.append(np.full(len(dcat), q_arr[qi]))
         out_i.append(icat)
         out_d.append(dcat)
+        if rcat is not None:
+            out_r.append(rcat)
     if not out_q:
         return None
-    return (np.concatenate(out_q), np.concatenate(out_i),
-            np.concatenate(out_d).astype(np.float64))
+    res = (np.concatenate(out_q), np.concatenate(out_i),
+           np.concatenate(out_d).astype(np.float64))
+    if acc_r is not None:
+        return (*res, np.concatenate(out_r))
+    return res
 
 
 class IvfBatchKnnIndex:
@@ -399,6 +414,10 @@ class IvfBatchKnnIndex:
         # O(k x factor x dim) bytes per query, not the corpus.
         self.refine = bool(refine)
         self.refine_factor = max(1, int(refine_factor))
+        # capability vs policy: `refine` pins the sidecar (capability);
+        # this flag sets what refine=None per-call resolves to, letting
+        # one index serve both quantized-score and exact-rerank traffic
+        self.refine_by_default = True
         m = metric.lower()
         if m in ("l2",):
             m = "euclidean"
@@ -1396,18 +1415,31 @@ class IvfBatchKnnIndex:
         fetch = self._fetch_k(k)
         if use_refine:
             fetch = max(fetch, k * self.refine_factor)
+        # refine: the quantized cut only accumulates PACKED ROW REFS
+        # ((seg+1) << 40 | row; delta rows use seg token 0); the exact
+        # re-rank runs ONCE post-merge over the surviving candidates —
+        # a per-cell rerank costs ~350 us x probed-cells of small-
+        # gather overhead (measured; PLANS.md), the post-merge pass is
+        # one gather + one vectorized float64 scoring per batch
+        qpos = {v: i for i, v in enumerate(q_arr.tolist())}
 
-        def run(cell_iter, acc_d, acc_i):
-            for block, ids_cell, nsq_cell, cell, qidx, vecs in cell_iter:
-                Dk, Ik = _score_cell_block(
+        def run(cell_iter, acc_d, acc_i, acc_r):
+            for block, ids_cell, nsq_cell, cell, qidx, refmap in cell_iter:
+                out = _score_cell_block(
                     block, ids_cell, nsq_cell, qidx,
                     _sq_for_cell(SQ, step2, QT, int(cell)),
                     base[int(cell)], qsq, self.metric, fetch,
-                    vecs=vecs if use_refine else None,
-                    Qp=Q[qidx] if use_refine else None)
+                    return_sel=use_refine)
+                if use_refine:
+                    Dk, Ik, SELk = out
+                    refs = refmap[SELk]
+                else:
+                    Dk, Ik = out
                 for j, qi in enumerate(qidx):
                     acc_d[qi].append(Dk[:, j])
                     acc_i[qi].append(Ik[:, j])
+                    if use_refine:
+                        acc_r[qi].append(refs[:, j])
 
         def main_cells():
             for cell in np.unique(probes.ravel()):
@@ -1418,7 +1450,7 @@ class IvfBatchKnnIndex:
                 si, s, e = hit
                 ids, nsq, codes, metas, vecs = segs[si]
                 ids_c, nsq_c = ids[s:e], nsq[s:e]
-                vecs_c = vecs[s:e] if use_refine else None
+                tok = np.int64(si + 1) << np.int64(40)
                 if where:
                     # filter DURING the scan: only matching rows are
                     # decoded/scored (10% selectivity -> ~10% of the
@@ -1430,23 +1462,35 @@ class IvfBatchKnnIndex:
                         block = np.asarray(codes[s:e])[wm]
                         if block.dtype != np.float32:
                             block = block.astype(np.float32)
+                        refmap = ((s + np.flatnonzero(wm)) + tok) \
+                            if use_refine else None
                         yield block, np.asarray(ids_c)[wm], \
-                            np.asarray(nsq_c)[wm], cell, qidx, \
-                            (np.asarray(vecs_c)[wm] if use_refine else None)
+                            np.asarray(nsq_c)[wm], cell, qidx, refmap
                         continue
                 block = codes[s:e] if codes.dtype == np.float32 \
                     else np.asarray(codes[s:e])
-                yield block, ids_c, nsq_c, cell, qidx, vecs_c
+                refmap = (np.arange(s, e, dtype=np.int64) + tok) \
+                    if use_refine else None
+                yield block, ids_c, nsq_c, cell, qidx, refmap
 
         acc_d: list[list] = [[] for _ in range(nq)]
         acc_i: list[list] = [[] for _ in range(nq)]
-        run(main_cells(), acc_d, acc_i)
-        reduced = _partition_topk(acc_d, acc_i, q_arr, fetch)
+        acc_r: list[list] | None = [[] for _ in range(nq)] \
+            if use_refine else None
+        run(main_cells(), acc_d, acc_i, acc_r)
+        reduced = _partition_topk(acc_d, acc_i, q_arr, fetch, acc_r)
+        delta = self._driver_delta()
+        d_vecs = delta[5] if delta is not None else None
         frames = []
         if reduced is not None:
+            if use_refine:
+                dist = self._rerank_merged(reduced[0], reduced[3], Q,
+                                           qpos, segs, d_vecs)
+            else:
+                dist = reduced[2]
             main_pdf = pd.DataFrame({"query_id": reduced[0],
                                      self.id_col: reduced[1],
-                                     "distance": reduced[2]})
+                                     "distance": dist})
             # the MAIN scan masks tombstones AND superseded ids (the
             # delta holds the only live copy of a superseded id)
             main_mask = self._tombstones | self._superseded
@@ -1454,7 +1498,6 @@ class IvfBatchKnnIndex:
                 main_pdf = main_pdf[
                     ~main_pdf[self.id_col].isin(main_mask)]
             frames.append(main_pdf)
-        delta = self._driver_delta()
         if delta is not None:
             d_ids, d_cent, d_nsq, d_codes, d_metas, d_vecs = delta
             sel = np.isin(d_cent, probes.ravel())
@@ -1466,19 +1509,28 @@ class IvfBatchKnnIndex:
                     sel &= wm
             dacc_d: list[list] = [[] for _ in range(nq)]
             dacc_i: list[list] = [[] for _ in range(nq)]
+            dacc_r: list[list] | None = [[] for _ in range(nq)] \
+                if use_refine else None
             run(((d_codes[m], d_ids[m], d_nsq[m], cell,
                   cell2q[int(cell)],
-                  (d_vecs[m] if use_refine else None))
+                  (np.flatnonzero(m).astype(np.int64)
+                   if use_refine else None))
                  for cell in np.unique(d_cent[sel])
                  if cell2q[int(cell)] is not None
                  and len(cell2q[int(cell)]) > 0
                  for m in [sel & (d_cent == cell)]),
-                dacc_d, dacc_i)
-            dreduced = _partition_topk(dacc_d, dacc_i, q_arr, fetch)
+                dacc_d, dacc_i, dacc_r)
+            dreduced = _partition_topk(dacc_d, dacc_i, q_arr, fetch,
+                                       dacc_r)
             if dreduced is not None:
+                if use_refine:
+                    ddist = self._rerank_merged(dreduced[0], dreduced[3],
+                                                Q, qpos, segs, d_vecs)
+                else:
+                    ddist = dreduced[2]
                 frames.append(pd.DataFrame(
                     {"query_id": dreduced[0], self.id_col: dreduced[1],
-                     "distance": dreduced[2]}))
+                     "distance": ddist}))
         if not frames:
             return pd.DataFrame(
                 {"query_id": [], self.id_col: [], "distance": [],
@@ -1606,11 +1658,43 @@ class IvfBatchKnnIndex:
         return [(I[j].item() if hasattr(I[j], "item") else I[j],
                  float(D[j])) for j in order[:k]]
 
+    def _rerank_merged(self, q_vals, refs, Q64, qpos, segs, d_vecs):
+        """Post-merge exact re-rank: one sidecar gather + one
+        vectorized float64 scoring pass for a whole batch's surviving
+        candidates.  refs pack ((seg+1) << 40 | row); token 0 rows
+        index the delta's in-RAM vec32 array.  Returns exact distances
+        aligned with refs."""
+        n = len(refs)
+        refs = np.asarray(refs, dtype=np.int64)
+        tok = refs >> np.int64(40)
+        row = refs & np.int64((1 << 40) - 1)
+        V = np.empty((n, self.dim), dtype=np.float64)
+        for t in np.unique(tok):
+            m = tok == t
+            src = d_vecs if t == 0 else segs[int(t) - 1][4]
+            rows = row[m]
+            order = np.argsort(rows, kind="stable")  # mmap locality
+            inv = np.empty_like(order)
+            inv[order] = np.arange(len(order))
+            V[m] = np.asarray(src[rows[order]], dtype=np.float64)[inv]
+        qi = np.fromiter((qpos[v] for v in q_vals.tolist()),
+                         dtype=np.int64, count=n)
+        Qq = Q64[qi]
+        dots = (V * Qq).sum(axis=1)
+        if self.metric == "cosine":
+            nrm = np.sqrt((V * V).sum(axis=1))
+            return 1.0 - dots / np.maximum(nrm, 1e-24)
+        if self.metric == "dot":
+            return -dots
+        vsq = (V * V).sum(axis=1)
+        qsq = (Qq * Qq).sum(axis=1)
+        return np.sqrt(np.clip(vsq - 2.0 * dots + qsq, 0.0, None))
+
     def _resolve_refine(self, refine: bool | None) -> bool:
         """Per-call refine override: None = the index's capability;
         True on a non-capable index is an error (no sidecar to read)."""
         if refine is None:
-            return self.refine
+            return self.refine and self.refine_by_default
         if refine and not self.refine:
             raise ValueError(
                 "this index was built without refine=True: no exact "
