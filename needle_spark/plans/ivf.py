@@ -1582,7 +1582,7 @@ class IvfBatchKnnIndex:
         fetch = self._fetch_k(k)
         if use_refine:
             fetch = max(fetch, k * self.refine_factor)
-        cand_d, cand_i = [], []
+        cand_d, cand_i, cand_r = [], [], []
         for cell in probes:
             hit = cell_dir.get(int(cell))
             if hit is None:
@@ -1612,12 +1612,17 @@ class IvfBatchKnnIndex:
                                 self._cellf32.pop(lru).nbytes
                         self._cellf32[key] = Cf
                         self._cellf32_bytes += Cf.nbytes
-            Dk, Ik = _score_cell_block(
+            out = _score_cell_block(
                 Cf, ids[s:e], nsq[s:e], qidx,
                 _sq_for_cell(SQ, step2, QT, int(cell)),
                 base[int(cell)], qsq, self.metric, fetch,
-                vecs=vecs[s:e] if use_refine else None,
-                Qp=q if use_refine else None)
+                return_sel=use_refine)
+            if use_refine:
+                Dk, Ik, SELk = out
+                cand_r.append((np.int64(si + 1) << np.int64(40))
+                              + s + SELk[:, 0].astype(np.int64))
+            else:
+                Dk, Ik = out
             cand_d.append(Dk[:, 0])
             cand_i.append(Ik[:, 0])
         main_mask = self._tombstones | self._superseded
@@ -1626,7 +1631,10 @@ class IvfBatchKnnIndex:
             ii = np.concatenate(cand_i)
             keep = ~np.isin(ii, list(main_mask))
             cand_d, cand_i = [di[keep]], [ii[keep]]
+            if use_refine:
+                cand_r = [np.concatenate(cand_r)[keep]]
         delta = self._driver_delta()
+        d_vecs = delta[5] if delta is not None else None
         if delta is not None:
             d_ids, d_cent, d_nsq, d_codes, _d_metas, d_vecs = delta
             sel = np.isin(d_cent, probes)
@@ -1636,19 +1644,30 @@ class IvfBatchKnnIndex:
                 # delta rows scored per their own cell's base term
                 for cell in np.unique(d_cent[sel]):
                     m = sel & (d_cent == cell)
-                    Dk, Ik = _score_cell_block(
+                    out = _score_cell_block(
                         d_codes[m], d_ids[m], d_nsq[m], qidx,
                         _sq_for_cell(SQ, step2, QT, int(cell)),
                         base[int(cell)], qsq, self.metric,
-                        fetch,
-                        vecs=d_vecs[m] if use_refine else None,
-                        Qp=q if use_refine else None)
+                        fetch, return_sel=use_refine)
+                    if use_refine:
+                        Dk, Ik, SELk = out
+                        cand_r.append(np.flatnonzero(m).astype(np.int64)
+                                      [SELk[:, 0]])
+                    else:
+                        Dk, Ik = out
                     cand_d.append(Dk[:, 0])
                     cand_i.append(Ik[:, 0])
         if not cand_d:
             return []
         D = np.concatenate(cand_d)
         I = np.concatenate(cand_i)
+        if use_refine:
+            # ONE exact pass over every surviving candidate (<= probes
+            # x fetch rows): same post-merge shape as the batch path
+            R = np.concatenate(cand_r)
+            D = self._rerank_merged(
+                np.zeros(len(R), dtype=np.int64), R,
+                q, {0: 0}, segs, d_vecs)
         if I.dtype == object:  # mixed mmap-unicode + delta str ids
             I = np.asarray(I, dtype=str)
         if len(D) > k:
