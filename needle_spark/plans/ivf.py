@@ -229,22 +229,19 @@ def _sq_for_cell(SQ, step2, QT, cell):
 
 
 def _score_cell_block(codes_u8, ids_cell, nsq_cell, qidx, SQ, base_row, qsq,
-                      metric: str, k: int, vecs=None, Qp=None,
-                      return_sel: bool = False):
+                      metric: str, k: int, return_sel: bool = False):
     """Score one cell's rows against the queries probing it.
 
     dist decomposes over the SQ8 codes without decoding:
     dot(v, q) = c.q + mn.q + codes_f32 . (step*q); the uint8->float32
     cast plus one sgemm is the whole inner loop.
 
-    When `vecs`/`Qp` are given (the refine tier: vecs = this block's
-    rows in the pinned float32 sidecar, Qp = the float64 query matrix
-    restricted to qidx), the quantized distances only CUT candidates:
-    the top-k survivors per query are re-ranked by exact float64
-    distance against the gathered sidecar rows, so the returned
-    distances carry no quantization error (FAISS's refine/RFlat
-    posture).  Only the survivors' rows are touched — the gather is
-    O(k x probing-queries x dim), negligible next to the cell sgemm."""
+    return_sel (the refine tier) additionally returns the selected
+    block-row indices so the caller can thread packed row references
+    through the top-k reduce; the exact float32-sidecar re-rank then
+    runs ONCE post-merge over the surviving candidates (per-cell
+    re-ranking measured ~350 us of small-gather overhead per probed
+    cell — PLANS.md 'Refine cost engineering')."""
     Cf = codes_u8 if codes_u8.dtype == np.float32 \
         else codes_u8.astype(np.float32)
     dot = Cf @ SQ[:, qidx]  # (n_cell, n_probing)
@@ -269,46 +266,39 @@ def _score_cell_block(codes_u8, ids_cell, nsq_cell, qidx, SQ, base_row, qsq,
         if return_sel:
             return (np.take_along_axis(D, sel, axis=0),
                     np.asarray(ids_cell)[sel], sel)
-        if vecs is None:
-            return (np.take_along_axis(D, sel, axis=0),
-                    np.asarray(ids_cell)[sel])
-        return (_exact_rerank(vecs, Qp, sel, metric),
+        return (np.take_along_axis(D, sel, axis=0),
                 np.asarray(ids_cell)[sel])
-    sel = np.broadcast_to(np.arange(D.shape[0])[:, None], D.shape)
     I = np.broadcast_to(np.asarray(ids_cell)[:, None], D.shape)
     if return_sel:
-        return D, I, sel
-    if vecs is None:
-        return D, I
-    return _exact_rerank(vecs, Qp, sel, metric), I
+        return D, I, np.broadcast_to(
+            np.arange(D.shape[0])[:, None], D.shape)
+    return D, I
 
 
-def _exact_rerank(vecs, Qp, sel, metric: str):
-    """Exact float64 distances for the selected (row, query) pairs.
+def _exact_rows(vecs, rows, Qq, metric: str):
+    """Exact float64 distances for candidate rows vs their own queries.
 
-    vecs: (n_block, dim) float32 — a view into the mmap'd sidecar (or
-    a masked copy); fancy-indexing by the unique survivor rows touches
-    only those pages.  Qp: (n_probing, dim) float64 queries.  sel:
-    (k, n_probing) row indices into vecs.  Returns (k, n_probing)."""
-    rows = np.unique(sel)
-    V = np.asarray(vecs[rows], dtype=np.float64)
-    inv = np.searchsorted(rows, sel)  # sel -> index into rows
-    dots = V @ Qp.T  # (n_rows, n_probing)
-    qcols = np.arange(sel.shape[1])[None, :]
+    vecs: (n, dim) float32 sidecar (mmap or RAM); rows: candidate row
+    indices (one per candidate); Qq: (n_cand, dim) float64 — each
+    candidate's query.  One gather (sorted for mmap locality) + one
+    vectorized scoring pass."""
+    rows = np.asarray(rows, dtype=np.int64)
+    order = np.argsort(rows, kind="stable")
+    inv = np.empty_like(order)
+    inv[order] = np.arange(len(order))
+    V = np.asarray(vecs[rows[order]], dtype=np.float64)[inv]
+    dots = (V * Qq).sum(axis=1)
     if metric == "cosine":
         # rows are stored l2-normalized in float32; dividing by the
         # float64 norm removes the residual float32 rounding so ties
         # match a float64-normalized oracle
         nrm = np.sqrt((V * V).sum(axis=1))
-        E = 1.0 - dots / np.maximum(nrm, 1e-24)[:, None]
-    elif metric == "dot":
-        E = -dots
-    else:  # euclidean
-        vsq = (V * V).sum(axis=1)
-        qsq = (Qp * Qp).sum(axis=1)
-        E = np.sqrt(np.clip(
-            vsq[:, None] - 2.0 * dots + qsq[None, :], 0.0, None))
-    return E[inv, qcols]
+        return 1.0 - dots / np.maximum(nrm, 1e-24)
+    if metric == "dot":
+        return -dots
+    vsq = (V * V).sum(axis=1)
+    qsq = (Qq * Qq).sum(axis=1)
+    return np.sqrt(np.clip(vsq - 2.0 * dots + qsq, 0.0, None))
 
 
 def _partition_topk(acc_d, acc_i, q_arr, k: int, acc_r=None):
@@ -885,6 +875,8 @@ class IvfBatchKnnIndex:
             if use_refine else None
         qsq = (Q * Q).sum(axis=1).astype(np.float32)
         q_arr = np.asarray(q_ids)
+        qpos = {v: i for i, v in enumerate(q_arr.tolist())} \
+            if use_refine else None
         nq = len(q_ids)
         id_type = self.codes.schema[self.id_col].dataType
         out_schema = T.StructType([
@@ -955,6 +947,8 @@ class IvfBatchKnnIndex:
                             if use_refine else None)
                     acc_d: list[list[np.ndarray]] = [[] for _ in range(nq)]
                     acc_i: list[list[np.ndarray]] = [[] for _ in range(nq)]
+                    acc_r: list[list[np.ndarray]] | None = \
+                        [[] for _ in range(nq)] if use_refine else None
                     for ci, cell in enumerate(cells):
                         qidx = cell2q[int(cell)]
                         if qidx is None or len(qidx) == 0:
@@ -962,22 +956,38 @@ class IvfBatchKnnIndex:
                         s, e = int(starts[ci]), int(starts[ci + 1])
                         block = codes[s:e] if pre_decoded \
                             else np.asarray(codes[s:e])
-                        Dk, Ik = _score_cell_block(
+                        out = _score_cell_block(
                             block, ids[s:e], nsq[s:e], qidx,
                             _sq_for_cell(SQ, step2, QT, int(cell)),
                             base[int(cell)], qsq, metric, kk,
-                            vecs=vecs[s:e] if use_refine else None,
-                            Qp=Q64[qidx] if use_refine else None)
+                            return_sel=use_refine)
+                        if use_refine:
+                            Dk, Ik, SELk = out
+                        else:
+                            Dk, Ik = out
                         for j, qi in enumerate(qidx):
                             acc_d[qi].append(Dk[:, j])
                             acc_i[qi].append(Ik[:, j])
-                    reduced = _partition_topk(acc_d, acc_i, q_arr, kk)
+                            if use_refine:
+                                acc_r[qi].append(
+                                    s + SELk[:, j].astype(np.int64))
+                    reduced = _partition_topk(acc_d, acc_i, q_arr, kk,
+                                              acc_r)
                     if reduced is None:
                         continue
+                    dist = reduced[2]
+                    if use_refine:
+                        # candidates leave the task exactly ranked: one
+                        # sidecar gather + one float64 pass per task
+                        qi_pos = np.fromiter(
+                            (qpos[v] for v in reduced[0].tolist()),
+                            dtype=np.int64, count=len(reduced[0]))
+                        dist = _exact_rows(vecs, reduced[3],
+                                           Q64[qi_pos], metric)
                     yield pa.RecordBatch.from_arrays(
                         [pa.array(reduced[0], type=arrow_schema.field(0).type),
                          pa.array(reduced[1], type=arrow_schema.field(1).type),
-                         pa.array(reduced[2], type=arrow_schema.field(2).type)],
+                         pa.array(dist, type=arrow_schema.field(2).type)],
                         schema=arrow_schema,
                     )
 
@@ -1049,6 +1059,8 @@ class IvfBatchKnnIndex:
         id_col, code_col = self.id_col, self.CODE_COL
         vec_col = self.VEC_COL
         Q64 = np.ascontiguousarray(Q, dtype=np.float64) if use_vec else None
+        qpos = {v: i for i, v in enumerate(np.asarray(q_ids).tolist())} \
+            if use_vec else None
         # per-query precomputed pieces:
         #   dot(v, q) = c.q + mn.q + codes_f32 . (step*q)
         SQ, step2, QT, base = self._quant_parts(Q)
@@ -1107,27 +1119,40 @@ class IvfBatchKnnIndex:
             # cells; reduced to top-k per query before leaving the worker
             acc_d: list[list[np.ndarray]] = [[] for _ in range(nq)]
             acc_i: list[list[np.ndarray]] = [[] for _ in range(nq)]
+            acc_r: list[list[np.ndarray]] | None = \
+                [[] for _ in range(nq)] if use_vec else None
             for ci, cell in enumerate(cells):
                 qidx = cell2q[int(cell)]
                 if qidx is None or len(qidx) == 0:
                     continue
                 s, e = starts[ci], starts[ci + 1]
-                Dk, Ik = _score_cell_block(
+                out = _score_cell_block(
                     codes[s:e], ids[s:e], nsq[s:e], qidx,
                     _sq_for_cell(SQ, step2, QT, int(cell)),
                     base[int(cell)], qsq, metric, kk,
-                    vecs=vecs[s:e] if use_vec else None,
-                    Qp=Q64[qidx] if use_vec else None)
+                    return_sel=use_vec)
+                if use_vec:
+                    Dk, Ik, SELk = out
+                else:
+                    Dk, Ik = out
                 for j, qi in enumerate(qidx):
                     acc_d[qi].append(Dk[:, j])
                     acc_i[qi].append(Ik[:, j])
-            reduced = _partition_topk(acc_d, acc_i, q_arr, kk)
+                    if use_vec:
+                        acc_r[qi].append(s + SELk[:, j].astype(np.int64))
+            reduced = _partition_topk(acc_d, acc_i, q_arr, kk, acc_r)
             if reduced is None:
                 return
+            dist = reduced[2]
+            if use_vec:
+                qi_pos = np.fromiter(
+                    (qpos[v] for v in reduced[0].tolist()),
+                    dtype=np.int64, count=len(reduced[0]))
+                dist = _exact_rows(vecs, reduced[3], Q64[qi_pos], metric)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(reduced[0], type=arrow_schema.field(0).type),
                  pa.array(reduced[1], type=arrow_schema.field(1).type),
-                 pa.array(reduced[2], type=arrow_schema.field(2).type)],
+                 pa.array(dist, type=arrow_schema.field(2).type)],
                 schema=arrow_schema,
             )
 
@@ -1687,27 +1712,14 @@ class IvfBatchKnnIndex:
         refs = np.asarray(refs, dtype=np.int64)
         tok = refs >> np.int64(40)
         row = refs & np.int64((1 << 40) - 1)
-        V = np.empty((n, self.dim), dtype=np.float64)
+        qi = np.fromiter((qpos[v] for v in q_vals.tolist()),
+                         dtype=np.int64, count=n)
+        out = np.empty(n, dtype=np.float64)
         for t in np.unique(tok):
             m = tok == t
             src = d_vecs if t == 0 else segs[int(t) - 1][4]
-            rows = row[m]
-            order = np.argsort(rows, kind="stable")  # mmap locality
-            inv = np.empty_like(order)
-            inv[order] = np.arange(len(order))
-            V[m] = np.asarray(src[rows[order]], dtype=np.float64)[inv]
-        qi = np.fromiter((qpos[v] for v in q_vals.tolist()),
-                         dtype=np.int64, count=n)
-        Qq = Q64[qi]
-        dots = (V * Qq).sum(axis=1)
-        if self.metric == "cosine":
-            nrm = np.sqrt((V * V).sum(axis=1))
-            return 1.0 - dots / np.maximum(nrm, 1e-24)
-        if self.metric == "dot":
-            return -dots
-        vsq = (V * V).sum(axis=1)
-        qsq = (Qq * Qq).sum(axis=1)
-        return np.sqrt(np.clip(vsq - 2.0 * dots + qsq, 0.0, None))
+            out[m] = _exact_rows(src, row[m], Q64[qi[m]], self.metric)
+        return out
 
     def _resolve_refine(self, refine: bool | None) -> bool:
         """Per-call refine override: None = the index's capability;
