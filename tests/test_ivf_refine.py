@@ -274,3 +274,28 @@ def test_refined_recall_at_moderate_nprobe(spark):
         assert hits_ref >= 0.95 * 10 * len(Q) * 0.95  # near the ceiling
     finally:
         idx.unpersist()
+
+
+def test_merge_delta_preserves_refine(spark):
+    """merge_delta folds the delta (vec32 column included) back into
+    the cell layout and re-pins the sidecar: refined full-probe results
+    still equal brute force over the merged rows."""
+    V, rng = _corpus()
+    idx = IvfBatchKnnIndex(_df(spark, V[:N - 100]), nlist=8,
+                           vector_col="vector", id_col="id",
+                           metric="cosine", seed=1, code_dtype="sq8",
+                           refine=True, refine_factor=N)
+    idx.pin_segments()
+    try:
+        idx.add_local(np.arange(N - 100, N), V[N - 100:])
+        idx.delete([3])
+        st = idx.merge_delta()
+        assert st["repinned_segments"]
+        q = rng.standard_normal(DIM) * 5
+        live = np.asarray([i for i in range(N) if i != 3])
+        want = _brute(V, q, "cosine", subset=live)
+        got = idx.search_one(q, k=10, nprobe=idx.nlist)
+        assert [g[0] for g in got] == [w[0] for w in want]
+        assert all(abs(g[1] - w[1]) < 1e-5 for g, w in zip(got, want))
+    finally:
+        idx.unpersist()
