@@ -3450,7 +3450,9 @@ def _knn_sq8_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-refine serving tier (plans/ivf.py refine=True): SQ8 codes
     answer the scan, and the quantized survivors are re-ranked by exact
     float64 distance against the pinned float32 sidecar — the
-    reference's encoded-search-then-rescore shape (src/quantization/),
+    reference's coarse-then-exact-rerank shape
+    (src/collection/search_methods.rs:146-177 — k*oversample coarse
+    candidates, then "Phase 2: Re-rank with full dimensions"),
     FAISS's IndexRefineFlat posture.  At full probe with a cell-sized
     overfetch the refined top-k provably equals the brute-force result,
     which is what the DuckDB oracle checks; euclidean keeps the sidecar

@@ -395,13 +395,17 @@ class IvfBatchKnnIndex:
             raise ValueError(
                 "refine=True pairs a QUANTIZED code tier with an exact "
                 "float32 sidecar; float32 codes already rank exactly")
-        # refine tier (FAISS IndexRefineFlat posture): quantized codes
-        # stay the scan (RAM/bandwidth-sized), and an exact float32
-        # sidecar — pinned as mmap files, touched only for the
-        # refine_factor*k survivors per query — removes the
-        # quantization recall ceiling.  At 100 TB the sidecar lives on
-        # disk next to the segments; the random gather reads
-        # O(k x factor x dim) bytes per query, not the corpus.
+        # refine tier: quantized codes stay the scan (RAM/bandwidth-
+        # sized), and an exact float32 sidecar — pinned as mmap files,
+        # touched only for the refine_factor*k survivors per query —
+        # removes the quantization recall ceiling.  This is the
+        # reference's coarse-then-exact-rerank shape
+        # (src/collection/search_methods.rs:146-177: candidate_k =
+        # k * oversample coarse hits, then "Phase 2: Re-rank with full
+        # dimensions") and FAISS's IndexRefineFlat posture.  At 100 TB
+        # the sidecar lives on disk next to the segments; the random
+        # gather reads O(k x factor x dim) bytes per query, not the
+        # corpus.
         self.refine = bool(refine)
         self.refine_factor = max(1, int(refine_factor))
         # capability vs policy: `refine` pins the sidecar (capability);

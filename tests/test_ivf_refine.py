@@ -1,8 +1,9 @@
 """Exact-refine serving tier (plans/ivf.py refine=True).
 
-The reference pairs lossy codes with exact re-ranking in its
-quantization pipeline (src/quantization/ — encoded search re-scores
-against stored vectors); FAISS calls the same posture IndexRefineFlat.
+The reference pairs a lossy first pass with exact re-ranking
+(src/collection/search_methods.rs:146-177 — k*oversample coarse
+candidates, then "Phase 2: Re-rank with full dimensions"); FAISS calls
+the same posture IndexRefineFlat.
 Contract under test:
 
 - with fetch >= every probed cell's size (refine_factor large), the
