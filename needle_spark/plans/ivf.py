@@ -218,10 +218,33 @@ def _bytes_matrix_from_arrow(arr, width: int) -> np.ndarray:
     return np.asarray([np.frombuffer(b, dtype=np.uint8) for b in arr.to_pylist()])
 
 
+def _pq_encode(res, books):
+    """Residuals -> PQ codes + decoded reconstruction.
+
+    res: (n, dim) float32 residuals; books: (m, 256, sub) float32.
+    Per subspace one (n, 256) distance matrix picks the nearest
+    codeword (quantization.rs PQ encode).  Returns (codes uint8 (n, m),
+    decoded float32 (n, dim))."""
+    n, dim = res.shape
+    m, _, sub = books.shape
+    R = np.ascontiguousarray(res, dtype=np.float32).reshape(n, m, sub)
+    codes = np.empty((n, m), dtype=np.uint8)
+    dec = np.empty((n, m, sub), dtype=np.float32)
+    for j in range(m):
+        Bj = books[j]
+        d = ((R[:, j, :] ** 2).sum(axis=1, keepdims=True)
+             - 2.0 * (R[:, j, :] @ Bj.T) + (Bj * Bj).sum(axis=1)[None, :])
+        cj = d.argmin(axis=1)
+        codes[:, j] = cj.astype(np.uint8)
+        dec[:, j, :] = Bj[cj]
+    return codes, dec.reshape(n, dim)
+
+
 def _sq_for_cell(SQ, step2, QT, cell):
     """Per-cell step-scaled query block: the global (dim, nq) SQ when
-    the quantizer is global (sq8/float32), or step2[cell]-scaled QT for
-    the per-cell quantizer (sq8_cell).  One (dim, nq) multiply per cell
+    the quantizer is global (sq8/float32) — or the ('pq', LUT) marker,
+    which is cell-independent too — or step2[cell]-scaled QT for the
+    per-cell quantizer (sq8_cell).  One (dim, nq) multiply per cell
     — negligible next to the cell's sgemm."""
     if SQ is not None:
         return SQ
@@ -241,10 +264,26 @@ def _score_cell_block(codes_u8, ids_cell, nsq_cell, qidx, SQ, base_row, qsq,
     through the top-k reduce; the exact float32-sidecar re-rank then
     runs ONCE post-merge over the surviving candidates (per-cell
     re-ranking measured ~350 us of small-gather overhead per probed
-    cell — PLANS.md 'Refine cost engineering')."""
-    Cf = codes_u8 if codes_u8.dtype == np.float32 \
-        else codes_u8.astype(np.float32)
-    dot = Cf @ SQ[:, qidx]  # (n_cell, n_probing)
+    cell — PLANS.md 'Refine cost engineering').
+
+    SQ = ('pq', LUT) switches the dot computation to PQ's asymmetric
+    distance: dot(v, q) = c.q + sum_j LUT[q][j, code_j], one (m, 256)
+    table per query built once per batch — the bytes read per scored
+    row drop to m (e.g. 48 for 384-d), the IvfPQ capacity tier."""
+    if isinstance(SQ, tuple):  # ('pq', LUT (nq, m, 256) float32)
+        LUT = SQ[1]
+        codes_i = codes_u8 if codes_u8.dtype == np.uint8 \
+            else codes_u8.astype(np.int64)
+        m_sub = codes_i.shape[1]
+        Lq = LUT[qidx]  # (n_probing, m, 256)
+        acc = np.zeros((len(qidx), codes_i.shape[0]), dtype=np.float32)
+        for j in range(m_sub):
+            acc += np.take(Lq[:, j, :], codes_i[:, j], axis=1)
+        dot = acc.T  # (n_cell, n_probing)
+    else:
+        Cf = codes_u8 if codes_u8.dtype == np.float32 \
+            else codes_u8.astype(np.float32)
+        dot = Cf @ SQ[:, qidx]  # (n_cell, n_probing)
     dot += base_row[qidx][None, :]
     if metric == "cosine":
         # renormalize by the DECODED vector's norm (stored in nsq for
@@ -386,11 +425,12 @@ class IvfBatchKnnIndex:
         code_dtype: str = "sq8",
         refine: bool = False,
         refine_factor: int = 4,
+        pq_m: int | None = None,
     ):
-        if code_dtype not in ("sq8", "sq8_cell", "float32"):
+        if code_dtype not in ("sq8", "sq8_cell", "float32", "pq"):
             raise ValueError(
-                f"code_dtype must be 'sq8', 'sq8_cell' or 'float32', "
-                f"got {code_dtype!r}")
+                f"code_dtype must be 'sq8', 'sq8_cell', 'float32' or "
+                f"'pq', got {code_dtype!r}")
         if refine and code_dtype == "float32":
             raise ValueError(
                 "refine=True pairs a QUANTIZED code tier with an exact "
@@ -469,7 +509,42 @@ class IvfBatchKnnIndex:
         self.code_dtype = code_dtype
         self._code_np = np.float32 if code_dtype == "float32" else np.uint8
         self._code_width = self.dim * (4 if code_dtype == "float32" else 1)
-        if code_dtype == "float32":
+        # product-quantized residual codes (the reference's IvfPQ /
+        # quantization.rs PQ variant): dim splits into m subspaces,
+        # each residual sub-vector snaps to the nearest of 256 learned
+        # codewords — 1 byte per subspace, dim/m x smaller than SQ8.
+        # Scoring is ADC via a per-query (m, 256) lookup table (built
+        # once per batch, shared across cells: dot(v,q) = c.q +
+        # sum_j codebook[j, code_j].q_j).  The capacity tier for 100 TB
+        # corpora: pair with refine=True to buy back the recall the
+        # coarse codes give up.
+        self._pq = None
+        if code_dtype == "pq":
+            m_sub = pq_m
+            if m_sub is None:
+                for sd in (8, 4, 2):
+                    if self.dim % sd == 0:
+                        m_sub = self.dim // sd
+                        break
+                else:
+                    raise ValueError(
+                        f"dim {self.dim} has no even subspace split; "
+                        "pass pq_m explicitly")
+            if self.dim % m_sub != 0:
+                raise ValueError(f"pq_m {m_sub} must divide dim {self.dim}")
+            sub = self.dim // m_sub
+            res_s = sample - C[d2.argmin(axis=1)]
+            fit_rows = min(len(res_s), 16384)
+            R = res_s[:fit_rows].reshape(fit_rows, m_sub, sub)
+            books = np.empty((m_sub, 256, sub), dtype=np.float64)
+            for j in range(m_sub):
+                books[j] = _kmeans_fit(np.ascontiguousarray(R[:, j, :]),
+                                       256, seed + j, 4)
+            self._pq = np.ascontiguousarray(books)
+            self._code_width = m_sub
+            self.mn = np.zeros(self.dim, dtype=np.float64)
+            self.step = np.ones(self.dim, dtype=np.float64)
+        elif code_dtype == "float32":
             self.mn = np.zeros(self.dim, dtype=np.float64)
             self.step = np.ones(self.dim, dtype=np.float64)
         elif code_dtype == "sq8_cell":
@@ -586,6 +661,8 @@ class IvfBatchKnnIndex:
         vector_col, id_col = self.vector_col, self.id_col
         dim = self.dim
         flat_codes = self.code_dtype == "float32"
+        pq_books = (np.ascontiguousarray(self._pq, dtype=np.float32)
+                    if self._pq is not None else None)
         byte_w = self._code_width
 
         meta_cols = self.meta_cols
@@ -621,6 +698,8 @@ class IvfBatchKnnIndex:
                 res = V - C32[assign]
                 if flat_codes:
                     codes = res.astype(np.float32)
+                elif pq_books is not None:
+                    codes, dec_pq = _pq_encode(res, pq_books)
                 elif mn32.ndim == 2:  # per-cell quantizer (sq8_cell)
                     codes = np.clip(
                         np.rint((res - mn32[assign]) * inv_step[assign]),
@@ -639,10 +718,14 @@ class IvfBatchKnnIndex:
                     # 784-d) and 0.855 -> 0.978 (cosine, unit-norm
                     # 128-d) at identical bytes (asymmetric-distance
                     # consistency; PLANS.md round 8)
-                    dec = (codes.astype(np.float32) * step32[assign]
-                           + mn32[assign]) if mn32.ndim == 2 else \
-                        (codes.astype(np.float32) * step32 + mn32)
-                    dec += C32[assign]
+                    if pq_books is not None:
+                        dec = dec_pq
+                    elif mn32.ndim == 2:
+                        dec = codes.astype(np.float32) * step32[assign] \
+                            + mn32[assign]
+                    else:
+                        dec = codes.astype(np.float32) * step32 + mn32
+                    dec = dec + C32[assign]
                     nsq = (dec.astype(np.float64) ** 2).sum(axis=1)
                 n = codes.shape[0]
                 offs = pa.array(
@@ -740,8 +823,10 @@ class IvfBatchKnnIndex:
         byte_w, code_np = self._code_width, self._code_np
         refine, vec_col = self.refine, self.VEC_COL
         # float32 codes ARE the decoded tier; writing codes32 would
-        # double the disk for identical bytes
-        decoded = decoded and code_np is np.uint8
+        # double the disk for identical bytes.  PQ codes are codeword
+        # INDICES — a float32 copy of indices is meaningless to the
+        # LUT kernel, so the decoded tier doesn't apply there either.
+        decoded = decoded and code_np is np.uint8 and self._pq is None
 
         def write_part(batches) -> Iterator:
             import pyarrow as pa
@@ -1005,13 +1090,25 @@ class IvfBatchKnnIndex:
         base is always (nlist, nq) = c.q + mn.q (mn.q is per-cell when
         mn is (nlist, dim)).  SQ is the global (dim, nq) step-scaled
         query block, or None for the per-cell quantizer — kernels then
-        derive each cell's block via _sq_for_cell(step2, QT)."""
+        derive each cell's block via _sq_for_cell(step2, QT) — or the
+        ('pq', LUT) marker: LUT[q][j, c] = codebook[j, c] . q_j, built
+        once per batch and shared by every cell (the PQ asymmetric-
+        distance table)."""
         mnq = self.mn @ Q.T
         base = np.ascontiguousarray(
             (self.centroids @ Q.T)
             + (mnq if self.mn.ndim == 2 else mnq[None, :]),
             dtype=np.float32)
         QT = np.ascontiguousarray(Q.T, dtype=np.float32)
+        if self._pq is not None:
+            books = self._pq  # (m, 256, sub)
+            m_sub, _, sub = books.shape
+            Qs = np.ascontiguousarray(Q, dtype=np.float32) \
+                .reshape(len(Q), m_sub, sub)
+            # LUT[q, j, c] = q_j . codebook[j, c]
+            LUT = np.ascontiguousarray(np.einsum(
+                "qjs,jcs->qjc", Qs, books.astype(np.float32)))
+            return ("pq", LUT), None, QT, base
         if self.step.ndim == 2:
             return None, self.step.astype(np.float32), QT, base
         SQ = np.ascontiguousarray(self.step[:, None] * Q.T,
@@ -1489,7 +1586,8 @@ class IvfBatchKnnIndex:
                         if not wm.any():
                             continue
                         block = np.asarray(codes[s:e])[wm]
-                        if block.dtype != np.float32:
+                        if block.dtype != np.float32 \
+                                and self._pq is None:
                             block = block.astype(np.float32)
                         refmap = ((s + np.flatnonzero(wm)) + tok) \
                             if use_refine else None
@@ -1618,7 +1716,11 @@ class IvfBatchKnnIndex:
                 continue
             si, s, e = hit
             ids, nsq, codes, _metas, vecs = segs[si]
-            if codes.dtype == np.float32:
+            if self._pq is not None:
+                # PQ codes are LUT indices: the kernel reads the uint8
+                # rows directly (no float32 cast, no decoded cache)
+                Cf = np.asarray(codes[s:e])
+            elif codes.dtype == np.float32:
                 # decoded segment tier (pin_segments(decoded=True)):
                 # BLAS reads the page-cached mmap directly
                 Cf = codes[s:e]
@@ -1804,6 +1906,12 @@ class IvfBatchKnnIndex:
         res = V - C32[assign]
         if self.code_dtype == "float32":
             return assign, nsq.astype(np.float32), res.astype(np.float32), V
+        if self._pq is not None:
+            codes, dec = _pq_encode(
+                res, np.ascontiguousarray(self._pq, dtype=np.float32))
+            dec = dec + C32[assign]
+            nsq = (dec.astype(np.float64) ** 2).sum(axis=1)
+            return assign, nsq.astype(np.float32), codes, V
         mn32 = self.mn.astype(np.float32)
         step32 = self.step.astype(np.float32)
         inv32 = (1.0 / self.step).astype(np.float32)
@@ -1968,11 +2076,19 @@ class IvfBatchKnnIndex:
             # best available stand-in — its rerank equals the quantized
             # ranking for these rows instead of failing the whole tier
             _ids, assign, _nsq, codes, _m, _v = rec
-            mn, step = self.mn, self.step
-            if np.asarray(mn).ndim == 2:
-                mn, step = mn[assign], step[assign]
-            dec = (np.asarray(codes, dtype=np.float32) * step + mn
-                   + self.centroids[assign]).astype(np.float32)
+            if self._pq is not None:
+                books = np.ascontiguousarray(self._pq, dtype=np.float32)
+                m_sub, _, sub = books.shape
+                ci = np.asarray(codes, dtype=np.int64)
+                dec = (books[np.arange(m_sub)[None, :], ci]
+                       .reshape(len(ci), self.dim)
+                       + self.centroids[assign]).astype(np.float32)
+            else:
+                mn, step = self.mn, self.step
+                if np.asarray(mn).ndim == 2:
+                    mn, step = mn[assign], step[assign]
+                dec = (np.asarray(codes, dtype=np.float32) * step + mn
+                       + self.centroids[assign]).astype(np.float32)
             rec = (*rec[:5], dec)
         ids = rec[0]
         new_ids = set(np.asarray(ids).tolist())

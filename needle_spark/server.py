@@ -891,8 +891,8 @@ class RestServer:
         if tier not in ("auto", "ivf", "flat"):
             raise _bad("'tier' must be auto|ivf|flat")
         codes = str(b.get("codes", "auto")).lower()
-        if codes not in ("auto", "sq8", "sq8_cell", "float32"):
-            raise _bad("'codes' must be auto|sq8|sq8_cell|float32")
+        if codes not in ("auto", "sq8", "sq8_cell", "float32", "pq"):
+            raise _bad("'codes' must be auto|sq8|sq8_cell|float32|pq")
         decision = {"tier": tier, "reason": "pinned by request"}
         samp = None
         if tier == "auto" or codes == "auto":

@@ -187,12 +187,15 @@ def main() -> None:
     ap.add_argument("--nlist", type=int, nargs="*", default=NLIST_VALUES)
     ap.add_argument("--nprobe", type=int, nargs="*", default=NPROBE_VALUES)
     ap.add_argument("--codes", default="float32",
-                    choices=["sq8", "sq8_cell", "float32"],
+                    choices=["sq8", "sq8_cell", "float32", "pq"],
                     help="float32 = IVF-Flat (exact codes; the right "
                          "tier for tight-margin integer descriptors); "
                          "sq8_cell = per-cell quantizer ranges (same "
                          "bytes as sq8, ~3x less error); sq8 = global "
                          "ranges, 4x smaller than float32, lossy")
+    ap.add_argument("--pq-m", dest="pq_m", type=int, default=None,
+                    help="PQ subspace count (codes=pq): 1 byte per "
+                         "subspace; must divide dim (default dim/8)")
     ap.add_argument("--refine", action="store_true",
                     help="pair the quantized codes with an exact "
                          "float32 mmap sidecar: serving reranks the "
@@ -291,7 +294,8 @@ def main() -> None:
         idx = IvfBatchKnnIndex(df, nlist=nlist, vector_col="embedding",
                                id_col="vec_id", metric=metric, seed=42,
                                kmeans_max_iter=6, sample_rows=65536,
-                               code_dtype=args.codes, refine=args.refine)
+                               code_dtype=args.codes, refine=args.refine,
+                               pq_m=args.pq_m)
         idx.pin_segments(decoded=True)
         build_s = time.perf_counter() - t0
         print(f"# built nlist={nlist} in {build_s:.1f}s", flush=True)
