@@ -50,8 +50,9 @@ def _write_artifact(args, rows, n, dims, metric, note=None):
     path = _artifact_path(args.dataset)
     merged = list(rows)
     cur_fam = "flat" if args.index == "flat" else (
-        f"ivf:{args.codes}" + ("+refine" if getattr(args, "refine", False)
-                               else ""))
+        f"ivf:{args.codes}"
+        + (f"+refine{getattr(args, 'refine_factor', 4)}"
+           if getattr(args, "refine", False) else ""))
     if os.path.exists(path):
         try:
             with open(path) as f:
@@ -61,7 +62,8 @@ def _write_artifact(args, rows, n, dims, metric, note=None):
                     if r.get("tier") == "flat":
                         return "flat"
                     return (f"ivf:{r.get('codes', prior.get('codes'))}"
-                            + ("+refine" if r.get("refine") else ""))
+                            + (f"+refine{r.get('refine_factor', 4)}"
+                               if r.get("refine") else ""))
                 merged = [r for r in prior.get("grid", [])
                           if fam(r) != cur_fam] + merged
             else:
@@ -196,6 +198,12 @@ def main() -> None:
     ap.add_argument("--pq-m", dest="pq_m", type=int, default=None,
                     help="PQ subspace count (codes=pq): 1 byte per "
                          "subspace; must divide dim (default dim/8)")
+    ap.add_argument("--refine-factor", dest="refine_factor", type=int,
+                    default=4,
+                    help="quantized overfetch multiple per cell before "
+                         "the exact re-rank (refine tier); PQ codes "
+                         "need larger factors than SQ8 — the cut, not "
+                         "the probes, bounds refined recall")
     ap.add_argument("--refine", action="store_true",
                     help="pair the quantized codes with an exact "
                          "float32 mmap sidecar: serving reranks the "
@@ -295,6 +303,7 @@ def main() -> None:
                                id_col="vec_id", metric=metric, seed=42,
                                kmeans_max_iter=6, sample_rows=65536,
                                code_dtype=args.codes, refine=args.refine,
+                               refine_factor=args.refine_factor,
                                pq_m=args.pq_m)
         idx.pin_segments(decoded=True)
         build_s = time.perf_counter() - t0
@@ -337,7 +346,9 @@ def main() -> None:
             rows.append({
                 "nlist": nlist, "nprobe": nprobe,
                 "codes": args.codes,
-                **({"refine": True} if args.refine else {}),
+                **({"refine": True,
+                    "refine_factor": args.refine_factor}
+                   if args.refine else {}),
                 "recall_at_10": round(recall, 4),
                 "qps": round(len(queries) / best, 1),
                 "ms_per_query": round(best * 1000 / len(queries), 3),
