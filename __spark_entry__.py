@@ -3485,6 +3485,35 @@ def _knn_sq8_refine_sql() -> str:
             f"ORDER BY distance ASC, vec_id ASC LIMIT 10")
 
 
+def _knn_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IvfPQ + exact refine (plans/ivf.py code_dtype='pq'): product-
+    quantized residual codes (quantization.rs PQ) answer the scan via
+    per-query ADC lookup tables; the float32 sidecar re-ranks the
+    survivors exactly (search_methods.rs:146-177 coarse-then-rerank).
+    Full probe with a cell-sized overfetch == brute force — the same
+    invariant the DuckDB oracle checks for the SQ8 tier."""
+    import numpy as np
+    import pandas as pd
+
+    from needle_spark.plans.ivf import IvfBatchKnnIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = IvfBatchKnnIndex(emb, nlist=16, vector_col="embedding",
+                           id_col="vec_id", metric="euclidean", seed=42,
+                           code_dtype="pq", refine=True,
+                           refine_factor=1_000_000)
+    idx.pin_segments()
+    try:
+        q = np.asarray(_query_vec(spark, sf_dir, 0), dtype=np.float64)
+        pdf = idx.search_many_local(([0], q.reshape(1, -1)), k=10,
+                                    nprobe=idx.nlist)
+    finally:
+        idx.unpersist()
+    out = pd.DataFrame({"vec_id": pdf["vec_id"].astype("int64"),
+                        "distance": pdf["distance"].astype("float64")})
+    return spark.createDataFrame(out, "vec_id bigint, distance double")
+
+
 def _sq8_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 scalar quantization fidelity: encode embeddings to int8
     codes (round((x-lo)/scale)-128 over the collection-global [lo,hi]),
@@ -3661,6 +3690,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_roundtrip": _sq8_roundtrip,
         "binq_hamming": _binq_hamming,
         "knn_sq8_refine": _knn_sq8_refine,
+        "knn_pq_refine": _knn_pq_refine,
     }
 
 
@@ -3830,4 +3860,5 @@ def oracle_sql() -> dict[str, str]:
         "sq8_roundtrip": _SQ8_ROUNDTRIP_SQL,
         "binq_hamming": _BINQ_HAMMING_SQL,
         "knn_sq8_refine": _knn_sq8_refine_sql(),
+        "knn_pq_refine": _knn_sq8_refine_sql(),
     }

@@ -746,12 +746,30 @@ def advise_compression(df: DataFrame, vector_col: str = "vector",
         "binary", 32.0, recb, max(dim // 8, 1),
         [t for t in target_recalls if recb >= t]))
 
+    # product quantization (quantization.rs PQ / the IvfPQ code tier's
+    # codebooks): 1 byte per subspace — measured like every other
+    # strategy rather than assumed
+    caches = [sample, ench, enc8, encb]
+    pq_m = next((dim // sd for sd in (8, 4, 2) if dim % sd == 0), None)
+    if pq_m and n >= 256:
+        from needle_spark.plans.quantization import ProductQuantizer
+
+        pq = ProductQuantizer.fit(sample, m=pq_m)
+        encp = pq.encode(sample).cache()
+        caches.append(encp)
+        recp = _measure_recall(
+            lambda q: pq.search(encp, q, k=recall_k),
+            queries, exact_ids, recall_k)
+        results.append(StrategyResult(
+            "pq", 4.0 * dim / pq_m, recp, pq_m,
+            [t for t in target_recalls if recp >= t]))
+
     recommendations: dict[float, str] = {}
     for t in target_recalls:
         eligible = [r for r in results if r.measured_recall >= t]
         best = max(eligible, key=lambda r: r.compression_ratio)
         recommendations[float(t)] = best.strategy
-    for c in (sample, ench, enc8, encb):
+    for c in caches:
         c.unpersist()
     return AdvisorReport(n, dim, results, recommendations)
 

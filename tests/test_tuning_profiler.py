@@ -329,3 +329,22 @@ def test_adaptive_probe_tuner():
     assert t2.recommended_nprobe() == 1
     assert t2.observation_count() == 10
     assert t2.avg_latency_ms() == 500.0
+
+
+def test_advise_compression_includes_pq(spark, embeddings):
+    """PQ joins the measured strategy menu (quantization.rs PQ): its
+    compression ratio reflects 1 byte/subspace, its recall is measured
+    like every other strategy, and recommendations still only pick
+    strategies that clear their bar."""
+    df = embeddings.select(F.col("vec_id").cast("string").alias("id"),
+                           F.col("embedding").alias("vector"))
+    report = advise_compression(df, sample_size=400, num_test_queries=4,
+                                recall_k=5, target_recalls=(0.9, 0.3))
+    by = {r.strategy: r for r in report.results}
+    assert "pq" in by
+    dim = report.dimensions
+    assert by["pq"].bytes_per_vector == dim // 8
+    assert by["pq"].compression_ratio == pytest.approx(32.0)
+    assert 0.0 <= by["pq"].measured_recall <= 1.0
+    for target, strat in report.recommendations.items():
+        assert by[strat].measured_recall >= target
