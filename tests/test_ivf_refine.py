@@ -300,3 +300,27 @@ def test_merge_delta_preserves_refine(spark):
         assert all(abs(g[1] - w[1]) < 1e-5 for g, w in zip(got, want))
     finally:
         idx.unpersist()
+
+
+def test_refined_string_ids(spark):
+    """Row refs pack (segment, row), never ids — string-keyed corpora
+    refine identically (the pinned ids are fixed-width unicode mmaps)."""
+    V, rng = _corpus()
+    ids = np.asarray([f"doc-{i:05d}" for i in range(N)])
+    idx = IvfBatchKnnIndex(_df(spark, V, ids=ids), nlist=8,
+                           vector_col="vector", id_col="id",
+                           metric="euclidean", seed=1, code_dtype="sq8",
+                           refine=True, refine_factor=N)
+    idx.pin_segments()
+    try:
+        q = rng.standard_normal(DIM) * 5
+        want = _brute(V, q, "euclidean")
+        got = idx.search_one(q, k=10, nprobe=idx.nlist)
+        assert [g[0] for g in got] == [f"doc-{w[0]:05d}" for w in want]
+        assert all(abs(g[1] - w[1]) < 1e-5 for g, w in zip(got, want))
+        # batch path with a string query id
+        pdf = idx.search_many_local((["qry-a"], q.reshape(1, -1)), k=10,
+                                    nprobe=idx.nlist)
+        assert list(pdf.id) == [f"doc-{w[0]:05d}" for w in want]
+    finally:
+        idx.unpersist()
