@@ -389,8 +389,24 @@ def recommend_ann_tier(train_sample, query_sample,
 def recommend_ann_codes(train_sample, query_sample,
                         metric: str = "euclidean",
                         target_recall: float = 0.95,
-                        k: int = 10) -> dict:
+                        k: int = 10,
+                        budget_bytes_per_row: int | None = None) -> dict:
     """Measured IVF code-tier rule (VERDICT r7 #7).
+
+    budget_bytes_per_row (the capacity constraint): when set BELOW the
+    SQ8 size (dim bytes/row) the corpus's codes cannot fit in serving
+    memory at SQ8 width, so the rule fits PQ codebooks at the budgeted
+    subspace count on the sample, simulates the PQ+refine serving path
+    (ADC-ranked cut of factor*k survivors, exact re-rank), and returns
+    the SMALLEST refine factor in {4,16,32,64,128} whose simulated
+    recall clears the target — the refine-factor knob measured instead
+    of guessed (the committed sift-1M curve: 0.507/0.885/0.971 at
+    factor 4/32/128).  Calibration: the sample sim is a single-cell
+    approximation (residuals wrt the sample mean, no IVF probe loss),
+    so it reads optimistic vs a full index — sift sample factor-16
+    measures 0.97 where the 1M grid needs factor ~32-64 for the same
+    recall; treat the returned factor as the starting knob and verify
+    with recall_at_k on the built index.
 
     Quantization recall ceilings are real and probe-independent: a
     corpus whose neighbor margins sit below the SQ8 step cannot be
@@ -427,8 +443,60 @@ def recommend_ann_codes(train_sample, query_sample,
         kk = min(kk, D.shape[1])
         return np.argpartition(D, kk - 1, axis=1)[:, :kk]
 
-    De, Dq = dist(t), dist(dec)
-    exact, quant = topk(De, k), topk(Dq, k)
+    def refined_recall(Dapprox, De, exact, factor):
+        cut = topk(Dapprox, factor * k)
+        return float(np.mean([
+            len(set(exact[i])
+                & set(cut[i][np.argsort(De[i][cut[i]],
+                                        kind="stable")[:exact.shape[1]]]))
+            / exact.shape[1]
+            for i in range(len(q))]))
+
+    De = dist(t)
+    exact = topk(De, k)
+
+    if budget_bytes_per_row is not None \
+            and budget_bytes_per_row < t.shape[1]:
+        # capacity-constrained: SQ8 codes (dim bytes/row) do not fit.
+        # Fit PQ at the budgeted subspace count on the sample and
+        # measure the smallest refine factor that clears the target.
+        from needle_spark.plans.ivf import _kmeans_fit, _pq_encode
+
+        dim = t.shape[1]
+        m_sub = max(1, min(int(budget_bytes_per_row), dim))
+        while m_sub > 1 and dim % m_sub:
+            m_sub -= 1
+        sub = dim // m_sub
+        mu = t.mean(axis=0)
+        res = (t - mu).astype(np.float32)
+        R = res.reshape(len(t), m_sub, sub)
+        books = np.stack([
+            np.asarray(_kmeans_fit(np.ascontiguousarray(R[:, j, :]),
+                                   256, 42 + j, 4), dtype=np.float32)
+            for j in range(m_sub)])
+        _codes, dec_pq = _pq_encode(res, books)
+        Dpq = dist(dec_pq.astype(np.float64) + mu)
+        for factor in (4, 16, 32, 64, 128):
+            rr = refined_recall(Dpq, De, exact, factor)
+            if rr >= target_recall:
+                return {"codes": "pq", "pq_m": m_sub, "refine": True,
+                        "refine_factor": factor,
+                        "refined_sample_recall": round(rr, 4),
+                        "reason": f"budget {budget_bytes_per_row} B/row "
+                                  f"< SQ8's {dim}: pq m={m_sub} with a "
+                                  f"factor-{factor} exact-refine cut "
+                                  f"measures {rr:.3f} on the sample"}
+        return {"codes": "pq", "pq_m": m_sub, "refine": True,
+                "refine_factor": 128,
+                "refined_sample_recall": round(rr, 4),
+                "reason": f"budget {budget_bytes_per_row} B/row forces "
+                          f"pq m={m_sub}; even a factor-128 refine cut "
+                          f"measures {rr:.3f} < {target_recall} — the "
+                          "budget and the target are incompatible on "
+                          "this corpus (measured ceiling reported)"}
+
+    Dq = dist(dec)
+    quant = topk(Dq, k)
     recall = float(np.mean([
         len(set(exact[i]) & set(quant[i])) / exact.shape[1]
         for i in range(len(q))]))
@@ -446,13 +514,7 @@ def recommend_ann_codes(train_sample, query_sample,
     # stretched ranges collapse the quantized ordering entirely), only
     # exact codes can serve the corpus.
     refine_factor = 4
-    cut = topk(Dq, refine_factor * k)
-    ref_recall = float(np.mean([
-        len(set(exact[i])
-            & set(cut[i][np.argsort(De[i][cut[i]],
-                                    kind="stable")[:exact.shape[1]]]))
-        / exact.shape[1]
-        for i in range(len(q))]))
+    ref_recall = refined_recall(Dq, De, exact, refine_factor)
     if ref_recall >= target_recall:
         return {"codes": "sq8_cell", "refine": True,
                 "sq8_sample_recall": round(recall, 4),

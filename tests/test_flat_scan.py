@@ -272,3 +272,22 @@ def test_recommend_ann_codes():
     assert r["codes"] == "sq8_cell" and r["refine"] is True
     assert r["sq8_sample_recall"] < 0.95
     assert r["refined_sample_recall"] >= 0.95
+
+
+def test_recommend_ann_codes_budget_picks_pq():
+    """Capacity-constrained code rule: a byte budget below SQ8's
+    dim-bytes/row fits PQ at the budgeted subspace count, simulates
+    the PQ+refine serving path on the sample, and returns the smallest
+    refine factor clearing the target (measured, not guessed)."""
+    from needle_spark.plans.ann_datasets import sift_like
+    from needle_spark.plans.tuning import recommend_ann_codes
+
+    tr, q = sift_like(8_000, n_queries=20)
+    r = recommend_ann_codes(tr, q, "euclidean", budget_bytes_per_row=16)
+    assert r["codes"] == "pq" and r["pq_m"] == 16 and r["refine"] is True
+    assert r["refine_factor"] in (4, 16, 32, 64, 128)
+    assert r["refined_sample_recall"] >= 0.95
+    # budget >= dim: the budget is not binding, the normal rule runs
+    r2 = recommend_ann_codes(tr, q, "euclidean",
+                             budget_bytes_per_row=128)
+    assert r2["codes"] == "sq8_cell"
