@@ -193,6 +193,22 @@ def main() -> None:
     # are larger than the 2x-of-baseline gate margin
     run("batch_knn_1M384_ivf_100q",
         lambda: ivf_idx.search_local((q_ids, Q384), k=10, nprobe=6), repeats=8)
+    # distributed refined: candidates leave every task exactly ranked
+    # (one sidecar gather per task inside the map stage — no new
+    # shuffle), so the cluster-wide path serves recall-1.0 results too
+    ivf_idx.search_local((q_ids, Q384), k=10, nprobe=6, refine=True)
+    run("batch_knn_1M384_ivf_refine_100q",
+        lambda: ivf_idx.search_local((q_ids, Q384), k=10, nprobe=6,
+                                     refine=True), repeats=5)
+    ivf_ref_1m = ivf_idx.search_local((q_ids, Q384), k=10, nprobe=6,
+                                      refine=True)
+    ivf_refine_recall = 0.0
+    for qid in q_ids:
+        e = set(exact_1m[exact_1m.query_id == qid].vec_id)
+        a = set(ivf_ref_1m[ivf_ref_1m.query_id == qid].vec_id)
+        ivf_refine_recall += len(e & a) / 10.0
+    ivf_refine_recall = round(ivf_refine_recall / len(q_ids), 4)
+    del ivf_ref_1m
     ivf_1m = ivf_idx.search_local((q_ids, Q384), k=10, nprobe=6)
     ivf_recall = 0.0
     for qid in q_ids:
@@ -769,6 +785,9 @@ def main() -> None:
         "batch_knn_1M384_refine_ms_per_query": round(
             timings["batch_knn_1M384_refine_local_100q"] * 10.0, 3),
         "batch_knn_1M384_refine_recall_at_10": refine_recall,
+        "batch_knn_1M384_ivf_refine_ms_per_query": round(
+            timings["batch_knn_1M384_ivf_refine_100q"] * 10.0, 2),
+        "batch_knn_1M384_ivf_refine_recall_at_10": ivf_refine_recall,
         "knn_single_1M384_ms_per_query": round(
             timings["knn_single_1M384_local_100q"] * 10.0, 3),
         "knn_single_1M384_p50_ms": single_p50,
