@@ -324,3 +324,55 @@ def test_refined_string_ids(spark):
         assert list(pdf.id) == [f"doc-{w[0]:05d}" for w in want]
     finally:
         idx.unpersist()
+
+
+# ---- property: the refine invariant under randomized shapes ----------
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+@settings(derandomize=True, max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    dim=st.sampled_from([8, 17, 24, 33]),
+    metric=st.sampled_from(["cosine", "euclidean", "dot"]),
+    code_dtype=st.sampled_from(["sq8", "sq8_cell", "pq"]),
+    scale_pow=st.integers(min_value=0, max_value=3),
+    seed=st.integers(min_value=0, max_value=2**16),
+)
+def test_refine_invariant_fuzz(spark, dim, metric, code_dtype,
+                               scale_pow, seed):
+    """For ANY corpus shape, metric, and quantized code tier: refined
+    full-probe results with a cell-sized overfetch equal the float64
+    brute-force oracle.  Quantization may only CUT rows; the exact
+    re-rank restores them — the invariant cannot depend on how badly
+    the codes quantize this particular corpus."""
+    if code_dtype == "pq" and dim % 4:
+        code_dtype = "sq8"  # pq needs an even subspace split
+    n = 600
+    rng = np.random.default_rng(seed)
+    V = (rng.standard_normal((n, dim))
+         * np.geomspace(1.0, 10.0 ** scale_pow, dim)).astype(np.float32)
+    df = spark.createDataFrame(pd.DataFrame(
+        {"id": np.arange(n), "vector": [v.tolist() for v in V]}))
+    idx = IvfBatchKnnIndex(df, nlist=4, vector_col="vector", id_col="id",
+                           metric=metric, seed=1, code_dtype=code_dtype,
+                           refine=True, refine_factor=n,
+                           **({"pq_m": dim // 4}
+                              if code_dtype == "pq" else {}))
+    idx.pin_segments()
+    try:
+        q = rng.standard_normal(dim) * 3
+        X = V.astype(np.float64)
+        if metric == "cosine":
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            D = 1.0 - Xn @ (q / np.linalg.norm(q))
+        elif metric == "dot":
+            D = -(X @ q)
+        else:
+            D = np.sqrt(((X - q) ** 2).sum(axis=1))
+        order = np.lexsort((np.arange(n), D))[:10]
+        got = idx.search_one(q, k=10, nprobe=idx.nlist)
+        assert [g[0] for g in got] == [int(i) for i in order]
+        assert all(abs(g[1] - D[i]) < 1e-5 for g, i in zip(got, order))
+    finally:
+        idx.unpersist()
