@@ -207,3 +207,27 @@ def test_plugin_detail_not_found_message(srv):
     """plugins.rs:58: 404 body names the missing plugin."""
     err = call(srv, "GET", "/plugins/wasm_mystery", expect=404)
     assert "wasm_mystery" in json.dumps(err)
+
+
+# -- index build with the refine tier (r8) ---------------------------
+
+def test_index_build_refine_response_contract(srv, coll):
+    """POST /collections/{c}/index with codes + refine pinned: the
+    response names the tier, codes, and the refine decision, and
+    index/status echoes the decision — the operator-visible contract
+    for the exact-refine sidecar (plans/ivf.py refine=True; reference
+    coarse-then-rerank: src/collection/search_methods.rs:146-177)."""
+    built = call(srv, "POST", f"/collections/{coll}/index",
+                 {"codes": "sq8", "refine": True, "nlist": 4,
+                  "nprobe": 4}, expect=200)
+    assert built["built"] == coll and built["codes"] == "sq8"
+    dec = built["tier_decision"]
+    assert dec["refine"] is True
+    assert dec["codes_reason"] == "pinned by request"
+    st = call(srv, "GET", f"/collections/{coll}/index/status")
+    assert st["indexed"] and st["tier_decision"]["refine"] is True
+    call(srv, "DELETE", f"/collections/{coll}/index", expect=200)
+    # non-boolean refine is a 400, not a silent coercion
+    err = call(srv, "POST", f"/collections/{coll}/index",
+               {"codes": "sq8", "refine": "yes"}, expect=400)
+    assert "refine" in json.dumps(err)
