@@ -376,3 +376,42 @@ def test_refine_invariant_fuzz(spark, dim, metric, code_dtype,
         assert all(abs(g[1] - D[i]) < 1e-5 for g, i in zip(got, order))
     finally:
         idx.unpersist()
+
+
+# ---- pure-numpy unit pins for the rerank plumbing -------------------
+
+def test_partition_topk_keeps_refs_aligned():
+    """The packed row refs must survive the per-query top-k cut glued
+    to their (distance, id) rows — a misalignment here would rerank
+    the WRONG sidecar rows while ids still look plausible."""
+    from needle_spark.plans.ivf import _partition_topk
+
+    acc_d = [[np.array([5.0, 1.0, 3.0])], [np.array([2.0, 4.0])]]
+    acc_i = [[np.array([50, 10, 30])], [np.array([20, 40])]]
+    acc_r = [[np.array([500, 100, 300])], [np.array([200, 400])]]
+    q, i, d, r = _partition_topk(acc_d, acc_i, np.array([7, 8]), 2,
+                                 acc_r)
+    by_row = {(int(qq), float(dd)): (int(ii), int(rr))
+              for qq, ii, dd, rr in zip(q, i, d, r)}
+    assert by_row[(7, 1.0)] == (10, 100)
+    assert by_row[(7, 3.0)] == (30, 300)
+    assert by_row[(8, 2.0)] == (20, 200)
+    assert by_row[(8, 4.0)] == (40, 400)
+
+
+def test_exact_rows_matches_direct_math():
+    from needle_spark.plans.ivf import _exact_rows
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((100, 12)).astype(np.float32)
+    rows = np.array([7, 3, 3, 99, 0])
+    Qq = rng.standard_normal((5, 12))
+    V = vecs[rows].astype(np.float64)
+    for metric, want in (
+        ("dot", -(V * Qq).sum(1)),
+        ("euclidean", np.sqrt(((V - Qq) ** 2).sum(1))),
+        ("cosine", 1.0 - (V * Qq).sum(1)
+         / np.linalg.norm(V, axis=1)),
+    ):
+        got = _exact_rows(vecs, rows, Qq, metric)
+        assert np.allclose(got, want, atol=1e-9), metric
