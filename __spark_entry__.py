@@ -3702,20 +3702,21 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # scalars, see _fx6_join) and 2 oracle-backed tail keys (sq8_roundtrip,
 # binq_hamming) never fit in a slice.  Round 8 head = those 7 priority
 # keys + 43 of the r1-r6 canonical head, so after r8 every oracle-backed
-# query has been driver-green in some CORRECTNESS_r*.json.  Per-key round
-# map: README.md "Driver correctness rotation".  `ivf_recall` (the single
-# structural no-oracle row) stays pinned last so it never consumes a
-# gated slot.
+# query has been driver-green in some CORRECTNESS_r*.json.  Round 9 head =
+# the two r8-new refine-tier oracle rows (knn_sq8_refine, knn_pq_refine —
+# L8-green + judge-verified, never yet in a driver artifact) + 48 of the
+# r1-r6 canonical head.  Per-key round map: README.md "Driver correctness
+# rotation".  `ivf_recall` (the single structural no-oracle row) stays
+# pinned last so it never consumes a gated slot.
 _R6_HEAD_COUNT = 50  # keys 1..50 of the canonical order = the r1-r6 slice
 
-_R8_PRIORITY = [
-    "schema_adapted_read", "markdown_load", "vector_centroids",
-    "sequence_trend", "mm_fusion_weighted", "sq8_roundtrip", "binq_hamming",
+_R9_PRIORITY = [
+    "knn_sq8_refine", "knn_pq_refine",
 ]
 
 
 def _rotated_keys(canonical: list[str]) -> list[str]:
-    pri = [k for k in _R8_PRIORITY if k in canonical]
+    pri = [k for k in _R9_PRIORITY if k in canonical]
     head = [k for k in canonical[:_R6_HEAD_COUNT]
             if k not in pri and k != "ivf_recall"]
     tail = [k for k in canonical[_R6_HEAD_COUNT:]

@@ -538,8 +538,16 @@ class IvfBatchKnnIndex:
             R = res_s[:fit_rows].reshape(fit_rows, m_sub, sub)
             books = np.empty((m_sub, 256, sub), dtype=np.float64)
             for j in range(m_sub):
-                books[j] = _kmeans_fit(np.ascontiguousarray(R[:, j, :]),
-                                       256, seed + j, 4)
+                bj = _kmeans_fit(np.ascontiguousarray(R[:, j, :]),
+                                 256, seed + j, 4)
+                if len(bj) < 256:
+                    # _kmeans_fit returns min(256, sample) centroids;
+                    # tile so small-sample builds still produce a full
+                    # 256-entry codebook (extra entries are harmless —
+                    # encode only ever picks the nearest).
+                    reps = -(-256 // len(bj))
+                    bj = np.tile(bj, (reps, 1))[:256]
+                books[j] = bj
             self._pq = np.ascontiguousarray(books)
             self._code_width = m_sub
             self.mn = np.zeros(self.dim, dtype=np.float64)
@@ -1291,7 +1299,7 @@ class IvfBatchKnnIndex:
         (no sidecar travels with an arbitrary source)."""
         from needle_spark.operators.knn_arrow import _merge_topk
 
-        use_refine = self._resolve_refine(refine) and source is None
+        use_refine = self._resolve_refine(refine, source)
         if self._local_buf:
             self.flush_local()  # distributed scans read the Spark delta
         q_ids, Q, qid_type, cell2q, probes = self._prep_queries(queries, nprobe)
@@ -1328,7 +1336,7 @@ class IvfBatchKnnIndex:
         mirrors BatchKnnIndex.search_local."""
         import pandas as pd
 
-        use_refine = self._resolve_refine(refine) and source is None
+        use_refine = self._resolve_refine(refine, source)
         if self._local_buf:
             self.flush_local()  # distributed scans read the Spark delta
         q_ids, Q, qid_type, cell2q, probes = self._prep_queries(queries, nprobe)
@@ -1827,15 +1835,26 @@ class IvfBatchKnnIndex:
             out[m] = _exact_rows(src, row[m], Q64[qi[m]], self.metric)
         return out
 
-    def _resolve_refine(self, refine: bool | None) -> bool:
+    def _resolve_refine(self, refine: bool | None,
+                        source: DataFrame | None = None) -> bool:
         """Per-call refine override: None = the index's capability;
-        True on a non-capable index is an error (no sidecar to read)."""
+        True on a non-capable index is an error (no sidecar to read).
+        True with a caller-provided `source` is also an error — an
+        arbitrary source carries no sidecar, so the scores would be
+        silently quantized, not exact-reranked."""
         if refine is None:
-            return self.refine and self.refine_by_default
+            return self.refine and self.refine_by_default \
+                and source is None
         if refine and not self.refine:
             raise ValueError(
                 "this index was built without refine=True: no exact "
                 "float32 sidecar is pinned to rerank against")
+        if refine and source is not None:
+            raise ValueError(
+                "refine=True cannot serve a caller-provided `source`: "
+                "no exact sidecar travels with an arbitrary source, so "
+                "results would be quantized, not exact-reranked — pass "
+                "source=None (the index's own codes) or refine=False")
         return bool(refine)
 
     # -- incremental maintenance (incremental.rs IncrementalIndex) ------

@@ -100,23 +100,37 @@ class BinaryQuantizer:
         self.vector_col, self.codes_col = vector_col, codes_col
 
     def encode(self, df: DataFrame) -> DataFrame:
-        """Pack sign bits (x > 0) into 64-bit words, JVM-side."""
+        """Pack sign bits (x > 0) into 64-bit words.
+
+        Arrow-batched numpy packbits kernel (like the SQ8 path): the
+        previous column-expression version built a 64-deep
+        bitwiseOR(when(...)) fold per word, which Janino refuses to
+        compile ("isNull is not an rvalue"), silently dropping the
+        whole encode scan to interpreted per-row eval — correct but an
+        anti-pattern on a 100 TB encode.  packbits(bitorder='little')
+        + a little-endian uint64 view reproduces the identical layout:
+        bit b of word w == (vector[w*64+b] > 0)."""
+        import numpy as np
+        import pandas as pd
+
         dim = len(df.select(self.vector_col).first()[0])
         n_words = (dim + 63) // 64
-        words = []
-        for w in range(n_words):
-            word = F.lit(0).cast("long")
-            for b in range(min(64, dim - w * 64)):
-                idx = w * 64 + b + 1
-                v = 1 << b
-                if v >= 1 << 63:
-                    v -= 1 << 64
-                word = word.bitwiseOR(
-                    F.when(F.element_at(F.col(self.vector_col), idx) > 0.0,
-                           F.lit(v).cast("long")).otherwise(F.lit(0).cast("long"))
-                )
-            words.append(word)
-        return df.withColumn(self.codes_col, F.array(*words))
+
+        @F.pandas_udf("array<long>")
+        def _pack(vs: pd.Series) -> pd.Series:
+            if not len(vs):
+                return pd.Series([], dtype=object)
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+            bits = np.packbits(X > 0.0, axis=1, bitorder="little")
+            pad = n_words * 8 - bits.shape[1]
+            if pad:
+                bits = np.pad(bits, ((0, 0), (0, pad)))
+            # uint64 -> int64 is a C cast: two's-complement wrap gives
+            # the same negative longs the JVM bitwise build produced
+            words = bits.view("<u8").astype(np.int64)
+            return pd.Series(list(words))
+
+        return df.withColumn(self.codes_col, _pack(F.col(self.vector_col)))
 
     def hamming_expr(self, query_vector) -> "F.Column":
         """Hamming distance between stored bitmaps and the query's sign

@@ -525,6 +525,35 @@ def recommend_ann_codes(train_sample, query_sample,
                           f"{ref_recall:.3f}: serve quantized codes "
                           "with the exact-refine sidecar (float32-tier "
                           "recall at 1/4 the resident bytes)"}
+    dim = t.shape[1]
+    if budget_bytes_per_row is not None and budget_bytes_per_row < 4 * dim:
+        # the float32 escalation (4*dim B/row) would bust the stated
+        # capacity budget (dim <= budget < 4*dim lands here).  Stay on
+        # SQ8 codes and widen the refine cut instead; if even a
+        # factor-128 cut misses the target, report the measured
+        # ceiling rather than silently ignoring the budget.
+        best = ref_recall
+        for factor in (16, 32, 64, 128):
+            rr = refined_recall(Dq, De, exact, factor)
+            best = max(best, rr)
+            if rr >= target_recall:
+                return {"codes": "sq8_cell", "refine": True,
+                        "refine_factor": factor,
+                        "sq8_sample_recall": round(recall, 4),
+                        "refined_sample_recall": round(rr, 4),
+                        "reason": f"budget {budget_bytes_per_row} B/row "
+                                  f"< float32's {4 * dim}: a factor-"
+                                  f"{factor} SQ8 cut + exact re-rank "
+                                  f"measures {rr:.3f} within budget"}
+        return {"codes": "sq8_cell", "refine": True, "refine_factor": 128,
+                "sq8_sample_recall": round(recall, 4),
+                "refined_sample_recall": round(best, 4),
+                "reason": f"budget {budget_bytes_per_row} B/row rules "
+                          f"out float32 ({4 * dim}); even a factor-128 "
+                          f"SQ8 refine cut measures {best:.3f} < "
+                          f"{target_recall} — budget and target are "
+                          "incompatible on this corpus (measured "
+                          "ceiling reported)"}
     return {"codes": "float32", "refine": False,
             "sq8_sample_recall": round(recall, 4),
             "refined_sample_recall": round(ref_recall, 4),
@@ -820,7 +849,7 @@ def advise_compression(df: DataFrame, vector_col: str = "vector",
         encp = pq.encode(sample).cache()
         caches.append(encp)
         recp = _measure_recall(
-            lambda q: pq.search(encp, q, k=recall_k),
+            lambda q: pq.search(encp, q, k=recall_k, metric="cosine"),
             queries, exact_ids, recall_k)
         results.append(StrategyResult(
             "pq", 4.0 * dim / pq_m, recp, pq_m,

@@ -291,3 +291,29 @@ def test_recommend_ann_codes_budget_picks_pq():
     r2 = recommend_ann_codes(tr, q, "euclidean",
                              budget_bytes_per_row=128)
     assert r2["codes"] == "sq8_cell"
+
+
+def test_recommend_ann_codes_budget_blocks_float32():
+    """ADVICE r8: a budget in [dim, 4*dim) must never be answered with
+    float32 codes (4*dim B/row).  The outlier-stretched corpus that
+    normally escalates to float32 instead stays on SQ8 + a widened
+    refine cut, or reports the measured ceiling — either way the
+    recommendation respects the stated capacity."""
+    from needle_spark.plans.tuning import recommend_ann_codes
+
+    rng = np.random.default_rng(0)
+    t = rng.standard_normal((4_000, 32))
+    t[:4] *= 1000  # collapses the quantized ordering (float32 corpus)
+    q = rng.standard_normal((20, 32))
+    r = recommend_ann_codes(t, q, "euclidean")
+    assert r["codes"] == "float32"  # unbudgeted rule escalates
+    # budget 64 B/row: dim(32) <= 64 < 4*dim(128) — float32 is out
+    rb = recommend_ann_codes(t, q, "euclidean", budget_bytes_per_row=64)
+    assert rb["codes"] == "sq8_cell" and rb["refine"] is True
+    assert "budget" in rb["reason"]
+    # the wide-refine rescue on a CUT-able corpus inside the same band
+    t2 = rng.standard_normal((4_000, 32))
+    t2[:4] *= 30
+    rb2 = recommend_ann_codes(t2, q, "euclidean", budget_bytes_per_row=64)
+    assert rb2["codes"] == "sq8_cell" and rb2["refine"] is True
+    assert rb2["refined_sample_recall"] >= 0.95

@@ -163,3 +163,26 @@ def test_pq_m_validation(spark):
         IvfBatchKnnIndex(_df(spark, V[:100]), nlist=4,
                          vector_col="vector", id_col="id",
                          code_dtype="pq", pq_m=5)
+
+
+def test_pq_small_sample_codebook_pads(spark):
+    """ADVICE r8: _kmeans_fit returns min(256, n) centroids, so a PQ
+    build over a table whose fit sample has < 256 rows used to crash
+    with a numpy broadcast ValueError.  The codebook now tiles to the
+    full 256 entries and the build + search path works end-to-end."""
+    rng = np.random.default_rng(3)
+    V = rng.standard_normal((120, DIM)).astype(np.float32)  # < 256 rows
+    idx = IvfBatchKnnIndex(_df(spark, V), nlist=2,
+                           vector_col="vector", id_col="id",
+                           metric="euclidean", seed=1,
+                           code_dtype="pq", pq_m=8,
+                           refine=True, refine_factor=64)
+    idx.pin_segments()
+    try:
+        assert idx._pq.shape == (8, 256, DIM // 8)
+        q = rng.standard_normal(DIM)
+        got = [r[0] for r in idx.search_one(q, k=5, nprobe=2)]
+        expect = [r[0] for r in _brute(V, q, "euclidean", k=5)]
+        assert got == expect  # full probe + refine == brute force
+    finally:
+        idx.unpersist()

@@ -415,3 +415,27 @@ def test_exact_rows_matches_direct_math():
     ):
         got = _exact_rows(vecs, rows, Qq, metric)
         assert np.allclose(got, want, atol=1e-9), metric
+
+
+def test_refine_with_caller_source_raises(spark):
+    """ADVICE r8: refine=True + a caller-provided `source` must raise —
+    an arbitrary source carries no exact sidecar, so the old behavior
+    silently served quantized scores under a refine=True call.
+    refine=None with a source still downgrades quietly (the caller
+    never asked for exactness)."""
+    V, rng = _corpus()
+    idx = IvfBatchKnnIndex(_df(spark, V[:200]), nlist=4,
+                           vector_col="vector", id_col="id",
+                           code_dtype="sq8", refine=True)
+    idx.pin_segments()
+    try:
+        q = (list(range(3)), rng.standard_normal((3, DIM)))
+        src = idx.codes
+        with pytest.raises(ValueError, match="source"):
+            idx.search(q, k=5, nprobe=4, source=src, refine=True)
+        with pytest.raises(ValueError, match="source"):
+            idx.search_local(q, k=5, nprobe=4, source=src, refine=True)
+        # implicit refine (None) quietly serves quantized from a source
+        assert idx.search(q, k=5, nprobe=4, source=src).count() == 15
+    finally:
+        idx.unpersist()
