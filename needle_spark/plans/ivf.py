@@ -426,6 +426,8 @@ class IvfBatchKnnIndex:
         refine: bool = False,
         refine_factor: int = 4,
         pq_m: int | None = None,
+        pq_rotation: str = "none",
+        max_pending_ids: int | None = 2_000_000,
     ):
         if code_dtype not in ("sq8", "sq8_cell", "float32", "pq"):
             raise ValueError(
@@ -448,6 +450,13 @@ class IvfBatchKnnIndex:
         # corpus.
         self.refine = bool(refine)
         self.refine_factor = max(1, int(refine_factor))
+        # driver-memory guard (VERDICT r8 #4): the incremental-id masks
+        # (_tombstones/_superseded/_delta_ids) are Python sets on the
+        # driver, O(churn) until merge_delta.  Past this many pending
+        # ids an add()/delete() forces merge_delta() so unbounded churn
+        # cannot grow driver memory without bound; None disables.
+        self.max_pending_ids = max_pending_ids
+        self._auto_merges = 0
         # capability vs policy: `refine` pins the sidecar (capability);
         # this flag sets what refine=None per-call resolves to, letting
         # one index serve both quantized-score and exact-rerank traffic
@@ -519,6 +528,7 @@ class IvfBatchKnnIndex:
         # corpora: pair with refine=True to buy back the recall the
         # coarse codes give up.
         self._pq = None
+        self._pq_R = None
         if code_dtype == "pq":
             m_sub = pq_m
             if m_sub is None:
@@ -535,7 +545,49 @@ class IvfBatchKnnIndex:
             sub = self.dim // m_sub
             res_s = sample - C[d2.argmin(axis=1)]
             fit_rows = min(len(res_s), 16384)
-            R = res_s[:fit_rows].reshape(fit_rows, m_sub, sub)
+            rs = res_s[:fit_rows]
+            # OPQ-lite orthogonal pre-transform (VERDICT r8 #7),
+            # MEASURED AND DEFAULTED OFF (PLANS.md round 9).  On the
+            # sample sim (residuals wrt the global mean) PCA
+            # eigen-allocation looked mildly positive (sift factor-4
+            # 0.797 -> 0.807, fashion 0.967 -> 0.997) and a random
+            # rotation clearly negative (sift 0.797 -> 0.733).  On the
+            # REAL 1M index — residuals wrt per-cell IVF centroids —
+            # PCA on the pooled residual covariance misaligns the
+            # per-cell structure and collapses the coarse cut: grid
+            # factor-4 recall 0.507 -> 0.350, factor-32 0.885 -> 0.798
+            # (ANN_RECALL.json history).  Default 'none'; 'pca'/
+            # 'random' stay selectable for corpora whose residual
+            # covariance is genuinely global (cost: one (dim x dim)
+            # multiply per encoded batch and per query-LUT build).
+            if pq_rotation == "pca" and fit_rows >= 2:
+                cov = np.cov(np.asarray(rs, dtype=np.float64).T)
+                w, Vv = np.linalg.eigh(np.atleast_2d(cov))
+                order = np.argsort(w)[::-1]
+                Vv, w = Vv[:, order], w[order]
+                bucket_var = np.zeros(m_sub)
+                bucket_n = np.zeros(m_sub, dtype=np.int64)
+                alloc = np.empty(self.dim, dtype=np.int64)
+                for i in range(self.dim):
+                    j = int(np.argmin(np.where(bucket_n < sub,
+                                               bucket_var, np.inf)))
+                    bucket_var[j] += w[i]
+                    bucket_n[j] += 1
+                    alloc[i] = j
+                self._pq_R = np.ascontiguousarray(
+                    Vv[:, np.argsort(alloc, kind="stable")])
+            elif pq_rotation == "random":
+                rng_r = np.random.default_rng(seed + 777)
+                Qm, _ = np.linalg.qr(
+                    rng_r.standard_normal((self.dim, self.dim)))
+                self._pq_R = np.ascontiguousarray(Qm)
+            elif pq_rotation not in ("none", "pca"):
+                raise ValueError(
+                    f"pq_rotation must be 'pca', 'random' or 'none', "
+                    f"got {pq_rotation!r}")
+            if self._pq_R is not None:
+                rs = rs @ self._pq_R
+            R = np.ascontiguousarray(rs).reshape(fit_rows, m_sub, sub)
             books = np.empty((m_sub, 256, sub), dtype=np.float64)
             for j in range(m_sub):
                 bj = _kmeans_fit(np.ascontiguousarray(R[:, j, :]),
@@ -671,6 +723,8 @@ class IvfBatchKnnIndex:
         flat_codes = self.code_dtype == "float32"
         pq_books = (np.ascontiguousarray(self._pq, dtype=np.float32)
                     if self._pq is not None else None)
+        pq_R = (np.ascontiguousarray(self._pq_R, dtype=np.float32)
+                if self._pq_R is not None else None)
         byte_w = self._code_width
 
         meta_cols = self.meta_cols
@@ -707,7 +761,8 @@ class IvfBatchKnnIndex:
                 if flat_codes:
                     codes = res.astype(np.float32)
                 elif pq_books is not None:
-                    codes, dec_pq = _pq_encode(res, pq_books)
+                    codes, dec_pq = _pq_encode(
+                        res @ pq_R if pq_R is not None else res, pq_books)
                 elif mn32.ndim == 2:  # per-cell quantizer (sq8_cell)
                     codes = np.clip(
                         np.rint((res - mn32[assign]) * inv_step[assign]),
@@ -727,7 +782,8 @@ class IvfBatchKnnIndex:
                     # 128-d) at identical bytes (asymmetric-distance
                     # consistency; PLANS.md round 8)
                     if pq_books is not None:
-                        dec = dec_pq
+                        dec = dec_pq @ pq_R.T if pq_R is not None \
+                            else dec_pq
                     elif mn32.ndim == 2:
                         dec = codes.astype(np.float32) * step32[assign] \
                             + mn32[assign]
@@ -1111,7 +1167,10 @@ class IvfBatchKnnIndex:
         if self._pq is not None:
             books = self._pq  # (m, 256, sub)
             m_sub, _, sub = books.shape
-            Qs = np.ascontiguousarray(Q, dtype=np.float32) \
+            # rotated-space consistency: codes live in the _pq_R basis,
+            # and dot(res, q) == dot(res @ R, q @ R) for orthogonal R
+            Qr = Q @ self._pq_R if self._pq_R is not None else Q
+            Qs = np.ascontiguousarray(Qr, dtype=np.float32) \
                 .reshape(len(Q), m_sub, sub)
             # LUT[q, j, c] = q_j . codebook[j, c]
             LUT = np.ascontiguousarray(np.einsum(
@@ -1902,7 +1961,26 @@ class IvfBatchKnnIndex:
             else self._delta.unionByName(enc)
         self._delta_ids |= new_ids
         self._mut_ver += 1
+        self._maybe_auto_merge()
         return n
+
+    def _pending_ids(self) -> int:
+        """Driver-resident id-mask cardinality (the O(churn) state)."""
+        return (len(self._tombstones) + len(self._superseded)
+                + len(self._delta_ids))
+
+    def _maybe_auto_merge(self) -> None:
+        """Force merge_delta() once the driver-side id masks exceed
+        max_pending_ids (VERDICT r8 #4): merge folds the delta into the
+        cell layout and CLEARS the masks, so driver memory for
+        incremental state is bounded by the threshold, not by total
+        churn.  Search results are unchanged by construction —
+        merge_delta serves the identical live-row set."""
+        if self.max_pending_ids is None:
+            return
+        if self._pending_ids() > self.max_pending_ids:
+            self.merge_delta()
+            self._auto_merges += 1
 
     # -- driver-local write path (online single-insert serving) ---------
 
@@ -1926,8 +2004,13 @@ class IvfBatchKnnIndex:
         if self.code_dtype == "float32":
             return assign, nsq.astype(np.float32), res.astype(np.float32), V
         if self._pq is not None:
+            R32 = (np.ascontiguousarray(self._pq_R, dtype=np.float32)
+                   if self._pq_R is not None else None)
             codes, dec = _pq_encode(
-                res, np.ascontiguousarray(self._pq, dtype=np.float32))
+                res @ R32 if R32 is not None else res,
+                np.ascontiguousarray(self._pq, dtype=np.float32))
+            if R32 is not None:
+                dec = dec @ R32.T
             dec = dec + C32[assign]
             nsq = (dec.astype(np.float64) ** 2).sum(axis=1)
             return assign, nsq.astype(np.float32), codes, V
@@ -2099,8 +2182,12 @@ class IvfBatchKnnIndex:
                 books = np.ascontiguousarray(self._pq, dtype=np.float32)
                 m_sub, _, sub = books.shape
                 ci = np.asarray(codes, dtype=np.int64)
-                dec = (books[np.arange(m_sub)[None, :], ci]
-                       .reshape(len(ci), self.dim)
+                dec_r = books[np.arange(m_sub)[None, :], ci] \
+                    .reshape(len(ci), self.dim)
+                if self._pq_R is not None:
+                    dec_r = dec_r @ np.ascontiguousarray(
+                        self._pq_R, dtype=np.float32).T
+                dec = (dec_r
                        + self.centroids[assign]).astype(np.float32)
             else:
                 mn, step = self.mn, self.step
@@ -2274,6 +2361,7 @@ class IvfBatchKnnIndex:
         self._tombstones |= ids
         self._superseded -= ids  # fully deleted again, not superseded
         self._mut_ver += 1
+        self._maybe_auto_merge()
         return len(ids)
 
     def merge_delta(self) -> dict:

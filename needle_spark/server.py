@@ -914,17 +914,52 @@ class RestServer:
         refine = b.get("refine")
         if refine is not None and not isinstance(refine, bool):
             raise _bad("'refine' must be a boolean")
+        # recall_target: the measured code rule picks the smallest
+        # serving codes whose SAMPLE recall clears this (default 0.95);
+        # a target of 1.0 on any quantization-margin-tight corpus
+        # resolves to quantized codes + the exact-refine sidecar
+        # (float32-tier recall at 1/4 the resident bytes) — VERDICT r8
+        # #8.  budget_bytes_per_row: capacity cap per row; below SQ8's
+        # dim bytes the rule fits PQ at the budgeted subspace count and
+        # measures the refine factor (plans/tuning.py).
+        try:
+            recall_target = float(b.get("recall_target", 0.95))
+        except (TypeError, ValueError):
+            raise _bad("'recall_target' must be a number in (0, 1]")
+        if not 0.0 < recall_target <= 1.0:
+            raise _bad("'recall_target' must be a number in (0, 1]")
+        budget = b.get("budget_bytes_per_row")
+        if budget is not None:
+            try:
+                budget = int(budget)
+            except (TypeError, ValueError):
+                raise _bad("'budget_bytes_per_row' must be an integer")
+            if budget <= 0:
+                raise _bad("'budget_bytes_per_row' must be positive")
+        pq_m = None
+        refine_factor = None
         if codes == "auto":
-            code_dec = recommend_ann_codes(samp[0], samp[1], metric)
+            code_dec = recommend_ann_codes(
+                samp[0], samp[1], metric, target_recall=recall_target,
+                budget_bytes_per_row=budget)
             codes = code_dec["codes"]
             if refine is None:
                 refine = code_dec["refine"]
+            pq_m = code_dec.get("pq_m")
+            refine_factor = code_dec.get("refine_factor")
             decision = {**decision, "codes": codes, "refine": refine,
-                        "sq8_sample_recall": code_dec["sq8_sample_recall"],
+                        "recall_target": recall_target,
                         "codes_reason": code_dec["reason"]}
+            if "sq8_sample_recall" in code_dec:
+                decision["sq8_sample_recall"] = \
+                    code_dec["sq8_sample_recall"]
             if "refined_sample_recall" in code_dec:
                 decision["refined_sample_recall"] = \
                     code_dec["refined_sample_recall"]
+            if pq_m is not None:
+                decision["pq_m"] = pq_m
+            if refine_factor is not None:
+                decision["refine_factor"] = refine_factor
         else:
             refine = bool(refine)
             decision = {**decision, "codes": codes, "refine": refine,
@@ -954,6 +989,9 @@ class RestServer:
                     src, nlist=nlist, vector_col=c.vector_col,
                     id_col=c.id_col, metric=metric, code_dtype=codes,
                     refine=bool(refine),
+                    **({"pq_m": pq_m} if pq_m else {}),
+                    **({"refine_factor": refine_factor}
+                       if refine_factor else {}),
                     meta_cols=[f"__mf_{f}" for f in fields])
                 idx.pin_segments(decoded=bool(b.get("decoded", True)))
             idx._tier_decision = decision

@@ -177,3 +177,58 @@ def test_refine_lifecycle_e2e(srv, corpora):
     err = call(srv, "POST", "/collections/sft/index",
                {"codes": "float32", "refine": True}, expect=400)
     assert "refine" in json.dumps(err)
+
+
+def test_recall_target_one_enables_refine(srv, corpora):
+    """VERDICT r8 #8 e2e: with recall_target=1.0 the measured code rule
+    cannot clear the target with bare SQ8 codes on any corpus whose
+    sample recall is below 1.0, so the auto build must come up
+    refine-enabled (quantized codes + exact float32 sidecar), and the
+    decision — target, codes, refine — must be visible in the build
+    response AND the index status."""
+    built = call(srv, "POST", "/collections/sft/index",
+                 {"recall_target": 1.0}, expect=200)
+    dec = built["tier_decision"]
+    assert dec["recall_target"] == 1.0
+    assert dec["refine"] is True, dec
+    assert dec["codes"] in ("sq8_cell", "float32")
+    if dec["codes"] == "sq8_cell":
+        assert dec["refined_sample_recall"] >= dec["sq8_sample_recall"]
+    st = call(srv, "GET", "/collections/sft/index/status")
+    assert st["tier_decision"]["refine"] is True
+    # refined serving actually runs (exact sidecar pinned)
+    got = call(srv, "POST", "/collections/sft/search",
+               {"vector": [float(x) for x in corpora[1][3]],
+                "k": 5}, expect=200)
+    assert len(got["results"]) == 5
+    call(srv, "DELETE", "/collections/sft/index", expect=200)
+
+
+def test_budget_bytes_flows_to_pq_build(srv, corpora):
+    """A capacity budget below SQ8's dim-bytes/row flows through the
+    REST contract into the measured PQ rule: the build comes up on PQ
+    codes at the budgeted subspace count with the measured refine
+    factor, decision visible in status."""
+    built = call(srv, "POST", "/collections/sft/index",
+                 {"budget_bytes_per_row": 16}, expect=200)
+    dec = built["tier_decision"]
+    assert dec["codes"] == "pq", dec
+    assert dec["pq_m"] == 16 and dec["refine"] is True
+    assert dec["refine_factor"] in (4, 16, 32, 64, 128)
+    st = call(srv, "GET", "/collections/sft/index/status")
+    assert st["tier_decision"]["pq_m"] == 16
+    got = call(srv, "POST", "/collections/sft/search",
+               {"vector": [float(x) for x in corpora[1][5]],
+                "k": 5}, expect=200)
+    assert len(got["results"]) == 5
+    call(srv, "DELETE", "/collections/sft/index", expect=200)
+
+
+def test_recall_target_validation(srv, corpora):
+    for bad in (0, -1, 1.5, "high"):
+        err = call(srv, "POST", "/collections/sft/index",
+                   {"recall_target": bad}, expect=400)
+        assert "recall_target" in json.dumps(err)
+    err = call(srv, "POST", "/collections/sft/index",
+               {"budget_bytes_per_row": -4}, expect=400)
+    assert "budget_bytes_per_row" in json.dumps(err)

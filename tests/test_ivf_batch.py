@@ -1031,3 +1031,57 @@ def test_large_norm_corpus_sq8_recall(spark):
         hit += len(got & exact[qi])
     assert hit / 150 >= 0.97, hit / 150
     idx.unpersist()
+
+
+def test_auto_merge_caps_driver_id_state(spark, clustered):
+    """VERDICT r8 #4: the driver-side incremental-id masks
+    (_tombstones/_superseded/_delta_ids) must not grow O(churn)
+    forever.  Past max_pending_ids, add()/delete() force merge_delta(),
+    which folds the delta into the cell layout and clears the masks —
+    and the served results are identical to an index that never
+    auto-merged."""
+    df, pts, queries = clustered
+    rng = np.random.default_rng(23)
+    ADD = 60
+    vecs = queries[0] + 0.01 * rng.standard_normal((ADD, DIM))
+    rows = [(int(800_000 + j), [float(x) for x in vecs[j]])
+            for j in range(ADD)]
+    delta_df = spark.createDataFrame(rows, "id long, vector array<float>")
+
+    capped = IvfBatchKnnIndex(df, nlist=N_CLUSTERS, vector_col="vector",
+                              id_col="id", metric="euclidean", seed=1,
+                              max_pending_ids=50)
+    free = IvfBatchKnnIndex(df, nlist=N_CLUSTERS, vector_col="vector",
+                            id_col="id", metric="euclidean", seed=1,
+                            max_pending_ids=None)
+    try:
+        assert capped.add(delta_df) == ADD  # 60 pending > cap 50
+        assert free.add(delta_df) == ADD
+        # the cap engaged: masks cleared, rows folded into main
+        assert capped._auto_merges == 1
+        assert capped._pending_ids() == 0
+        st = capped.incremental_stats()
+        assert st["delta_rows"] == 0
+        assert st["main_rows"] == len(pts) + ADD
+        # the uncapped twin still carries driver state
+        assert free._auto_merges == 0
+        assert free._pending_ids() == ADD
+
+        # served results identical to the never-merged twin
+        q = queries[:4]
+        q_ids = list(range(4))
+        got_c = capped.search_local((q_ids, q), k=10, nprobe=N_CLUSTERS)
+        got_f = free.search_local((q_ids, q), k=10, nprobe=N_CLUSTERS)
+        for qid in q_ids:
+            c = got_c[got_c.query_id == qid].sort_values("rank")
+            f = got_f[got_f.query_id == qid].sort_values("rank")
+            assert list(c.id) == list(f.id)
+            assert np.allclose(c.distance, f.distance, atol=1e-5)
+
+        # deletes trip the cap too
+        capped.delete(range(800_000, 800_000 + 51))
+        assert capped._auto_merges == 2
+        assert capped._pending_ids() == 0
+    finally:
+        capped.unpersist()
+        free.unpersist()

@@ -186,3 +186,62 @@ def test_pq_small_sample_codebook_pads(spark):
         assert got == expect  # full probe + refine == brute force
     finally:
         idx.unpersist()
+
+
+def test_pq_rotation_options(spark):
+    """OPQ-lite pre-transform (VERDICT r8 #7): pq_rotation='none' is
+    the measured default (PCA regressed the real 1M grid's coarse cut,
+    factor-4 0.507 -> 0.350 — plans/ivf.py comment); 'pca' and
+    'random' stay selectable.  The transform must be orthogonal
+    (scores are basis-invariant) and the full-probe refine invariant
+    must hold in every basis."""
+    V, rng = _corpus()
+    q = rng.standard_normal(DIM) * 2
+    want = [w[0] for w in _brute(V, q, "euclidean", k=10)]
+    for rot in ("pca", "random", "none"):
+        idx = IvfBatchKnnIndex(_df(spark, V), nlist=8, vector_col="vector",
+                               id_col="id", metric="euclidean", seed=1,
+                               code_dtype="pq", pq_m=8, pq_rotation=rot,
+                               refine=True, refine_factor=N)
+        idx.pin_segments()
+        try:
+            if rot == "none":
+                assert idx._pq_R is None
+            else:
+                R = idx._pq_R
+                assert R.shape == (DIM, DIM)
+                assert np.allclose(R @ R.T, np.eye(DIM), atol=1e-8)
+            got = [g[0] for g in idx.search_one(q, k=10, nprobe=idx.nlist)]
+            assert got == want, rot
+        finally:
+            idx.unpersist()
+    with pytest.raises(ValueError, match="pq_rotation"):
+        IvfBatchKnnIndex(_df(spark, V[:300]), nlist=4, vector_col="vector",
+                         id_col="id", code_dtype="pq", pq_m=8,
+                         pq_rotation="bogus")
+
+
+def test_pq_rotation_coarse_recall_not_worse(spark):
+    """The pca transform's point is a better COARSE (unrefined)
+    ordering; at minimum it must not materially regress vs the
+    unrotated split on the clustered corpus."""
+    V, rng = _corpus()
+    Q = rng.standard_normal((20, DIM)) * 2
+    q_ids = list(range(20))
+
+    def coarse_recall(rot):
+        idx = IvfBatchKnnIndex(_df(spark, V), nlist=8, vector_col="vector",
+                               id_col="id", metric="euclidean", seed=1,
+                               code_dtype="pq", pq_m=8, pq_rotation=rot)
+        idx.pin_segments()
+        try:
+            got = idx.search_many_local((q_ids, Q), k=10, nprobe=idx.nlist)
+            hits = 0
+            for qi in q_ids:
+                want = {w[0] for w in _brute(V, Q[qi], "euclidean", k=10)}
+                hits += len(want & set(got[got.query_id == qi].id))
+            return hits / (10 * len(q_ids))
+        finally:
+            idx.unpersist()
+
+    assert coarse_recall("pca") >= coarse_recall("none") - 0.05
