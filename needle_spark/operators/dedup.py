@@ -882,7 +882,7 @@ def srp_lsh_neardup_pairs(
     metric: str = "cosine",
     id_col: str = "id",
     vector_col: str = "vector",
-    n_bits: int = 128,
+    n_bits: int | None = None,
     bands: int = 8,
     seed: int = 42,
     max_bucket_size: int | None = 256,
@@ -919,6 +919,17 @@ def srp_lsh_neardup_pairs(
     measured an 11x superlinear ratio at 40k rows from collision pairs
     alone).  Raise `bands` (not width) for recall at a given width.
 
+    n_bits=None (default) AUTO-SIZES that rule from one count() of the
+    input: r = clamp(ceil(log2 n) + 4, 16, 62), n_bits = r * bands —
+    so collision pairs stay ~n·bands/16, LINEAR in n by construction.
+    The r8 200k bench corpus had outgrown the old fixed 128-bit
+    default (r=16 at n=200k ⇒ 4.8M collision candidates vs 100k
+    planted pairs; the verify join on those collisions WAS the
+    measured 0.3 ms/row 'constant' — PLANS.md round 9 'SRP per-row
+    constant').  Auto r=22 there cuts candidates ~40x at planted
+    recall 0.9997 (p^r curve; measured 1.0).  Pass n_bits explicitly
+    to pin the width (prior behavior).
+
     Supports cosine (threshold on 1 - sim) and dot on unit-ish vectors
     (threshold on -x·y; signatures are direction-only, verification is
     exact dot).  Scale: shuffle = n x bands rows, verify = candidate
@@ -935,16 +946,28 @@ def srp_lsh_neardup_pairs(
             f"srp_lsh_neardup_pairs supports angular metrics only "
             f"(cosine / dot); got {m!r} — use embedding_neardup_pairs "
             f"for magnitude metrics")
+    first = df.select(vector_col).filter(
+        F.col(vector_col).isNotNull()).first()
+    if first is None:  # empty table: no pairs, same shape as exact tier
+        return df.sparkSession.createDataFrame([], _pairs_schema(df, id_col))
+    if n_bits is None:
+        # auto band width (see docstring): collisions scale n^2/2^r
+        # per band, so r tracks log2(n) — one count() job, the same
+        # bounded-prep class as the dim probe above
+        import math
+
+        n_rows = df.count()
+        r = min(62, max(16, math.ceil(math.log2(max(n_rows, 2))) + 4))
+        n_bits = r * bands
     if n_bits % bands:
         raise ValueError("n_bits must be divisible by bands")
     rows_per_band = n_bits // bands
     if rows_per_band > 62:
         # buckets pack into a signed int64; 63+ bits would overflow
         raise ValueError("n_bits/bands (band width) must be <= 62 bits")
-    first = df.select(vector_col).filter(
-        F.col(vector_col).isNotNull()).first()
-    if first is None:  # empty table: no pairs, same shape as exact tier
-        return df.sparkSession.createDataFrame([], _pairs_schema(df, id_col))
+    if bucket_stats is not None:
+        bucket_stats["band_bits"] = rows_per_band
+        bucket_stats["n_bits"] = n_bits
     dim = len(first[0])
     rng = np.random.default_rng(seed)
     R = rng.standard_normal((dim, n_bits)).astype(np.float32)
@@ -983,9 +1006,29 @@ def srp_lsh_neardup_pairs(
     pairs = _pairs_from_banded(banded, id_col, max_bucket_size,
                                bucket_stats)
     # exact verification: role-explode + ONE join against the vector
-    # table (pairs-only traffic), distance via the shared JVM exprs
-    from needle_spark.functions.distance import distance_expr
+    # table (pairs-only traffic; the table shuffles once — the
+    # two-plain-joins alternative shuffles it twice, the wrong trade
+    # at scale).  Distance evaluates in an Arrow-vectorized float64
+    # kernel, NOT the shared zip_with/aggregate column exprs: Spark's
+    # higher-order functions are interpreted (no whole-stage codegen),
+    # and the r9 profile attributed ~40% of the whole SRP pipeline to
+    # that eval (A/B at 16k rows, 38k pairs: 6.8 -> 4.1 s with
+    # identical shuffles — PLANS.md 'SRP per-row constant').
+    both = _pair_vectors(df, pairs, id_col, vector_col)
+    return (
+        both.withColumn(
+            "distance", _pair_distance_udf(m)(F.col("__v1"),
+                                              F.col("__v2")))
+        .filter(F.col("distance") <= float(threshold))
+        .select("id1", "id2", "distance")
+    )
 
+
+def _pair_vectors(df: DataFrame, pairs: DataFrame, id_col: str,
+                  vector_col: str) -> DataFrame:
+    """(id1, id2) -> (id1, id2, __v1, __v2): role-explode the pairs,
+    join the vector table ONCE, reunite per pair.  Shared by the LSH
+    verify paths."""
     roles = pairs.select(
         "id1", "id2",
         F.explode(F.array(
@@ -997,19 +1040,42 @@ def srp_lsh_neardup_pairs(
     j = roles.join(
         df.select(F.col(id_col).alias("__rid"),
                   F.col(vector_col).alias("__v")), "__rid")
-    both = j.groupBy("id1", "id2").agg(
+    return j.groupBy("id1", "id2").agg(
         F.first(F.when(F.col("__role") == 1, F.col("__v")),
                 ignorenulls=True).alias("__v1"),
         F.first(F.when(F.col("__role") == 2, F.col("__v")),
                 ignorenulls=True).alias("__v2"),
     )
-    return (
-        both.withColumn(
-            "distance",
-            distance_expr(m, F.col("__v1"), F.col("__v2")).cast("double"))
-        .filter(F.col("distance") <= float(threshold))
-        .select("id1", "id2", "distance")
-    )
+
+
+def _pair_distance_udf(metric: str):
+    """Arrow-batched float64 pair distance for the verify joins.
+    Semantics mirror functions/distance.distance_expr for the angular
+    metrics the LSH tiers serve (cosine / cosine_normalized / dot);
+    summation order differs from the JVM left-fold (numpy pairwise),
+    so distances can differ in the last float64 ulps — thresholds in
+    practice sit far from any candidate's distance."""
+    m = metric.lower()
+
+    @F.pandas_udf("double")
+    def _dist(v1: pd.Series, v2: pd.Series) -> pd.Series:
+        if not len(v1):
+            return pd.Series([], dtype=float)
+        A = np.stack([np.asarray(x, dtype=np.float64) for x in v1])
+        B = np.stack([np.asarray(x, dtype=np.float64) for x in v2])
+        dot = (A * B).sum(axis=1)
+        if m in _DOT_METRICS:
+            out = -dot
+        elif m == "cosine_normalized":
+            out = 1.0 - dot
+        else:  # cosine
+            na = np.linalg.norm(A, axis=1)
+            nb = np.linalg.norm(B, axis=1)
+            out = 1.0 - dot / np.maximum(na * nb, 1e-300)
+            out[(na == 0.0) | (nb == 0.0)] = 1.0
+        return pd.Series(out)
+
+    return _dist
 
 
 def blockpair_neardup_pairs(

@@ -205,6 +205,9 @@ class FlatKnnIndex:
         self._pool = None
         # SQ8 coarse sidecar (opt-in path="coarse"; built lazily)
         self._sq8 = None
+        # float16 coarse sidecar (opt-in path="f16"; built lazily by
+        # enable_f16 — needs the runtime-compiled F16C kernel)
+        self._f16 = None
         # unfiltered threshold sample is identical across calls (fixed
         # seed): gather it once — the 2048-row fancy-index gather was
         # measurable per-call overhead on the single-query path
@@ -428,8 +431,37 @@ class FlatKnnIndex:
         bounds = np.linspace(0, n, nb + 1).astype(np.int64)
         pool = self._ensure_pool()
 
+        # compiled uint8 conversion-FMA kernel when available: the
+        # numpy .astype(float32) cast is GIL-bound (~5 GB/s pooled —
+        # why r8 declined this path); the kernel streams the codes at
+        # memory bandwidth and releases the GIL (plans/native.py)
+        from needle_spark.plans.native import gemv_f16_kernel
+
+        lib = gemv_f16_kernel()
+        d = codes.shape[1]
+        qcols = [np.ascontiguousarray(qsT[:, qi]) for qi in range(n_q)]
+        codes_ptr = codes.ctypes.data if codes.flags["C_CONTIGUOUS"] \
+            else None
+
         def scan_block(b):
-            s, e = bounds[b], bounds[b + 1]
+            s, e = int(bounds[b]), int(bounds[b + 1])
+            if lib is not None and codes_ptr is not None:
+                buf = np.empty(e - s, dtype=np.float32)
+                rs, qqs = [], []
+                for qi in range(n_q):
+                    lib.gemv_u8(int(codes_ptr + s * d),
+                                qcols[qi].ctypes.data, buf.ctypes.data,
+                                0, e - s, d)
+                    gb = buf + off[qi]
+                    if nsq is not None:
+                        gb = 2.0 * gb - nsq[s:e]
+                    m = gb > thr[qi]
+                    if wm is not None:
+                        m &= wm[s:e]
+                    r = np.flatnonzero(m)
+                    rs.append(r + s)
+                    qqs.append(np.full(len(r), qi, dtype=np.int64))
+                return np.concatenate(rs), np.concatenate(qqs)
             Gb = coarse_block(slice(s, e))
             m = Gb > thr[None, :]
             if wm is not None:
@@ -443,6 +475,14 @@ class FlatKnnIndex:
         qs = np.concatenate([p[1] for p in parts])
 
         # exact re-rank: gather survivors' float32 rows, true scores
+        return self._rerank_exact(rows, qs, Qt, wm, k, rows_eff, n_q)
+
+    def _rerank_exact(self, rows, qs, Qt, wm, k, rows_eff, n_q):
+        """Exact re-rank of coarse survivors: gather their float32
+        rows, true scores; per-query fallback to a full exact column
+        when a coarse cut under-fills k (shared by the SQ8 and f16
+        coarse paths)."""
+        X = self._X
         out_r, out_q, out_v = [], [], []
         for qi in range(n_q):
             cand = rows[qs == qi]
@@ -461,6 +501,89 @@ class FlatKnnIndex:
             out_q.append(np.full(len(cand), qi, dtype=np.int64))
         return (np.concatenate(out_r), np.concatenate(out_q),
                 np.concatenate(out_v))
+
+    def enable_f16(self) -> bool:
+        """Build the float16 coarse sidecar and probe the native F16C
+        kernel (plans/native.py).  Returns True when the f16 path is
+        servable; False (no toolchain) leaves the numpy paths — the
+        caller decides whether to route ``path="f16"``.
+
+        Why: the single-query exact floor is one DRAM pass over the
+        f32 matrix (~13 ms at 1M x 200).  The f16 copy halves the
+        streamed bytes, and the compiled conversion-FMA loop keeps the
+        pass at memory bandwidth (numpy's own half path measured 0.7
+        GB/s, 45x SLOWER — PLANS.md 'Angular single-query: f16
+        kernel').  Distances stay EXACT: the f16 pass only CUTS to
+        ~COARSE_FETCH survivors, re-ranked against the f32 matrix
+        (same contract as path="coarse")."""
+        from needle_spark.plans.native import gemv_f16_kernel
+
+        if gemv_f16_kernel() is None:
+            return False
+        if self._f16 is None:
+            Xd = self._X[:, :self.dims] if self._aug else self._X
+            self._f16 = np.ascontiguousarray(Xd.astype(np.float16))
+        return True
+
+    def _scan_f16(self, Qt: np.ndarray, wm: np.ndarray | None, k: int):
+        """f16 coarse cut + exact re-rank (path="f16").  Same shape as
+        _scan_coarse with the block scorer swapped for the compiled
+        kernel; per-block buffers stay cache-resident across the <=
+        COARSE_MAX_Q queries so multi-query calls re-read DRAM once."""
+        from needle_spark.plans.native import gemv_f16_kernel
+
+        lib = gemv_f16_kernel()
+        X16, X = self._f16, self._X
+        n, n_q = len(X16), Qt.shape[1]
+        d = self.dims
+        nsq = X[:, -1] if self._aug else None
+        cand_pool = np.flatnonzero(wm) if wm is not None else None
+        rows_eff = len(cand_pool) if cand_pool is not None else n
+        fetch = min(self.COARSE_FETCH, rows_eff)
+        qcols = [np.ascontiguousarray(Qt[:d, qi], dtype=np.float32)
+                 for qi in range(n_q)]
+
+        # threshold from a sample scored at the SAME f16 resolution the
+        # blocks use (the ~150x over-fetch at k=10 buries both the
+        # rounding and the sample-order noise)
+        rng = np.random.default_rng(0xF16C)
+        samp = rng.integers(0, rows_eff, min(self.SAMPLE_ROWS, rows_eff))
+        samp_rows = cand_pool[samp] if cand_pool is not None else samp
+        Gs = X16[samp_rows].astype(np.float32) \
+            @ np.ascontiguousarray(Qt[:d, :], dtype=np.float32)
+        if nsq is not None:
+            Gs = Gs - nsq[samp_rows, None]
+        rank = max(1, min(int(round(len(samp_rows) * fetch / rows_eff)),
+                          len(samp_rows) - 1))
+        thr = np.partition(Gs, -1 - rank, axis=0)[-1 - rank]
+
+        nb = min(max(self._nt, n // 16_384), n)
+        bounds = np.linspace(0, n, nb + 1).astype(np.int64)
+        pool = self._ensure_pool()
+        base_ptr = X16.ctypes.data
+
+        def scan_block(b):
+            s, e = int(bounds[b]), int(bounds[b + 1])
+            buf = np.empty(e - s, dtype=np.float32)
+            rs, qqs = [], []
+            for qi in range(n_q):
+                lib.gemv_f16(int(base_ptr + s * d * 2),
+                             qcols[qi].ctypes.data, buf.ctypes.data,
+                             0, e - s, d)
+                gb = buf if nsq is None else buf - nsq[s:e]
+                m = gb > thr[qi]
+                if wm is not None:
+                    m &= wm[s:e]
+                r = np.flatnonzero(m)
+                rs.append(r + s)
+                qqs.append(np.full(len(r), qi, dtype=np.int64))
+            return np.concatenate(rs), np.concatenate(qqs)
+
+        with single_thread_blas():
+            parts = list(pool.map(scan_block, range(nb)))
+        rows = np.concatenate([p[0] for p in parts])
+        qs = np.concatenate([p[1] for p in parts])
+        return self._rerank_exact(rows, qs, Qt, wm, k, rows_eff, n_q)
 
     def _ensure_pool(self) -> ThreadPoolExecutor:
         if self._pool is None:
@@ -615,7 +738,11 @@ class FlatKnnIndex:
         if self._alive is not None:
             wm = self._alive if wm is None else (wm & self._alive)
         rows_eff = int(wm.sum()) if wm is not None else len(self._X)
-        if (path == "coarse" and Qt.shape[1] <= self.COARSE_MAX_Q
+        if (path == "f16" and Qt.shape[1] <= self.COARSE_MAX_Q
+                and rows_eff > self.THRESHOLD_MIN_ROWS
+                and self.enable_f16()):
+            rows, qs, vals = self._scan_f16(Qt, wm, k)
+        elif (path == "coarse" and Qt.shape[1] <= self.COARSE_MAX_Q
                 and rows_eff > self.THRESHOLD_MIN_ROWS):
             rows, qs, vals = self._scan_coarse(Q, Qt, wm, k)
         else:
@@ -662,7 +789,10 @@ class FlatKnnIndex:
         (PLANS.md 'Flat single-query floor'); an in-process graph
         index answers singles faster only by reading ~0.1% of the
         data at <1.0 recall.  ``path="coarse"`` opts into the SQ8
-        sidecar (measured slower here; see search_many_local).
+        sidecar (measured slower here; see search_many_local);
+        ``path="f16"`` opts into the compiled half-precision coarse
+        pass (halves the DRAM floor, exact re-ranked distances —
+        enable_f16 / PLANS.md 'Angular single-query: f16 kernel').
 
         Returns [(id, distance), ...] ascending, length <= k — the
         same shape as IvfBatchKnnIndex.search_one, so the REST index

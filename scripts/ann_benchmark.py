@@ -150,6 +150,26 @@ def run_flat(args, train, queries, thr, metric) -> None:
         r1 = idx.search_one(queries[i], k=args.k, path="coarse")
         lats_c.append(time.perf_counter() - t0)
         c_hits.append(single_hit(i, [p[0] for p in r1]))
+    # f16 coarse pass (compiled F16C kernel, plans/native.py): halves
+    # the single-query DRAM floor; distances exact-reranked, membership
+    # recall measured like the coarse row
+    f16_row = {}
+    if idx.enable_f16():
+        idx.search_one(queries[0], k=args.k, path="f16")  # warm sidecar
+        lats_f, f_hits = [], []
+        for i in range(min(100, len(queries))):
+            t0 = time.perf_counter()
+            r1 = idx.search_one(queries[i], k=args.k, path="f16")
+            lats_f.append(time.perf_counter() - t0)
+            f_hits.append(single_hit(i, [p[0] for p in r1]))
+        f16_row = {
+            "single_f16_p50_ms": round(
+                float(np.percentile(lats_f, 50)) * 1000, 2),
+            "single_f16_p99_ms": round(
+                float(np.percentile(lats_f, 99)) * 1000, 2),
+            "single_f16_min_ms": round(float(np.min(lats_f)) * 1000, 2),
+            "single_f16_recall_at_10": round(float(np.mean(f_hits)), 4),
+        }
     row = {
         "tier": "flat", "recall_at_10": round(float(np.mean(hits)), 4),
         "qps": round(len(queries) / best, 1),
@@ -161,6 +181,7 @@ def run_flat(args, train, queries, thr, metric) -> None:
         "single_coarse_p50_ms": round(
             float(np.percentile(lats_c, 50)) * 1000, 2),
         "single_coarse_recall_at_10": round(float(np.mean(c_hits)), 4),
+        **f16_row,
         "build_s": round(build_s, 1),
     }
     print(f"flat: recall@10={row['recall_at_10']} {row['qps']} qps "

