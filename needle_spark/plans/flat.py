@@ -645,6 +645,7 @@ class FlatKnnIndex:
             pos[str(i)] = base + p
         self._samp_cache = None
         self._sq8 = None
+        self._f16 = None  # stale sidecar would silently drop new rows
         return len(new_ids)
 
     def add(self, rows_df) -> int:
@@ -702,6 +703,7 @@ class FlatKnnIndex:
             self._pool.shutdown(wait=False)
             self._pool = None
         self._sq8 = None
+        self._f16 = None
 
     def search_many_local(self, queries, k: int = 10, nprobe: int = 0,
                           where: dict | None = None,

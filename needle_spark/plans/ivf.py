@@ -433,6 +433,12 @@ class IvfBatchKnnIndex:
             raise ValueError(
                 f"code_dtype must be 'sq8', 'sq8_cell', 'float32' or "
                 f"'pq', got {code_dtype!r}")
+        if pq_rotation not in ("none", "pca", "random"):
+            # validated for EVERY code tier (review r9): a typo'd
+            # rotation on a non-PQ build must not pass silently
+            raise ValueError(
+                f"pq_rotation must be 'pca', 'random' or 'none', "
+                f"got {pq_rotation!r}")
         if refine and code_dtype == "float32":
             raise ValueError(
                 "refine=True pairs a QUANTIZED code tier with an exact "
@@ -581,10 +587,6 @@ class IvfBatchKnnIndex:
                 Qm, _ = np.linalg.qr(
                     rng_r.standard_normal((self.dim, self.dim)))
                 self._pq_R = np.ascontiguousarray(Qm)
-            elif pq_rotation not in ("none", "pca"):
-                raise ValueError(
-                    f"pq_rotation must be 'pca', 'random' or 'none', "
-                    f"got {pq_rotation!r}")
             if self._pq_R is not None:
                 rs = rs @ self._pq_R
             R = np.ascontiguousarray(rs).reshape(fit_rows, m_sub, sub)
@@ -1965,9 +1967,11 @@ class IvfBatchKnnIndex:
         return n
 
     def _pending_ids(self) -> int:
-        """Driver-resident id-mask cardinality (the O(churn) state)."""
+        """Driver-resident id-mask cardinality (the O(churn) state) —
+        includes the online write buffer's ids (add_local), which live
+        on the driver just the same."""
         return (len(self._tombstones) + len(self._superseded)
-                + len(self._delta_ids))
+                + len(self._delta_ids) + len(self._local_ids))
 
     def _maybe_auto_merge(self) -> None:
         """Force merge_delta() once the driver-side id masks exceed
@@ -2163,6 +2167,13 @@ class IvfBatchKnnIndex:
             # (a stale WAL would double-add on a later replay there)
             self._wal_written.add(path)
         self._apply_local_record(rec)
+        # churn cap on the ONLINE path too (review r9): the one insert
+        # that crosses max_pending_ids pays a flush (whose own cap
+        # check then merges) — classic compaction amortization; every
+        # other insert keeps the sub-ms contract.
+        if self.max_pending_ids is not None \
+                and self._pending_ids() > self.max_pending_ids:
+            self.flush_local()
         return len(ids)
 
     def _apply_local_record(self, rec) -> None:
@@ -2343,6 +2354,13 @@ class IvfBatchKnnIndex:
             if path and os.path.exists(path):
                 os.unlink(path)
         self._wal_written = set()
+        # the online write path grows the same driver-side id masks as
+        # add()/delete() — the churn cap must bound it too (review r9).
+        # Checked here, not in add_local: merge is a Spark job and
+        # would blow the sub-ms single-insert latency contract; every
+        # distributed search calls flush_local, so the cap engages at
+        # the next serving boundary after the threshold is crossed.
+        self._maybe_auto_merge()
         return int(n)
 
     def delete(self, ids) -> int:

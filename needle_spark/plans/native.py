@@ -175,9 +175,35 @@ def _compile() -> "ctypes.CDLL | None":
             continue
     if gcc is None:
         return None
-    tag = hashlib.sha256(_SRC.encode()).hexdigest()[:16]
-    so_path = os.path.join(tempfile.gettempdir(),
-                           f"needle_spark_gemv_f16_{tag}.so")
+    # cache key includes the CPU identity: -march=native bakes the host
+    # ISA into the .so, and a /tmp shared across heterogeneous hosts
+    # (container images, migrated VMs) must not serve an AVX-512 build
+    # to a CPU without it (SIGILL mid-search)
+    cpu_id = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    cpu_id = line
+                    break
+    except OSError:
+        pass
+    tag = hashlib.sha256((_SRC + cpu_id).encode()).hexdigest()[:16]
+    # per-uid 0700 cache dir, never a world-writable shared path: a
+    # predictable .so name in /tmp would let any local user plant a
+    # library that ctypes.CDLL then executes in this process
+    cache_dir = os.path.join(tempfile.gettempdir(),
+                             f"needle_spark_native_{os.getuid()}")
+    try:
+        os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+        st = os.stat(cache_dir)
+        if st.st_uid != os.getuid() or (st.st_mode & 0o022):
+            # someone else owns it or it is group/world-writable:
+            # refuse the cache, build into a fresh private dir
+            cache_dir = tempfile.mkdtemp(prefix="needle_spark_native_")
+    except OSError:
+        return None
+    so_path = os.path.join(cache_dir, f"gemv_{tag}.so")
     if not os.path.exists(so_path):
         src_path = so_path[:-3] + ".c"
         tmp = so_path + f".tmp{os.getpid()}"

@@ -120,7 +120,13 @@ class BinaryQuantizer:
         def _pack(vs: pd.Series) -> pd.Series:
             if not len(vs):
                 return pd.Series([], dtype=object)
-            X = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+            # null vectors pack to all-zero words — the same result the
+            # replaced column expression produced (null > 0.0 -> null
+            # -> otherwise(0)); crashing the stage on one null row is
+            # not an option on a large encode
+            X = np.stack([np.zeros(dim, dtype=np.float64) if v is None
+                          else np.asarray(v, dtype=np.float64)
+                          for v in vs])
             bits = np.packbits(X > 0.0, axis=1, bitorder="little")
             pad = n_words * 8 - bits.shape[1]
             if pad:

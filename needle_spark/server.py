@@ -922,20 +922,32 @@ class RestServer:
         # #8.  budget_bytes_per_row: capacity cap per row; below SQ8's
         # dim bytes the rule fits PQ at the budgeted subspace count and
         # measures the refine factor (plans/tuning.py).
-        try:
-            recall_target = float(b.get("recall_target", 0.95))
-        except (TypeError, ValueError):
+        recall_target = b.get("recall_target", 0.95)
+        if isinstance(recall_target, bool) \
+                or not isinstance(recall_target, (int, float)) \
+                or not 0.0 < float(recall_target) <= 1.0:
             raise _bad("'recall_target' must be a number in (0, 1]")
-        if not 0.0 < recall_target <= 1.0:
-            raise _bad("'recall_target' must be a number in (0, 1]")
+        recall_target = float(recall_target)
         budget = b.get("budget_bytes_per_row")
         if budget is not None:
-            try:
-                budget = int(budget)
-            except (TypeError, ValueError):
-                raise _bad("'budget_bytes_per_row' must be an integer")
-            if budget <= 0:
-                raise _bad("'budget_bytes_per_row' must be positive")
+            if isinstance(budget, bool) or not isinstance(budget, int) \
+                    or budget <= 0:
+                raise _bad("'budget_bytes_per_row' must be a positive "
+                           "integer")
+        if budget is not None and tier == "flat":
+            # the flat tier pins full float32 rows (4*dim B/row): a
+            # capacity budget is unserveable there — honor the budget
+            # by forcing the coded IVF family (auto) or refusing a
+            # pinned-flat request rather than silently busting it
+            if str(b.get("tier", "auto")).lower() == "flat":
+                raise _bad("'budget_bytes_per_row' cannot be honored by "
+                           "tier='flat' (full float32 rows); pin "
+                           "tier='ivf' or leave tier=auto")
+            tier = "ivf"
+            decision = {**decision, "tier": "ivf",
+                        "reason": (decision.get("reason", "") +
+                                   "; capacity budget forces the coded "
+                                   "ivf family").lstrip("; ")}
         pq_m = None
         refine_factor = None
         if codes == "auto":

@@ -152,9 +152,12 @@ def run_flat(args, train, queries, thr, metric) -> None:
         c_hits.append(single_hit(i, [p[0] for p in r1]))
     # f16 coarse pass (compiled F16C kernel, plans/native.py): halves
     # the single-query DRAM floor; distances exact-reranked, membership
-    # recall measured like the coarse row
+    # recall measured like the coarse row.  Only emitted when the
+    # routing actually engages (rows above THRESHOLD_MIN_ROWS) — below
+    # it path="f16" silently serves the exact scan and the row would
+    # mislabel exact-scan latencies as the f16 path's (review r9)
     f16_row = {}
-    if idx.enable_f16():
+    if n > FlatKnnIndex.THRESHOLD_MIN_ROWS and idx.enable_f16():
         idx.search_one(queries[0], k=args.k, path="f16")  # warm sidecar
         lats_f, f_hits = [], []
         for i in range(min(100, len(queries))):

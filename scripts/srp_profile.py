@@ -82,19 +82,20 @@ def main() -> None:
                 b = min(b, time.perf_counter() - t0)
             return round(b, 3)
 
-        # stage 1: signature kernel only (count forces the map stage)
-        import needle_spark.operators.dedup as dd
+        # full pipeline broken at the natural DataFrame boundaries;
+        # band width MUST match the operator's auto-sizing rule
+        # (r = clamp(ceil(log2 n)+4, 16, 62)) or the staged deltas
+        # attribute a different pipeline than t_full runs (review r9)
+        import math
+
+        from pyspark.sql import types as T
         dim = 64
         rng = np.random.default_rng(42)
-        # reuse the operator's own internals by calling the full op with
-        # a pairs_from_banded stub?  cleaner: time the public stages
-        sig_only = None
-
-        # full pipeline broken at the natural DataFrame boundaries:
-        from pyspark.sql import types as T
         id_type = corpus.schema["vec_id"].dataType
-        R = rng.standard_normal((dim, 128)).astype(np.float32)
-        weights = (1 << np.arange(16, dtype=np.int64))
+        rpb = min(62, max(16, math.ceil(math.log2(max(n, 2))) + 4))
+        n_bits = rpb * 8
+        R = rng.standard_normal((dim, n_bits)).astype(np.float32)
+        weights = (1 << np.arange(rpb, dtype=np.int64))
 
         def signatures(batches):
             import pandas as pd
@@ -107,7 +108,7 @@ def main() -> None:
                 ids = pdf["vec_id"].to_numpy()
                 oi, ob, ou = [], [], []
                 for b in range(8):
-                    blk = bits[:, b * 16:(b + 1) * 16]
+                    blk = bits[:, b * rpb:(b + 1) * rpb]
                     oi.append(ids)
                     ob.append(np.full(len(ids), b, dtype=np.int32))
                     ou.append(blk.astype(np.int64) @ weights)

@@ -355,3 +355,25 @@ def test_f16_path_matches_exact_and_degrades_gracefully():
                 assert len(got) == 10
         finally:
             pass
+
+
+def test_f16_sidecar_invalidated_by_writes():
+    """Review r9: add_local must drop the f16 sidecar like it drops
+    _sq8 — a stale half-precision matrix would silently omit new rows
+    from path='f16' results (and index out of bounds under filters)."""
+    from needle_spark.plans.flat import FlatKnnIndex
+
+    rng = np.random.default_rng(45)
+    n, d = 210_000, 16
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    idx = FlatKnnIndex(np.arange(n, dtype=np.int64), X, metric="cosine")
+    if not idx.enable_f16():
+        pytest.skip("no C toolchain in this environment")
+    q = rng.standard_normal(d)
+    idx.search_one(q, k=5, path="f16")  # builds + uses the sidecar
+    nv = (q / np.linalg.norm(q)).astype(np.float32)  # exact hit
+    idx.add_local([n + 1], nv[None, :])
+    got = idx.search_one(q, k=5, path="f16")
+    assert got[0][0] == n + 1  # the new row wins rank 1 via f16 path
+    idx.unpersist()
+    assert idx._f16 is None

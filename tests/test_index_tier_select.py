@@ -232,3 +232,29 @@ def test_recall_target_validation(srv, corpora):
     err = call(srv, "POST", "/collections/sft/index",
                {"budget_bytes_per_row": -4}, expect=400)
     assert "budget_bytes_per_row" in json.dumps(err)
+
+
+def test_budget_with_flat_tier_conflicts(srv, corpora):
+    """Review r9: a capacity budget is unserveable on the flat tier
+    (full float32 rows).  Pinned flat + budget must 400; auto-flat
+    corpora force the coded ivf family with the decision recorded."""
+    err = call(srv, "POST", "/collections/glv/index",
+               {"tier": "flat", "budget_bytes_per_row": 16}, expect=400)
+    assert "budget" in json.dumps(err)
+    built = call(srv, "POST", "/collections/glv/index",
+                 {"budget_bytes_per_row": 25}, expect=200)
+    dec = built["tier_decision"]
+    assert built["tier"] == "ivf" and dec["codes"] == "pq"
+    assert "budget" in dec["reason"]
+    call(srv, "DELETE", "/collections/glv/index", expect=200)
+    # rebuild the flat index other tests in this module rely on
+    call(srv, "POST", "/collections/glv/index", {}, expect=200)
+
+
+def test_recall_target_budget_reject_booleans(srv, corpora):
+    """Review r9: JSON true must 400, not parse as 1.0 / 1 (consistent
+    with the handler's strict boolean check on 'refine')."""
+    for body in ({"recall_target": True}, {"budget_bytes_per_row": True},
+                 {"recall_target": "0.9"}, {"budget_bytes_per_row": "16"}):
+        err = call(srv, "POST", "/collections/sft/index", body, expect=400)
+        assert "must be" in json.dumps(err)

@@ -1085,3 +1085,30 @@ def test_auto_merge_caps_driver_id_state(spark, clustered):
     finally:
         capped.unpersist()
         free.unpersist()
+
+
+def test_auto_merge_caps_online_write_path(spark, clustered, tmp_path):
+    """Review r9: the churn cap must bound the ONLINE path too —
+    add_local grows the same driver-side masks, and a workload that
+    never runs a distributed search would otherwise grow them without
+    bound.  The insert crossing the cap pays one flush (whose own cap
+    check merges); results keep serving the full row set."""
+    df, pts, queries = clustered
+    rng = np.random.default_rng(31)
+    idx = IvfBatchKnnIndex(df, nlist=N_CLUSTERS, vector_col="vector",
+                           id_col="id", metric="euclidean", seed=1,
+                           max_pending_ids=40)
+    idx.pin_segments(str(tmp_path / "segs"))
+    try:
+        vecs = (queries[1] + 0.01 * rng.standard_normal((45, DIM))
+                ).astype(np.float32)
+        for j in range(45):  # 45 single inserts > cap 40
+            idx.add_local([int(700_000 + j)], vecs[j][None, :])
+        assert idx._auto_merges >= 1
+        assert idx._pending_ids() <= 40
+        st = idx.incremental_stats()
+        assert st["main_rows"] >= len(pts) + 41  # folded into main
+        got = idx.search_one(queries[1], k=5, nprobe=N_CLUSTERS)
+        assert got[0][0] >= 700_000  # planted rows keep serving
+    finally:
+        idx.unpersist()

@@ -174,3 +174,19 @@ def test_sq8_roundtrip_and_search(spark, embeddings):
     overlap = len(set(exact) & set(quant)) / 10
     assert overlap >= 0.9
     assert quant[0] == exact[0] == 0  # self match survives quantization
+
+
+def test_binary_encode_null_vector_zero_words(spark):
+    """Review r9: the Arrow packbits encode must pack NULL vectors to
+    all-zero words — the semantics of the column expression it
+    replaced (null > 0.0 -> null -> otherwise(0)) — instead of
+    crashing the whole encode stage on one null row."""
+    from needle_spark.plans.quantization import BinaryQuantizer
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -1.0, 1.0]), (2, None), (3, [-1.0, -1.0, 1.0])],
+        "id long, vector array<float>")
+    enc = {r["id"]: r["bits"]
+           for r in BinaryQuantizer().encode(df).collect()}
+    assert enc[2] == [0]
+    assert enc[1] == [0b101] and enc[3] == [0b100]
