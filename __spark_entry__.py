@@ -753,6 +753,65 @@ def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, id_col="doc_id", text_col="text", n=3, threshold=0.6)
 
 
+def _neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup group assignment (the step between "pairs found" and
+    "keep one per group"): hash-min connected components over the exact
+    n-gram-Jaccard pair graph.  Oracle: DuckDB recursive CTE reachability
+    over the identical pair set."""
+    from needle_spark.operators.dedup import (neardup_components,
+                                              ngram_jaccard_pairs)
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, id_col="doc_id", text_col="text",
+                                n=3, threshold=0.6)
+    return (neardup_components(pairs, id_col="doc_id")
+            .select("doc_id", "component")
+            .orderBy("doc_id"))
+
+
+def _neardup_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keeper selection: one representative (smallest id) per near-dup
+    component; unpaired docs pass through."""
+    from needle_spark.operators.dedup import (neardup_dedup,
+                                              ngram_jaccard_pairs)
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, id_col="doc_id", text_col="text",
+                                n=3, threshold=0.6)
+    return (neardup_dedup(docs, pairs, id_col="doc_id")
+            .select("doc_id").orderBy("doc_id"))
+
+
+def _neardup_components_sql() -> str:
+    pairs = _jaccard_oracle_sql(0.6)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION
+  SELECT id2, id1 FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS doc_id, least(a, min(b)) AS component
+  FROM reach GROUP BY a
+)
+SELECT doc_id, component FROM comp ORDER BY doc_id
+"""
+
+
+def _neardup_dedup_keep_sql() -> str:
+    comps = _neardup_components_sql().replace(
+        "SELECT doc_id, component FROM comp ORDER BY doc_id",
+        "SELECT doc_id FROM comp WHERE doc_id != component")
+    return (f"SELECT doc_id FROM documents WHERE doc_id NOT IN "
+            f"({comps}) ORDER BY doc_id")
+
+
 def _minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from needle_spark.operators.dedup import minhash_lsh_candidates
 
@@ -3614,6 +3673,8 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_events_exact": _dedup_events_exact,
         "ngram_jaccard_pairs": _ngram_jaccard,
         "minhash_lsh_dedup": _minhash_lsh,
+        "neardup_components": _neardup_components,
+        "neardup_dedup_keep": _neardup_dedup_keep,
         "simhash_candidates": _simhash,
         "simhash_md5_pairs": _simhash_md5,
         "embedding_neardup": _embedding_neardup,
@@ -3773,6 +3834,10 @@ def oracle_sql() -> dict[str, str]:
         # exact pair set unless a banding miss occurs (p ~ 1e-22 at the
         # planted pairs' j~0.99) — same oracle.
         "minhash_lsh_dedup": _jaccard_oracle_sql(0.6),
+        # connected components over the same exact pair graph (DuckDB
+        # recursive-CTE reachability = the hash-min fixpoint)
+        "neardup_components": _neardup_components_sql(),
+        "neardup_dedup_keep": _neardup_dedup_keep_sql(),
         # simhash now registers the md5-derived hash family (round 6),
         # which DuckDB reproduces bit-identically — full oracle row;
         # the xxhash64 perf family stays pytest-pinned in the library

@@ -1139,3 +1139,68 @@ def blockpair_neardup_pairs(
         return pd.DataFrame({"id1": lo, "id2": hi, "distance": dist})
 
     return replicated.groupBy("gi", "gj").applyInPandas(verify, schema)
+
+
+def neardup_components(pairs: DataFrame, id_col: str = "id",
+                       max_iter: int = 20) -> DataFrame:
+    """Near-duplicate connected components over a candidate-pair frame:
+    (id1, id2, ...) -> (id, component), where `component` is the
+    SMALLEST id reachable in the pair graph — the canonical group id
+    every fuzzy-dedup pipeline needs between "pairs found" and "keep
+    one per group" (reference: the dedup flow's group assignment;
+    public algorithm: hash-min label propagation, the standard
+    MapReduce CC — Kiveris et al., 'Connected Components in MapReduce
+    and Beyond').
+
+    Spark-first shape: the symmetric edge list is built once and
+    persisted; each iteration is ONE join (labels onto edge targets) +
+    ONE aggregate (min label per node) + a changed-count, with
+    localCheckpoint flattening the lineage so the plan does not grow
+    with iterations.  LSH-verified dedup graphs have tiny diameters
+    (pairs and small cliques), so convergence is typically 2-4 rounds;
+    adversarially long chains converge in O(diameter) rounds and are
+    bounded by max_iter (raise it, or switch to large-star/small-star,
+    for chain-shaped graphs).  At 100 TB the only shuffled state is
+    (node, label) + the edge list — never document payloads."""
+    edges = pairs.select(F.col("id1").alias("__a"),
+                         F.col("id2").alias("__b"))
+    sym = edges.unionByName(
+        edges.select(F.col("__b").alias("__a"),
+                     F.col("__a").alias("__b"))).distinct().persist()
+    labels = (sym.select(F.col("__a").alias(id_col)).distinct()
+              .withColumn("component", F.col(id_col))
+              .localCheckpoint())
+    for _ in range(max_iter):
+        nbr = (sym.join(labels.select(F.col(id_col).alias("__b"),
+                                      F.col("component").alias("__nc")),
+                        "__b")
+               .groupBy("__a").agg(F.min("__nc").alias("__m")))
+        new = (labels.join(nbr.select(F.col("__a").alias(id_col), "__m"),
+                           id_col, "left")
+               .select(F.col(id_col),
+                       F.least(F.col("component"),
+                               F.coalesce(F.col("__m"),
+                                          F.col("component")))
+                       .alias("component"),
+                       (F.col("__m") < F.col("component"))
+                       .alias("__chg"))
+               .localCheckpoint())
+        changed = new.filter(F.col("__chg")).count()
+        labels = new.drop("__chg")
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def neardup_dedup(df: DataFrame, pairs: DataFrame,
+                  id_col: str = "id", max_iter: int = 20) -> DataFrame:
+    """Keep ONE representative per near-dup component (the smallest
+    id); rows that appear in no pair pass through untouched.  The
+    standard fuzzy-dedup keeper step: pairs from any LSH/exact tier
+    (minhash_lsh_candidates, ngram_jaccard_pairs, srp_lsh_neardup_pairs,
+    embedding_neardup_pairs) compose directly."""
+    comps = neardup_components(pairs, id_col=id_col, max_iter=max_iter)
+    losers = comps.filter(F.col(id_col) != F.col("component")) \
+        .select(id_col)
+    return df.join(losers, on=id_col, how="left_anti")

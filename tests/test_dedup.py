@@ -522,3 +522,49 @@ def test_srp_auto_band_width_scales_with_corpus(spark):
                           id_col="id", vector_col="vector", n_bits=64,
                           bucket_stats=stats).count()
     assert stats["band_bits"] == 8 and stats["n_bits"] == 64
+
+
+def test_neardup_components_and_keeper(spark):
+    """Fuzzy-dedup group assignment (round 9): hash-min connected
+    components over a pair graph must equal a union-find oracle —
+    including multi-hop chains (the case a one-round min would miss) —
+    and the keeper op must retain exactly min-id-per-component plus
+    all unpaired rows."""
+    from needle_spark.operators.dedup import (neardup_components,
+                                              neardup_dedup)
+
+    # components: {1,2,3,4} chain, {10,11} pair, {20,21,22} clique,
+    # 30/31 unpaired rows in df
+    pair_list = [(2, 1), (2, 3), (4, 3), (10, 11), (20, 21), (21, 22),
+                 (20, 22)]
+    pairs = spark.createDataFrame(pair_list, "id1 long, id2 long")
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pair_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+
+    got = {r["id"]: r["component"]
+           for r in neardup_components(pairs, id_col="id").collect()}
+    assert got == want
+    assert got[4] == 1  # the 4-chain collapses to min id across hops
+
+    df = spark.createDataFrame(
+        [(i,) for i in sorted(want) + [30, 31]], "id long")
+    kept = {r["id"] for r in neardup_dedup(df, pairs, id_col="id").collect()}
+    assert kept == {1, 10, 20, 30, 31}
+
+    # empty pair frame: everything passes through
+    empty = spark.createDataFrame([], "id1 long, id2 long")
+    assert neardup_components(empty, id_col="id").count() == 0
+    assert neardup_dedup(df, empty, id_col="id").count() == df.count()
