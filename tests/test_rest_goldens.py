@@ -231,3 +231,25 @@ def test_index_build_refine_response_contract(srv, coll):
     err = call(srv, "POST", f"/collections/{coll}/index",
                {"codes": "sq8", "refine": "yes"}, expect=400)
     assert "refine" in json.dumps(err)
+
+
+def test_index_build_recall_target_budget_contract(srv, coll):
+    """r9 contract golden: recall_target echoes in the decision with
+    the measured recalls; a sub-SQ8 byte budget resolves to a PQ build
+    whose (pq_m, refine_factor) are named in the response and status;
+    out-of-range and mistyped values are 400s."""
+    built = call(srv, "POST", f"/collections/{coll}/index",
+                 {"recall_target": 0.9, "nlist": 4, "nprobe": 4},
+                 expect=200)
+    dec = built["tier_decision"]
+    assert dec["recall_target"] == 0.9
+    assert "codes_reason" in dec and dec["codes"] in (
+        "sq8_cell", "float32", "pq")
+    call(srv, "DELETE", f"/collections/{coll}/index", expect=200)
+    for bad in ({"recall_target": 0}, {"recall_target": 1.0001},
+                {"recall_target": "0.9"},
+                {"budget_bytes_per_row": 0},
+                {"budget_bytes_per_row": "8"}):
+        err = call(srv, "POST", f"/collections/{coll}/index", bad,
+                   expect=400)
+        assert "must be" in json.dumps(err)
