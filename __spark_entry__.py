@@ -958,6 +958,60 @@ SELECT id1, id2, distance FROM (
 """
 
 
+def _insert_dedup_reject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insert-time semantic-dedup, Reject policy (round 10; reference
+    src/collection/dedup.rs:112-130 apply_dedup_policy, insert.rs:147):
+    treat vec_id >= 100 as the existing collection and vec_id < 100 as
+    an incoming batch in id order; the result is the ACCEPTED id set
+    under the reference's SEQUENTIAL semantics — a row is rejected
+    when its 1-NN distance to (existing ∪ earlier ACCEPTED batch rows)
+    is under the threshold.  Oracle: a DuckDB recursive-CTE greedy
+    over the identical distances (operators/insert_dedup.py)."""
+    from needle_spark.operators.insert_dedup import insert_dedup_reject_ids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    existing = emb.filter(F.col("vec_id") >= 100)
+    batch = emb.filter(F.col("vec_id") < 100)
+    return insert_dedup_reject_ids(
+        existing, batch, threshold=0.65, id_col="vec_id",
+        vector_col="embedding", metric="cosine")
+
+
+def _insert_dedup_reject_sql() -> str:
+    t = 0.65
+    d_be = duckdb_distance_sql("cosine", "b.embedding", "e.embedding")
+    d_bb = duckdb_distance_sql("cosine", "b.embedding", "b2.embedding")
+    # MATERIALIZED is load-bearing: the recursive step must not
+    # re-evaluate the distance CTEs per iteration (35s -> 0.8s)
+    return f"""
+WITH RECURSIVE
+b AS MATERIALIZED (
+  SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS rn
+  FROM embeddings WHERE vec_id < 100),
+ex AS MATERIALIZED (
+  SELECT b.rn AS rn, MIN({d_be}) AS dmin
+  FROM b, embeddings e WHERE e.vec_id >= 100 GROUP BY b.rn),
+wb AS MATERIALIZED (
+  SELECT b.vec_id AS i, b2.vec_id AS j
+  FROM b, b AS b2 WHERE b.vec_id != b2.vec_id AND {d_bb} < {t}),
+bk AS MATERIALIZED (SELECT vec_id, rn FROM b),
+step AS (
+  SELECT CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS acc
+  UNION ALL
+  SELECT bk.rn,
+         CASE WHEN ex.dmin < {t}
+                   OR EXISTS (SELECT 1 FROM wb
+                              WHERE wb.i = bk.vec_id
+                                AND list_contains(s.acc, wb.j))
+              THEN s.acc ELSE list_append(s.acc, bk.vec_id) END
+  FROM step s JOIN bk ON bk.rn = s.rn + 1 JOIN ex ON ex.rn = bk.rn
+)
+SELECT unnest(acc) AS vec_id
+FROM (SELECT acc FROM step ORDER BY rn DESC LIMIT 1)
+ORDER BY vec_id
+"""
+
+
 def _text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from needle_spark.operators.text_analysis import (
         bpe_token_count_expr,
@@ -3752,6 +3806,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binq_hamming": _binq_hamming,
         "knn_sq8_refine": _knn_sq8_refine,
         "knn_pq_refine": _knn_pq_refine,
+        "insert_dedup_reject": _insert_dedup_reject,
     }
 
 
@@ -3927,4 +3982,5 @@ def oracle_sql() -> dict[str, str]:
         "binq_hamming": _BINQ_HAMMING_SQL,
         "knn_sq8_refine": _knn_sq8_refine_sql(),
         "knn_pq_refine": _knn_sq8_refine_sql(),
+        "insert_dedup_reject": _insert_dedup_reject_sql(),
     }

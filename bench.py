@@ -406,12 +406,17 @@ def main() -> None:
     # don't perturb the search timings.
     rng_ins = np.random.default_rng(9)
     ins_vecs = rng_ins.standard_normal((200, 384)).astype(np.float32)
-    insert_p50 = insert_p99 = float("inf")
-    ins_total = float("inf")
-    # best-of-3 sweeps (unique ids each) like every other serving row:
-    # one co-tenant spike in a single sweep has previously inflated the
-    # recorded p99 by >5x
+    # per-insert minima ACROSS 3 sweeps (unique ids each), exactly the
+    # single-query-percentile treatment (VERDICT r9 wrong #1): the old
+    # best-of-3-sweeps-on-p50 kept that sweep's OWN p99, so one
+    # co-tenant spike inside the winning 200-insert sweep still
+    # poisoned the tail (r9: 4.95 ms recorded vs a 1.0-1.3 ms quiet
+    # history, canary memset 3.2 s in-window).  The j-th insert does
+    # identical work in every sweep, so elementwise min is the
+    # noise-free estimator; the per-sweep values stay in rep_values.
+    ins_sweeps = []
     for rep in range(3):
+        canaries.append(_canary())
         ins_lat = []
         for j in range(200):
             t0 = time.perf_counter()
@@ -419,14 +424,12 @@ def main() -> None:
                 [int(90_000_000 + rep * 1000 + j)], ins_vecs[j][None, :],
                 metas={"label": [int(j % 10)], "bucket": [int(j % 100)]})
             ins_lat.append(time.perf_counter() - t0)
-        ins_lat.sort()
-        p50 = round(ins_lat[len(ins_lat) // 2] * 1000.0, 3)
-        if p50 < insert_p50:
-            insert_p50 = p50
-            insert_p99 = round(
-                ins_lat[int(len(ins_lat) * 0.99) - 1] * 1000.0, 3)
-            ins_total = round(sum(ins_lat), 4)
-    timings["insert_single_local_200"] = ins_total
+        ins_sweeps.append(ins_lat)
+        _record("insert_single_local_200", sum(ins_lat))
+    ins_min = np.asarray(ins_sweeps).min(axis=0) * 1000.0
+    ins_min.sort()
+    insert_p50 = round(float(ins_min[len(ins_min) // 2]), 3)
+    insert_p99 = round(float(ins_min[int(len(ins_min) * 0.99) - 1]), 3)
     ivf_idx.unpersist()
 
     # ann-benchmarks-style row (VERDICT r5 ask #3): SIFT-like integer
@@ -918,6 +921,7 @@ def main() -> None:
                 ("comp10", "knn_filtered_compound10_1M384_local_100q"),
                 ("bm25", "bm25_indexed_10q"),
                 ("sift", "ann_siftlike_150k_ivfflat_100q"),
+                ("insert", "insert_single_local_200"),
             ) if full in rep_values},
         "host_canary_memset_ms": [c["memset_100mb_ms"] for c in canaries],
         "host_canary_gemm_ms": [c["warm_gemm_ms"] for c in canaries],
@@ -990,7 +994,7 @@ def main() -> None:
     # the six rows the r8 driver window poisoned or the grade leans on;
     # all 12 rows' full-precision reps live in BENCH_LOCAL.json
     _REP_ROWS = ("single", "single_ref", "sel40", "bm25", "sift",
-                 "ivf_dist")
+                 "ivf_dist", "insert")
 
     def _c3(vals):
         sv = sorted(vals)

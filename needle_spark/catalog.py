@@ -482,6 +482,115 @@ class Collection:
     def contains(self, vector_id: Any) -> bool:
         return self.get(vector_id) is not None
 
+    # ------------------------------------------------- semantic dedup --
+    def set_semantic_dedup(self, threshold: float | None = None,
+                           policy: str = "reject",
+                           preset: str | None = None,
+                           enabled: bool = True,
+                           metric: str = "cosine") -> dict:
+        """Configure insert-time semantic dedup (config.rs:152-199
+        SemanticDedupConfig; presets strict/moderate/relaxed at
+        config.rs:175-190).  Subsequent insert()s apply the policy to
+        near-duplicate rows (dedup.rs apply_dedup_policy):
+        reject / merge_metadata / version."""
+        from needle_spark.operators.insert_dedup import SemanticDedupConfig
+
+        if preset is not None:
+            cfg = {"strict": SemanticDedupConfig.strict,
+                   "moderate": SemanticDedupConfig.moderate,
+                   "relaxed": SemanticDedupConfig.relaxed}.get(preset)
+            if cfg is None:
+                raise CollectionError(f"unknown dedup preset {preset!r}")
+            cfg = cfg()
+            cfg.policy = policy
+        else:
+            cfg = SemanticDedupConfig(
+                enabled=enabled,
+                distance_threshold=(0.02 if threshold is None
+                                    else float(threshold)),
+                policy=policy, metric=metric)
+        cfg.enabled = enabled
+        with self._commit_lock():
+            self._manifest = self._read_manifest()
+            self._manifest["semantic_dedup"] = cfg.to_manifest()
+            self._write_manifest_static(self.path, self._manifest)
+        return cfg.to_manifest()
+
+    def semantic_dedup_config(self):
+        from needle_spark.operators.insert_dedup import SemanticDedupConfig
+
+        return SemanticDedupConfig.from_manifest(
+            self._manifest.get("semantic_dedup"))
+
+    def insert_dedup(self, rows: DataFrame,
+                     now_ms: int | None = None) -> dict:
+        """Insert with the configured semantic-dedup gate
+        (insert.rs:147): near-duplicate rows are rejected, metadata-
+        merged, or stored versioned per the collection's policy.
+        Returns the outcome report {inserted, rejected, merged,
+        versioned, checked, outcomes}.  Sequential semantics (each row
+        sees earlier accepted batch rows) — batch order is ascending
+        id; see operators/insert_dedup.py for the distributed/driver
+        split."""
+        from needle_spark.operators.insert_dedup import apply_insert_dedup
+
+        cfg = self.semantic_dedup_config()
+        if not cfg.enabled:
+            n = self.insert(rows, now_ms=now_ms)
+            return {"inserted": n, "rejected": 0, "merged": 0,
+                    "versioned": 0, "checked": 0, "outcomes": []}
+        rows = self._stamp_ttl(rows, now_ms).persist()
+        try:
+            self._validate_new(rows, check_dup_existing=False)
+            res = apply_insert_dedup(
+                self.df(), rows, cfg, id_col=self.id_col,
+                vector_col=self.vector_col,
+                metadata_col="metadata")
+            acc = res.accepted.persist()
+            ops, events, counts = [], [], []
+            n_acc = acc.count()
+            cur = self.df()
+            if res.meta_updates:
+                # patch metadata on the merge targets: tombstone +
+                # replacement segment, same shape as update_metadata
+                spark = cur.sparkSession
+                upd = spark.createDataFrame(
+                    [(k, v) for k, v in res.meta_updates.items()],
+                    f"{self.id_col} string, __newmeta string")
+                patched = (cur.join(F.broadcast(upd), self.id_col)
+                           .withColumn("metadata", F.col("__newmeta"))
+                           .drop("__newmeta"))
+                patched = patched.select(*cur.columns).persist()
+                n_upd = patched.count()
+                ops += [("del", patched.select(self.id_col)),
+                        ("add", patched)]
+                events.append(self._event_df(
+                    patched.select(self.id_col), "update"))
+                counts.append(n_upd)
+            if n_acc:
+                def check_existing():
+                    dups = acc.join(self.df().select(self.id_col),
+                                    self.id_col, "inner").count()
+                    if dups:
+                        raise CollectionError(
+                            f"{dups} ids already exist")
+
+                ops.append(("add", acc))
+                events.append(self._event_df(acc, "insert"))
+                counts.append(n_acc)
+                self._commit(ops, events, sum(counts), now_ms,
+                             event_counts=counts,
+                             precommit=check_existing)
+            elif ops:
+                self._commit(ops, events, sum(counts), now_ms,
+                             event_counts=counts)
+            out = dict(res.counts)
+            out["outcomes"] = res.outcomes
+            acc.unpersist()
+            return out
+        finally:
+            rows.unpersist()
+
     # ---------------------------------------------------- typed schema --
     def set_metadata_schema(self, fields: dict[str, dict]) -> None:
         """Declare a typed metadata schema (typed_schema.rs:43-97 /
@@ -566,7 +675,13 @@ class Collection:
 
     def insert(self, rows: DataFrame, now_ms: int | None = None) -> int:
         """Append rows as one new segment; rejects duplicate ids
-        (insert.rs semantics)."""
+        (insert.rs semantics).  When the collection has semantic dedup
+        enabled (set_semantic_dedup), routes through the policy gate
+        (insert.rs:147) and returns the number of rows actually
+        appended."""
+        if self._manifest.get("semantic_dedup", {}).get("enabled"):
+            out = self.insert_dedup(rows, now_ms=now_ms)
+            return out["inserted"] + out["versioned"]
         rows = self._stamp_ttl(rows, now_ms).persist()
         try:
             # state-independent checks up front; the existing-id check

@@ -1142,34 +1142,55 @@ def blockpair_neardup_pairs(
 
 
 def neardup_components(pairs: DataFrame, id_col: str = "id",
-                       max_iter: int = 20) -> DataFrame:
+                       max_iter: int = 30,
+                       algorithm: str = "star") -> DataFrame:
     """Near-duplicate connected components over a candidate-pair frame:
     (id1, id2, ...) -> (id, component), where `component` is the
     SMALLEST id reachable in the pair graph — the canonical group id
     every fuzzy-dedup pipeline needs between "pairs found" and "keep
-    one per group" (reference: the dedup flow's group assignment;
-    public algorithm: hash-min label propagation, the standard
-    MapReduce CC — Kiveris et al., 'Connected Components in MapReduce
-    and Beyond').
+    one per group" (reference: the dedup flow's group assignment).
 
-    Spark-first shape: the symmetric edge list is built once and
-    persisted; each iteration is ONE join (labels onto edge targets) +
-    ONE aggregate (min label per node) + a changed-count, with
-    localCheckpoint flattening the lineage so the plan does not grow
-    with iterations.  LSH-verified dedup graphs have tiny diameters
-    (pairs and small cliques), so convergence is typically 2-4 rounds;
-    adversarially long chains converge in O(diameter) rounds and are
-    bounded by max_iter (raise it, or switch to large-star/small-star,
-    for chain-shaped graphs).  At 100 TB the only shuffled state is
-    (node, label) + the edge list — never document payloads."""
-    edges = pairs.select(F.col("id1").alias("__a"),
-                         F.col("id2").alias("__b"))
+    Two public MapReduce CC algorithms (Kiveris et al., 'Connected
+    Components in MapReduce and Beyond'):
+
+    - ``algorithm="star"`` (default): alternating large-star /
+      small-star.  Each round rewires edges toward per-neighborhood
+      minima, halving tree heights — O(log n) rounds on ANY graph
+      shape, so adversarial duplicate chains converge too (a 4097-node
+      chain takes ~12 rounds, not 4097).  Per round: two
+      groupBy-min + join stages over the edge list only.
+    - ``algorithm="hashmin"``: hash-min label propagation — ONE join +
+      ONE min-aggregate per round, but O(diameter) rounds.  The lighter
+      per-round choice when the pair graph is known to be LSH-shaped
+      (pairs and small cliques, diameter 2-4).
+
+    Both raise RuntimeError instead of silently returning partial
+    labels when max_iter is hit without convergence (ADVICE r9 — a
+    truncated hash-min run used to return WRONG components on
+    diameter > max_iter graphs and confusingly fail the oracle gate
+    downstream).
+
+    At 100 TB the only shuffled state is (node, label/edge) — never
+    document payloads; lineage is flattened per round with
+    localCheckpoint so plans do not grow with iterations."""
+    if algorithm not in ("star", "hashmin"):
+        raise ValueError("algorithm must be 'star' or 'hashmin'")
+    edges = (pairs.select(F.col("id1").alias("__a"),
+                          F.col("id2").alias("__b"))
+             .filter(F.col("__a") != F.col("__b")))
+    if algorithm == "hashmin":
+        return _cc_hashmin(edges, id_col, max_iter)
+    return _cc_star(edges, id_col, max_iter)
+
+
+def _cc_hashmin(edges: DataFrame, id_col: str, max_iter: int) -> DataFrame:
     sym = edges.unionByName(
         edges.select(F.col("__b").alias("__a"),
                      F.col("__a").alias("__b"))).distinct().persist()
     labels = (sym.select(F.col("__a").alias(id_col)).distinct()
               .withColumn("component", F.col(id_col))
               .localCheckpoint())
+    changed = 0
     for _ in range(max_iter):
         nbr = (sym.join(labels.select(F.col(id_col).alias("__b"),
                                       F.col("component").alias("__nc")),
@@ -1190,17 +1211,90 @@ def neardup_components(pairs: DataFrame, id_col: str = "id",
         if changed == 0:
             break
     sym.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"neardup_components(hashmin) did not converge in "
+            f"{max_iter} rounds (graph diameter exceeds max_iter — "
+            "e.g. a long duplicate chain); raise max_iter or use "
+            "algorithm='star' (O(log n) rounds)")
     return labels
 
 
+def _cc_star(edges: DataFrame, id_col: str, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star (Kiveris et al. §3).  Edge
+    frames are kept canonically oriented (__a > __b); the fixpoint is
+    the union of star graphs, each centered at its component's minimum
+    node — so the final labels read directly off the edge list.
+
+    large-star: every node u connects its LARGER neighbors to
+    m = min(N(u) ∪ {u}).  small-star: every node u (over edges it
+    owns, i.e. pointing to smaller ids) connects its smaller neighbors
+    AND itself to their minimum.  Both emit (big, small)-oriented
+    edges; each halves the height of the implicit forest, giving
+    O(log n) total rounds regardless of graph diameter."""
+    # canonical orientation: (__a=big, __b=small); nodes fixed up front
+    cur = (edges.select(F.greatest("__a", "__b").alias("__a"),
+                        F.least("__a", "__b").alias("__b"))
+           .distinct().localCheckpoint())
+    nodes = (cur.select(F.col("__a").alias(id_col))
+             .unionByName(cur.select(F.col("__b").alias(id_col)))
+             .distinct().localCheckpoint())
+    converged = False
+    for _ in range(max_iter):
+        # -- large-star: group by u over the SYMMETRIC view ----------
+        sym = cur.unionByName(
+            cur.select(F.col("__b").alias("__a"),
+                       F.col("__a").alias("__b")))
+        mins = (sym.groupBy("__a")
+                .agg(F.min("__b").alias("__m"))
+                .select(F.col("__a").alias("__u"),
+                        F.least("__m", "__a").alias("__m")))
+        large = (sym.join(mins, sym["__a"] == mins["__u"])
+                 .filter(F.col("__b") > F.col("__a"))
+                 .select(F.col("__b").alias("__a"),
+                         F.col("__m").alias("__b"))
+                 .distinct().localCheckpoint())
+        # -- small-star: group by u over OWNED (big->small) edges ----
+        smins = (large.groupBy("__a").agg(F.min("__b").alias("__m")))
+        joined = large.join(smins, "__a")
+        nxt = (joined.select(F.col("__b").alias("__a"),
+                             F.col("__m").alias("__b"))
+               .unionByName(joined.select(F.col("__a"),
+                                          F.col("__m").alias("__b")))
+               .filter(F.col("__a") != F.col("__b"))
+               .distinct().localCheckpoint())
+        # fixpoint test: same canonical edge set as last round
+        if (nxt.count() == cur.count()
+                and nxt.exceptAll(cur).limit(1).count() == 0):
+            cur = nxt
+            converged = True
+            break
+        cur = nxt
+    if not converged:
+        raise RuntimeError(
+            f"neardup_components(star) did not converge in {max_iter} "
+            "rounds; raise max_iter (expected O(log n) — this is "
+            "unexpected for any real pair graph)")
+    # stars: every non-center node has exactly one edge to its
+    # component min; centers (and only centers) appear solely as __b
+    return (nodes.join(cur.select(F.col("__a").alias(id_col),
+                                  F.col("__b").alias("component")),
+                       id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("component", F.col(id_col))
+                    .alias("component")))
+
+
 def neardup_dedup(df: DataFrame, pairs: DataFrame,
-                  id_col: str = "id", max_iter: int = 20) -> DataFrame:
+                  id_col: str = "id", max_iter: int = 30,
+                  algorithm: str = "star") -> DataFrame:
     """Keep ONE representative per near-dup component (the smallest
     id); rows that appear in no pair pass through untouched.  The
     standard fuzzy-dedup keeper step: pairs from any LSH/exact tier
     (minhash_lsh_candidates, ngram_jaccard_pairs, srp_lsh_neardup_pairs,
     embedding_neardup_pairs) compose directly."""
-    comps = neardup_components(pairs, id_col=id_col, max_iter=max_iter)
+    comps = neardup_components(pairs, id_col=id_col, max_iter=max_iter,
+                               algorithm=algorithm)
     losers = comps.filter(F.col(id_col) != F.col("component")) \
         .select(id_col)
     return df.join(losers, on=id_col, how="left_anti")

@@ -522,6 +522,13 @@ class FlatKnnIndex:
             return False
         if self._f16 is None:
             Xd = self._X[:, :self.dims] if self._aug else self._X
+            # range guard (ADVICE r9): |x| > 65504 overflows to inf in
+            # f16 and NaNs make the threshold comparison false, so
+            # affected rows would silently drop out of the coarse cut —
+            # violating the exact-rerank membership contract.  Decline
+            # the sidecar instead; callers fall back to the f32 paths.
+            if not np.isfinite(Xd).all() or np.abs(Xd).max() > 65504.0:
+                return False
             self._f16 = np.ascontiguousarray(Xd.astype(np.float16))
         return True
 

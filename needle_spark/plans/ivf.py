@@ -463,6 +463,13 @@ class IvfBatchKnnIndex:
         # cannot grow driver memory without bound; None disables.
         self.max_pending_ids = max_pending_ids
         self._auto_merges = 0
+        # re-entrancy latch (ADVICE r9): merge_delta() calls
+        # flush_local(), whose own churn-cap check must not start a
+        # NESTED merge — the outer merge is already folding everything
+        # the nested one would, so the second full repartition/persist/
+        # count is pure waste (correct, but two Spark rewrites for one
+        # merge).
+        self._in_merge = False
         # capability vs policy: `refine` pins the sidecar (capability);
         # this flag sets what refine=None per-call resolves to, letting
         # one index serve both quantized-score and exact-rerank traffic
@@ -1980,7 +1987,7 @@ class IvfBatchKnnIndex:
         incremental state is bounded by the threshold, not by total
         churn.  Search results are unchanged by construction —
         merge_delta serves the identical live-row set."""
-        if self.max_pending_ids is None:
+        if self.max_pending_ids is None or self._in_merge:
             return
         if self._pending_ids() > self.max_pending_ids:
             self.merge_delta()
@@ -2388,6 +2395,16 @@ class IvfBatchKnnIndex:
         cell-contiguous layout; re-pins mmap segments if they were
         pinned.  At rest this is a partition-localized rewrite — only
         cells that received delta rows change files."""
+        if self._in_merge:  # paranoia: never nest (see _maybe_auto_merge)
+            return {"merged_rows": 0, "deleted": 0,
+                    "main_rows": self.n_main, "repinned_segments": False}
+        self._in_merge = True
+        try:
+            return self._merge_delta_inner()
+        finally:
+            self._in_merge = False
+
+    def _merge_delta_inner(self) -> dict:
         if self._local_buf:
             self.flush_local()
         main = self.codes

@@ -123,11 +123,21 @@ class BinaryQuantizer:
             # null vectors pack to all-zero words — the same result the
             # replaced column expression produced (null > 0.0 -> null
             # -> otherwise(0)); crashing the stage on one null row is
-            # not an option on a large encode
-            X = np.stack([np.zeros(dim, dtype=np.float64) if v is None
-                          else np.asarray(v, dtype=np.float64)
-                          for v in vs])
-            bits = np.packbits(X > 0.0, axis=1, bitorder="little")
+            # not an option on a large encode.  Ragged vectors likewise
+            # (ADVICE r9): the expression padded missing tail elements
+            # with null->0, so short rows zero-fill (and long rows
+            # truncate) to the probed dim instead of crashing np.stack.
+            X = np.zeros((len(vs), dim), dtype=np.float64)
+            for i, v in enumerate(vs):
+                if v is None:
+                    continue
+                a = np.asarray(v, dtype=np.float64)[:dim]
+                X[i, :len(a)] = a
+            # NaN semantics match the Spark expression this kernel
+            # replaced: Spark's total ordering has NaN > 0.0 == true,
+            # so NaN components pack bit 1 (numpy's NaN > 0.0 is False)
+            bits = np.packbits((X > 0.0) | np.isnan(X), axis=1,
+                               bitorder="little")
             pad = n_words * 8 - bits.shape[1]
             if pad:
                 bits = np.pad(bits, ((0, 0), (0, pad)))

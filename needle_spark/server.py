@@ -976,6 +976,27 @@ class RestServer:
             refine = bool(refine)
             decision = {**decision, "codes": codes, "refine": refine,
                         "codes_reason": "pinned by request"}
+            if budget is not None:
+                # pinned codes must honor the capacity budget too
+                # (ADVICE r9): only tier and codes='auto' enforced it,
+                # so codes='float32' with budget < 4*dim silently bust
+                # the stated bytes/row — inconsistent with the strict
+                # 400 on pinned flat.  Resident bytes/row per code
+                # tier: float32 4*dim, sq8/sq8_cell dim, pq m (1 byte
+                # per subspace; default split = the constructor's).
+                if codes == "pq":
+                    bpr = next((c.dims // sd for sd in (8, 4, 2)
+                                if c.dims % sd == 0), c.dims)
+                else:
+                    bpr = 4 * c.dims if codes == "float32" else c.dims
+                if bpr > budget:
+                    raise _bad(
+                        f"'budget_bytes_per_row'={budget} cannot be "
+                        f"honored by pinned codes='{codes}' "
+                        f"({bpr} B/row at dim {c.dims}); raise the "
+                        "budget, pin smaller codes, or leave "
+                        "codes='auto'")
+                decision["budget_bytes_per_row"] = budget
         if refine and codes == "float32":
             raise _bad("refine pairs a quantized code tier with an "
                        "exact sidecar; float32 codes already rank "

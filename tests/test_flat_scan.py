@@ -377,3 +377,31 @@ def test_f16_sidecar_invalidated_by_writes():
     assert got[0][0] == n + 1  # the new row wins rank 1 via f16 path
     idx.unpersist()
     assert idx._f16 is None
+
+
+def test_f16_declined_on_out_of_range_data():
+    """ADVICE r9: enable_f16 cast to float16 with no finite-range
+    guard — components with |x| > 65504 become inf (and NaN rows fail
+    every threshold compare), silently dropping rows from path='f16'
+    results despite the exact-rerank membership contract.  Such data
+    must DECLINE the sidecar; path='f16' then serves the exact scan."""
+    from needle_spark.plans.flat import FlatKnnIndex
+
+    rng = np.random.default_rng(46)
+    n, d = 1000, 8
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    X[7, 3] = 70000.0  # overflows f16
+    idx = FlatKnnIndex(np.arange(n, dtype=np.int64), X,
+                       metric="euclidean")
+    assert idx.enable_f16() is False or idx._f16 is None
+    assert idx._f16 is None
+    got = idx.search_one(X[7].astype(np.float64), k=3, path="f16")
+    assert got[0][0] == 7  # exact fallback still finds the row
+
+    Xn = X.copy()
+    Xn[7, 3] = np.nan
+    idx2 = FlatKnnIndex(np.arange(n, dtype=np.int64),
+                        np.nan_to_num(Xn, nan=0.0), metric="euclidean")
+    idx2._X[3, 2] = np.nan  # post-hoc NaN (euclidean keeps raw X)
+    assert idx2.enable_f16() is False or idx2._f16 is None
+    assert idx2._f16 is None

@@ -258,3 +258,29 @@ def test_recall_target_budget_reject_booleans(srv, corpora):
                  {"recall_target": "0.9"}, {"budget_bytes_per_row": "16"}):
         err = call(srv, "POST", "/collections/sft/index", body, expect=400)
         assert "must be" in json.dumps(err)
+
+
+def test_budget_enforced_on_pinned_codes(srv, corpora):
+    """ADVICE r9: budget_bytes_per_row was only enforced for tier and
+    codes='auto' — explicitly pinned codes silently bust the stated
+    capacity.  Pinned codes whose resident bytes/row exceed the budget
+    must 400 (mirroring the pinned-flat check); pinned codes inside
+    the budget build normally with the budget echoed in the
+    decision."""
+    dim = len(corpora[1][0])  # corpus vectors (dim bytes/row for sq8)
+    # float32 = 4*dim B/row: busts any budget below that
+    err = call(srv, "POST", "/collections/sft/index",
+               {"codes": "float32", "budget_bytes_per_row": 2 * dim},
+               expect=400)
+    assert "budget_bytes_per_row" in json.dumps(err)
+    # sq8 = dim B/row: busts a sub-dim budget
+    err = call(srv, "POST", "/collections/sft/index",
+               {"codes": "sq8", "budget_bytes_per_row": dim // 2},
+               expect=400)
+    assert "budget_bytes_per_row" in json.dumps(err)
+    # sq8 within budget builds, decision records the honored budget
+    built = call(srv, "POST", "/collections/sft/index",
+                 {"codes": "sq8_cell", "budget_bytes_per_row": dim},
+                 expect=200)
+    assert built["tier_decision"]["budget_bytes_per_row"] == dim
+    call(srv, "DELETE", "/collections/sft/index", expect=200)

@@ -1112,3 +1112,46 @@ def test_auto_merge_caps_online_write_path(spark, clustered, tmp_path):
         assert got[0][0] >= 700_000  # planted rows keep serving
     finally:
         idx.unpersist()
+
+
+def test_auto_merge_not_reentrant(spark, clustered, tmp_path):
+    """ADVICE r9: delete() over the cap -> merge_delta() ->
+    flush_local() (local buffer non-empty) -> _maybe_auto_merge() used
+    to run a complete NESTED merge_delta, then the outer merge resumed
+    and repartitioned/persisted/counted the already-merged table a
+    second time — correct but two full Spark rewrites for one merge.
+    The in-merge latch must keep it to exactly one inner merge."""
+    from unittest import mock
+
+    df, pts, queries = clustered
+    rng = np.random.default_rng(77)
+    idx = IvfBatchKnnIndex(df, nlist=N_CLUSTERS, vector_col="vector",
+                           id_col="id", metric="euclidean", seed=1,
+                           max_pending_ids=None)
+    idx.pin_segments(str(tmp_path / "segs"))
+    try:
+        # fill the DRIVER-LOCAL buffer past a cap enabled afterwards:
+        # the delete() below then finds pending > cap with a non-empty
+        # local buffer — the exact re-entry shape from the advice
+        vecs = (queries[0] + 0.01 * rng.standard_normal((15, DIM))
+                ).astype(np.float32)
+        for j in range(15):
+            idx.add_local([int(800_000 + j)], vecs[j][None, :])
+        idx.max_pending_ids = 10
+        inner = IvfBatchKnnIndex._merge_delta_inner
+        calls = {"n": 0}
+
+        def counting(self):
+            calls["n"] += 1
+            return inner(self)
+
+        with mock.patch.object(IvfBatchKnnIndex, "_merge_delta_inner",
+                               counting):
+            idx.delete([int(800_000)])
+        assert calls["n"] == 1  # no nested second rewrite
+        assert idx._auto_merges == 1
+        assert idx._pending_ids() == 0
+        got = idx.search_one(queries[0], k=5, nprobe=N_CLUSTERS)
+        assert got[0][0] > 800_000  # planted rows serve, deleted masked
+    finally:
+        idx.unpersist()

@@ -190,3 +190,28 @@ def test_binary_encode_null_vector_zero_words(spark):
            for r in BinaryQuantizer().encode(df).collect()}
     assert enc[2] == [0]
     assert enc[1] == [0b101] and enc[3] == [0b100]
+
+
+def test_binary_encode_ragged_and_nan(spark):
+    """ADVICE r9: np.stack crashed the encode stage on vectors shorter
+    than the probed dim — the replaced element_at expression padded
+    missing tail bits with null->0 — and NaN components packed to 0
+    where Spark's NaN-greater total ordering (NaN > 0.0 == true)
+    packed 1.  The kernel must zero-pad short rows, truncate long
+    ones, and keep Spark's NaN semantics."""
+    import math
+
+    from needle_spark.plans.quantization import BinaryQuantizer
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -1.0, 1.0]),          # probe row fixes dim=3
+         (2, [1.0]),                      # short: tail pads to 0
+         (3, [-1.0, 1.0, -1.0, 1.0]),     # long: truncates to dim
+         (4, [math.nan, -1.0, math.nan])],  # NaN packs 1 (Spark order)
+        "id long, vector array<double>")
+    enc = {r["id"]: r["bits"]
+           for r in BinaryQuantizer().encode(df).collect()}
+    assert enc[1] == [0b101]
+    assert enc[2] == [0b001]
+    assert enc[3] == [0b010]
+    assert enc[4] == [0b101]
