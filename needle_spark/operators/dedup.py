@@ -1143,7 +1143,8 @@ def blockpair_neardup_pairs(
 
 def neardup_components(pairs: DataFrame, id_col: str = "id",
                        max_iter: int = 30,
-                       algorithm: str = "star") -> DataFrame:
+                       algorithm: str = "star",
+                       stats: dict | None = None) -> DataFrame:
     """Near-duplicate connected components over a candidate-pair frame:
     (id1, id2, ...) -> (id, component), where `component` is the
     SMALLEST id reachable in the pair graph — the canonical group id
@@ -1179,11 +1180,12 @@ def neardup_components(pairs: DataFrame, id_col: str = "id",
                           F.col("id2").alias("__b"))
              .filter(F.col("__a") != F.col("__b")))
     if algorithm == "hashmin":
-        return _cc_hashmin(edges, id_col, max_iter)
-    return _cc_star(edges, id_col, max_iter)
+        return _cc_hashmin(edges, id_col, max_iter, stats)
+    return _cc_star(edges, id_col, max_iter, stats)
 
 
-def _cc_hashmin(edges: DataFrame, id_col: str, max_iter: int) -> DataFrame:
+def _cc_hashmin(edges: DataFrame, id_col: str, max_iter: int,
+                stats: dict | None = None) -> DataFrame:
     sym = edges.unionByName(
         edges.select(F.col("__b").alias("__a"),
                      F.col("__a").alias("__b"))).distinct().persist()
@@ -1191,7 +1193,9 @@ def _cc_hashmin(edges: DataFrame, id_col: str, max_iter: int) -> DataFrame:
               .withColumn("component", F.col(id_col))
               .localCheckpoint())
     changed = 0
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         nbr = (sym.join(labels.select(F.col(id_col).alias("__b"),
                                       F.col("component").alias("__nc")),
                         "__b")
@@ -1211,6 +1215,8 @@ def _cc_hashmin(edges: DataFrame, id_col: str, max_iter: int) -> DataFrame:
         if changed == 0:
             break
     sym.unpersist()
+    if stats is not None:
+        stats.update({"algorithm": "hashmin", "rounds": rounds})
     if changed != 0:
         raise RuntimeError(
             f"neardup_components(hashmin) did not converge in "
@@ -1220,7 +1226,8 @@ def _cc_hashmin(edges: DataFrame, id_col: str, max_iter: int) -> DataFrame:
     return labels
 
 
-def _cc_star(edges: DataFrame, id_col: str, max_iter: int) -> DataFrame:
+def _cc_star(edges: DataFrame, id_col: str, max_iter: int,
+             stats: dict | None = None) -> DataFrame:
     """Alternating large-star/small-star (Kiveris et al. §3).  Edge
     frames are kept canonically oriented (__a > __b); the fixpoint is
     the union of star graphs, each centered at its component's minimum
@@ -1240,7 +1247,9 @@ def _cc_star(edges: DataFrame, id_col: str, max_iter: int) -> DataFrame:
              .unionByName(cur.select(F.col("__b").alias(id_col)))
              .distinct().localCheckpoint())
     converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # -- large-star: group by u over the SYMMETRIC view ----------
         sym = cur.unionByName(
             cur.select(F.col("__b").alias("__a"),
@@ -1270,6 +1279,8 @@ def _cc_star(edges: DataFrame, id_col: str, max_iter: int) -> DataFrame:
             converged = True
             break
         cur = nxt
+    if stats is not None:
+        stats.update({"algorithm": "star", "rounds": rounds})
     if not converged:
         raise RuntimeError(
             f"neardup_components(star) did not converge in {max_iter} "

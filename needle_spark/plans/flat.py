@@ -170,6 +170,10 @@ class FlatKnnIndex:
     #: coarse survivors re-ranked exactly per query; ~400x over-fetch
     #: at k=10 buries the SQ8 quantization error (see _scan_coarse)
     COARSE_FETCH = 4096
+    #: micro-batch cap for the fused 8-query kernels (f16/vnni paths):
+    #: one matrix pass per 8 queries, so batches this size keep the
+    #: pass amortized without an unbounded per-call service time
+    GEMM_MAX_Q = 32
 
     def __init__(self, ids, vectors, metric: str = "cosine",
                  metas: dict | None = None, threads: int | None = None,
@@ -480,25 +484,48 @@ class FlatKnnIndex:
     def _rerank_exact(self, rows, qs, Qt, wm, k, rows_eff, n_q):
         """Exact re-rank of coarse survivors: gather their float32
         rows, true scores; per-query fallback to a full exact column
-        when a coarse cut under-fills k (shared by the SQ8 and f16
-        coarse paths)."""
+        when a coarse cut under-fills k (shared by the SQ8/f16/vnni
+        coarse paths).
+
+        Vectorized across the whole batch (round 10): the old
+        per-query gather+GEMV loop cost ~B separate fancy-index passes
+        and dominated micro-batch service time once the coarse pass
+        itself was kernel-fast — one batched gather + row-wise dot
+        re-scores every survivor of every query in two numpy ops."""
         X = self._X
+        kk_goal = min(k, rows_eff)
+        counts = np.bincount(qs, minlength=n_q) if len(qs) \
+            else np.zeros(n_q, dtype=np.int64)
+        ok = counts >= kk_goal
         out_r, out_q, out_v = [], [], []
-        for qi in range(n_q):
-            cand = rows[qs == qi]
-            if len(cand) < min(k, rows_eff):
-                col = X @ np.ascontiguousarray(Qt[:, qi])
-                if wm is not None:
-                    col = np.where(wm, col, -np.inf)
-                kk = min(k, rows_eff)
-                part = np.argpartition(-col, kk - 1)[:kk]
-                cand = np.flatnonzero(col >= col[part].min())
-                vals = col[cand]
-            else:
-                vals = X[cand] @ np.ascontiguousarray(Qt[:, qi])
+        if len(rows):
+            # ONE batched gather into a contiguous buffer, then a
+            # contiguous f32 GEMV slice per query — same BLAS matvec
+            # (bit-identical scores) as the old per-query X[cand]
+            # gather, minus B-1 fancy-index passes over the matrix
+            order = np.argsort(qs, kind="stable")
+            r_s, q_s = rows[order], qs[order]
+            Xg = X[r_s]
+            starts = np.searchsorted(q_s, np.arange(n_q + 1))
+            for qi in range(n_q):
+                if not ok[qi]:
+                    continue
+                a, b = starts[qi], starts[qi + 1]
+                out_r.append(r_s[a:b])
+                out_q.append(q_s[a:b])
+                out_v.append(Xg[a:b] @ np.ascontiguousarray(Qt[:, qi]))
+        for qi in np.flatnonzero(~ok):
+            col = X @ np.ascontiguousarray(Qt[:, qi])
+            if wm is not None:
+                col = np.where(wm, col, -np.inf)
+            part = np.argpartition(-col, kk_goal - 1)[:kk_goal]
+            cand = np.flatnonzero(col >= col[part].min())
             out_r.append(cand)
-            out_v.append(vals)
             out_q.append(np.full(len(cand), qi, dtype=np.int64))
+            out_v.append(col[cand])
+        if not out_r:
+            return (np.empty(0, np.int64), np.empty(0, np.int64),
+                    np.empty(0, np.float32))
         return (np.concatenate(out_r), np.concatenate(out_q),
                 np.concatenate(out_v))
 
@@ -546,7 +573,13 @@ class FlatKnnIndex:
         nsq = X[:, -1] if self._aug else None
         cand_pool = np.flatnonzero(wm) if wm is not None else None
         rows_eff = len(cand_pool) if cand_pool is not None else n
-        fetch = min(self.COARSE_FETCH, rows_eff)
+        # micro-batch calls scale the per-query over-fetch down: the
+        # exact re-rank gathers fetch x n_q random rows, and 4096 x 24
+        # reads ~10% of the matrix back through a fancy index — at
+        # n_q > 4 a 100x over-fetch (>= 1024 at k=10) keeps the same
+        # threshold-miss argument at a tenth of the gather bytes
+        fetch = min(self.COARSE_FETCH if n_q <= self.COARSE_MAX_Q
+                    else max(1024, self.COARSE_FETCH // 4), rows_eff)
         qcols = [np.ascontiguousarray(Qt[:d, qi], dtype=np.float32)
                  for qi in range(n_q)]
 
@@ -568,11 +601,39 @@ class FlatKnnIndex:
         bounds = np.linspace(0, n, nb + 1).astype(np.int64)
         pool = self._ensure_pool()
         base_ptr = X16.ctypes.data
+        # multi-query fused pass (round 10, micro-batch serving): the
+        # gemm8 kernel converts each row chunk ONCE and FMAs it against
+        # 8 queries — one matrix read serves the whole micro-batch,
+        # where the GEMV loop below re-streams the block per query
+        use_gemm = n_q > 1 and hasattr(lib, "gemm8_f16")
+        if use_gemm:
+            b_pad = ((n_q + 7) // 8) * 8
+            Qpad = np.zeros((b_pad, d), dtype=np.float32)
+            for qi in range(n_q):
+                Qpad[qi] = qcols[qi]
+            Qpad = np.ascontiguousarray(Qpad)
 
         def scan_block(b):
             s, e = int(bounds[b]), int(bounds[b + 1])
-            buf = np.empty(e - s, dtype=np.float32)
             rs, qqs = [], []
+            if use_gemm:
+                buf = np.empty((e - s, b_pad), dtype=np.float32)
+                lib.gemm8_f16(int(base_ptr + s * d * 2),
+                              Qpad.ctypes.data, buf.ctypes.data,
+                              0, e - s, d, b_pad)
+                # one whole-block mask across every query: the
+                # per-query strided-column loop this replaces was
+                # GIL-serialized across pool workers and dominated
+                # micro-batch service time (profiled round 10)
+                gb = buf[:, :n_q]
+                if nsq is not None:
+                    gb = gb - nsq[s:e, None]
+                m = gb > thr[None, :n_q]
+                if wm is not None:
+                    m &= wm[s:e, None]
+                r, qq = np.nonzero(m)
+                return r + s, qq
+            buf = np.empty(e - s, dtype=np.float32)
             for qi in range(n_q):
                 lib.gemv_f16(int(base_ptr + s * d * 2),
                              qcols[qi].ctypes.data, buf.ctypes.data,
@@ -591,6 +652,219 @@ class FlatKnnIndex:
         rows = np.concatenate([p[0] for p in parts])
         qs = np.concatenate([p[1] for p in parts])
         return self._rerank_exact(rows, qs, Qt, wm, k, rows_eff, n_q)
+
+    def _scan_vnni(self, Qt: np.ndarray, wm: np.ndarray | None, k: int):
+        """Integer coarse pass (path="vnni"): SQ8 codes x s8-quantized
+        queries through the VPDPBUSD gemm8 kernel -> per-query int
+        threshold cut -> exact float32 re-rank.  Rationale: the f32,
+        f16-convert, and u8-convert passes all saturate the SAME float
+        FMA throughput (measured ~equal ms/pass at 1M x 200 regardless
+        of precision); VPDPBUSD does 64 integer MACs per instruction,
+        the only arithmetic on this host that is 4x denser.  Distances
+        stay EXACT (rerank); membership is approximate with the same
+        sampled-threshold + ~400x overfetch argument as _scan_coarse,
+        plus the s8 query quantization absorbed by the same margin —
+        recall is MEASURED per corpus (bench glove_sustained rows).
+
+        Coarse score per query b: dot(x, q) ~= q.lo + qs_b *
+        dpbusd(codes, qc_b), affine with qs_b > 0 — so the cut ranks
+        directly in int space, no dequantization in the hot loop."""
+        from needle_spark.plans.native import gemv_f16_kernel
+
+        lib = gemv_f16_kernel()
+        codes, lo, step = self._ensure_sq8()
+        X = self._X
+        n, n_q = len(codes), Qt.shape[1]
+        d = self.dims
+        nsq = X[:, -1] if self._aug else None
+        cand_pool = np.flatnonzero(wm) if wm is not None else None
+        rows_eff = len(cand_pool) if cand_pool is not None else n
+        # micro-batch over-fetch scaling: see _scan_f16
+        fetch = min(self.COARSE_FETCH if n_q <= self.COARSE_MAX_Q
+                    else max(1024, self.COARSE_FETCH // 4), rows_eff)
+
+        # effective float query against the codes: q' = q * step
+        Qp = (np.asarray(Qt[:d, :], dtype=np.float64)
+              * step[:, None]).T                      # (q, d)
+        qs_scale = np.abs(Qp).max(axis=1) / 127.0
+        qs_scale = np.where(qs_scale == 0.0, 1.0, qs_scale)
+        b_pad = ((n_q + 7) // 8) * 8
+        Qc = np.zeros((b_pad, d), dtype=np.int8)
+        Qc[:n_q] = np.clip(np.rint(Qp / qs_scale[:, None]),
+                           -127, 127).astype(np.int8)
+        Qc = np.ascontiguousarray(Qc)
+
+        # threshold in INT space from a sample pushed through the SAME
+        # kernel (identical quantization of sample and blocks)
+        rng = np.random.default_rng(0x8B17)
+        samp = rng.integers(0, rows_eff, min(self.SAMPLE_ROWS, rows_eff))
+        samp_rows = cand_pool[samp] if cand_pool is not None else samp
+        samp_codes = np.ascontiguousarray(codes[samp_rows])
+        s_buf = np.empty((len(samp_rows), b_pad), dtype=np.int32)
+        lib.gemm8vnni_u8(samp_codes.ctypes.data, Qc.ctypes.data,
+                         s_buf.ctypes.data, 0, len(samp_rows), d, b_pad)
+        # euclidean augmentation ranks 2x.q - |x|^2: fold |x|^2 into
+        # the int comparison per query via the affine map
+        if nsq is not None:
+            gs = (s_buf[:, :n_q].astype(np.float64)
+                  * qs_scale[None, :] - nsq[samp_rows, None])
+        else:
+            gs = s_buf[:, :n_q].astype(np.float64) * qs_scale[None, :]
+        rank = max(1, min(int(round(len(samp_rows) * fetch / rows_eff)),
+                          len(samp_rows) - 1))
+        thr = np.partition(gs, -1 - rank, axis=0)[-1 - rank] \
+            .astype(np.float32)
+
+        nb = min(max(self._nt, n // 32_768), n)
+        bounds = np.linspace(0, n, nb + 1).astype(np.int64)
+        pool = self._ensure_pool()
+        base_ptr = codes.ctypes.data
+        # cosine/dot: the cut maps to a PURE INT compare inside the
+        # kernel (dot_int > floor(thr/qs)) which emits one bit per
+        # (row, query) — the int32 score matrix this replaces cost
+        # more memory traffic than the 1 B/dim code read itself.
+        # euclidean keeps the buffered path (per-row |x|^2 offset).
+        int_cut = nsq is None
+        if int_cut:
+            # pad the bit columns to a whole u32 so the sparse-row
+            # prefilter below can view bytes as one word per row
+            b_bits = ((b_pad + 31) // 32) * 32
+            if b_bits != b_pad:
+                Qc2 = np.zeros((b_bits, d), dtype=np.int8)
+                Qc2[:b_pad] = Qc
+                Qc = np.ascontiguousarray(Qc2)
+            thr_i = np.full(b_bits, 2**31 - 1, dtype=np.int32)
+            thr_i[:n_q] = np.floor(
+                thr.astype(np.float64) / qs_scale).astype(np.int32)
+
+        def scan_block(b):
+            s, e = int(bounds[b]), int(bounds[b + 1])
+            if int_cut:
+                bits = np.empty((e - s, b_bits // 8), dtype=np.uint8)
+                lib.gemm8vnni_thr(int(base_ptr + s * d), Qc.ctypes.data,
+                                  thr_i.ctypes.data, bits.ctypes.data,
+                                  0, e - s, d, b_bits)
+                # survivors are ~fetch*n_q/n sparse: cut to rows with
+                # ANY bit first (one u32 compare per row), unpack only
+                # those — the dense unpack+nonzero epilogue was the
+                # GIL-held cost that throttled pool parallelism
+                words = bits.view(np.uint32).reshape(e - s, -1)
+                hot = np.flatnonzero((words != 0).any(axis=1))
+                if not len(hot):
+                    return (np.empty(0, np.int64),
+                            np.empty(0, np.int64))
+                m = np.unpackbits(bits[hot], axis=1,
+                                  bitorder="little")[:, :n_q] \
+                    .astype(bool)
+                if wm is not None:
+                    m &= wm[s:e][hot, None]
+                r, qq = np.nonzero(m)
+                return hot[r] + s, qq
+            buf = np.empty((e - s, b_pad), dtype=np.int32)
+            lib.gemm8vnni_u8(int(base_ptr + s * d), Qc.ctypes.data,
+                             buf.ctypes.data, 0, e - s, d, b_pad)
+            # whole-block mask across every query (see _scan_f16)
+            gb = (buf[:, :n_q].astype(np.float32)
+                  * qs_scale[None, :].astype(np.float32))
+            gb = gb - nsq[s:e, None]
+            m = gb > thr[None, :n_q]
+            if wm is not None:
+                m &= wm[s:e, None]
+            r, qq = np.nonzero(m)
+            return r + s, qq
+
+        with single_thread_blas():
+            parts = list(pool.map(scan_block, range(nb)))
+        rows = np.concatenate([p[0] for p in parts])
+        qs = np.concatenate([p[1] for p in parts])
+        return self._rerank_exact(rows, qs, Qt, wm, k, rows_eff, n_q)
+
+    @staticmethod
+    def _host_canary_ms() -> float:
+        """First-touch page-fault probe (the bench/adjudication canary,
+        bench.py _canary): the co-tenant interference channel on this
+        class of shared host."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        a = np.empty(100_000_000, np.uint8)
+        a.fill(1)
+        ms = (_time.perf_counter() - t0) * 1000.0
+        del a
+        return ms
+
+    def recommended_single_path(self, sample_q: int = 32,
+                                canary_limit_ms: float = 150.0,
+                                seed: int = 7) -> dict:
+        """Opportunistic startup A/B for the single/micro-batch serving
+        path (VERDICT r9 ask #7): in ONE quiet window (canary under
+        `canary_limit_ms`), time a 32-query sample through each
+        servable path and pick the fastest whose ids match the exact
+        scan; on a dirty window, keep the safe default ("exact") and
+        say so.  The decision AND both measurements are returned (and
+        surfaced in REST index status) so the choice is auditable —
+        the r9 lesson was that silently flipping a default under an
+        unadjudicable host is how honest benchmarks die."""
+        c0 = self._host_canary_ms()
+        dec = {"canary_ms": round(c0, 1), "path": "exact",
+               "reason": "default"}
+        if c0 >= canary_limit_ms:
+            dec["reason"] = ("dirty host window (canary >= "
+                             f"{canary_limit_ms:.0f} ms); keeping exact")
+            return dec
+        import time as _time
+
+        rng = np.random.default_rng(seed)
+        n = len(self._X)
+        qi = rng.integers(0, n, sample_q)
+        Q = self._X[qi, :self.dims].astype(np.float64)
+        ids = list(range(sample_q))
+        timings = {}
+        ref_ids = None
+        for path in ("exact", "f16", "vnni"):
+            if path == "f16" and not self.enable_f16():
+                continue
+            if path == "vnni" and not self.enable_vnni():
+                continue
+            self.search_many_local((ids, Q), k=10, path=path)  # warm
+            t0 = _time.perf_counter()
+            res = self.search_many_local((ids, Q), k=10, path=path)
+            timings[path] = round(
+                (_time.perf_counter() - t0) * 1000.0, 2)
+            got = list(zip(res["query_id"], res[self.id_col]))
+            if path == "exact":
+                ref_ids = got
+            elif got != ref_ids:
+                timings.pop(path)  # mismatch: never auto-serve it
+        c1 = self._host_canary_ms()
+        dec["canary_after_ms"] = round(c1, 1)
+        dec["sample_ms"] = timings
+        if c1 >= canary_limit_ms:
+            dec["reason"] = ("window went dirty mid-probe; keeping "
+                             "exact")
+            return dec
+        best = min(timings, key=timings.get)
+        dec["path"] = best
+        dec["reason"] = (f"fastest of {sorted(timings)} on a "
+                         f"{sample_q}-query sample in a clean window")
+        return dec
+
+    def _has_gemm8(self) -> bool:
+        from needle_spark.plans.native import gemv_f16_kernel
+
+        lib = gemv_f16_kernel()
+        return lib is not None and hasattr(lib, "gemm8_f16")
+
+    def enable_vnni(self) -> bool:
+        """Probe the VPDPBUSD kernel and build the SQ8 sidecar; True
+        when path="vnni" is servable."""
+        from needle_spark.plans.native import gemv_f16_kernel
+
+        lib = gemv_f16_kernel()
+        if lib is None or not lib.has_vnni():
+            return False
+        self._ensure_sq8()
+        return True
 
     def _ensure_pool(self) -> ThreadPoolExecutor:
         if self._pool is None:
@@ -747,10 +1021,18 @@ class FlatKnnIndex:
         if self._alive is not None:
             wm = self._alive if wm is None else (wm & self._alive)
         rows_eff = int(wm.sum()) if wm is not None else len(self._X)
-        if (path == "f16" and Qt.shape[1] <= self.COARSE_MAX_Q
+        # the fused gemm8 kernels serve micro-batches well past the
+        # GEMV-shaped cap (one matrix pass per 8 queries)
+        f16_max_q = (self.GEMM_MAX_Q
+                     if self._has_gemm8() else self.COARSE_MAX_Q)
+        if (path == "f16" and Qt.shape[1] <= f16_max_q
                 and rows_eff > self.THRESHOLD_MIN_ROWS
                 and self.enable_f16()):
             rows, qs, vals = self._scan_f16(Qt, wm, k)
+        elif (path == "vnni" and Qt.shape[1] <= self.GEMM_MAX_Q
+                and rows_eff > self.THRESHOLD_MIN_ROWS
+                and self.enable_vnni()):
+            rows, qs, vals = self._scan_vnni(Qt, wm, k)
         elif (path == "coarse" and Qt.shape[1] <= self.COARSE_MAX_Q
                 and rows_eff > self.THRESHOLD_MIN_ROWS):
             rows, qs, vals = self._scan_coarse(Q, Qt, wm, k)

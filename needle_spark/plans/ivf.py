@@ -433,12 +433,12 @@ class IvfBatchKnnIndex:
             raise ValueError(
                 f"code_dtype must be 'sq8', 'sq8_cell', 'float32' or "
                 f"'pq', got {code_dtype!r}")
-        if pq_rotation not in ("none", "pca", "random"):
+        if pq_rotation not in ("none", "pca", "random", "opq"):
             # validated for EVERY code tier (review r9): a typo'd
             # rotation on a non-PQ build must not pass silently
             raise ValueError(
-                f"pq_rotation must be 'pca', 'random' or 'none', "
-                f"got {pq_rotation!r}")
+                f"pq_rotation must be 'opq', 'pca', 'random' or "
+                f"'none', got {pq_rotation!r}")
         if refine and code_dtype == "float32":
             raise ValueError(
                 "refine=True pairs a QUANTIZED code tier with an exact "
@@ -594,21 +594,50 @@ class IvfBatchKnnIndex:
                 Qm, _ = np.linalg.qr(
                     rng_r.standard_normal((self.dim, self.dim)))
                 self._pq_R = np.ascontiguousarray(Qm)
-            if self._pq_R is not None:
-                rs = rs @ self._pq_R
-            R = np.ascontiguousarray(rs).reshape(fit_rows, m_sub, sub)
-            books = np.empty((m_sub, 256, sub), dtype=np.float64)
-            for j in range(m_sub):
-                bj = _kmeans_fit(np.ascontiguousarray(R[:, j, :]),
-                                 256, seed + j, 4)
-                if len(bj) < 256:
-                    # _kmeans_fit returns min(256, sample) centroids;
-                    # tile so small-sample builds still produce a full
-                    # 256-entry codebook (extra entries are harmless —
-                    # encode only ever picks the nearest).
-                    reps = -(-256 // len(bj))
-                    bj = np.tile(bj, (reps, 1))[:256]
-                books[j] = bj
+            def _fit_books(res_rot):
+                Rr = np.ascontiguousarray(res_rot, dtype=np.float64) \
+                    .reshape(len(res_rot), m_sub, sub)
+                bk = np.empty((m_sub, 256, sub), dtype=np.float64)
+                for j in range(m_sub):
+                    bj = _kmeans_fit(np.ascontiguousarray(Rr[:, j, :]),
+                                     256, seed + j, 4)
+                    if len(bj) < 256:
+                        # _kmeans_fit returns min(256, sample)
+                        # centroids; tile so small-sample builds still
+                        # produce a full 256-entry codebook (extra
+                        # entries are harmless — encode only ever
+                        # picks the nearest).
+                        reps = -(-256 // len(bj))
+                        bj = np.tile(bj, (reps, 1))[:256]
+                    bk[j] = bj
+                return bk
+            if pq_rotation == "opq" and fit_rows >= 2:
+                # true OPQ (VERDICT r9 #5; Ge et al. 2013, the
+                # non-parametric alternation): rotation and codebooks
+                # optimized JOINTLY on the SAME per-cell residuals the
+                # index quantizes — the r9 PCA attempt failed exactly
+                # because its rotation was fit to the pooled covariance
+                # instead of to quantization error.  Each round: fit
+                # codebooks in the rotated frame, then solve the
+                # orthogonal Procrustes min_R ||res R - decoded||_F
+                # (R = U V^T from svd(res^T decoded)).
+                rs0 = np.ascontiguousarray(rs, dtype=np.float64)
+                Rm = np.eye(self.dim)
+                for _ in range(8):
+                    rr = rs0 @ Rm
+                    books = _fit_books(rr)
+                    _c, dec = _pq_encode(
+                        rr.astype(np.float32),
+                        np.ascontiguousarray(books, dtype=np.float32))
+                    U, _sv, Vt = np.linalg.svd(
+                        rs0.T @ np.asarray(dec, dtype=np.float64))
+                    Rm = U @ Vt
+                self._pq_R = np.ascontiguousarray(Rm)
+                books = _fit_books(rs0 @ Rm)
+            else:
+                if self._pq_R is not None:
+                    rs = rs @ self._pq_R
+                books = _fit_books(rs)
             self._pq = np.ascontiguousarray(books)
             self._code_width = m_sub
             self.mn = np.zeros(self.dim, dtype=np.float64)

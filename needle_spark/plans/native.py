@@ -157,6 +157,335 @@ void gemv_u8(const uint8_t *X, const float *q, float *out,
     }
 }
 #endif
+
+/* ---- fused 8-query passes (round 10, micro-batch serving) --------
+   The GEMV kernels above re-stream the matrix once PER QUERY; under
+   sustained single-query load the micro-batch front collects several
+   concurrent queries, and this variant converts each row chunk ONCE
+   and FMAs it against 8 query vectors — one DRAM pass serves 8
+   queries (arithmetic intensity 8x, still comfortably under the FMA
+   ceiling at d=200).  B must be a multiple of 8: the Python caller
+   zero-pads the query block (a zero query costs FLOPs, never
+   correctness).  out is row-major (r1-r0, B). */
+#define NS_ACC8(OP) OP(0) OP(1) OP(2) OP(3) OP(4) OP(5) OP(6) OP(7)
+
+#if defined(__AVX512F__) && defined(__F16C__)
+void gemm8_f16(const uint16_t *X, const float *Q, float *out,
+               long r0, long r1, long d, long B) {
+    long dv = d & ~15L;
+    for (long b0 = 0; b0 + 8 <= B; b0 += 8) {
+#define NS_QP(b) const float *q##b = Q + (b0 + b) * d;
+        NS_ACC8(NS_QP)
+#undef NS_QP
+        for (long j = r0; j < r1; j++) {
+            const uint16_t *row = X + j * d;
+#define NS_Z(b) __m512 a##b = _mm512_setzero_ps();
+            NS_ACC8(NS_Z)
+#undef NS_Z
+            long i = 0;
+            for (; i < dv; i += 16) {
+                __m512 x = _mm512_cvtph_ps(
+                    _mm256_loadu_si256((const __m256i *)(row + i)));
+#define NS_F(b) a##b = _mm512_fmadd_ps(x, _mm512_loadu_ps(q##b + i), a##b);
+                NS_ACC8(NS_F)
+#undef NS_F
+            }
+#define NS_R(b) float s##b = _mm512_reduce_add_ps(a##b);
+            NS_ACC8(NS_R)
+#undef NS_R
+            for (; i < d; i++) {
+                __m128i h = _mm_cvtsi32_si128(row[i]);
+                float xv = _mm_cvtss_f32(_mm_cvtph_ps(h));
+#define NS_T(b) s##b += xv * q##b[i];
+                NS_ACC8(NS_T)
+#undef NS_T
+            }
+            float *o = out + (j - r0) * B + b0;
+#define NS_W(b) o[b] = s##b;
+            NS_ACC8(NS_W)
+#undef NS_W
+        }
+    }
+}
+#elif defined(__AVX2__) && defined(__F16C__)
+void gemm8_f16(const uint16_t *X, const float *Q, float *out,
+               long r0, long r1, long d, long B) {
+    long dv = d & ~7L;
+    for (long b0 = 0; b0 + 8 <= B; b0 += 8) {
+#define NS_QP(b) const float *q##b = Q + (b0 + b) * d;
+        NS_ACC8(NS_QP)
+#undef NS_QP
+        for (long j = r0; j < r1; j++) {
+            const uint16_t *row = X + j * d;
+#define NS_Z(b) __m256 a##b = _mm256_setzero_ps();
+            NS_ACC8(NS_Z)
+#undef NS_Z
+            long i = 0;
+            for (; i < dv; i += 8) {
+                __m256 x = _mm256_cvtph_ps(
+                    _mm_loadu_si128((const __m128i *)(row + i)));
+#define NS_F(b) a##b = _mm256_fmadd_ps(x, _mm256_loadu_ps(q##b + i), a##b);
+                NS_ACC8(NS_F)
+#undef NS_F
+            }
+#define NS_R(b) __m128 lo##b = _mm256_castps256_ps128(a##b); \
+    __m128 hi##b = _mm256_extractf128_ps(a##b, 1); \
+    __m128 v##b = _mm_add_ps(lo##b, hi##b); \
+    v##b = _mm_hadd_ps(v##b, v##b); v##b = _mm_hadd_ps(v##b, v##b); \
+    float s##b = _mm_cvtss_f32(v##b);
+            NS_ACC8(NS_R)
+#undef NS_R
+            for (; i < d; i++) {
+                __m128i h = _mm_cvtsi32_si128(row[i]);
+                float xv = _mm_cvtss_f32(_mm_cvtph_ps(h));
+#define NS_T(b) s##b += xv * q##b[i];
+                NS_ACC8(NS_T)
+#undef NS_T
+            }
+            float *o = out + (j - r0) * B + b0;
+#define NS_W(b) o[b] = s##b;
+            NS_ACC8(NS_W)
+#undef NS_W
+        }
+    }
+}
+#else
+void gemm8_f16(const uint16_t *X, const float *Q, float *out,
+               long r0, long r1, long d, long B) {
+    for (long b0 = 0; b0 + 8 <= B; b0 += 8) {
+        for (long j = r0; j < r1; j++) {
+            const uint16_t *row = X + j * d;
+            for (int b = 0; b < 8; b++) {
+                const float *q = Q + (b0 + b) * d;
+                float s = 0.0f;
+                for (long i = 0; i < d; i++)
+                    s += half2float(row[i]) * q[i];
+                out[(j - r0) * B + b0 + b] = s;
+            }
+        }
+    }
+}
+#endif
+
+#if defined(__AVX512F__)
+void gemm8_u8(const uint8_t *X, const float *Q, float *out,
+              long r0, long r1, long d, long B) {
+    long dv = d & ~15L;
+    for (long b0 = 0; b0 + 8 <= B; b0 += 8) {
+#define NS_QP(b) const float *q##b = Q + (b0 + b) * d;
+        NS_ACC8(NS_QP)
+#undef NS_QP
+        for (long j = r0; j < r1; j++) {
+            const uint8_t *row = X + j * d;
+#define NS_Z(b) __m512 a##b = _mm512_setzero_ps();
+            NS_ACC8(NS_Z)
+#undef NS_Z
+            long i = 0;
+            for (; i < dv; i += 16) {
+                __m128i bx = _mm_loadu_si128((const __m128i *)(row + i));
+                __m512 x = _mm512_cvtepi32_ps(_mm512_cvtepu8_epi32(bx));
+#define NS_F(b) a##b = _mm512_fmadd_ps(x, _mm512_loadu_ps(q##b + i), a##b);
+                NS_ACC8(NS_F)
+#undef NS_F
+            }
+#define NS_R(b) float s##b = _mm512_reduce_add_ps(a##b);
+            NS_ACC8(NS_R)
+#undef NS_R
+            for (; i < d; i++) {
+                float xv = (float)row[i];
+#define NS_T(b) s##b += xv * q##b[i];
+                NS_ACC8(NS_T)
+#undef NS_T
+            }
+            float *o = out + (j - r0) * B + b0;
+#define NS_W(b) o[b] = s##b;
+            NS_ACC8(NS_W)
+#undef NS_W
+        }
+    }
+}
+#else
+void gemm8_u8(const uint8_t *X, const float *Q, float *out,
+              long r0, long r1, long d, long B) {
+    for (long b0 = 0; b0 + 8 <= B; b0 += 8) {
+        for (long j = r0; j < r1; j++) {
+            const uint8_t *row = X + j * d;
+            for (int b = 0; b < 8; b++) {
+                const float *q = Q + (b0 + b) * d;
+                float s = 0.0f;
+                for (long i = 0; i < d; i++) s += (float)row[i] * q[i];
+                out[(j - r0) * B + b0 + b] = s;
+            }
+        }
+    }
+}
+#endif
+
+/* ---- VNNI integer 8-query pass (round 10) ------------------------
+   u8 codes x s8 query codes -> s32 dots via VPDPBUSD (64 MACs per
+   instruction, no int16 saturation — the reason to require VNNI
+   rather than the PMADDUBSW pair).  This moves the coarse pass off
+   the float FMA units entirely: the f32/f16/u8-convert kernels above
+   all saturate the SAME ~2 flops/lane/cycle FMA throughput, which is
+   the measured per-pass floor on a shared host; integer dot-product
+   arithmetic is 4x denser.  Epilogue (affine de-quantization) happens
+   in numpy.  Q rows are s8, d-padded like X; out is (r1-r0, B) s32;
+   B a multiple of 8. */
+#if defined(__AVX512VNNI__) && defined(__AVX512BW__)
+void gemm8vnni_u8(const uint8_t *X, const int8_t *Qc, int32_t *out,
+                  long r0, long r1, long d, long B) {
+    long dv = d & ~63L;
+    for (long b0 = 0; b0 + 8 <= B; b0 += 8) {
+#define NS_QP(b) const int8_t *q##b = Qc + (b0 + b) * d;
+        NS_ACC8(NS_QP)
+#undef NS_QP
+        for (long j = r0; j < r1; j++) {
+            const uint8_t *row = X + j * d;
+#define NS_Z(b) __m512i a##b = _mm512_setzero_si512();
+            NS_ACC8(NS_Z)
+#undef NS_Z
+            long i = 0;
+            for (; i < dv; i += 64) {
+                __m512i x = _mm512_loadu_si512((const void *)(row + i));
+#define NS_F(b) a##b = _mm512_dpbusd_epi32(a##b, x, \
+    _mm512_loadu_si512((const void *)(q##b + i)));
+                NS_ACC8(NS_F)
+#undef NS_F
+            }
+            /* joint 8-acc reduction: a per-acc reduce_add_epi32 is
+               ~10 uops x 8 — at d=200 (3 dpbusd chunks/row) that
+               EPILOGUE dominated the kernel (measured 44.6 GOP/s/core
+               vs the dpbusd ceiling).  hadd tree: 8 zmm -> 8 ymm ->
+               two m128 of 4 sums each, ~20 uops total. */
+#define NS_Y(b) __m256i y##b = _mm256_add_epi32( \
+    _mm512_castsi512_si256(a##b), _mm512_extracti64x4_epi64(a##b, 1));
+            NS_ACC8(NS_Y)
+#undef NS_Y
+            __m256i t01 = _mm256_hadd_epi32(y0, y1);
+            __m256i t23 = _mm256_hadd_epi32(y2, y3);
+            __m256i t45 = _mm256_hadd_epi32(y4, y5);
+            __m256i t67 = _mm256_hadd_epi32(y6, y7);
+            __m256i u03 = _mm256_hadd_epi32(t01, t23);
+            __m256i u47 = _mm256_hadd_epi32(t45, t67);
+            __m128i lo03 = _mm_add_epi32(
+                _mm256_castsi256_si128(u03),
+                _mm256_extracti128_si256(u03, 1));
+            __m128i lo47 = _mm_add_epi32(
+                _mm256_castsi256_si128(u47),
+                _mm256_extracti128_si256(u47, 1));
+            int32_t *o = out + (j - r0) * B + b0;
+            _mm_storeu_si128((__m128i *)o, lo03);
+            _mm_storeu_si128((__m128i *)(o + 4), lo47);
+            for (; i < d; i++) {
+                int32_t xv = (int32_t)row[i];
+#define NS_T(b) o[b] += xv * (int32_t)q##b[i];
+                NS_ACC8(NS_T)
+#undef NS_T
+            }
+        }
+    }
+}
+int has_vnni(void) { return 1; }
+
+/* threshold-compare variant: emits one BIT per (row, query) instead
+   of an int32 score — the buffered epilogue's score matrix cost more
+   memory traffic than the code pass itself (measured: 128 MB of i32
+   scores + f32 dequant copies per 24-query call vs the 200 MB code
+   read).  Bit b of byte (j-r0)*(B/8)+g is dot(row_j, q_{8g+b}) >
+   thr[8g+b], thresholds pre-mapped to int by the caller (cosine/dot
+   only — euclidean's per-row |x|^2 term needs the buffered path). */
+void gemm8vnni_thr(const uint8_t *X, const int8_t *Qc,
+                   const int32_t *thr, uint8_t *out_bits,
+                   long r0, long r1, long d, long B) {
+    long dv = d & ~63L;
+    long gb_ = B / 8;
+    for (long b0 = 0; b0 + 8 <= B; b0 += 8) {
+#define NS_QP(b) const int8_t *q##b = Qc + (b0 + b) * d;
+        NS_ACC8(NS_QP)
+#undef NS_QP
+        const int32_t *t8 = thr + b0;
+        for (long j = r0; j < r1; j++) {
+            const uint8_t *row = X + j * d;
+#define NS_Z(b) __m512i a##b = _mm512_setzero_si512();
+            NS_ACC8(NS_Z)
+#undef NS_Z
+            long i = 0;
+            for (; i < dv; i += 64) {
+                __m512i x = _mm512_loadu_si512((const void *)(row + i));
+#define NS_F(b) a##b = _mm512_dpbusd_epi32(a##b, x, \
+    _mm512_loadu_si512((const void *)(q##b + i)));
+                NS_ACC8(NS_F)
+#undef NS_F
+            }
+#define NS_Y(b) __m256i y##b = _mm256_add_epi32( \
+    _mm512_castsi512_si256(a##b), _mm512_extracti64x4_epi64(a##b, 1));
+            NS_ACC8(NS_Y)
+#undef NS_Y
+            __m256i t01 = _mm256_hadd_epi32(y0, y1);
+            __m256i t23 = _mm256_hadd_epi32(y2, y3);
+            __m256i t45 = _mm256_hadd_epi32(y4, y5);
+            __m256i t67 = _mm256_hadd_epi32(y6, y7);
+            __m256i u03 = _mm256_hadd_epi32(t01, t23);
+            __m256i u47 = _mm256_hadd_epi32(t45, t67);
+            __m128i lo03 = _mm_add_epi32(
+                _mm256_castsi256_si128(u03),
+                _mm256_extracti128_si256(u03, 1));
+            __m128i lo47 = _mm_add_epi32(
+                _mm256_castsi256_si128(u47),
+                _mm256_extracti128_si256(u47, 1));
+            int32_t s[8];
+            _mm_storeu_si128((__m128i *)s, lo03);
+            _mm_storeu_si128((__m128i *)(s + 4), lo47);
+            for (; i < d; i++) {
+                int32_t xv = (int32_t)row[i];
+#define NS_T(b) s[b] += xv * (int32_t)q##b[i];
+                NS_ACC8(NS_T)
+#undef NS_T
+            }
+            uint8_t bits = 0;
+            for (int b = 0; b < 8; b++)
+                bits |= (uint8_t)(s[b] > t8[b]) << b;
+            out_bits[(j - r0) * gb_ + (b0 >> 3)] = bits;
+        }
+    }
+}
+#else
+void gemm8vnni_u8(const uint8_t *X, const int8_t *Qc, int32_t *out,
+                  long r0, long r1, long d, long B) {
+    for (long b0 = 0; b0 + 8 <= B; b0 += 8) {
+        for (long j = r0; j < r1; j++) {
+            const uint8_t *row = X + j * d;
+            for (int b = 0; b < 8; b++) {
+                const int8_t *q = Qc + (b0 + b) * d;
+                int32_t s = 0;
+                for (long i = 0; i < d; i++)
+                    s += (int32_t)row[i] * (int32_t)q[i];
+                out[(j - r0) * B + b0 + b] = s;
+            }
+        }
+    }
+}
+int has_vnni(void) { return 0; }
+void gemm8vnni_thr(const uint8_t *X, const int8_t *Qc,
+                   const int32_t *thr, uint8_t *out_bits,
+                   long r0, long r1, long d, long B) {
+    long gb_ = B / 8;
+    for (long b0 = 0; b0 + 8 <= B; b0 += 8) {
+        for (long j = r0; j < r1; j++) {
+            const uint8_t *row = X + j * d;
+            uint8_t bits = 0;
+            for (int b = 0; b < 8; b++) {
+                const int8_t *q = Qc + (b0 + b) * d;
+                int32_t s = 0;
+                for (long i = 0; i < d; i++)
+                    s += (int32_t)row[i] * (int32_t)q[i];
+                bits |= (uint8_t)(s > thr[b0 + b]) << b;
+            }
+            out_bits[(j - r0) * gb_ + (b0 >> 3)] = bits;
+        }
+    }
+}
+#endif
 """
 
 _lock = threading.Lock()
@@ -228,8 +557,20 @@ def _compile() -> "ctypes.CDLL | None":
                            ctypes.c_void_p, ctypes.c_long,
                            ctypes.c_long, ctypes.c_long]
             fn.restype = None
+        for fn in (lib.gemm8_f16, lib.gemm8_u8, lib.gemm8vnni_u8):
+            fn.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                           ctypes.c_void_p, ctypes.c_long,
+                           ctypes.c_long, ctypes.c_long, ctypes.c_long]
+            fn.restype = None
+        lib.gemm8vnni_thr.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, ctypes.c_long]
+        lib.gemm8vnni_thr.restype = None
+        lib.has_vnni.argtypes = []
+        lib.has_vnni.restype = ctypes.c_int
         return lib
-    except OSError:
+    except (OSError, AttributeError):
         return None
 
 

@@ -606,9 +606,17 @@ class RestServer:
             # filtered searches probe wider: matching rows are sparse
             # in each cell, so coverage needs more cells (bench-tuned)
             default_np = nprobe * 8 if where else nprobe
+            kw = {}
+            dec = getattr(idx, "_tier_decision", None) or {}
+            sp = (dec.get("single_path") or {}).get("path")
+            if sp and sp != "exact" and getattr(idx, "tier", "") == "flat":
+                # canary-gated startup A/B picked a coarse path (r9
+                # ask #7); ids were pinned equal to the exact scan in
+                # the probe and the decision is visible in status
+                kw["path"] = sp
             hits = idx.search_one(vec, k=k,
                                   nprobe=int(b.get("nprobe", default_np)),
-                                  where=where)
+                                  where=where, **kw)
             return {"results": [
                 {"id": i, "distance": float(d),
                  "score": distance_to_score(float(d), metric)}
@@ -1017,6 +1025,14 @@ class RestServer:
                     src, vector_col=c.vector_col, id_col=c.id_col,
                     metric=metric,
                     meta_cols=[f"__mf_{f}" for f in fields])
+                # canary-gated startup A/B (r9 ask #7): serve singles
+                # through the fastest path whose ids matched the exact
+                # scan in a clean window; dirty window -> exact, with
+                # the measurement + reason visible in status either way
+                if len(idx._X) > idx.THRESHOLD_MIN_ROWS:
+                    decision = {**decision,
+                                "single_path":
+                                    idx.recommended_single_path()}
             else:
                 idx = IvfBatchKnnIndex(
                     src, nlist=nlist, vector_col=c.vector_col,

@@ -223,7 +223,7 @@ def main() -> None:
                     help="PQ subspace count (codes=pq): 1 byte per "
                          "subspace; must divide dim (default dim/8)")
     ap.add_argument("--pq-rotation", dest="pq_rotation", default="none",
-                    choices=["none", "pca", "random"],
+                    choices=["none", "pca", "random", "opq"],
                     help="OPQ-lite orthogonal pre-transform before the "
                          "subspace split (codes=pq).  Default none: "
                          "both pca eigen-allocation (1M grid factor-4 "

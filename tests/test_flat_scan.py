@@ -405,3 +405,74 @@ def test_f16_declined_on_out_of_range_data():
     idx2._X[3, 2] = np.nan  # post-hoc NaN (euclidean keeps raw X)
     assert idx2.enable_f16() is False or idx2._f16 is None
     assert idx2._f16 is None
+
+
+def test_recommended_single_path_canary_gate():
+    """r9 ask #7: the startup A/B flips the serving path ONLY in a
+    clean canary window; a dirty window keeps 'exact' and says so,
+    and the decision carries the measurements either way."""
+    from unittest import mock
+
+    from needle_spark.plans.flat import FlatKnnIndex
+
+    rng = np.random.default_rng(47)
+    n, d = 260_000, 32
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    idx = FlatKnnIndex(np.arange(n, dtype=np.int64), X, metric="cosine")
+
+    # dirty window: no probing at all, safe default
+    with mock.patch.object(FlatKnnIndex, "_host_canary_ms",
+                           staticmethod(lambda: 5000.0)):
+        dec = idx.recommended_single_path()
+    assert dec["path"] == "exact" and "dirty" in dec["reason"]
+    assert "sample_ms" not in dec
+
+    # clean window: measured decision with per-path sample timings
+    with mock.patch.object(FlatKnnIndex, "_host_canary_ms",
+                           staticmethod(lambda: 10.0)):
+        dec = idx.recommended_single_path(sample_q=8)
+    assert dec["path"] in dec["sample_ms"]
+    assert "exact" in dec["sample_ms"]
+    assert dec["sample_ms"][dec["path"]] == min(dec["sample_ms"].values())
+
+    # window turns dirty mid-probe: measurements kept, flip refused
+    vals = iter([10.0, 9000.0])
+    with mock.patch.object(FlatKnnIndex, "_host_canary_ms",
+                           staticmethod(lambda: next(vals))):
+        dec = idx.recommended_single_path(sample_q=8)
+    assert dec["path"] == "exact" and "mid-probe" in dec["reason"]
+
+
+def test_vnni_path_matches_exact():
+    """path='vnni' (int8-arithmetic coarse + exact re-rank): ids pinned
+    equal to the exact scan on a clustered corpus; toolchain-absent
+    hosts fall back to the exact scan."""
+    from unittest import mock
+
+    from needle_spark.plans import native
+    from needle_spark.plans.flat import FlatKnnIndex
+
+    rng = np.random.default_rng(48)
+    n, d = 260_000, 32
+    centers = rng.standard_normal((32, d))
+    X = (centers[rng.integers(0, 32, n)]
+         + 0.2 * rng.standard_normal((n, d))).astype(np.float32)
+    for metric in ("cosine", "dot", "euclidean"):
+        idx = FlatKnnIndex(np.arange(n, dtype=np.int64), X, metric=metric)
+        if not idx.enable_vnni():
+            pytest.skip("no VNNI toolchain in this environment")
+        Q = np.asarray([X[i * 31].astype(np.float64) for i in range(12)])
+        ids = list(range(12))
+        exact = idx.search_many_local((ids, Q), k=10, path="exact")
+        vn = idx.search_many_local((ids, Q), k=10, path="vnni")
+        for qid in ids:
+            e = set(exact[exact.query_id == qid][idx.id_col])
+            v = set(vn[vn.query_id == qid][idx.id_col])
+            assert e == v, (metric, qid)
+    # toolchain-absent: enable_vnni False, path falls back to exact
+    idx2 = FlatKnnIndex(np.arange(n, dtype=np.int64), X, metric="cosine")
+    with mock.patch.object(native, "_cache", {"lib": None}):
+        assert idx2.enable_vnni() is False
+        got = idx2.search_one(X[5].astype(np.float64), k=10,
+                              path="vnni")
+        assert len(got) == 10
