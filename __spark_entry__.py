@@ -3819,15 +3819,26 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # binq_hamming) never fit in a slice.  Round 8 head = those 7 priority
 # keys + 43 of the r1-r6 canonical head, so after r8 every oracle-backed
 # query has been driver-green in some CORRECTNESS_r*.json.  Round 9 head =
-# the two r8-new refine-tier oracle rows (knn_sq8_refine, knn_pq_refine —
-# L8-green + judge-verified, never yet in a driver artifact) + 48 of the
-# r1-r6 canonical head.  Per-key round map: README.md "Driver correctness
-# rotation".  `ivf_recall` (the single structural no-oracle row) stays
-# pinned last so it never consumes a gated slot.
+# the two r8-new refine-tier oracle rows (knn_sq8_refine, knn_pq_refine)
+# + 48 of the r1-r6 canonical head.  Round 10 head (VERDICT r9 #6) =
+# the r10-NEW oracle row (insert_dedup_reject) + the 7 keys the r9 head
+# displaced (all with prior green driver rows, returned for per-key
+# freshness) + the r9 priorities + 40 of the canonical head.  Per-key
+# round map: README.md "Driver correctness rotation".  `ivf_recall`
+# (the single structural no-oracle row) stays pinned last so it never
+# consumes a gated slot.
 _R6_HEAD_COUNT = 50  # keys 1..50 of the canonical order = the r1-r6 slice
 
 _R9_PRIORITY = [
+    "insert_dedup_reject",
+    # the 7 keys the r9 head displaced (VERDICT r9 ask #6)
+    "binq_hamming", "markdown_load", "mm_fusion_weighted",
+    "schema_adapted_read", "sequence_trend", "sq8_roundtrip",
+    "vector_centroids",
+    # the r9 priorities stay gated (newest oracle tier)
     "knn_sq8_refine", "knn_pq_refine",
+    # r9-new dedup-group rows stay gated too
+    "neardup_components", "neardup_dedup_keep",
 ]
 
 
