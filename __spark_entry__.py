@@ -1012,6 +1012,53 @@ ORDER BY vec_id
 """
 
 
+def _insert_dedup_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version policy (dedup.rs:152): every near-duplicate insert is
+    stored under '{id}-v{N}' where N is the collection length at that
+    row's turn.  Because Version inserts EVERY row, each batch row sees
+    ALL earlier batch rows — so unlike Reject, the oracle needs no
+    recursion: dup_i = (1-NN vs existing < t) OR (min over earlier
+    batch rows < t), and N = |existing| + (rn - 1).  Ids are
+    zero-padded so string order == numeric order in both engines."""
+    from needle_spark.operators.insert_dedup import (SemanticDedupConfig,
+                                                     apply_insert_dedup)
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "sid", F.lpad(F.col("vec_id").cast("string"), 4, "0"))
+    existing = emb.filter(F.col("vec_id") >= 100) \
+        .select(F.col("sid").alias("id"), F.col("embedding"))
+    batch = emb.filter(F.col("vec_id") < 100) \
+        .select(F.col("sid").alias("id"), F.col("embedding"))
+    cfg = SemanticDedupConfig.new(0.65, "version")
+    res = apply_insert_dedup(existing, batch, cfg, id_col="id",
+                             vector_col="embedding")
+    return res.accepted.select("id").orderBy("id")
+
+
+def _insert_dedup_version_sql() -> str:
+    t = 0.65
+    d_be = duckdb_distance_sql("cosine", "b.embedding", "e.embedding")
+    d_bb = duckdb_distance_sql("cosine", "a.embedding", "b.embedding")
+    return f"""
+WITH
+b AS MATERIALIZED (
+  SELECT lpad(CAST(vec_id AS VARCHAR), 4, '0') AS bid, embedding,
+         row_number() OVER (ORDER BY vec_id) AS rn
+  FROM embeddings WHERE vec_id < 100),
+ex AS MATERIALIZED (
+  SELECT b.rn AS rn, MIN({d_be}) AS dmin
+  FROM b, embeddings e WHERE e.vec_id >= 100 GROUP BY b.rn),
+wb AS MATERIALIZED (
+  SELECT b.rn AS rn, MIN({d_bb}) AS dmin
+  FROM b, b AS a WHERE a.rn < b.rn GROUP BY b.rn)
+SELECT CASE WHEN LEAST(ex.dmin, COALESCE(wb.dmin, 1e9)) < {t}
+            THEN b.bid || '-v' || CAST(400 + b.rn - 1 AS VARCHAR)
+            ELSE b.bid END AS id
+FROM b JOIN ex ON ex.rn = b.rn LEFT JOIN wb ON wb.rn = b.rn
+ORDER BY id
+"""
+
+
 def _text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from needle_spark.operators.text_analysis import (
         bpe_token_count_expr,
@@ -3807,6 +3854,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_sq8_refine": _knn_sq8_refine,
         "knn_pq_refine": _knn_pq_refine,
         "insert_dedup_reject": _insert_dedup_reject,
+        "insert_dedup_version": _insert_dedup_version,
     }
 
 
@@ -3830,7 +3878,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _R6_HEAD_COUNT = 50  # keys 1..50 of the canonical order = the r1-r6 slice
 
 _R9_PRIORITY = [
-    "insert_dedup_reject",
+    "insert_dedup_reject", "insert_dedup_version",
     # the 7 keys the r9 head displaced (VERDICT r9 ask #6)
     "binq_hamming", "markdown_load", "mm_fusion_weighted",
     "schema_adapted_read", "sequence_trend", "sq8_roundtrip",
@@ -3994,4 +4042,5 @@ def oracle_sql() -> dict[str, str]:
         "knn_sq8_refine": _knn_sq8_refine_sql(),
         "knn_pq_refine": _knn_sq8_refine_sql(),
         "insert_dedup_reject": _insert_dedup_reject_sql(),
+        "insert_dedup_version": _insert_dedup_version_sql(),
     }
