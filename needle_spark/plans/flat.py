@@ -726,30 +726,22 @@ class FlatKnnIndex:
         # euclidean keeps the buffered path (per-row |x|^2 offset).
         int_cut = nsq is None
         if int_cut:
-            # pad the bit columns to a whole u32 so the sparse-row
-            # prefilter below can view bytes as one word per row
-            b_bits = ((b_pad + 31) // 32) * 32
-            if b_bits != b_pad:
-                Qc2 = np.zeros((b_bits, d), dtype=np.int8)
-                Qc2[:b_pad] = Qc
-                Qc = np.ascontiguousarray(Qc2)
-            thr_i = np.full(b_bits, 2**31 - 1, dtype=np.int32)
+            thr_i = np.full(b_pad, 2**31 - 1, dtype=np.int32)
             thr_i[:n_q] = np.floor(
                 thr.astype(np.float64) / qs_scale).astype(np.int32)
 
         def scan_block(b):
             s, e = int(bounds[b]), int(bounds[b + 1])
             if int_cut:
-                bits = np.empty((e - s, b_bits // 8), dtype=np.uint8)
+                bits = np.empty((e - s, b_pad // 8), dtype=np.uint8)
                 lib.gemm8vnni_thr(int(base_ptr + s * d), Qc.ctypes.data,
                                   thr_i.ctypes.data, bits.ctypes.data,
-                                  0, e - s, d, b_bits)
+                                  0, e - s, d, b_pad)
                 # survivors are ~fetch*n_q/n sparse: cut to rows with
-                # ANY bit first (one u32 compare per row), unpack only
+                # ANY bit first (one byte-compare pass), unpack only
                 # those — the dense unpack+nonzero epilogue was the
                 # GIL-held cost that throttled pool parallelism
-                words = bits.view(np.uint32).reshape(e - s, -1)
-                hot = np.flatnonzero((words != 0).any(axis=1))
+                hot = np.flatnonzero(bits.any(axis=1))
                 if not len(hot):
                     return (np.empty(0, np.int64),
                             np.empty(0, np.int64))
