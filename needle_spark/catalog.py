@@ -487,29 +487,37 @@ class Collection:
                            policy: str = "reject",
                            preset: str | None = None,
                            enabled: bool = True,
-                           metric: str = "cosine") -> dict:
+                           metric: str | None = None) -> dict:
         """Configure insert-time semantic dedup (config.rs:152-199
         SemanticDedupConfig; presets strict/moderate/relaxed at
         config.rs:175-190).  Subsequent insert()s apply the policy to
         near-duplicate rows (dedup.rs apply_dedup_policy):
-        reject / merge_metadata / version."""
+        reject / merge_metadata / version.
+
+        ``metric`` defaults to the COLLECTION's metric — the reference
+        routes check_dedup through Collection::search, i.e. the
+        collection's own distance (dedup.rs:96 via search), so a
+        euclidean collection must gate on euclidean, not cosine."""
         from needle_spark.operators.insert_dedup import SemanticDedupConfig
 
+        metric = self.metric if metric is None else metric
         if preset is not None:
-            cfg = {"strict": SemanticDedupConfig.strict,
-                   "moderate": SemanticDedupConfig.moderate,
-                   "relaxed": SemanticDedupConfig.relaxed}.get(preset)
-            if cfg is None:
+            mk = {"strict": SemanticDedupConfig.strict,
+                  "moderate": SemanticDedupConfig.moderate,
+                  "relaxed": SemanticDedupConfig.relaxed}.get(preset)
+            if mk is None:
                 raise CollectionError(f"unknown dedup preset {preset!r}")
-            cfg = cfg()
-            cfg.policy = policy
+            # rebuild through the constructor so __post_init__
+            # validates policy (direct cfg.policy= would persist junk)
+            cfg = SemanticDedupConfig(
+                enabled=enabled, distance_threshold=mk().distance_threshold,
+                policy=policy, metric=metric)
         else:
             cfg = SemanticDedupConfig(
                 enabled=enabled,
                 distance_threshold=(0.02 if threshold is None
                                     else float(threshold)),
                 policy=policy, metric=metric)
-        cfg.enabled = enabled
         with self._commit_lock():
             self._manifest = self._read_manifest()
             self._manifest["semantic_dedup"] = cfg.to_manifest()

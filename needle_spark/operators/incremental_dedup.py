@@ -19,18 +19,29 @@ incremental shape:
    state table, so the next batch sees them.
 
 Per-batch cost: banding + verification scale with |batch| and the
-candidate count, never with corpus size; the probe reads the state
-table's 3 narrow columns (columnar scan of the banded index, ~0.4% of
-re-shingling the corpus text) with the batch side broadcast — no
-corpus-wide shuffle.  At cluster scale the state table is written
-bucketed by `bucket` so the probe join is also shuffle-free on the
-state side.
+candidate count, never with corpus size.  The probe is PRUNED at the
+file level (VERDICT r10 Next #6): ``compact()`` rewrites the state
+range-partitioned and sorted by ``bucket``, and each probe reads the
+parquet footers' per-file bucket min/max (Iceberg-style data
+skipping) to open ONLY the files whose bucket range intersects the
+batch's bucket set — O(|batch| * bands) keys against narrow sorted
+ranges, not an O(corpus-bands) scan.  Un-compacted appends have wide
+ranges and are always read; they stay small between compactions.  The
+batch side is broadcast, so there is no corpus-side shuffle either.
 
 Composes with Structured Streaming via ``foreach_batch_handler`` —
 wrap it in ``stream.writeStream.foreachBatch(...)`` next to
-streaming/ingestion.py's sinks.  Exactly-once: the state append is
-idempotent per (id, band) — a replayed batch re-appends the same rows
-and the probe's semi-join semantics are unaffected by duplicates.
+streaming/ingestion.py's sinks.  Delivery semantics are AT-LEAST-ONCE
+on the state append: a replayed batch re-appends duplicate (id, band,
+bucket) rows.  Probe RESULTS are unaffected (the candidate join
+dedups via ``distinct()``), but the state table grows on retries —
+``compact()`` drops the duplicates, and callers needing exact
+replay-idempotence should compact on a schedule or key appends by
+epoch.  Keeper rule: vs-corpus hits always drop the new row;
+WITHIN-batch resolution is keep-FIRST in id order (a row whose only
+near-neighbor was itself dropped survives) — intentionally matching
+insert_dedup's sequential walk, NOT neardup_dedup's connected-
+component keeper (a chain a~b~c keeps {a, c} here but {a} there).
 
 Reference posture: the reference applies insert-time semantic dedup
 per insert (collection/dedup.rs); this is the TEXT-corpus twin at
@@ -61,6 +72,8 @@ class IncrementalMinHashDedup:
         self.id_col, self.text_col = id_col, text_col
         self.n, self.num_hashes, self.bands = n, num_hashes, bands
         self.threshold = float(threshold)
+        # per-file (size, mtime) -> bucket range, for footer skipping
+        self._range_cache: dict = {}
 
     # ------------------------------------------------------- state --
 
@@ -74,6 +87,91 @@ class IncrementalMinHashDedup:
         if not os.path.exists(self.state_path):
             return None
         return self.spark.read.parquet(self.state_path)
+
+    def _state_files(self) -> list[str]:
+        if not os.path.isdir(self.state_path):
+            return []
+        return sorted(
+            os.path.join(self.state_path, f)
+            for f in os.listdir(self.state_path)
+            if f.endswith(".parquet") and not f.startswith("."))
+
+    def _file_bucket_ranges(self) -> list[tuple[str, int | None,
+                                                int | None]]:
+        """(path, bucket_min, bucket_max) per state file from the
+        parquet FOOTER statistics — no data read.  (None, None) when a
+        file lacks stats (it is then never skipped).  Cached by
+        (size, mtime) so steady-state probes cost one listdir."""
+        import pyarrow.parquet as pq
+
+        out = []
+        for p in self._state_files():
+            st = os.stat(p)
+            key = (st.st_size, st.st_mtime_ns)
+            hit = self._range_cache.get(p)
+            if hit is not None and hit[0] == key:
+                out.append((p, hit[1], hit[2]))
+                continue
+            lo, hi = None, None
+            try:
+                md = pq.ParquetFile(p).metadata
+                ci = md.schema.names.index("bucket")
+                for rg in range(md.num_row_groups):
+                    s = md.row_group(rg).column(ci).statistics
+                    if s is None or not s.has_min_max:
+                        lo = hi = None
+                        break
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+            except Exception:
+                lo = hi = None
+            self._range_cache[p] = (key, lo, hi)
+            out.append((p, lo, hi))
+        return out
+
+    def _probe_state(self, buckets: list[int]):
+        """Pruned state read: keep only the files whose footer bucket
+        range intersects the batch's (sorted) bucket list.  Returns
+        (DataFrame | None, files_scanned, files_total)."""
+        import bisect
+
+        ranges = self._file_bucket_ranges()
+        if not ranges:
+            return None, 0, 0
+        keep = []
+        for p, lo, hi in ranges:
+            if lo is None:          # no stats -> cannot skip
+                keep.append(p)
+                continue
+            i = bisect.bisect_left(buckets, lo)
+            if i < len(buckets) and buckets[i] <= hi:
+                keep.append(p)
+        if not keep:
+            return None, 0, len(ranges)
+        return (self.spark.read.parquet(*keep), len(keep), len(ranges))
+
+    def compact(self, num_files: int | None = None) -> dict:
+        """Rewrite the append-only state range-partitioned and SORTED
+        by ``bucket`` so probe-time footer skipping has narrow per-file
+        ranges, and drop duplicate (id, band, bucket) rows left by
+        at-least-once replays.  The one O(state) maintenance step —
+        run it on a schedule, not per batch."""
+        import shutil
+
+        state = self._state()
+        if state is None:
+            return {"rows": 0, "files": 0}
+        n = num_files or max(1, self.spark.sparkContext.defaultParallelism)
+        compacted = (state.dropDuplicates([self.id_col, "band", "bucket"])
+                     .repartitionByRange(n, "bucket")
+                     .sortWithinPartitions("bucket"))
+        tmp = self.state_path.rstrip("/") + ".__compact_tmp"
+        compacted.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(self.state_path)
+        os.rename(tmp, self.state_path)
+        self._range_cache.clear()
+        return {"rows": self.spark.read.parquet(self.state_path).count(),
+                "files": len(self._state_files())}
 
     def bootstrap(self, corpus: DataFrame) -> int:
         """Band an existing corpus once and write the state table.
@@ -115,10 +213,15 @@ class IncrementalMinHashDedup:
         batch = batch.persist()
         b_band = self._band(batch).persist()
         b_band.count()
-        state = self._state()
+        # the batch's bucket key set is driver-sized (<= |batch|*bands)
+        # and drives the file-skipping probe
+        buckets = sorted(r["bucket"] for r in
+                         b_band.select("bucket").distinct().collect())
+        state, files_scanned, files_total = self._probe_state(buckets)
 
-        # vs-corpus candidates: broadcast the SMALL batch band frame,
-        # one columnar pass over the state index, no corpus shuffle
+        # vs-corpus candidates: broadcast the SMALL batch band frame
+        # against ONLY the footer-intersecting state files — probe cost
+        # scales with the batch's bucket set, not corpus size
         drops: dict = {}
         if state is not None:
             cand_old = (state.join(
@@ -148,8 +251,8 @@ class IncrementalMinHashDedup:
                     drops[r["id1"]] = (r["id2"], r["jaccard"])
         n_cand_old = len(drops)
 
-        # within-batch pairs (smallest id survives, matching
-        # neardup_dedup's keeper rule and insert_dedup's batch order)
+        # within-batch pairs — keep-FIRST in id order (insert_dedup's
+        # sequential walk; NOT neardup_dedup's component keeper)
         wb = (b_band.alias("a").join(
             b_band.alias("b"),
             [F.col(f"a.band") == F.col("b.band"),
@@ -190,6 +293,8 @@ class IncrementalMinHashDedup:
             "dropped": sorted(
                 (k, v[0], v[1]) for k, v in drops.items()),
             "candidates": int(n_cand_old + len(wb_rows)),
+            "state_files_scanned": files_scanned,
+            "state_files_total": files_total,
         }
         b_band.unpersist()
         batch.unpersist()

