@@ -170,6 +170,12 @@ class FlatKnnIndex:
     #: coarse survivors re-ranked exactly per query; ~400x over-fetch
     #: at k=10 buries the SQ8 quantization error (see _scan_coarse)
     COARSE_FETCH = 4096
+    #: 1-bit coarse survivors per query (path="bin"): sign codes are
+    #: coarser than SQ8, so the cut over-fetches harder — the pass is
+    #: so cheap (25 MB at 1M x 200) that rerank cost, not the cut,
+    #: bounds the fetch.  Recall@10 vs fetch is MEASURED on the
+    #: glove-like twin (scripts/bin_recall_curve.py, PLANS.md)
+    BIN_FETCH = 8192
     #: micro-batch cap for the fused 8-query kernels (f16/vnni paths):
     #: one matrix pass per 8 queries, so batches this size keep the
     #: pass amortized without an unbounded per-call service time
@@ -212,6 +218,9 @@ class FlatKnnIndex:
         # float16 coarse sidecar (opt-in path="f16"; built lazily by
         # enable_f16 — needs the runtime-compiled F16C kernel)
         self._f16 = None
+        # 1-bit sign-code sidecar (opt-in path="bin"; built lazily by
+        # enable_bin — 1 bit/dim, 32x less coarse-pass traffic than f32)
+        self._bin = None
         # unfiltered threshold sample is identical across calls (fixed
         # seed): gather it once — the 2048-row fancy-index gather was
         # measurable per-call overhead on the single-query path
@@ -771,6 +780,123 @@ class FlatKnnIndex:
         qs = np.concatenate([p[1] for p in parts])
         return self._rerank_exact(rows, qs, Qt, wm, k, rows_eff, n_q)
 
+    def enable_bin(self) -> bool:
+        """Build the 1-BIT sign-code sidecar (path="bin") and probe the
+        Hamming kernels (plans/native.py ham8_*).  Cosine only: sign
+        codes rank by ANGLE (hamming(sign x, sign q) estimates the
+        angle — the SRP-LSH identity, Charikar 2002), which is exactly
+        the cosine ordering on the L2-normalized pinned matrix; dot
+        needs magnitudes and euclidean needs offsets that 1 bit/dim
+        cannot carry.
+
+        Why this path exists (VERDICT r10 Next #3): every other coarse
+        pass still streams >= 1 B/dim — the sign codes are 25 MB at
+        1M x 200 vs the SQ8 sidecar's 200 MB, an 8x cut in the memory
+        traffic PLANS identified as the sustained-serving floor, and
+        xor+popcount is denser arithmetic than any FMA.  Distances
+        stay EXACT (same _rerank_exact contract); membership recall vs
+        over-fetch is measured per corpus."""
+        from needle_spark.plans.native import gemv_f16_kernel
+
+        if self.metric != "cosine":
+            return False
+        lib = gemv_f16_kernel()
+        if lib is None or not hasattr(lib, "ham8_u64"):
+            return False
+        w = (self.dims + 63) // 64
+        if w > 32:  # NS_HAM_MAX_W in the kernel
+            return False
+        if self._bin is None:
+            X = self._X[:, :self.dims] if self._aug else self._X
+            packed = np.packbits(X > 0, axis=1, bitorder="little")
+            padB = w * 8 - packed.shape[1]
+            if padB:
+                packed = np.concatenate(
+                    [packed, np.zeros((len(packed), padB), np.uint8)],
+                    axis=1)
+            self._bin = np.ascontiguousarray(packed) \
+                .view(np.uint64).reshape(len(X), w)
+        return True
+
+    def _encode_bin_queries(self, Qt: np.ndarray, b_pad: int):
+        """Sign-pack queries the same way as the corpus (pad lanes
+        zero; their thr sentinel is -1 so they never survive)."""
+        d = self.dims
+        w = (d + 63) // 64
+        Qs = (Qt[:d, :].T > 0)                       # (n_q, d) bool
+        packed = np.packbits(Qs, axis=1, bitorder="little")
+        padB = w * 8 - packed.shape[1]
+        if padB:
+            packed = np.concatenate(
+                [packed, np.zeros((len(packed), padB), np.uint8)],
+                axis=1)
+        Qb = np.zeros((b_pad, w), dtype=np.uint64)
+        Qb[:len(Qs)] = packed.view(np.uint64).reshape(len(Qs), w)
+        return np.ascontiguousarray(Qb), w
+
+    def _scan_bin(self, Qt: np.ndarray, wm: np.ndarray | None, k: int):
+        """1-bit coarse pass: Hamming cut over sign codes -> exact
+        float32 re-rank.  Same sampled-threshold shape as the other
+        coarse scans, with the compare INVERTED (hamming: smaller =
+        closer) and folded into the kernel — the survivor byte comes
+        straight off the epu64 compare mask, so the epilogue only
+        unpacks ~fetch-sparse bits (shared with _scan_vnni)."""
+        from needle_spark.plans.native import gemv_f16_kernel
+
+        lib = gemv_f16_kernel()
+        codes = self._bin
+        X = self._X
+        n, n_q = len(codes), Qt.shape[1]
+        cand_pool = np.flatnonzero(wm) if wm is not None else None
+        rows_eff = len(cand_pool) if cand_pool is not None else n
+        fetch = min(self.BIN_FETCH if n_q <= self.COARSE_MAX_Q
+                    else max(2048, self.BIN_FETCH // 4), rows_eff)
+        b_pad = ((n_q + 7) // 8) * 8
+        Qb, w = self._encode_bin_queries(Qt, b_pad)
+
+        # per-query integer threshold from a sampled Hamming histogram
+        rng = np.random.default_rng(0xB117)
+        samp = rng.integers(0, rows_eff, min(self.SAMPLE_ROWS, rows_eff))
+        samp_rows = cand_pool[samp] if cand_pool is not None else samp
+        samp_codes = np.ascontiguousarray(codes[samp_rows])
+        s_buf = np.empty((len(samp_rows), b_pad), dtype=np.int32)
+        lib.ham8_u64(samp_codes.ctypes.data, Qb.ctypes.data,
+                     s_buf.ctypes.data, 0, len(samp_rows), w, b_pad)
+        rank = max(1, min(int(round(len(samp_rows) * fetch / rows_eff)),
+                          len(samp_rows) - 1))
+        # rank-th SMALLEST sample distance; integer ties make the cut
+        # conservative (more survivors than fetch — rerank absorbs it)
+        thr = np.full(b_pad, -1, dtype=np.int32)   # pad sentinel
+        thr[:n_q] = np.partition(
+            s_buf[:, :n_q], rank, axis=0)[rank].astype(np.int32)
+
+        nb = min(max(self._nt, n // 65_536), n)
+        bounds = np.linspace(0, n, nb + 1).astype(np.int64)
+        pool = self._ensure_pool()
+        base_ptr = codes.ctypes.data
+
+        def scan_block(b):
+            s, e = int(bounds[b]), int(bounds[b + 1])
+            bits = np.empty((e - s, b_pad // 8), dtype=np.uint8)
+            lib.ham8_thr(int(base_ptr + s * w * 8), Qb.ctypes.data,
+                         thr.ctypes.data, bits.ctypes.data,
+                         0, e - s, w, b_pad)
+            hot = np.flatnonzero(bits.any(axis=1))
+            if not len(hot):
+                return (np.empty(0, np.int64), np.empty(0, np.int64))
+            m = np.unpackbits(bits[hot], axis=1,
+                              bitorder="little")[:, :n_q].astype(bool)
+            if wm is not None:
+                m &= wm[s:e][hot, None]
+            r, qq = np.nonzero(m)
+            return hot[r] + s, qq
+
+        with single_thread_blas():
+            parts = list(pool.map(scan_block, range(nb)))
+        rows = np.concatenate([p[0] for p in parts])
+        qs = np.concatenate([p[1] for p in parts])
+        return self._rerank_exact(rows, qs, Qt, wm, k, rows_eff, n_q)
+
     @staticmethod
     def _host_canary_ms() -> float:
         """First-touch page-fault probe (the bench/adjudication canary,
@@ -813,10 +939,12 @@ class FlatKnnIndex:
         ids = list(range(sample_q))
         timings = {}
         ref_ids = None
-        for path in ("exact", "f16", "vnni"):
+        for path in ("exact", "f16", "vnni", "bin"):
             if path == "f16" and not self.enable_f16():
                 continue
             if path == "vnni" and not self.enable_vnni():
+                continue
+            if path == "bin" and not self.enable_bin():
                 continue
             self.search_many_local((ids, Q), k=10, path=path)  # warm
             t0 = _time.perf_counter()
@@ -827,6 +955,18 @@ class FlatKnnIndex:
             if path == "exact":
                 ref_ids = got
             elif got != ref_ids:
+                if path == "bin":
+                    # approximate by design: surface its sample recall
+                    # for the operator choosing it EXPLICITLY, but the
+                    # auto-pick stays exact-ids-only
+                    ref_sets = {}
+                    for q, i in ref_ids:
+                        ref_sets.setdefault(q, set()).add(i)
+                    hit = sum(1 for q, i in got if i in ref_sets.get(
+                        q, ()))
+                    dec["bin_sample_ms"] = timings[path]
+                    dec["bin_sample_recall"] = round(
+                        hit / max(1, len(ref_ids)), 4)
                 timings.pop(path)  # mismatch: never auto-serve it
         c1 = self._host_canary_ms()
         dec["canary_after_ms"] = round(c1, 1)
@@ -919,6 +1059,7 @@ class FlatKnnIndex:
         self._samp_cache = None
         self._sq8 = None
         self._f16 = None  # stale sidecar would silently drop new rows
+        self._bin = None
         return len(new_ids)
 
     def add(self, rows_df) -> int:
@@ -977,6 +1118,7 @@ class FlatKnnIndex:
             self._pool = None
         self._sq8 = None
         self._f16 = None
+        self._bin = None
 
     def search_many_local(self, queries, k: int = 10, nprobe: int = 0,
                           where: dict | None = None,
@@ -1025,6 +1167,10 @@ class FlatKnnIndex:
                 and rows_eff > self.THRESHOLD_MIN_ROWS
                 and self.enable_vnni()):
             rows, qs, vals = self._scan_vnni(Qt, wm, k)
+        elif (path == "bin" and Qt.shape[1] <= self.GEMM_MAX_Q
+                and rows_eff > self.THRESHOLD_MIN_ROWS
+                and self.enable_bin()):
+            rows, qs, vals = self._scan_bin(Qt, wm, k)
         elif (path == "coarse" and Qt.shape[1] <= self.COARSE_MAX_Q
                 and rows_eff > self.THRESHOLD_MIN_ROWS):
             rows, qs, vals = self._scan_coarse(Q, Qt, wm, k)

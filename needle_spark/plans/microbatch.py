@@ -77,7 +77,9 @@ class MicroBatchSearcher:
         self.window_ms = float(window_ms)
         self._q: _queue.Queue = _queue.Queue()
         self._closed = False
-        self.batch_sizes: list[int] = []  # observability
+        self.batch_sizes: list[int] = []  # observability (tail kept)
+        self._served = 0
+        self._calls = 0
         self._seq = 0
         self._seq_lock = threading.Lock()
         self._worker = threading.Thread(
@@ -107,6 +109,18 @@ class MicroBatchSearcher:
         self._closed = True
         self._q.put(None)  # wake the dispatcher
         self._worker.join(timeout=timeout)
+
+    def stats(self) -> dict:
+        """Dispatch observability (surfaced in REST index status)."""
+        bs = self.batch_sizes
+        return {
+            "served": self._served,
+            "calls": self._calls,
+            "mean_batch": (round(self._served / self._calls, 2)
+                           if self._calls else 0.0),
+            "max_batch": max(bs) if bs else 0,
+            "path": self.path,
+        }
 
     # ----------------------------------------------------- dispatch --
 
@@ -150,10 +164,20 @@ class MicroBatchSearcher:
                 qids = [b[0] for b in batch]
                 Q = np.asarray([np.asarray(b[1], dtype=np.float64)
                                 for b in batch])
+                kw = {}
+                if self.nprobe:
+                    kw["nprobe"] = self.nprobe
+                if self.path is not None:
+                    # IVF tiers have no `path` kwarg — construct the
+                    # dispatcher with path=None for those
+                    kw["path"] = self.path
                 pdf = self.index.search_many_local(
-                    (qids, Q), k=kmax, nprobe=self.nprobe,
-                    path=self.path)
+                    (qids, Q), k=kmax, **kw)
                 self.batch_sizes.append(len(batch))
+                if len(self.batch_sizes) > 4096:
+                    del self.batch_sizes[:2048]
+                self._served += len(batch)
+                self._calls += 1
                 by_q: dict = {}
                 ids = pdf[self.index.id_col].to_numpy()
                 dist = pdf["distance"].to_numpy()

@@ -488,6 +488,117 @@ void gemm8vnni_thr(const uint8_t *X, const int8_t *Qc,
 #endif
 """
 
+_SRC_HAM = r"""
+#include <stdint.h>
+
+/* ---- 1-bit sign-code Hamming kernels (round 11) -------------------
+   The angular single-query cell's floor is MEMORY TRAFFIC: every
+   coarse pass above still streams >= 1 B/dim (200 MB at 1M x 200).
+   Sign codes are 1 BIT/dim — 25 MB — and xor+popcount is denser than
+   any FMA.  ham8_* score a row block against 8 query codes per pass:
+   the 8 queries' words are pre-transposed so each row word broadcasts
+   once and lands on all 8 lanes of one VPOPCNTQ accumulator; the
+   threshold variant emits the per-(row,8q) survivor byte straight
+   from the unsigned-compare mask (no score matrix, same epilogue as
+   gemm8vnni_thr).  w = u64 words per row (d <= 64*NS_HAM_MAX_W). */
+#define NS_HAM_MAX_W 32
+
+#if defined(__AVX512VPOPCNTDQ__) && defined(__AVX512F__)
+#include <immintrin.h>
+void ham8_u64(const uint64_t *X, const uint64_t *Qb, int32_t *out,
+              long r0, long r1, long w, long B) {
+    uint64_t qt[NS_HAM_MAX_W * 8] __attribute__((aligned(64)));
+    for (long b0 = 0; b0 + 8 <= B; b0 += 8) {
+        for (long i = 0; i < w; i++)
+            for (int b = 0; b < 8; b++)
+                qt[i * 8 + b] = Qb[(b0 + b) * w + i];
+        for (long j = r0; j < r1; j++) {
+            const uint64_t *row = X + j * w;
+            __m512i acc = _mm512_setzero_si512();
+            for (long i = 0; i < w; i++) {
+                __m512i q = _mm512_load_si512((const void *)(qt + i * 8));
+                __m512i x = _mm512_set1_epi64((long long)row[i]);
+                acc = _mm512_add_epi64(
+                    acc, _mm512_popcnt_epi64(_mm512_xor_si512(x, q)));
+            }
+            _mm256_storeu_si256(
+                (__m256i *)(out + (j - r0) * B + b0),
+                _mm512_cvtepi64_epi32(acc));
+        }
+    }
+}
+
+/* bit b of byte (j-r0)*(B/8)+(b0>>3) = hamming(row_j, q_{b0+b}) <=
+   thr[b0+b]; pad lanes use thr = -1 (hamming >= 0 never passes) */
+void ham8_thr(const uint64_t *X, const uint64_t *Qb, const int32_t *thr,
+              uint8_t *out_bits, long r0, long r1, long w, long B) {
+    uint64_t qt[NS_HAM_MAX_W * 8] __attribute__((aligned(64)));
+    long gb_ = B / 8;
+    for (long b0 = 0; b0 + 8 <= B; b0 += 8) {
+        for (long i = 0; i < w; i++)
+            for (int b = 0; b < 8; b++)
+                qt[i * 8 + b] = Qb[(b0 + b) * w + i];
+        __m512i t = _mm512_set_epi64(
+            (long long)thr[b0 + 7], (long long)thr[b0 + 6],
+            (long long)thr[b0 + 5], (long long)thr[b0 + 4],
+            (long long)thr[b0 + 3], (long long)thr[b0 + 2],
+            (long long)thr[b0 + 1], (long long)thr[b0 + 0]);
+        for (long j = r0; j < r1; j++) {
+            const uint64_t *row = X + j * w;
+            __m512i acc = _mm512_setzero_si512();
+            for (long i = 0; i < w; i++) {
+                __m512i q = _mm512_load_si512((const void *)(qt + i * 8));
+                __m512i x = _mm512_set1_epi64((long long)row[i]);
+                acc = _mm512_add_epi64(
+                    acc, _mm512_popcnt_epi64(_mm512_xor_si512(x, q)));
+            }
+            /* thr lanes are sign-extended i32: -1 pad lanes become
+               huge under epu64, so compare SIGNED (both sides small
+               non-negative except the pad sentinel) */
+            __mmask8 m = _mm512_cmple_epi64_mask(acc, t);
+            out_bits[(j - r0) * gb_ + (b0 >> 3)] = (uint8_t)m;
+        }
+    }
+}
+int has_popcnt512(void) { return 1; }
+#else
+void ham8_u64(const uint64_t *X, const uint64_t *Qb, int32_t *out,
+              long r0, long r1, long w, long B) {
+    for (long b0 = 0; b0 + 8 <= B; b0 += 8) {
+        for (long j = r0; j < r1; j++) {
+            const uint64_t *row = X + j * w;
+            for (int b = 0; b < 8; b++) {
+                const uint64_t *q = Qb + (b0 + b) * w;
+                int32_t s = 0;
+                for (long i = 0; i < w; i++)
+                    s += (int32_t)__builtin_popcountll(row[i] ^ q[i]);
+                out[(j - r0) * B + b0 + b] = s;
+            }
+        }
+    }
+}
+void ham8_thr(const uint64_t *X, const uint64_t *Qb, const int32_t *thr,
+              uint8_t *out_bits, long r0, long r1, long w, long B) {
+    long gb_ = B / 8;
+    for (long b0 = 0; b0 + 8 <= B; b0 += 8) {
+        for (long j = r0; j < r1; j++) {
+            const uint64_t *row = X + j * w;
+            uint8_t bits = 0;
+            for (int b = 0; b < 8; b++) {
+                const uint64_t *q = Qb + (b0 + b) * w;
+                int32_t s = 0;
+                for (long i = 0; i < w; i++)
+                    s += (int32_t)__builtin_popcountll(row[i] ^ q[i]);
+                bits |= (uint8_t)(s <= thr[b0 + b]) << b;
+            }
+            out_bits[(j - r0) * gb_ + (b0 >> 3)] = bits;
+        }
+    }
+}
+int has_popcnt512(void) { return 0; }
+#endif
+"""
+
 _lock = threading.Lock()
 _cache: dict[str, object] = {}
 
@@ -517,7 +628,8 @@ def _compile() -> "ctypes.CDLL | None":
                     break
     except OSError:
         pass
-    tag = hashlib.sha256((_SRC + cpu_id).encode()).hexdigest()[:16]
+    src_all = _SRC + _SRC_HAM
+    tag = hashlib.sha256((src_all + cpu_id).encode()).hexdigest()[:16]
     # per-uid 0700 cache dir, never a world-writable shared path: a
     # predictable .so name in /tmp would let any local user plant a
     # library that ctypes.CDLL then executes in this process
@@ -538,7 +650,7 @@ def _compile() -> "ctypes.CDLL | None":
         tmp = so_path + f".tmp{os.getpid()}"
         try:
             with open(src_path, "w") as f:
-                f.write(_SRC)
+                f.write(src_all)
             subprocess.run(
                 [gcc, "-O3", "-march=native", "-shared", "-fPIC",
                  "-o", tmp, src_path],
@@ -569,6 +681,17 @@ def _compile() -> "ctypes.CDLL | None":
         lib.gemm8vnni_thr.restype = None
         lib.has_vnni.argtypes = []
         lib.has_vnni.restype = ctypes.c_int
+        lib.ham8_u64.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_long]
+        lib.ham8_u64.restype = None
+        lib.ham8_thr.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, ctypes.c_long]
+        lib.ham8_thr.restype = None
+        lib.has_popcnt512.argtypes = []
+        lib.has_popcnt512.restype = ctypes.c_int
         return lib
     except (OSError, AttributeError):
         return None

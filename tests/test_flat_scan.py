@@ -476,3 +476,60 @@ def test_vnni_path_matches_exact():
         got = idx2.search_one(X[5].astype(np.float64), k=10,
                               path="vnni")
         assert len(got) == 10
+
+
+def test_bin_path_exact_distances_and_high_recall_on_clusters():
+    """path='bin' (VERDICT r10 Next #3): 1-bit sign-code coarse cut +
+    exact f32 rerank.  Distances for returned ids are EXACT; on a
+    tight-cluster corpus (where sign codes separate clusters cleanly)
+    recall@10 vs the exact scan stays high.  The glove-twin recall
+    curve (BIN_RECALL_CURVE.json) is the measured-decline evidence for
+    serving; this pins the machinery itself."""
+    from needle_spark.plans.flat import FlatKnnIndex
+
+    rng = np.random.default_rng(45)
+    n, d = 260_000, 64
+    centers = rng.standard_normal((64, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    Xb = (centers[rng.integers(0, 64, n)]
+          + 0.05 * rng.standard_normal((n, d))).astype(np.float32)
+    idx = FlatKnnIndex(np.arange(n, dtype=np.int64), Xb, metric="cosine")
+    if not idx.enable_bin():
+        pytest.skip("no C toolchain in this environment")
+    hits = tot = 0
+    for qi in (3, 17, 111):
+        q = Xb[qi * 29].astype(np.float64)
+        exact = idx.search_one(q, k=10)
+        binr = idx.search_one(q, k=10, path="bin")
+        # every returned (id, distance) is the TRUE distance
+        by_id = dict(exact)
+        full = {int(i): 1 - float(
+            (Xb[i] / np.linalg.norm(Xb[i])) @ (q / np.linalg.norm(q)))
+            for i, _ in binr}
+        for i, dd in binr:
+            assert abs(dd - full[int(i)]) < 1e-5
+        hits += len(set(i for i, _ in binr) & set(by_id)) / 10
+        tot += 1
+    assert hits / tot >= 0.9
+
+
+def test_bin_path_gating():
+    """bin is cosine-only and falls back to exact elsewhere; the
+    sidecar drops on writes like the other sidecars."""
+    from needle_spark.plans.flat import FlatKnnIndex
+
+    rng = np.random.default_rng(46)
+    Xe = rng.standard_normal((1000, 16)).astype(np.float32)
+    for metric in ("dot", "euclidean"):
+        idx = FlatKnnIndex(np.arange(1000, dtype=np.int64), Xe,
+                           metric=metric)
+        assert idx.enable_bin() is False
+        got = idx.search_one(Xe[3].astype(np.float64), k=5, path="bin")
+        assert len(got) == 5  # exact fallback, no crash
+    idx = FlatKnnIndex(np.arange(1000, dtype=np.int64), Xe,
+                       metric="cosine")
+    if not idx.enable_bin():
+        pytest.skip("no C toolchain")
+    assert idx._bin is not None
+    idx.add_local([9999], Xe[:1])
+    assert idx._bin is None  # stale sidecar dropped
