@@ -3877,21 +3877,36 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # consumes a gated slot.
 _R6_HEAD_COUNT = 50  # keys 1..50 of the canonical order = the r1-r6 slice
 
-_R9_PRIORITY = [
+# r11 rotation (VERDICT r10 ask #5): head = the two insert-dedup keys
+# (never driver-green — the r10 numpy crash, fixed this round) + the
+# 48 OLDEST keys by last driver-green round (4 from r6, 44 from r7;
+# computed from the committed CORRECTNESS_r* artifacts) = exactly the
+# driver's 50-slot gate.  vector_lineage (r7) spills to head r12.
+_R11_PRIORITY = [
     "insert_dedup_reject", "insert_dedup_version",
-    # the 7 keys the r9 head displaced (VERDICT r9 ask #6)
-    "binq_hamming", "markdown_load", "mm_fusion_weighted",
-    "schema_adapted_read", "sequence_trend", "sq8_roundtrip",
-    "vector_centroids",
-    # the r9 priorities stay gated (newest oracle tier)
-    "knn_sq8_refine", "knn_pq_refine",
-    # r9-new dedup-group rows stay gated too
-    "neardup_components", "neardup_dedup_keep",
+    # last green in r6
+    "distinct_agg", "events_sessionize", "filter_json_meta",
+    "revenue_per_nation",
+    # last green in r7
+    "acl_rowlevel", "anomaly_iqr", "anomaly_zscore", "audio_wav_stats",
+    "bm25_search_many", "cf_item_similarity", "cf_recommend_itemknn",
+    "chunk_fixed", "chunk_paragraphs", "chunk_semantic",
+    "chunk_sliding", "coaccess_pairs", "collection_diff", "crdt_merge",
+    "cross_agg_best", "cross_collection", "dashboard_patterns",
+    "data_profile", "drift_metrics", "encrypted_knn", "graph_traverse",
+    "graph_weighted", "graphrag_cooccur", "graphrag_entities",
+    "graphrag_pagerank", "idf_overlap_rerank", "image_ahash",
+    "kg_context_search", "knn_outlier_scores", "knn_page2",
+    "lifecycle_classify", "lineage_impact", "llm_cache_batch",
+    "memory_recall", "multiquery_rrf", "numeric_histogram",
+    "rag_context", "rebalance_plan", "relevance_adjustments",
+    "rollup_agg", "score_normalize", "temporal_search_at",
+    "term_overlap_rerank", "tuner_arm_rewards",
 ]
 
 
 def _rotated_keys(canonical: list[str]) -> list[str]:
-    pri = [k for k in _R9_PRIORITY if k in canonical]
+    pri = [k for k in _R11_PRIORITY if k in canonical]
     head = [k for k in canonical[:_R6_HEAD_COUNT]
             if k not in pri and k != "ivf_recall"]
     tail = [k for k in canonical[_R6_HEAD_COUNT:]

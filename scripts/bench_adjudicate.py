@@ -70,6 +70,9 @@ def canary() -> dict:
 
 def main() -> None:
     runs = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    scale200k_gated = os.environ.get("SPARK_GRAFT_SCALE200K") == "1"
+    s200_path = os.path.join(ROOT, "DEDUP_SCALE200K.json")
+    s200_runs: list[dict] = []
     per_run: list[dict] = []
     canaries: list[dict] = []
     for r in range(runs):
@@ -86,6 +89,9 @@ def main() -> None:
             res = json.load(f)
         res["_wall_s"] = round(wall, 1)
         per_run.append(res)
+        if scale200k_gated and os.path.exists(s200_path):
+            with open(s200_path) as f:
+                s200_runs.append(json.load(f))
         print(f"#   total {res['value']}s (wall {wall:.0f}s)", flush=True)
 
     # watch rows may live in "queries" (raw timings) or "derived"
@@ -122,6 +128,41 @@ def main() -> None:
         json.dump(out, f, indent=1)
     print(json.dumps({"watch_rows": out["watch_rows"],
                       "canaries": canaries}, indent=1))
+
+    # 200k scale-step adjudication (VERDICT r10 ask #7): when the gated
+    # block ran in every pass, band its keys across runs and rewrite
+    # DEDUP_SCALE200K.json with BEST-RUN point values (the same best-of
+    # discipline the bench rows use) plus the full band + canaries —
+    # committing a band, not a single co-tenant-noise sample.
+    if len(s200_runs) >= 2:
+        keys = [k for k in s200_runs[0]
+                if isinstance(s200_runs[0][k], (int, float))]
+        bands = {}
+        for k in keys:
+            vals = [sr[k] for sr in s200_runs if k in sr]
+            bands[k] = {
+                "mean": round(statistics.fmean(vals), 4),
+                "sd": round(statistics.pstdev(vals), 4),
+                "min": min(vals), "max": max(vals), "n": len(vals),
+                "cv": round(statistics.pstdev(vals)
+                            / statistics.fmean(vals), 3)
+                if statistics.fmean(vals) else 0.0,
+            }
+        # point rows: the run with the lowest minhash+srp wall — its
+        # internally-consistent ratios (same-run 1x denominators)
+        best = min(s200_runs, key=lambda sr: sr.get("minhash_200k_sec", 1e9)
+                   + sr.get("srp_200k_sec", 1e9))
+        best = dict(best)
+        best["note"] = (f"200k dedup scale step; best of {len(s200_runs)} "
+                        "canary-bracketed full-bench runs "
+                        "(scripts/bench_adjudicate.py with "
+                        "SPARK_GRAFT_SCALE200K=1); bands across runs in "
+                        "'adjudication'")
+        best["adjudication"] = {"runs": len(s200_runs),
+                                "canaries": canaries, "bands": bands}
+        with open(s200_path, "w") as f:
+            json.dump(best, f, indent=1)
+        print(json.dumps({"scale200k_bands": bands}, indent=1))
 
 
 if __name__ == "__main__":
