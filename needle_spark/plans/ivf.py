@@ -240,12 +240,36 @@ def _pq_encode(res, books):
     return codes, dec.reshape(n, dim)
 
 
+def _rotate_per_cell(M: np.ndarray, assign: np.ndarray,
+                     R_cells: np.ndarray, inverse: bool = False
+                     ) -> np.ndarray:
+    """Rotate each row of M by its cell's rotation (opq_local): one
+    small matmul per cell PRESENT in the batch, not per row."""
+    out = np.empty_like(M)
+    for c in np.unique(assign):
+        m = assign == c
+        R = R_cells[int(c)]
+        out[m] = M[m] @ (R.T if inverse else R)
+    return out
+
+
 def _sq_for_cell(SQ, step2, QT, cell):
     """Per-cell step-scaled query block: the global (dim, nq) SQ when
     the quantizer is global (sq8/float32) — or the ('pq', LUT) marker,
-    which is cell-independent too — or step2[cell]-scaled QT for the
-    per-cell quantizer (sq8_cell).  One (dim, nq) multiply per cell
-    — negligible next to the cell's sgemm."""
+    which is cell-independent too — or ('pq_local', ...) which builds
+    THIS cell's LUT from the cell-rotated queries (opq_local: one
+    (nq, dim) x (dim, dim) multiply + LUT einsum per probed cell,
+    small next to the cell's scoring pass) — or step2[cell]-scaled QT
+    for the per-cell quantizer (sq8_cell)."""
+    if isinstance(SQ, tuple) and SQ[0] == "pq_local":
+        _tag, Qd, books, R_cells = SQ
+        m_sub, _, sub = books.shape
+        Qr = np.ascontiguousarray(Qd @ R_cells[int(cell)],
+                                  dtype=np.float32)
+        Qs = Qr.reshape(len(Qd), m_sub, sub)
+        LUT = np.ascontiguousarray(
+            np.einsum("qjs,jcs->qjc", Qs, books))
+        return ("pq", LUT)
     if SQ is not None:
         return SQ
     return np.ascontiguousarray(step2[cell][:, None] * QT)
@@ -433,12 +457,13 @@ class IvfBatchKnnIndex:
             raise ValueError(
                 f"code_dtype must be 'sq8', 'sq8_cell', 'float32' or "
                 f"'pq', got {code_dtype!r}")
-        if pq_rotation not in ("none", "pca", "random", "opq"):
+        if pq_rotation not in ("none", "pca", "random", "opq",
+                               "opq_local"):
             # validated for EVERY code tier (review r9): a typo'd
             # rotation on a non-PQ build must not pass silently
             raise ValueError(
-                f"pq_rotation must be 'opq', 'pca', 'random' or "
-                f"'none', got {pq_rotation!r}")
+                f"pq_rotation must be 'opq_local', 'opq', 'pca', "
+                f"'random' or 'none', got {pq_rotation!r}")
         if refine and code_dtype == "float32":
             raise ValueError(
                 "refine=True pairs a QUANTIZED code tier with an exact "
@@ -542,6 +567,10 @@ class IvfBatchKnnIndex:
         # coarse codes give up.
         self._pq = None
         self._pq_R = None
+        # per-cell rotations (pq_rotation="opq_local", VERDICT r10 #8:
+        # the r10 autopsy showed ONE global rotation regresses 107/151
+        # cells while improving pooled MSE — rotations must be local)
+        self._pq_R_cells = None
         if code_dtype == "pq":
             m_sub = pq_m
             if m_sub is None:
@@ -634,6 +663,42 @@ class IvfBatchKnnIndex:
                     Rm = U @ Vt
                 self._pq_R = np.ascontiguousarray(Rm)
                 books = _fit_books(rs0 @ Rm)
+            elif pq_rotation == "opq_local" and fit_rows >= 2:
+                # LOPQ-style local OPQ (VERDICT r10 #8; Kalantidis &
+                # Avrithis 2014's locally-optimized posture, shared
+                # codebooks variant): the r10 autopsy showed the global
+                # rotation improves pooled MSE while REGRESSING 107/151
+                # individual cells — factor-k refined recall lives in
+                # within-cell rank fidelity, so rotations must be
+                # per-cell.  Alternation: rotate each cell's residuals
+                # by ITS R_c -> fit SHARED codebooks -> per-cell
+                # orthogonal Procrustes against the decoded rows.
+                # Cells with fewer fit rows than `dim` keep identity (an
+                # underdetermined Procrustes memorizes the sample); the
+                # whole SAMPLE (not the 16384 cap) feeds this mode
+                # because per-cell counts are ~sample/nlist.
+                rs_all = np.ascontiguousarray(res_s, dtype=np.float64)
+                assign_all = d2.argmin(axis=1)
+                R_cells = np.tile(np.eye(self.dim),
+                                  (self.nlist, 1, 1))
+                counts = np.bincount(assign_all, minlength=self.nlist)
+                fit_cells = np.flatnonzero(counts >= self.dim)
+                for _ in range(8):
+                    rr = _rotate_per_cell(rs_all, assign_all, R_cells)
+                    books = _fit_books(rr)
+                    _c, dec = _pq_encode(
+                        rr.astype(np.float32),
+                        np.ascontiguousarray(books, dtype=np.float32))
+                    dec64 = np.asarray(dec, dtype=np.float64)
+                    for cell in fit_cells:
+                        m = assign_all == cell
+                        U, _sv, Vt = np.linalg.svd(
+                            rs_all[m].T @ dec64[m])
+                        R_cells[cell] = U @ Vt
+                books = _fit_books(
+                    _rotate_per_cell(rs_all, assign_all, R_cells))
+                self._pq_R_cells = np.ascontiguousarray(
+                    R_cells, dtype=np.float32)
             else:
                 if self._pq_R is not None:
                     rs = rs @ self._pq_R
@@ -763,6 +828,7 @@ class IvfBatchKnnIndex:
                     if self._pq is not None else None)
         pq_R = (np.ascontiguousarray(self._pq_R, dtype=np.float32)
                 if self._pq_R is not None else None)
+        pq_R_cells = self._pq_R_cells
         byte_w = self._code_width
 
         meta_cols = self.meta_cols
@@ -799,8 +865,13 @@ class IvfBatchKnnIndex:
                 if flat_codes:
                     codes = res.astype(np.float32)
                 elif pq_books is not None:
-                    codes, dec_pq = _pq_encode(
-                        res @ pq_R if pq_R is not None else res, pq_books)
+                    if pq_R_cells is not None:
+                        res_r = _rotate_per_cell(res, assign, pq_R_cells)
+                    elif pq_R is not None:
+                        res_r = res @ pq_R
+                    else:
+                        res_r = res
+                    codes, dec_pq = _pq_encode(res_r, pq_books)
                 elif mn32.ndim == 2:  # per-cell quantizer (sq8_cell)
                     codes = np.clip(
                         np.rint((res - mn32[assign]) * inv_step[assign]),
@@ -820,8 +891,13 @@ class IvfBatchKnnIndex:
                     # 128-d) at identical bytes (asymmetric-distance
                     # consistency; PLANS.md round 8)
                     if pq_books is not None:
-                        dec = dec_pq @ pq_R.T if pq_R is not None \
-                            else dec_pq
+                        if pq_R_cells is not None:
+                            dec = _rotate_per_cell(
+                                dec_pq, assign, pq_R_cells, inverse=True)
+                        elif pq_R is not None:
+                            dec = dec_pq @ pq_R.T
+                        else:
+                            dec = dec_pq
                     elif mn32.ndim == 2:
                         dec = codes.astype(np.float32) * step32[assign] \
                             + mn32[assign]
@@ -1205,6 +1281,14 @@ class IvfBatchKnnIndex:
         if self._pq is not None:
             books = self._pq  # (m, 256, sub)
             m_sub, _, sub = books.shape
+            if self._pq_R_cells is not None:
+                # opq_local: codes live in each CELL's rotated basis —
+                # the LUT is per-cell, built lazily in _sq_for_cell
+                # from the cell-rotated queries
+                return ("pq_local",
+                        np.ascontiguousarray(Q, dtype=np.float32),
+                        np.ascontiguousarray(books, dtype=np.float32),
+                        self._pq_R_cells), None, QT, base
             # rotated-space consistency: codes live in the _pq_R basis,
             # and dot(res, q) == dot(res @ R, q @ R) for orthogonal R
             Qr = Q @ self._pq_R if self._pq_R is not None else Q
@@ -2046,10 +2130,19 @@ class IvfBatchKnnIndex:
         if self._pq is not None:
             R32 = (np.ascontiguousarray(self._pq_R, dtype=np.float32)
                    if self._pq_R is not None else None)
+            if self._pq_R_cells is not None:
+                res_r = _rotate_per_cell(res, assign, self._pq_R_cells)
+            elif R32 is not None:
+                res_r = res @ R32
+            else:
+                res_r = res
             codes, dec = _pq_encode(
-                res @ R32 if R32 is not None else res,
+                res_r,
                 np.ascontiguousarray(self._pq, dtype=np.float32))
-            if R32 is not None:
+            if self._pq_R_cells is not None:
+                dec = _rotate_per_cell(dec, assign, self._pq_R_cells,
+                                       inverse=True)
+            elif R32 is not None:
                 dec = dec @ R32.T
             dec = dec + C32[assign]
             nsq = (dec.astype(np.float64) ** 2).sum(axis=1)
@@ -2231,7 +2324,11 @@ class IvfBatchKnnIndex:
                 ci = np.asarray(codes, dtype=np.int64)
                 dec_r = books[np.arange(m_sub)[None, :], ci] \
                     .reshape(len(ci), self.dim)
-                if self._pq_R is not None:
+                if self._pq_R_cells is not None:
+                    dec_r = _rotate_per_cell(
+                        dec_r, np.asarray(assign), self._pq_R_cells,
+                        inverse=True)
+                elif self._pq_R is not None:
                     dec_r = dec_r @ np.ascontiguousarray(
                         self._pq_R, dtype=np.float32).T
                 dec = (dec_r

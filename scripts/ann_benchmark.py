@@ -49,10 +49,15 @@ def _write_artifact(args, rows, n, dims, metric, note=None):
     so one file holds the full recall/QPS picture per dataset."""
     path = _artifact_path(args.dataset)
     merged = list(rows)
+    # family key INCLUDES pq_rotation (memory/judge gotcha: without it
+    # a rotation run clobbered the canonical same-codes rows)
+    cur_rot = getattr(args, "pq_rotation", "none")
     cur_fam = "flat" if args.index == "flat" else (
         f"ivf:{args.codes}"
         + (f"+refine{getattr(args, 'refine_factor', 4)}"
-           if getattr(args, "refine", False) else ""))
+           if getattr(args, "refine", False) else "")
+        + (f"+rot-{cur_rot}"
+           if args.codes == "pq" and cur_rot != "none" else ""))
     if os.path.exists(path):
         try:
             with open(path) as f:
@@ -61,9 +66,11 @@ def _write_artifact(args, rows, n, dims, metric, note=None):
                 def fam(r):
                     if r.get("tier") == "flat":
                         return "flat"
+                    rot = r.get("pq_rotation", "none")
                     return (f"ivf:{r.get('codes', prior.get('codes'))}"
                             + (f"+refine{r.get('refine_factor', 4)}"
-                               if r.get("refine") else ""))
+                               if r.get("refine") else "")
+                            + (f"+rot-{rot}" if rot != "none" else ""))
                 merged = [r for r in prior.get("grid", [])
                           if fam(r) != cur_fam] + merged
             else:
@@ -223,7 +230,8 @@ def main() -> None:
                     help="PQ subspace count (codes=pq): 1 byte per "
                          "subspace; must divide dim (default dim/8)")
     ap.add_argument("--pq-rotation", dest="pq_rotation", default="none",
-                    choices=["none", "pca", "random", "opq"],
+                    choices=["none", "pca", "random", "opq",
+                             "opq_local"],
                     help="OPQ-lite orthogonal pre-transform before the "
                          "subspace split (codes=pq).  Default none: "
                          "both pca eigen-allocation (1M grid factor-4 "

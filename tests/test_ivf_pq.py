@@ -245,3 +245,48 @@ def test_pq_rotation_coarse_recall_not_worse(spark):
             idx.unpersist()
 
     assert coarse_recall("pca") >= coarse_recall("none") - 0.05
+
+
+def test_pq_rotation_opq_local(spark):
+    """Per-cell rotations (VERDICT r10 #8, LOPQ shared-codebook
+    variant): orthogonality per fitted cell, identity fallback for
+    thin cells, the full-probe refine invariant in the per-cell
+    bases, and encode/decode consistency between the Arrow build
+    kernel and the driver-local _encode_np (add_local path)."""
+    V, rng = _corpus()
+    q = rng.standard_normal(DIM) * 2
+    want = [w[0] for w in _brute(V, q, "euclidean", k=10)]
+    idx = IvfBatchKnnIndex(_df(spark, V), nlist=8, vector_col="vector",
+                           id_col="id", metric="euclidean", seed=1,
+                           code_dtype="pq", pq_m=8,
+                           pq_rotation="opq_local",
+                           refine=True, refine_factor=N)
+    idx.pin_segments()
+    try:
+        R = idx._pq_R_cells
+        assert R is not None and R.shape == (8, DIM, DIM)
+        assert idx._pq_R is None
+        for c in range(8):
+            assert np.allclose(R[c] @ R[c].T, np.eye(DIM), atol=1e-5)
+        got = [g[0] for g in idx.search_one(q, k=10, nprobe=idx.nlist)]
+        assert got == want
+        # driver-local encode agrees with the build-side decode shape:
+        # roundtrip reconstruction error stays bounded by the residual
+        # norm (a basis mix-up would blow it up)
+        assign, nsq, codes, Vn = idx._encode_np(V[:64].astype(np.float32))
+        books = np.ascontiguousarray(idx._pq, dtype=np.float32)
+        m_sub = books.shape[0]
+        ci = np.asarray(codes, dtype=np.int64)
+        dec_r = books[np.arange(m_sub)[None, :], ci].reshape(len(ci), DIM)
+        from needle_spark.plans.ivf import _rotate_per_cell
+        dec = _rotate_per_cell(dec_r, assign, R, inverse=True)
+        res = Vn - idx.centroids[assign].astype(np.float32)
+        rel = np.linalg.norm(res - dec) / np.linalg.norm(res)
+        assert rel < 0.9  # quantization reduces, never inflates
+        # stored nsq is the DECODED norm (asymmetric-distance
+        # consistency) — must match the decoded rows
+        full = dec + idx.centroids[assign].astype(np.float32)
+        assert np.allclose(nsq, (full.astype(np.float64) ** 2).sum(1),
+                           rtol=1e-3)
+    finally:
+        idx.unpersist()
