@@ -129,7 +129,17 @@ class MicroBatchSearcher:
         (plus the optional window)."""
         first = self._q.get()
         if first is None:
-            return None
+            # poison pill: drain anything already queued into one
+            # final batch so in-flight submits resolve, don't dangle
+            tail = []
+            while True:
+                try:
+                    nxt = self._q.get_nowait()
+                except _queue.Empty:
+                    break
+                if nxt is not None:
+                    tail.append(nxt)
+            return tail or None
         batch = [first]
         deadline = (time.perf_counter() + self.window_ms / 1000.0
                     if self.window_ms > 0 else None)

@@ -145,7 +145,14 @@ class RestServer:
         self._created: set[Callable] = set()
         self._register_routes()
         handler = self._make_handler()
-        self._httpd = ThreadingHTTPServer((host, port), handler)
+
+        class _Server(ThreadingHTTPServer):
+            # socketserver's default listen backlog is 5: a burst of
+            # concurrent clients (the micro-batch front's whole point)
+            # overflows it on a loaded host and connects get reset
+            request_queue_size = 128
+
+        self._httpd = _Server((host, port), handler)
         self._httpd.daemon_threads = True
         self._thread: threading.Thread | None = None
 
@@ -622,13 +629,17 @@ class RestServer:
                 # unfiltered singles drain into ONE fused batch pass;
                 # identical results to the serial path (same index,
                 # same path, per-query top-k) — pinned by the e2e test
-                hits = mb.search(vec, k=k)
-                return {"results": [
-                    {"id": i, "distance": float(d),
-                     "score": distance_to_score(float(d), metric)}
-                    for i, d in hits
-                ], "has_more": len(hits) == k,
-                    "served_by": "index.micro_batch"}
+                try:
+                    hits = mb.search(vec, k=k)
+                    return {"results": [
+                        {"id": i, "distance": float(d),
+                         "score": distance_to_score(float(d), metric)}
+                        for i, d in hits
+                    ], "has_more": len(hits) == k,
+                        "served_by": "index.micro_batch"}
+                except RuntimeError:
+                    pass  # dispatcher closed by a concurrent drop/
+                    # rebuild: fall through to the direct path
             kw = {}
             dec = getattr(idx, "_tier_decision", None) or {}
             sp = (dec.get("single_path") or {}).get("path")
