@@ -439,8 +439,10 @@ def main() -> None:
     if insert_sweep_merges == 0:
         est = np.sort(sweeps_ms.min(axis=0))
     else:
-        # per-sweep percentiles, median across sweeps
-        est = np.sort(np.median(np.sort(sweeps_ms, axis=1), axis=0))
+        # pooled percentiles over ALL observed inserts: the merge
+        # event stays in the tail exactly once (a cross-sweep median
+        # or min would erase the very cost this branch preserves)
+        est = np.sort(sweeps_ms.ravel())
     insert_p50 = round(float(est[len(est) // 2]), 3)
     insert_p99 = round(float(est[int(len(est) * 0.99) - 1]), 3)
     ivf_idx.unpersist()

@@ -166,9 +166,16 @@ class IncrementalMinHashDedup:
                      .repartitionByRange(n, "bucket")
                      .sortWithinPartitions("bucket"))
         tmp = self.state_path.rstrip("/") + ".__compact_tmp"
+        old = self.state_path.rstrip("/") + ".__compact_old"
         compacted.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(self.state_path)
+        # crash-safe swap: the live state is never deleted before its
+        # replacement is in place (a kill between rmtree and rename
+        # would silently lose the whole dedup index)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(self.state_path, old)
         os.rename(tmp, self.state_path)
+        shutil.rmtree(old)
         self._range_cache.clear()
         return {"rows": self.spark.read.parquet(self.state_path).count(),
                 "files": len(self._state_files())}

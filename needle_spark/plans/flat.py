@@ -954,19 +954,21 @@ class FlatKnnIndex:
             got = list(zip(res["query_id"], res[self.id_col]))
             if path == "exact":
                 ref_ids = got
+                continue
+            if path == "bin":
+                # approximate BY DESIGN: surface its sample timing and
+                # recall for an operator choosing it explicitly, but
+                # NEVER leave it in the auto-pick pool — a lucky
+                # all-match sample (corpus rows as queries) must not
+                # make approximate results the serving default
+                ref_sets = {}
+                for q, i in ref_ids:
+                    ref_sets.setdefault(q, set()).add(i)
+                hit = sum(1 for q, i in got if i in ref_sets.get(q, ()))
+                dec["bin_sample_ms"] = timings.pop(path)
+                dec["bin_sample_recall"] = round(
+                    hit / max(1, len(ref_ids)), 4)
             elif got != ref_ids:
-                if path == "bin":
-                    # approximate by design: surface its sample recall
-                    # for the operator choosing it EXPLICITLY, but the
-                    # auto-pick stays exact-ids-only
-                    ref_sets = {}
-                    for q, i in ref_ids:
-                        ref_sets.setdefault(q, set()).add(i)
-                    hit = sum(1 for q, i in got if i in ref_sets.get(
-                        q, ()))
-                    dec["bin_sample_ms"] = timings[path]
-                    dec["bin_sample_recall"] = round(
-                        hit / max(1, len(ref_ids)), 4)
                 timings.pop(path)  # mismatch: never auto-serve it
         c1 = self._host_canary_ms()
         dec["canary_after_ms"] = round(c1, 1)

@@ -253,23 +253,26 @@ def _rotate_per_cell(M: np.ndarray, assign: np.ndarray,
     return out
 
 
-def _sq_for_cell(SQ, step2, QT, cell):
+def _sq_for_cell(SQ, step2, QT, cell, qidx=None):
     """Per-cell step-scaled query block: the global (dim, nq) SQ when
     the quantizer is global (sq8/float32) — or the ('pq', LUT) marker,
     which is cell-independent too — or ('pq_local', ...) which builds
-    THIS cell's LUT from the cell-rotated queries (opq_local: one
-    (nq, dim) x (dim, dim) multiply + LUT einsum per probed cell,
-    small next to the cell's scoring pass) — or step2[cell]-scaled QT
-    for the per-cell quantizer (sq8_cell)."""
+    THIS cell's LUT from the cell-rotated queries (opq_local) FOR THE
+    PROBING QUERIES ONLY when qidx is given (a full-batch LUT per
+    probed cell wasted ~nq/probing-count of the rotate+einsum) — or
+    step2[cell]-scaled QT for the per-cell quantizer (sq8_cell)."""
     if isinstance(SQ, tuple) and SQ[0] == "pq_local":
         _tag, Qd, books, R_cells = SQ
         m_sub, _, sub = books.shape
-        Qr = np.ascontiguousarray(Qd @ R_cells[int(cell)],
+        Qsub = Qd if qidx is None else Qd[np.asarray(qidx)]
+        Qr = np.ascontiguousarray(Qsub @ R_cells[int(cell)],
                                   dtype=np.float32)
-        Qs = Qr.reshape(len(Qd), m_sub, sub)
+        Qs = Qr.reshape(len(Qsub), m_sub, sub)
         LUT = np.ascontiguousarray(
             np.einsum("qjs,jcs->qjc", Qs, books))
-        return ("pq", LUT)
+        # "pq_sub": LUT rows are ALREADY the probing queries — the
+        # scorer must not re-index by qidx
+        return ("pq", LUT) if qidx is None else ("pq_sub", LUT)
     if SQ is not None:
         return SQ
     return np.ascontiguousarray(step2[cell][:, None] * QT)
@@ -294,12 +297,13 @@ def _score_cell_block(codes_u8, ids_cell, nsq_cell, qidx, SQ, base_row, qsq,
     distance: dot(v, q) = c.q + sum_j LUT[q][j, code_j], one (m, 256)
     table per query built once per batch — the bytes read per scored
     row drop to m (e.g. 48 for 384-d), the IvfPQ capacity tier."""
-    if isinstance(SQ, tuple):  # ('pq', LUT (nq, m, 256) float32)
+    if isinstance(SQ, tuple):  # ('pq'|'pq_sub', LUT (nq, m, 256) f32)
         LUT = SQ[1]
         codes_i = codes_u8 if codes_u8.dtype == np.uint8 \
             else codes_u8.astype(np.int64)
         m_sub = codes_i.shape[1]
-        Lq = LUT[qidx]  # (n_probing, m, 256)
+        # 'pq_sub' (opq_local): LUT rows already == probing queries
+        Lq = LUT if SQ[0] == "pq_sub" else LUT[qidx]
         acc = np.zeros((len(qidx), codes_i.shape[0]), dtype=np.float32)
         for j in range(m_sub):
             acc += np.take(Lq[:, j, :], codes_i[:, j], axis=1)
@@ -828,7 +832,12 @@ class IvfBatchKnnIndex:
                     if self._pq is not None else None)
         pq_R = (np.ascontiguousarray(self._pq_R, dtype=np.float32)
                 if self._pq_R is not None else None)
-        pq_R_cells = self._pq_R_cells
+        # broadcast, never closure-capture: the per-cell tensor is
+        # nlist x dim x dim (~600 MB at nlist=1024, dim=384) and a
+        # closure copy would serialize into EVERY task binary
+        pq_R_cells_bc = (
+            docs.sparkSession.sparkContext.broadcast(self._pq_R_cells)
+            if self._pq_R_cells is not None else None)
         byte_w = self._code_width
 
         meta_cols = self.meta_cols
@@ -865,8 +874,9 @@ class IvfBatchKnnIndex:
                 if flat_codes:
                     codes = res.astype(np.float32)
                 elif pq_books is not None:
-                    if pq_R_cells is not None:
-                        res_r = _rotate_per_cell(res, assign, pq_R_cells)
+                    if pq_R_cells_bc is not None:
+                        res_r = _rotate_per_cell(
+                            res, assign, pq_R_cells_bc.value)
                     elif pq_R is not None:
                         res_r = res @ pq_R
                     else:
@@ -891,9 +901,10 @@ class IvfBatchKnnIndex:
                     # 128-d) at identical bytes (asymmetric-distance
                     # consistency; PLANS.md round 8)
                     if pq_books is not None:
-                        if pq_R_cells is not None:
+                        if pq_R_cells_bc is not None:
                             dec = _rotate_per_cell(
-                                dec_pq, assign, pq_R_cells, inverse=True)
+                                dec_pq, assign, pq_R_cells_bc.value,
+                                inverse=True)
                         elif pq_R is not None:
                             dec = dec_pq @ pq_R.T
                         else:
@@ -1225,7 +1236,7 @@ class IvfBatchKnnIndex:
                             else np.asarray(codes[s:e])
                         out = _score_cell_block(
                             block, ids[s:e], nsq[s:e], qidx,
-                            _sq_for_cell(SQ, step2, QT, int(cell)),
+                            _sq_for_cell(SQ, step2, QT, int(cell), qidx),
                             base[int(cell)], qsq, metric, kk,
                             return_sel=use_refine)
                         if use_refine:
@@ -1418,7 +1429,7 @@ class IvfBatchKnnIndex:
                 s, e = starts[ci], starts[ci + 1]
                 out = _score_cell_block(
                     codes[s:e], ids[s:e], nsq[s:e], qidx,
-                    _sq_for_cell(SQ, step2, QT, int(cell)),
+                    _sq_for_cell(SQ, step2, QT, int(cell), qidx),
                     base[int(cell)], qsq, metric, kk,
                     return_sel=use_vec)
                 if use_vec:
@@ -1742,7 +1753,7 @@ class IvfBatchKnnIndex:
             for block, ids_cell, nsq_cell, cell, qidx, refmap in cell_iter:
                 out = _score_cell_block(
                     block, ids_cell, nsq_cell, qidx,
-                    _sq_for_cell(SQ, step2, QT, int(cell)),
+                    _sq_for_cell(SQ, step2, QT, int(cell), qidx),
                     base[int(cell)], qsq, self.metric, fetch,
                     return_sel=use_refine)
                 if use_refine:
@@ -1934,7 +1945,7 @@ class IvfBatchKnnIndex:
                         self._cellf32_bytes += Cf.nbytes
             out = _score_cell_block(
                 Cf, ids[s:e], nsq[s:e], qidx,
-                _sq_for_cell(SQ, step2, QT, int(cell)),
+                _sq_for_cell(SQ, step2, QT, int(cell), qidx),
                 base[int(cell)], qsq, self.metric, fetch,
                 return_sel=use_refine)
             if use_refine:
@@ -1966,7 +1977,7 @@ class IvfBatchKnnIndex:
                     m = sel & (d_cent == cell)
                     out = _score_cell_block(
                         d_codes[m], d_ids[m], d_nsq[m], qidx,
-                        _sq_for_cell(SQ, step2, QT, int(cell)),
+                        _sq_for_cell(SQ, step2, QT, int(cell), qidx),
                         base[int(cell)], qsq, self.metric,
                         fetch, return_sel=use_refine)
                     if use_refine:

@@ -98,6 +98,14 @@ class MicroBatchSearcher:
             self._seq += 1
             qid = self._seq
         self._q.put((qid, vector, self.k if k is None else int(k), fut))
+        # submit/close race: if close() won and the worker already
+        # exited, nothing will ever drain this item — fail the future
+        # now (set_exception no-ops via the try if the worker got it)
+        if self._closed and not self._worker.is_alive():
+            try:
+                fut.set_exception(RuntimeError("searcher is closed"))
+            except Exception:
+                pass  # worker resolved it first
         return fut
 
     def search(self, vector, k: int | None = None, timeout: float = 30.0):
@@ -105,10 +113,24 @@ class MicroBatchSearcher:
         return self.submit(vector, k).result(timeout=timeout)
 
     def close(self, timeout: float = 10.0) -> None:
-        """Stop accepting work, drain what is queued, join."""
+        """Stop accepting work, drain what is queued, join.  Anything
+        still enqueued after the worker exits (racing submits) is
+        failed, never left dangling."""
         self._closed = True
         self._q.put(None)  # wake the dispatcher
         self._worker.join(timeout=timeout)
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except _queue.Empty:
+                break
+            if item is None:
+                continue
+            fut = item[-1]
+            try:
+                fut.set_exception(RuntimeError("searcher is closed"))
+            except Exception:
+                pass
 
     def stats(self) -> dict:
         """Dispatch observability (surfaced in REST index status)."""

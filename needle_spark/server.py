@@ -32,6 +32,7 @@ from __future__ import annotations
 import json
 import re
 import threading
+from concurrent.futures import TimeoutError as FuturesTimeout
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Callable
 
@@ -637,9 +638,10 @@ class RestServer:
                         for i, d in hits
                     ], "has_more": len(hits) == k,
                         "served_by": "index.micro_batch"}
-                except RuntimeError:
+                except (RuntimeError, FuturesTimeout):
                     pass  # dispatcher closed by a concurrent drop/
-                    # rebuild: fall through to the direct path
+                    # rebuild (or its queue wedged): fall through to
+                    # the direct path
             kw = {}
             dec = getattr(idx, "_tier_decision", None) or {}
             sp = (dec.get("single_path") or {}).get("path")

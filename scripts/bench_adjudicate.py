@@ -107,12 +107,13 @@ def main() -> None:
     stats = {}
     for k in rows:
         vals = [rr[k] for rr in runs_rows if k in rr]
+        mean = statistics.fmean(vals)
+        sd = statistics.pstdev(vals) if len(vals) > 1 else 0.0
         stats[k] = {
-            "mean": round(statistics.fmean(vals), 4),
-            "sd": round(statistics.pstdev(vals), 4) if len(vals) > 1 else 0.0,
+            "mean": round(mean, 4), "sd": round(sd, 4),
             "min": min(vals), "max": max(vals), "n": len(vals),
-            "cv": round(statistics.pstdev(vals)
-                        / statistics.fmean(vals), 3) if len(vals) > 1 else 0.0,
+            # all-zero rows (e.g. insert_sweep_auto_merges) have no cv
+            "cv": round(sd / mean, 3) if mean else 0.0,
         }
     out = {
         "runs": runs,

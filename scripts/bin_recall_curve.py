@@ -93,6 +93,13 @@ def curve(train, queries, label: str) -> dict:
     if not idx.enable_bin():
         out["error"] = "bin path not servable (no kernel)"
         return out
+    if len(train) <= FlatKnnIndex.THRESHOLD_MIN_ROWS:
+        # below the coarse-eligibility gate search_many_local silently
+        # serves the exact scan — the curve would fabricate recall 1.0
+        out["error"] = (f"n={len(train)} <= THRESHOLD_MIN_ROWS "
+                        f"({FlatKnnIndex.THRESHOLD_MIN_ROWS}): bin "
+                        "path not exercised at this scale")
+        return out
     for fetch in (2048, 4096, 8192, 16384, 32768):
         idx.BIN_FETCH = fetch
         r1, t1 = measure(idx, queries, 1, "bin")
