@@ -18,6 +18,7 @@ Determinism rules used throughout (see needle_spark.functions.distance):
 from __future__ import annotations
 
 import math
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1009,6 +1010,94 @@ step AS (
 SELECT unnest(acc) AS vec_id
 FROM (SELECT acc FROM step ORDER BY rn DESC LIMIT 1)
 ORDER BY vec_id
+"""
+
+
+def _incremental_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming/incremental near-dup (operators/incremental_dedup.py,
+    round 11): treat doc_id % 5 == 0 as one incoming micro-batch and
+    the rest as the bootstrapped corpus state; the result is the KEPT
+    batch id set — a batch doc drops when exact-verified Jaccard >=
+    0.6 against any corpus doc, else keep-FIRST in id order within the
+    batch (insert_dedup's sequential walk).  Oracle: the identical
+    exact-Jaccard pair set (same shingle SQL as `minhash_lsh_dedup`,
+    equal unless a banding miss occurs — same argument as that green
+    row since the banding params are identical) + a DuckDB
+    recursive-CTE greedy for the within-batch walk."""
+    import shutil
+    import tempfile
+
+    from needle_spark.operators.incremental_dedup import \
+        IncrementalMinHashDedup
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    tmp = tempfile.mkdtemp(prefix="incdedup_oracle_")
+    try:
+        inc = IncrementalMinHashDedup(
+            spark, os.path.join(tmp, "state"), id_col="doc_id",
+            text_col="text", threshold=0.6)
+        inc.bootstrap(corpus)
+        res = inc.dedup_batch(batch, corpus, update_state=False)
+        # `kept` is a filter over the batch frame (drops already
+        # resolved eagerly) — safe to drop the state dir now
+        return res["kept"].select("doc_id").orderBy("doc_id")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _incremental_dedup_keep_sql() -> str:
+    from needle_spark.operators.dedup import duckdb_shingles_sql
+
+    sh = duckdb_shingles_sql("t", 3)
+    return f"""
+WITH RECURSIVE
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> length(t) >= 1) AS t
+  FROM documents
+),
+sh AS MATERIALIZED (SELECT doc_id, {sh} AS s FROM toks),
+e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+sizes AS (SELECT doc_id, len(s) AS sz FROM sh),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS DOUBLE) AS c
+  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS MATERIALIZED (
+  SELECT id1, id2 FROM inter
+  JOIN sizes s1 ON s1.doc_id = id1
+  JOIN sizes s2 ON s2.doc_id = id2
+  WHERE c / (CAST(s1.sz + s2.sz AS DOUBLE) - c) >= 0.6
+),
+b AS MATERIALIZED (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+  FROM documents WHERE doc_id % 5 = 0),
+cd AS MATERIALIZED (
+  SELECT DISTINCT bb.doc_id FROM b bb JOIN jac
+    ON (jac.id1 = bb.doc_id AND jac.id2 % 5 != 0)
+    OR (jac.id2 = bb.doc_id AND jac.id1 % 5 != 0)),
+wb AS MATERIALIZED (
+  SELECT id1 AS i, id2 AS j FROM jac
+  WHERE id1 % 5 = 0 AND id2 % 5 = 0),
+step AS (
+  SELECT CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS acc
+  UNION ALL
+  SELECT bb.rn,
+         CASE WHEN EXISTS (SELECT 1 FROM cd
+                           WHERE cd.doc_id = bb.doc_id)
+                   OR EXISTS (SELECT 1 FROM wb
+                              WHERE wb.j = bb.doc_id
+                                AND list_contains(s.acc, wb.i))
+              THEN s.acc ELSE list_append(s.acc, bb.doc_id) END
+  FROM step s JOIN b bb ON bb.rn = s.rn + 1
+)
+SELECT unnest(acc) AS doc_id
+FROM (SELECT acc FROM step ORDER BY rn DESC LIMIT 1)
+ORDER BY doc_id
 """
 
 
@@ -3855,6 +3944,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pq_refine": _knn_pq_refine,
         "insert_dedup_reject": _insert_dedup_reject,
         "insert_dedup_version": _insert_dedup_version,
+        "incremental_dedup_keep": _incremental_dedup_keep,
     }
 
 
@@ -3879,11 +3969,13 @@ _R6_HEAD_COUNT = 50  # keys 1..50 of the canonical order = the r1-r6 slice
 
 # r11 rotation (VERDICT r10 ask #5): head = the two insert-dedup keys
 # (never driver-green — the r10 numpy crash, fixed this round) + the
-# 48 OLDEST keys by last driver-green round (4 from r6, 44 from r7;
-# computed from the committed CORRECTNESS_r* artifacts) = exactly the
-# driver's 50-slot gate.  vector_lineage (r7) spills to head r12.
+# r11-new incremental_dedup_keep + the 47 OLDEST keys by last
+# driver-green round (4 from r6, 43 from r7; computed from the
+# committed CORRECTNESS_r* artifacts) = exactly the driver's 50-slot
+# gate.  tuner_arm_rewards + vector_lineage (r7) spill to head r12.
 _R11_PRIORITY = [
     "insert_dedup_reject", "insert_dedup_version",
+    "incremental_dedup_keep",
     # last green in r6
     "distinct_agg", "events_sessionize", "filter_json_meta",
     "revenue_per_nation",
@@ -3901,7 +3993,7 @@ _R11_PRIORITY = [
     "memory_recall", "multiquery_rrf", "numeric_histogram",
     "rag_context", "rebalance_plan", "relevance_adjustments",
     "rollup_agg", "score_normalize", "temporal_search_at",
-    "term_overlap_rerank", "tuner_arm_rewards",
+    "term_overlap_rerank",
 ]
 
 
@@ -4058,4 +4150,5 @@ def oracle_sql() -> dict[str, str]:
         "knn_pq_refine": _knn_sq8_refine_sql(),
         "insert_dedup_reject": _insert_dedup_reject_sql(),
         "insert_dedup_version": _insert_dedup_version_sql(),
+        "incremental_dedup_keep": _incremental_dedup_keep_sql(),
     }
