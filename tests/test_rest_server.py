@@ -894,6 +894,7 @@ def test_micro_batch_serving_front(srv):
     mb = st["micro_batch"]
     assert mb["served"] >= 48 * 3 + 49
     assert mb["max_batch"] > 1, mb
+    assert mb["mean_batch"] > 1, mb  # batched dispatch, on average too
 
     # filtered searches keep the direct path (dispatcher serves only
     # unfiltered singles)
