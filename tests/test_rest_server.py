@@ -907,3 +907,37 @@ def test_micro_batch_serving_front(srv):
     call(srv, "DELETE", "/collections/mbx/index", expect=200)
     assert call(srv, "GET", "/collections/mbx/index/status") == \
         {"indexed": False}
+
+
+def test_micro_batch_auto_on_for_big_flat(srv, monkeypatch):
+    """The dispatcher mounts AUTOMATICALLY for flat tiers above the
+    coarse-eligibility threshold (no build flag needed) and stays off
+    below it."""
+    import math
+
+    from needle_spark.plans.flat import FlatKnnIndex
+
+    call(srv, "POST", "/collections",
+         {"name": "mbauto", "dimensions": 4}, expect=201)
+    vecs = [{"id": f"a{i:03d}",
+             "vector": [math.cos(i * f * 0.21) for f in range(1, 5)]}
+            for i in range(120)]
+    call(srv, "POST", "/collections/mbauto/vectors/batch",
+         {"vectors": vecs}, expect=201)
+    # below threshold: no dispatcher by default
+    call(srv, "POST", "/collections/mbauto/index",
+         {"tier": "flat"}, expect=200)
+    st = call(srv, "GET", "/collections/mbauto/index/status")
+    assert "micro_batch" not in st
+    # "big" corpus (threshold monkeypatched down): auto-on
+    monkeypatch.setattr(FlatKnnIndex, "THRESHOLD_MIN_ROWS", 50)
+    call(srv, "POST", "/collections/mbauto/index",
+         {"tier": "flat"}, expect=200)
+    st = call(srv, "GET", "/collections/mbauto/index/status")
+    assert st["micro_batch"]["path"] in ("exact", "f16", "vnni")
+    # explicit opt-out wins over auto-on
+    call(srv, "POST", "/collections/mbauto/index",
+         {"tier": "flat", "micro_batch": False}, expect=200)
+    st = call(srv, "GET", "/collections/mbauto/index/status")
+    assert "micro_batch" not in st
+    call(srv, "DELETE", "/collections/mbauto/index", expect=200)
