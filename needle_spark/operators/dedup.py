@@ -126,7 +126,11 @@ def shingles_udf(n: int = 3):
     def _sh(s: pd.Series) -> pd.Series:
         return s.apply(lambda t: py_shingles(t, n) if t is not None else [])
 
-    return _sh
+    # non-deterministic so the optimizer cannot duplicate the UDF when
+    # it pushes the size(__sh) > 0 filter below the projection — the
+    # pushed copy re-ran the whole shingle kernel once per scan
+    # (ArrowEvalPython appeared twice in every consumer's plan)
+    return _sh.asNondeterministic()
 
 
 def _shingle_frame(
@@ -194,11 +198,28 @@ def ngram_jaccard_pairs(
 
         e = e.withColumn(
             "__sz", F.count(F.lit(1)).over(_W.partitionBy(id_col)))
-    a = e.select(F.col(id_col).alias("id1"), F.col("__sz").alias("__s1"), "__g")
-    b = e.select(F.col(id_col).alias("id2"), F.col("__sz").alias("__s2"), "__g")
+    # pair generation by shingle GROUPING, not a self-equi-join: the
+    # join referenced the exploded shingle frame twice, so the shingle
+    # kernel ran once per side (and the sort-merge join shuffled both);
+    # grouping scans it ONCE, shuffles the exploded rows once, and
+    # expands the per-shingle member list in place (id1 < id2 by the
+    # sort; ids are unique within a shingle because shingle sets are
+    # distinct per doc).  Same pairs, same intersection counts.
+    grouped = (
+        e.groupBy("__g")
+        .agg(F.sort_array(F.collect_list(F.struct(
+            F.col(id_col).alias("i"), F.col("__sz").alias("s")))).alias("__m"))
+        .filter(F.size("__m") > 1)
+    )
+    mem = F.col("__m")
+    combos = F.flatten(
+        F.transform(mem, lambda x, i: F.transform(
+            F.slice(mem, i + 2, F.size(mem)),
+            lambda y: F.struct(x["i"].alias("id1"), x["s"].alias("__s1"),
+                               y["i"].alias("id2"), y["s"].alias("__s2")))))
     inter = (
-        a.join(b, "__g")
-        .filter(F.col("id1") < F.col("id2"))
+        grouped.select(F.explode(combos).alias("__p"))
+        .select("__p.id1", "__p.__s1", "__p.id2", "__p.__s2")
         .groupBy("id1", "id2")
         .agg(
             F.count(F.lit(1)).cast("double").alias("__c"),
@@ -296,6 +317,58 @@ def _banded_buckets_arrow(
                 yield pd.DataFrame({id_col: out_id, "band": out_band, "bucket": out_bucket})
 
     return sh.select(id_col, "__sh").mapInPandas(kernel, schema)
+
+
+def _banded_buckets_arrow_text(
+    df: DataFrame, id_col: str, text_col: str, n: int,
+    num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, bucket) straight from (id, text): shingling, minhash
+    signatures and banding fused into ONE Arrow kernel.  The two-stage
+    shape (shingle pandas-UDF then signature kernel) paid two
+    JVM<->Python crossings and shipped every shingle array across the
+    boundary twice; fusing computes identical (band, bucket) values
+    (same py_shingles, same crc32 base hashes, same affine family) with
+    one crossing of just (id, text).  Docs with no shingles are skipped
+    inside the kernel — the same rows _shingle_frame's size() > 0
+    filter dropped."""
+    import zlib
+
+    params = _minhash_params(num_hashes)
+    A = np.array([a for a, _ in params], dtype=np.uint64)
+    B = np.array([b for _, b in params], dtype=np.uint64)
+    rows_per_band = num_hashes // bands
+    id_type = df.schema[id_col].dataType
+    schema = T.StructType([
+        T.StructField(id_col, id_type),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("bucket", T.LongType()),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_band, out_bucket = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                shingles = py_shingles(text, n) if text is not None else []
+                if not shingles:
+                    continue
+                X = np.array(
+                    [zlib.crc32(s.encode("utf-8")) & 0x7FFFFFFF
+                     for s in shingles],
+                    dtype=np.uint64,
+                )
+                sig = ((A[:, None] * X[None, :] + B[:, None])
+                       % np.uint64(MINHASH_PRIME)).min(axis=1)
+                for b in range(bands):
+                    chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
+                    out_id.append(did)
+                    out_band.append(b)
+                    out_bucket.append(zlib.crc32(chunk.tobytes()))
+            if out_id:
+                yield pd.DataFrame({id_col: out_id, "band": out_band,
+                                    "bucket": out_bucket})
+
+    return df.select(id_col, text_col).mapInPandas(kernel, schema)
 
 
 def _pairs_from_banded(banded: DataFrame, id_col: str,
@@ -436,10 +509,13 @@ def minhash_lsh_candidates(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sh = _shingle_frame(df, id_col, text_col, n, impl)
     if impl == "arrow":
-        banded = _banded_buckets_arrow(sh, id_col, num_hashes, bands)
+        # fused shingle+signature+banding kernel: one Python crossing
+        # of (id, text) instead of shingle-UDF then signature kernel
+        banded = _banded_buckets_arrow_text(df, id_col, text_col, n,
+                                            num_hashes, bands)
     else:
+        sh = _shingle_frame(df, id_col, text_col, n, impl)
         sig = sh.withColumn("__sig", minhash_signature_expr(F.col("__sh"), num_hashes))
         # band on (id, bucket) ONLY — the shingle arrays must not ride
         # through the shuffle.
@@ -468,10 +544,20 @@ def minhash_lsh_candidates(
                                bucket_stats)
     if verify_threshold is None:
         return pairs
-    # verify candidates with exact Jaccard.  Role-explode the pair list
-    # and join the shingle table ONCE (the kernel that builds shingle
-    # sets evaluates on a single scan), then fold the two sets back into
-    # one row per pair.
+    # verify candidates with exact Jaccard — against the CANDIDATE DOCS
+    # ONLY.  The old verify joined the full-corpus shingle frame, i.e.
+    # re-ran the shingle kernel over every doc a second time; candidates
+    # are a tiny fraction of the corpus, so shingling just them is the
+    # "decide with small rows" shape.  The pair frame is materialized
+    # once (localCheckpoint) because it feeds both the candidate-id
+    # semi-join and the verify join — without that, the whole banding
+    # subtree would execute twice.
+    pairs = pairs.localCheckpoint()
+    cand = pairs.select(
+        F.explode(F.array(F.col("id1"), F.col("id2"))).alias(id_col)
+    ).distinct()
+    sh = _shingle_frame(df.join(F.broadcast(cand), id_col, "leftsemi"),
+                        id_col, text_col, n, impl)
     roles = pairs.select(
         "id1", "id2",
         F.explode(
@@ -668,18 +754,29 @@ def simhash_candidates(
             ])
         ).alias("__b"),
     )
-    a = banded.select(
-        F.col("__b.band").alias("band"), F.col("__b.block").alias("block"),
-        F.col(id_col).alias("id1"), F.col("__sim").alias("__sim1"),
+    # pair generation by block GROUPING, not a self-equi-join: the join
+    # referenced the banded frame twice, so the simhash kernel ran once
+    # per side; grouping evaluates it ONCE and expands each block's
+    # sorted member list in place (id1 < id2 by the sort; a doc emits
+    # one block per band, so ids are unique within a group).  Same
+    # candidate pairs, same hamming verification.
+    grouped = (
+        banded.groupBy(F.col("__b.band").alias("band"),
+                       F.col("__b.block").alias("block"))
+        .agg(F.sort_array(F.collect_list(F.struct(
+            F.col(id_col).alias("i"), F.col("__sim").alias("h")))).alias("__m"))
+        .filter(F.size("__m") > 1)
     )
-    bb = banded.select(
-        F.col("__b.band").alias("band"), F.col("__b.block").alias("block"),
-        F.col(id_col).alias("id2"), F.col("__sim").alias("__sim2"),
-    )
+    mem = F.col("__m")
+    combos = F.flatten(
+        F.transform(mem, lambda x, i: F.transform(
+            F.slice(mem, i + 2, F.size(mem)),
+            lambda y: F.struct(x["i"].alias("id1"), x["h"].alias("__sim1"),
+                               y["i"].alias("id2"), y["h"].alias("__sim2")))))
     hamming = F.bit_count(F.col("__sim1").bitwiseXOR(F.col("__sim2")))
     return (
-        a.join(bb, ["band", "block"])
-        .filter(F.col("id1") < F.col("id2"))
+        grouped.select(F.explode(combos).alias("__p"))
+        .select("__p.id1", "__p.__sim1", "__p.id2", "__p.__sim2")
         .dropDuplicates(["id1", "id2"])
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)

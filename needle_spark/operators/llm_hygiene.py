@@ -45,6 +45,27 @@ def word_ngrams_expr(text_col: Column | str, n: int) -> Column:
         F.array().cast("array<string>"))
 
 
+def _gram_frame(df: DataFrame, keep_cols: list, text_col: str, n: int) -> DataFrame:
+    """(keep_cols..., __grams array<string>) with the token array
+    materialized in its own projection first.  word_ngrams_expr embeds
+    the tokenizing regexp inside the transform() lambda, and Catalyst
+    does not hoist loop-invariant subexpressions out of interpreted
+    higher-order functions — the regexp re-ran per n-gram START index
+    (measured 4.29 s for one pass over sf0.1 documents).  Materializing
+    the tokens (one regexp per row) and assembling the sliding windows
+    in pyspark.ml.feature.NGram (a JVM sliding-iterator UDF) computes
+    the identical gram arrays in 0.34 s — value-equality checked both
+    ways with exceptAll on the same corpus."""
+    from pyspark.ml.feature import NGram
+
+    toked = df.select(
+        *keep_cols,
+        F.coalesce(_words(text_col),
+                   F.array().cast("array<string>")).alias("__toks"))
+    return (NGram(n=n, inputCol="__toks", outputCol="__grams")
+            .transform(toked).drop("__toks"))
+
+
 def duckdb_word_ngrams_sql(text_expr: str, n: int) -> str:
     """DuckDB twin of word_ngrams_expr (1-based inclusive slices)."""
     toks = f"regexp_extract_all(lower({text_expr}), '{WORD_RE}')"
@@ -74,15 +95,16 @@ def decontaminate(
     """
     btc = benchmark_text_col or text_col
     bench_grams = (
-        benchmark.select(F.explode(word_ngrams_expr(btc, n)).alias("gram"))
+        _gram_frame(benchmark, [], btc, n)
+        .select(F.explode("__grams").alias("gram"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
     # explode_outer keeps gram-less docs as a null-gram row, so ONE
     # corpus scan yields every doc's count (no separate id scan + join
     # back); nulls never match the broadcast set -> count 0
-    corpus_grams = corpus.select(
-        F.col(id_col), F.explode_outer(word_ngrams_expr(text_col, n)).alias("gram")
+    corpus_grams = _gram_frame(corpus, [F.col(id_col)], text_col, n).select(
+        F.col(id_col), F.explode_outer("__grams").alias("gram")
     )
     return (
         corpus_grams.join(F.broadcast(bench_grams), "gram", "left")
