@@ -3031,7 +3031,10 @@ def _vector_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings").select(
         F.col("label"), F.col("embedding").alias("vector"))
-    cents = group_centroids(emb, "label", "vector")
+    # cents feeds both the spread join and the output join; without
+    # materialization the whole posexplode+aggregate centroid subtree
+    # executed twice (it is one tiny row per label)
+    cents = group_centroids(emb, "label", "vector").localCheckpoint()
     spread = group_spread(emb, "label", "vector", centroids=cents)
     return (cents.join(spread.select("group", "spread"), "group")
             .select(F.col("group").cast("int").alias("label"),

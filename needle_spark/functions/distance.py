@@ -30,6 +30,8 @@ Implementation notes (why this shape):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -80,11 +82,27 @@ def distance_expr(metric: str, a, b) -> Column:
     m = _ALIAS.get(metric.lower().replace("-", "_"))
     if m is None:
         raise ValueError(f"unknown distance metric: {metric!r}")
+
+    def _norm_const(v) -> Column:
+        # Catalyst does not constant-fold interpreted higher-order
+        # folds, so norm_expr over a LITERAL query vector re-ran the
+        # 2d-op fold per row.  The same left-to-right IEEE-754 double
+        # fold in Python produces the bit-identical value once.
+        s = 0.0
+        for x in v:
+            s = s + float(x) * float(x)
+        return F.lit(math.sqrt(s))
+
+    a_lit = not isinstance(a, Column)
+    b_lit = not isinstance(b, Column)
+    a_norm = _norm_const(a) if a_lit else None
+    b_norm = _norm_const(b) if b_lit else None
     a, b = _as_col(a), _as_col(b)
 
     if m == "cosine":
         dot = dot_expr(a, b)
-        na, nb = norm_expr(a), norm_expr(b)
+        na = a_norm if a_lit else norm_expr(a)
+        nb = b_norm if b_lit else norm_expr(b)
         return F.when((na == 0.0) | (nb == 0.0), F.lit(1.0)).otherwise(
             F.lit(1.0) - dot / (na * nb)
         )

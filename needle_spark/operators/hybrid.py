@@ -103,6 +103,12 @@ def bm25_scores(
             for i, t in enumerate(terms)
         ],
     )
+    # per_doc feeds BOTH the stats aggregate and the scoring scan; the
+    # interpreted tokenize projection is the expensive part and would
+    # run twice (Spark recomputes shared subtrees).  Materialize the
+    # narrow (id, dl, tf...) frame once — it is orders of magnitude
+    # smaller than the text it derives from, at any corpus scale.
+    per_doc = per_doc.localCheckpoint()
     stats = per_doc.agg(
         F.count(F.lit(1)).cast("double").alias("__n"),
         (F.sum("__dl") / F.count(F.lit(1))).alias("__avgdl"),
