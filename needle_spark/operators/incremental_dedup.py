@@ -55,7 +55,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from needle_spark.operators.dedup import (_banded_buckets_arrow,
+from needle_spark.operators.dedup import (_banded_buckets_arrow_text,
                                           _shingle_frame)
 
 
@@ -78,10 +78,12 @@ class IncrementalMinHashDedup:
     # ------------------------------------------------------- state --
 
     def _band(self, df: DataFrame) -> DataFrame:
-        sh = _shingle_frame(df, self.id_col, self.text_col, self.n,
-                            "arrow")
-        return _banded_buckets_arrow(sh, self.id_col, self.num_hashes,
-                                     self.bands)
+        # fused shingle+signature+banding kernel: one Python crossing
+        # of (id, text) per micro-batch instead of shingle UDF then
+        # signature kernel (bit-identical (band, bucket) values)
+        return _banded_buckets_arrow_text(df, self.id_col, self.text_col,
+                                          self.n, self.num_hashes,
+                                          self.bands)
 
     def _state(self) -> DataFrame | None:
         if not os.path.exists(self.state_path):
