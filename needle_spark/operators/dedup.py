@@ -881,15 +881,17 @@ def embedding_neardup_pairs(
         if s > max_norm * max_norm + 1e-9:
             return spark.createDataFrame([], schema)
 
-    # deterministic pseudo-random sample; hashing the raw array column
-    # is ~6x cheaper than the old cast-to-string detour, and the OUTPUT
-    # is invariant to which centroids get picked (the eps-replication
-    # rule guarantees every pair within eps co-occurs in some cell for
-    # ANY centroid set, and verification computes the exact metric), so
-    # only the partitioning quality depends on this choice
+    # deterministic pseudo-random sample.  NOTE: the OUTPUT pair set is
+    # invariant to which centroids get picked (the eps-replication rule
+    # guarantees every pair within eps co-occurs in some cell for ANY
+    # centroid set, and verification computes the exact metric) — but
+    # partitioning QUALITY is not: hashing the raw array column (6x
+    # cheaper sample job) was measured to pick a worse-spread centroid
+    # set on the replicated bench corpora (embedding_neardup_4x 1.2 ->
+    # 3.1 s), so the original string-hash order is kept deliberately.
     cent_rows = (
         df.select(vector_col)
-        .orderBy(F.xxhash64(F.col(vector_col)))
+        .orderBy(F.xxhash64(F.col(vector_col).cast("array<float>").cast("string")))
         .limit(num_cells)
         .collect()
     )
