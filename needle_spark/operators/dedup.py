@@ -1051,20 +1051,22 @@ def srp_lsh_neardup_pairs(
             f"srp_lsh_neardup_pairs supports angular metrics only "
             f"(cosine / dot); got {m!r} — use embedding_neardup_pairs "
             f"for magnitude metrics")
-    # one prep job for dim probe AND row count (the dim probe and the
-    # auto-width count() used to be two separate jobs per call)
-    prep = df.agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.first(F.col(vector_col), ignorenulls=True).alias("__v")).first()
-    if prep["__v"] is None:  # empty table: no pairs, same as exact tier
+    # two SEPARATE prep jobs on purpose: first() short-circuits after
+    # one partition and count() never reads the vector column, while a
+    # merged agg(count, first(vector)) forces a full-corpus scan OF THE
+    # VECTOR COLUMN (measured +0.3-0.5 s on every srp bench row before
+    # being reverted)
+    first = df.select(vector_col).filter(
+        F.col(vector_col).isNotNull()).first()
+    if first is None:  # empty table: no pairs, same shape as exact tier
         return df.sparkSession.createDataFrame([], _pairs_schema(df, id_col))
-    first = (prep["__v"],)
     if n_bits is None:
         # auto band width (see docstring): collisions scale n^2/2^r
-        # per band, so r tracks log2(n)
+        # per band, so r tracks log2(n) — one count() job, the same
+        # bounded-prep class as the dim probe above
         import math
 
-        n_rows = int(prep["__n"])
+        n_rows = df.count()
         r = min(62, max(16, math.ceil(math.log2(max(n_rows, 2))) + 4))
         n_bits = r * bands
     if n_bits % bands:
