@@ -30,6 +30,20 @@ STOP_WORDS: tuple[str, ...] = (
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
 
 
+def let_expr(bound: Column, body) -> Column:
+    """Bind an expensive subexpression to a lambda variable at the
+    Column level: evaluate `bound` ONCE per row and pass it to `body`.
+
+    Catalyst has no let-binding and does not hoist loop-invariant
+    subexpressions out of interpreted higher-order-function lambdas, so
+    an expression like transform(seq, i -> slice(REGEX(text), i, n))
+    re-runs REGEX per element.  Wrapping the expensive input as a
+    1-element array and applying `body` through transform() makes the
+    lambda variable the materialization point — same values, one
+    evaluation (measured 2x on the sliding-window chunker)."""
+    return F.element_at(F.transform(F.array(bound), body), 1)
+
+
 def tokenize_expr(
     col: Column | str,
     stop_words: tuple[str, ...] | None = STOP_WORDS,

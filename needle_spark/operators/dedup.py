@@ -92,15 +92,22 @@ def exact_dedup(
 
 def shingles_expr(text_col: Column | str, n: int = 3, min_len: int = 1) -> Column:
     """Distinct word n-gram shingles of a text column, as array<string>.
-    Pure Catalyst: tokenize -> sliding window via transform(sequence)."""
-    toks = tokenize_expr(text_col, stop_words=None, min_len=min_len)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.when(
-            F.size(toks) >= n, F.concat_ws(" ", F.slice(toks, i + 1, n))
-        ),
-    )
-    return F.array_distinct(F.filter(grams, lambda g: g.isNotNull()))
+    Pure Catalyst: tokenize -> sliding window via transform(sequence).
+    The token array is let-bound so tokenization runs once per row, not
+    once per shingle start (see functions.text.let_expr)."""
+    from needle_spark.functions.text import let_expr
+
+    def body(toks):
+        grams = F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.when(
+                F.size(toks) >= n, F.concat_ws(" ", F.slice(toks, i + 1, n))
+            ),
+        )
+        return F.array_distinct(F.filter(grams, lambda g: g.isNotNull()))
+
+    return let_expr(tokenize_expr(text_col, stop_words=None,
+                                  min_len=min_len), body)
 
 
 def py_shingles(text: str, n: int = 3) -> list[str]:

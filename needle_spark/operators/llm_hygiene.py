@@ -37,12 +37,21 @@ def _words(text_col: Column | str) -> Column:
 
 def word_ngrams_expr(text_col: Column | str, n: int) -> Column:
     """Space-joined word n-grams (empty array when the doc has < n
-    words).  Matches the DuckDB twin token-for-token."""
-    toks = _words(text_col)
-    starts = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
-    grams = F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    return F.when(F.size(toks) >= n, grams).otherwise(
-        F.array().cast("array<string>"))
+    words).  Matches the DuckDB twin token-for-token.  The token array
+    is let-bound so the tokenizing regexp evaluates once per row, not
+    once per gram start (see functions.text.let_expr); the hot
+    decontaminate path uses _gram_frame (materialized tokens + ml
+    NGram) instead."""
+    from needle_spark.functions.text import let_expr
+
+    def body(toks):
+        starts = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+        grams = F.transform(
+            starts, lambda i: F.array_join(F.slice(toks, i, n), " "))
+        return F.when(F.size(toks) >= n, grams).otherwise(
+            F.array().cast("array<string>"))
+
+    return let_expr(_words(text_col), body)
 
 
 def _gram_frame(df: DataFrame, keep_cols: list, text_col: str, n: int) -> DataFrame:

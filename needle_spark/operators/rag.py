@@ -103,19 +103,27 @@ def chunk_sliding_expr(text: Column | str, window_size: int = 64,
     the first window that reaches the end of the document."""
     if step_size <= 0:
         raise ValueError("step_size must be positive")
+    from needle_spark.functions.text import let_expr
+
     t = _c(text)
-    words = F.regexp_extract_all(t, F.lit(r"\S+"), 0)
-    n = F.size(words)
     w, s = F.lit(int(window_size)), F.lit(int(step_size))
-    starts = F.filter(
-        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), s),
-        # keep start 0 always; later starts only if the previous window
-        # did not already cover the tail (the reference's break)
-        lambda i: (i == 0) | (i - s + w < n),
-    )
-    return F.when(n > 0, F.transform(
-        starts, lambda i: F.array_join(F.slice(words, i + 1, w), " ")
-    )).otherwise(F.array().cast("array<string>"))
+
+    def body(words):
+        n = F.size(words)
+        starts = F.filter(
+            F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), s),
+            # keep start 0 always; later starts only if the previous
+            # window did not already cover the tail (the reference's
+            # break)
+            lambda i: (i == 0) | (i - s + w < n),
+        )
+        return F.when(n > 0, F.transform(
+            starts, lambda i: F.array_join(F.slice(words, i + 1, w), " ")
+        )).otherwise(F.array().cast("array<string>"))
+
+    # let-bound so the word split evaluates once per row, not once per
+    # window start (see let_expr)
+    return let_expr(F.regexp_extract_all(t, F.lit(r"\S+"), 0), body)
 
 
 def chunk_paragraphs_expr(text: Column | str,
@@ -124,16 +132,24 @@ def chunk_paragraphs_expr(text: Column | str,
     paragraphs rejoined with a blank line (pipeline.rs:428-441)."""
     if max_paragraphs <= 0:
         raise ValueError("max_paragraphs must be positive")
+    from needle_spark.functions.text import let_expr
+
     t = _c(text)
-    paras = F.split(t, r"\n\n")
     m = F.lit(int(max_paragraphs))
-    starts = F.sequence(F.lit(0), F.greatest(F.size(paras) - 1, F.lit(0)), m)
-    chunks = F.transform(
-        starts, lambda i: F.array_join(F.slice(paras, i + 1, m), "\n\n"))
-    # blank documents must not emit whitespace chunks (every other
-    # strategy trims and drops empties; an embedded '' chunk becomes a
-    # zero vector polluting retrieval)
-    return F.filter(chunks, lambda c: F.trim(c) != "")
+
+    def body(paras):
+        starts = F.sequence(
+            F.lit(0), F.greatest(F.size(paras) - 1, F.lit(0)), m)
+        chunks = F.transform(
+            starts, lambda i: F.array_join(F.slice(paras, i + 1, m), "\n\n"))
+        # blank documents must not emit whitespace chunks (every other
+        # strategy trims and drops empties; an embedded '' chunk
+        # becomes a zero vector polluting retrieval)
+        return F.filter(chunks, lambda c: F.trim(c) != "")
+
+    # let-bound: the paragraph split evaluates once per row, not once
+    # per chunk start
+    return let_expr(F.split(t, r"\n\n"), body)
 
 
 def chunk_hierarchical_expr(text: Column | str,
