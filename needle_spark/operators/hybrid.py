@@ -25,6 +25,7 @@ from collections import Counter
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from needle_spark.session import materialize
 from needle_spark.functions.text import (
     STOP_WORDS,
     duckdb_tokenize_sql,
@@ -108,7 +109,13 @@ def bm25_scores(
     # run twice (Spark recomputes shared subtrees).  Materialize the
     # narrow (id, dl, tf...) frame once — it is orders of magnitude
     # smaller than the text it derives from, at any corpus scale.
-    per_doc = per_doc.localCheckpoint()
+    # eager=False (ADVICE r11): the builder stays lazy — no corpus-scan
+    # job at DataFrame-construction/explain time; the checkpoint
+    # materializes on the first action and both consumers share it.
+    # materialize() honors spark.needle.checkpoint.mode for cluster runs
+    # where a non-replicated local checkpoint of an O(corpus) frame
+    # would make executor loss fatal.
+    per_doc = materialize(per_doc, eager=False)
     stats = per_doc.agg(
         F.count(F.lit(1)).cast("double").alias("__n"),
         (F.sum("__dl") / F.count(F.lit(1))).alias("__avgdl"),
