@@ -591,11 +591,10 @@ def minhash_lsh_candidates(
         ).alias("__r"),
     ).select("id1", "id2", F.col("__r.rid").alias("__rid"),
              F.col("__r.role").alias("__role"))
-    # broadcast the light role rows when pairs are few: the candidate
-    # shingle frame (the heavy side — one shingle array per row) is then
-    # probed where it stands instead of shuffled, and the arrays cross
-    # the network once, in the pair-key groupBy below
-    roles = _maybe_broadcast_roles(pairs, roles)
+    # (r12 measured-and-declined: broadcasting the role rows here was
+    # A/B'd and read neutral-to-slower at sf0.1 — the candidate shingle
+    # frame is already small, and the extra count job + broadcast build
+    # cost what the saved exchange returned.  Kept as the shuffle join.)
     j = roles.join(
         sh.select(F.col(id_col).alias("__rid"), "__sh"), "__rid"
     )
@@ -1090,19 +1089,18 @@ def srp_lsh_neardup_pairs(
             f"srp_lsh_neardup_pairs supports angular metrics only "
             f"(cosine / dot); got {m!r} — use embedding_neardup_pairs "
             f"for magnitude metrics")
-    # two SEPARATE prep jobs on purpose: first() short-circuits after
-    # one partition and count() never reads the vector column, while a
-    # merged agg(count, first(vector)) forces a full-corpus scan OF THE
-    # VECTOR COLUMN (measured +0.3-0.5 s on every srp bench row before
-    # being reverted)
-    first = df.select(vector_col).filter(
-        F.col(vector_col).isNotNull()).first()
-    if first is None:  # empty table: no pairs, same shape as exact tier
-        return df.sparkSession.createDataFrame([], _pairs_schema(df, id_col))
+    # ONE prep job (count, column-pruned — never touches the vector
+    # column).  The old dim-probe first() job is gone: the hyperplane
+    # matrix R is now built INSIDE the kernel from the first batch's
+    # vector width — np.default_rng(seed) is deterministic, so every
+    # task derives the identical R (~100 KB of throwaway work per task),
+    # and one full Spark job disappears from every invocation.  A
+    # merged agg(count, first(vector)) stays rejected: it forces a
+    # full-corpus scan OF THE VECTOR COLUMN (measured +0.3-0.5 s on
+    # every srp bench row in r11 before being reverted).
     if n_bits is None:
         # auto band width (see docstring): collisions scale n^2/2^r
-        # per band, so r tracks log2(n) — one count() job, the same
-        # bounded-prep class as the dim probe above
+        # per band, so r tracks log2(n)
         import math
 
         n_rows = df.count()
@@ -1117,9 +1115,6 @@ def srp_lsh_neardup_pairs(
     if bucket_stats is not None:
         bucket_stats["band_bits"] = rows_per_band
         bucket_stats["n_bits"] = n_bits
-    dim = len(first[0])
-    rng = np.random.default_rng(seed)
-    R = rng.standard_normal((dim, n_bits)).astype(np.float32)
 
     id_type = df.schema[id_col].dataType
     band_schema = T.StructType([
@@ -1129,13 +1124,18 @@ def srp_lsh_neardup_pairs(
     ])
     # per-band bucket = the band's bit block packed into an int64
     weights = (1 << np.arange(rows_per_band, dtype=np.int64))
+    _n_bits = int(n_bits)
 
     def signatures(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        R = None  # built from the first batch's dim; same seed -> same R everywhere
         for pdf in batches:
             if pdf.empty:
                 continue
             V = np.asarray([np.asarray(v, dtype=np.float32)
                             for v in pdf[vector_col]])
+            if R is None:
+                R = np.random.default_rng(seed).standard_normal(
+                    (V.shape[1], _n_bits)).astype(np.float32)
             bits = (V @ R) > 0  # (n, n_bits); sign of the projection
             ids = pdf[id_col].to_numpy()
             out_ids, out_band, out_bucket = [], [], []
@@ -1161,8 +1161,12 @@ def srp_lsh_neardup_pairs(
     # kernel, NOT the shared zip_with/aggregate column exprs: Spark's
     # higher-order functions are interpreted (no whole-stage codegen),
     # and the r9 profile attributed ~40% of the whole SRP pipeline to
-    # that eval (A/B at 16k rows, 38k pairs: 6.8 -> 4.1 s with
-    # identical shuffles — PLANS.md 'SRP per-row constant').
+    # that eval.  (r12 measured-and-declined: a map-only broadcast
+    # verify — semi-join candidate vectors out, collect, broadcast a
+    # lookup, score pairs in place — read +0.3 s at 1x and +0.95 s at
+    # 10x in an interleaved A/B: the collect + rebroadcast round trip
+    # costs more than the exchanges it removes at this scale, and at
+    # 100 TB the candidate set can exceed any broadcast budget.)
     both = _pair_vectors(df, pairs, id_col, vector_col)
     return (
         both.withColumn(
@@ -1173,41 +1177,11 @@ def srp_lsh_neardup_pairs(
     )
 
 
-# Pair-count ceiling for broadcasting the role-exploded pair frame in
-# the LSH verify joins (2 role rows of ~40 bytes per pair; the default
-# keeps the built relation well under typical driver/executor budgets).
-# Above it the join falls back to the planner's shuffle strategy.
-_PAIRS_BROADCAST_CONF = "spark.needle.pairs.broadcast.max"
-_PAIRS_BROADCAST_DEFAULT = 2_000_000
-
-
-def _maybe_broadcast_roles(pairs: DataFrame, roles: DataFrame) -> DataFrame:
-    """Broadcast `roles` when the MATERIALIZED pair frame is small
-    (count is cheap post-checkpoint).  With roles broadcast, the verify
-    join probes the heavy side (vectors / candidate shingles) in place
-    instead of shuffling it — the payload then crosses the network once
-    (into pair space, via the groupBy), not twice (guide §8)."""
-    limit = int(pairs.sparkSession.conf.get(
-        _PAIRS_BROADCAST_CONF, str(_PAIRS_BROADCAST_DEFAULT)))
-    if pairs.count() <= limit:
-        return F.broadcast(roles)
-    return roles
-
-
 def _pair_vectors(df: DataFrame, pairs: DataFrame, id_col: str,
                   vector_col: str) -> DataFrame:
     """(id1, id2) -> (id1, id2, __v1, __v2): role-explode the pairs,
     join the vector table ONCE, reunite per pair.  Shared by the LSH
-    verify paths.
-
-    `pairs` is materialized here (it feeds the broadcast-size count and
-    the join; without that the whole banding subtree would execute
-    twice), and the role frame is broadcast when small — the r11 shape
-    shuffled the ENTIRE vector table by id for the join and then
-    re-shuffled the matched vectors by pair key: the vector column
-    crossed the network twice.  Broadcast roles remove the first
-    shuffle, so vectors move exactly once, into pair space."""
-    pairs = materialize(pairs)
+    verify paths."""
     roles = pairs.select(
         "id1", "id2",
         F.explode(F.array(
@@ -1216,7 +1190,6 @@ def _pair_vectors(df: DataFrame, pairs: DataFrame, id_col: str,
         )).alias("__r"),
     ).select("id1", "id2", F.col("__r.rid").alias("__rid"),
              F.col("__r.role").alias("__role"))
-    roles = _maybe_broadcast_roles(pairs, roles)
     j = roles.join(
         df.select(F.col(id_col).alias("__rid"),
                   F.col(vector_col).alias("__v")), "__rid")
