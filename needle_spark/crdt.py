@@ -130,7 +130,13 @@ def make_op(id: str, op: str, hlc: HLC, *, vector: Sequence[float] | None = None
 
 
 def op_log_df(spark: SparkSession, ops: Iterable[dict]) -> DataFrame:
-    return spark.createDataFrame(list(ops), OP_LOG_SCHEMA)
+    # JVM-resident local relation (see session.local_df): op logs are
+    # merged and re-scanned by several downstream actions, and a
+    # Python-resident relation re-ships its rows through a Python
+    # worker on every one of them
+    from needle_spark.session import local_df
+
+    return local_df(spark, list(ops), OP_LOG_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Capture .explain("formatted") for declared queries into plans/r11/.
+"""Capture .explain("formatted") for declared queries into plans/${PLANS_ROUND:-r12}/.
 
 Usage: python scripts/capture_plans.py <suffix> [query ...]
 Writes plans/r11/<query>_<suffix>.txt for each query (default: all).
@@ -15,7 +15,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "plans", "r11")
+    os.path.abspath(__file__))), "plans", os.environ.get("PLANS_ROUND", "r12"))
 
 
 def main() -> None:

@@ -12,6 +12,13 @@ def spark():
     from needle_spark import get_spark
 
     s = get_spark(app_name="needle-spark-tests", shuffle_partitions=8)
+    # NOTE (r12): a blanket conftest rewrite of createDataFrame(list,
+    # schema) through the Arrow/pandas path (JVM-resident local
+    # relations, ~0.3 s/action/relation cheaper) was prototyped and
+    # REVERTED: Arrow coerces NaN -> null inside vector cells, which
+    # silently defeats NaN-validation semantics (test_insert_validation
+    # caught it).  Engine-internal hot sites are converted individually
+    # instead (sync._record_one, crdt.op_log_df).
     yield s
 
 

@@ -195,6 +195,22 @@ def test_chunk_semantic_map_only(spark, sf_dir):
         assert marker not in p
 
 
+def test_chunk_semantic_arrow_map_only(spark, sf_dir):
+    """The Arrow twin (r12, used by the declared chunk_semantic query)
+    stays map-only too: ONE ArrowEvalPython, zero exchanges — chunking
+    a 100 TB corpus remains a single scan either way."""
+    from needle_spark.operators.rag import chunk_semantic_arrow
+
+    docs = load(spark, "documents", sf_dir)
+    df = docs.select(
+        "doc_id",
+        F.posexplode(chunk_semantic_arrow(F.col("text"), 200, 50))
+         .alias("chunk_index", "chunk"))
+    p = plan_of(df)
+    assert "Exchange" not in p
+    assert p.count("ArrowEvalPython") == 1
+
+
 def test_multi_query_search_single_rank_exchange(spark, embeddings):
     """Multi-query fusion rides the fused batch-kNN broadcast join: the
     doc side never hash-partitions before ranking; only the per-query
