@@ -208,7 +208,9 @@ def test_chunk_semantic_arrow_map_only(spark, sf_dir):
          .alias("chunk_index", "chunk"))
     p = plan_of(df)
     assert "Exchange" not in p
-    assert p.count("ArrowEvalPython") == 1
+    # one tree entry "ArrowEvalPython (n)" (the formatted detail section
+    # repeats the node name as "(n) ArrowEvalPython")
+    assert p.count("ArrowEvalPython (") == 1
 
 
 def test_multi_query_search_single_rank_exchange(spark, embeddings):
